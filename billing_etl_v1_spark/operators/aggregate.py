@@ -1,0 +1,109 @@
+"""Source-fact aggregation operators (SURVEY §2.4).
+
+The reference pushes one GROUP BY into ClickHouse and then treats each 10k-row
+batch as final (billing_calculation_service.py:164-187,201-222; batch loop
+:450-462) — correct only because batches arrive post-aggregation. In Spark a
+single ``groupBy`` performs the partial (map-side) and final aggregation
+internally, so both the server-side GROUP BY and the batch loop collapse into
+one operator that scales by shuffle on the group keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# production grain — 8 keys
+# (reference billing_calculation_service.py:164-187,201-222)
+PIPELINE_KEYS = [
+    "invoice_month",
+    "billing_account_id",
+    "usage_day",
+    "project_id",
+    "service_id",
+    "service_description",
+    "sku_id",
+    "cost_type",
+]
+
+# invoice-detail grain — 13 keys, used by the SQL template and the test query
+# (reference sql_template.py:39-42; billing_calculation_service.py:270-283)
+DETAIL_KEYS = [
+    "usage_day",
+    "invoice_month",
+    "billing_account_id",
+    "service_id",
+    "service_description",
+    "sku_id",
+    "sku_description",
+    "project_id",
+    "project_name",
+    "usage_pricing_unit",
+    "currency",
+    "currency_conversion_rate",
+    "cost_type",
+]
+
+# the 13 summed measures (reference billing_calculation_service.py:167-179)
+SUM_MEASURES = [
+    "usage_amount_in_pricing_units",
+    "cost",
+    "cost_at_list",
+    "c_cud",
+    "c_cud_db",
+    "c_discount",
+    "c_free_tier",
+    "c_promotion",
+    "c_rm",
+    "c_sub_benefit",
+    "c_sud",
+    "internal_credits_cost",
+    "internal_credits_consumption",
+]
+
+
+def source_aggregate(
+    fact: DataFrame,
+    keys: list[str] | None = None,
+    extra_keys: list[str] | None = None,
+    measures: list[str] | None = None,
+) -> DataFrame:
+    """A1/A2: hash group-by over the fact grain with 13 SUM measures.
+
+    ``extra_keys`` lets callers thread helper columns (e.g. contract_month)
+    through the aggregation as grouping keys without changing the grain —
+    contract_month is functionally dependent on invoice_month.
+    """
+    keys = list(keys or PIPELINE_KEYS) + list(extra_keys or [])
+    aggs = [F.sum(m).alias(m) for m in (measures or SUM_MEASURES)]
+    return fact.groupBy(*keys).agg(*aggs)
+
+
+def filter_month(fact: DataFrame, invoice_month: str | None) -> Column | DataFrame:
+    """P3: equality predicate on invoice_month — pushed to the parquet scan
+    (partition pruning when the fact is laid out by invoice_month)."""
+    if invoice_month is None:
+        return fact
+    return fact.filter(F.col("invoice_month") == invoice_month)
+
+
+def filter_day_range(fact: DataFrame, day_start, day_end) -> DataFrame:
+    """P4: half-open usage_day range
+    (reference billing_calculation_service.py:147-148,183-184)."""
+    return fact.filter((F.col("usage_day") >= day_start) & (F.col("usage_day") < day_end))
+
+
+def min_max_usage_day(fact: DataFrame, invoice_month: str) -> DataFrame:
+    """A3 (reference billing_calculation_service.py:96-106)."""
+    return (
+        fact.filter(F.col("invoice_month") == invoice_month)
+        .agg(F.min("usage_day").alias("min_day"), F.max("usage_day").alias("max_day"))
+    )
+
+
+def distinct_accounts(fact: DataFrame, invoice_month: str | None = None) -> DataFrame:
+    """A4 (reference billing_calculation_service.py:139-155). In the reference
+    this drives a driver-side per-account loop; here it is only an exposed
+    query — the engine never collects it."""
+    df = fact if invoice_month is None else fact.filter(F.col("invoice_month") == invoice_month)
+    return df.select("billing_account_id").distinct()

@@ -1,0 +1,144 @@
+"""Pricing-mode calculations C1-C7 and the extra-discount overlay C6/J3.
+
+Pure ``when/otherwise`` expression trees — no UDFs. The reference implements
+these twice (pandas calculate/service.py:45-100,188-209 and SQL
+sql_template.py:105-200); where the two diverge we follow the pandas path,
+which is the code that runs in production (SURVEY §2.10):
+
+- The extra-discount factor multiplies ``internal_cost`` only
+  (calculate/service.py:209); mode-1 external consumption uses the
+  *unscaled* internal_consumption (unlike sql_template.py:130,175).
+- Mode-4 NULL price/discount default to 1.0 (calculate/service.py:87-88).
+- Mode-4 ``discount_amount`` is the selected credit sum divided by price
+  with a zero-price guard (calculate/service.py:93-97; sql_template.py:198).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from billing_etl_v1_spark.schemas import CREDIT_BUCKET_COLUMNS
+
+# The reference's hardcoded account -> factor overlay
+# (calculate/service.py:189-199; same literals in sql_template.py:105-112).
+DEFAULT_EXTRA_DISCOUNTS: dict[str, float] = {
+    **{
+        a: 0.975
+        for a in [
+            "01F0DC-F91DC5-0F0CAB",
+            "0143DC-442DB6-FDE892",
+            "01FEE2-46994F-B32CB9",
+            "01D111-877AA6-FC9006",
+            "01368B-077E67-C11E2D",
+            "01EB13-0127DF-324A48",
+            "013EEC-7ED413-0F0733",
+            "018D1D-AEDA58-9E382C",
+        ]
+    },
+    "01ACBD-4B4CE4-2D688D": 0.965,
+    **{
+        a: 0.95
+        for a in [
+            "01281B-3D24E6-B4D363",
+            "01587C-263C61-84FBDB",
+            "015C37-EF4FBF-AE3E2C",
+            "015336-4C0FAA-732523",
+        ]
+    },
+    **{
+        a: 0.88
+        for a in [
+            "01BE65-4D6A90-81C9C9",
+            "01AEFA-0E57C7-5D22AF",
+            "012980-39DCA3-6B08CF",
+            "01D80B-3126BB-D0C7C1",
+            "01D977-BDDE3C-14BE03",
+            "01EFBF-FE25D9-1F8A1C",
+            "01B528-640F36-FF1F84",
+            "013A21-83F145-1DE13D",
+            "0134F7-148D6A-A3E367",
+            "016577-4C47C6-43BEE5",
+        ]
+    },
+    "010EDC-72FE2A-79D4CC": 28.5 / 27.2,
+}
+
+
+def with_internal_measures(df: DataFrame) -> DataFrame:
+    """C1 (reference calculate/service.py:177-178; sql_template.py:101-102)."""
+    return df.withColumns(
+        {
+            "internal_cost": F.col("cost") + F.col("internal_credits_cost"),
+            "internal_consumption": F.col("cost") + F.col("internal_credits_consumption"),
+        }
+    )
+
+
+def extra_discount_factor(mapping: dict[str, float] | None = None) -> Column:
+    """J3: map-side literal lookup — a when-chain stays inside whole-stage
+    codegen (no shuffle, no broadcast needed for ~24 literals)."""
+    mapping = DEFAULT_EXTRA_DISCOUNTS if mapping is None else mapping
+    expr = F.lit(1.0)
+    # group accounts by factor to keep the when-chain short, like the
+    # reference's dict-of-lists (calculate/service.py:189-199)
+    by_factor: dict[float, list[str]] = {}
+    for acct, f in mapping.items():
+        by_factor.setdefault(f, []).append(acct)
+    for factor, accounts in by_factor.items():
+        expr = F.when(F.col("billing_account_id").isin(accounts), F.lit(float(factor))).otherwise(
+            expr
+        )
+    return expr
+
+
+def apply_extra_discount(df: DataFrame, mapping: dict[str, float] | None = None) -> DataFrame:
+    """C6, pandas-path semantics: scales ``internal_cost`` only
+    (reference calculate/service.py:206-209)."""
+    return df.withColumn(
+        "internal_cost", F.col("internal_cost") * extra_discount_factor(mapping)
+    )
+
+
+def _mode4_credit_part() -> Column:
+    """Σ of the c_* buckets named in '/'-separated ``credit_fields``
+    (reference calculate/service.py:90-94; sql_template.py:132-142)."""
+    fields = F.split(F.coalesce(F.col("credit_fields"), F.lit("")), "/")
+    part = F.lit(0.0)
+    for c in CREDIT_BUCKET_COLUMNS:
+        part = part + F.when(F.array_contains(fields, c), F.col(c)).otherwise(F.lit(0.0))
+    return part
+
+
+def with_pricing_modes(df: DataFrame) -> DataFrame:
+    """C2-C5 + C7 defaults on a rule-matched frame.
+
+    Expects the 6 rule columns from ``match_rules`` (discount/price as loose
+    strings) plus internal measures from ``with_internal_measures``.
+    """
+    mode = F.col("mode")
+    discount_d = F.col("discount").cast("double")
+    price_d = F.col("price").cast("double")
+    # mode-4 NULL defaults (reference calculate/service.py:87-88)
+    disc4 = F.coalesce(discount_d, F.lit(1.0))
+    price4 = F.coalesce(price_d, F.lit(1.0))
+
+    credit_part = _mode4_credit_part()
+    # zero-price guard (reference calculate/service.py:93; sql_template.py:188)
+    credit_over_price = F.when(price4 != 0, credit_part / price4).otherwise(F.lit(0.0))
+
+    external = (
+        F.when(mode == 1, F.col("internal_consumption") * discount_d)
+        .when(mode == 2, F.col("usage_amount_in_pricing_units") * price_d)
+        .when(mode == 3, F.col("usage_amount_in_pricing_units") * price_d * discount_d)
+        .when(mode == 4, F.col("cost_at_list") * disc4 + credit_over_price * disc4)
+        .otherwise(F.lit(0.0))
+    )
+    discount_amount = (
+        F.when(mode == 1, F.col("internal_credits_consumption"))
+        .when(mode == 4, credit_over_price)
+        .otherwise(F.lit(0.0))
+    )
+    return df.withColumns(
+        {"external_consumption": external, "discount_amount": discount_amount}
+    )

@@ -1,0 +1,126 @@
+"""Contract-rule matching: the 8-way NULL-wildcard priority join (J1).
+
+Reference semantics (both implementations agree — SURVEY §2.3):
+
+- ``dim_contract`` rows are partitioned into 8 subsets by the NULL pattern of
+  (project_id, service_description, sku_id); NULL means wildcard
+  (reference calculate/service.py:117-124; sql_template.py:47-61).
+- The fact is LEFT-joined to each subset on progressively longer key sets and
+  the winner is chosen **per column** with priority 8>4>6>2>7>3>5>1:
+  the SQL path is a per-column COALESCE (sql_template.py:93-98), and the
+  pandas path's ``df.update`` skips NaN cells, which is the same per-column
+  fallback (calculate/service.py:126-138 applies rules in reverse priority,
+  last-writer-wins per non-null cell).
+- Duplicate-dim hazard (SURVEY §2.3): the reference silently assumes dim keys
+  are unique per (month, key-tuple); we make that explicit with a
+  deterministic dedup (row_number over the key window, ordered by the rule
+  payload columns, nulls last).
+
+Scale posture: the dim is broadcast-small (the reference keeps it whole in
+driver memory, billing_calculation_service.py:291-327), so all 8 joins are
+broadcast hash joins — zero shuffle of the 100 TB fact, one stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# rule number -> non-wildcard dim columns (join keys beyond account)
+RULE_PATTERNS: dict[int, tuple[str, ...]] = {
+    1: (),
+    2: ("project_id",),
+    3: ("service_description",),
+    4: ("project_id", "service_description"),
+    5: ("sku_id",),
+    6: ("project_id", "sku_id"),
+    7: ("service_description", "sku_id"),
+    8: ("project_id", "service_description", "sku_id"),
+}
+
+WILDCARD_COLUMNS = ("project_id", "service_description", "sku_id")
+
+# specificity priority (reference sql_template.py:93 comment;
+# calculate/service.py:126 application order reversed)
+PRIORITY = (8, 4, 6, 2, 7, 3, 5, 1)
+
+# rule payload carried onto the fact (reference calculate/service.py:115)
+RULE_COLUMNS = ("mode", "discount", "price", "credit_fields", "customer_id", "contract_id")
+
+
+def dedupe_dim(dim: DataFrame) -> DataFrame:
+    """Deterministically keep one rule per (month, account, key-tuple).
+
+    The reference assumes uniqueness (pd.merge would otherwise row-multiply,
+    calculate/service.py:136); we enforce it: smallest payload wins, ordered
+    by the rule columns with NULLs last.
+    """
+    w = Window.partitionBy("month", "billing_account_id", *WILDCARD_COLUMNS).orderBy(
+        *[F.col(c).asc_nulls_last() for c in RULE_COLUMNS]
+    )
+    return (
+        dim.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def split_rules(dim: DataFrame) -> dict[int, DataFrame]:
+    """P8: 8-way partition of the dim by NULL pattern
+    (reference calculate/service.py:117-124; sql_template.py:47-61)."""
+    out: dict[int, DataFrame] = {}
+    for rule, pattern in RULE_PATTERNS.items():
+        cond = F.lit(True)
+        for c in WILDCARD_COLUMNS:
+            cond = cond & (F.col(c).isNotNull() if c in pattern else F.col(c).isNull())
+        out[rule] = dim.filter(cond)
+    return out
+
+
+def match_rules(
+    fact: DataFrame,
+    dim: DataFrame,
+    month_col: str = "contract_month",
+    dedupe: bool = True,
+) -> DataFrame:
+    """J1: attach the winning rule's payload columns to the fact.
+
+    ``fact`` must carry ``month_col`` ('YYYY-MM', reference main.py:34-36,
+    billing_calculation_service.py:129). Adds the 6 RULE_COLUMNS; ``discount``
+    and ``price`` stay loosely-typed strings exactly like the dim
+    (cast at use — reference calculate/service.py:51,61,70,87-88).
+    """
+    if dedupe:
+        dim = dedupe_dim(dim)
+    subsets = split_rules(dim)
+
+    df = fact
+    for rule in PRIORITY:
+        pattern = RULE_PATTERNS[rule]
+        keys = ("billing_account_id",) + pattern
+        r = subsets[rule].select(
+            F.col("month").alias(f"__m_{rule}"),
+            *[F.col(k).alias(f"__k_{rule}_{k}") for k in keys],
+            *[F.col(c).alias(f"__{c}_{rule}") for c in RULE_COLUMNS],
+        )
+        cond = F.col(month_col) == F.col(f"__m_{rule}")
+        for k in keys:
+            cond = cond & (F.col(k) == F.col(f"__k_{rule}_{k}"))
+        df = df.join(F.broadcast(r), on=cond, how="left").drop(
+            f"__m_{rule}", *[f"__k_{rule}_{k}" for k in keys]
+        )
+
+    # per-column priority coalesce (sql_template.py:93-98)
+    for c in RULE_COLUMNS:
+        df = df.withColumn(c, F.coalesce(*[F.col(f"__{c}_{r}") for r in PRIORITY]))
+    return df.drop(*[f"__{c}_{r}" for c in RULE_COLUMNS for r in PRIORITY])
+
+
+def restrict_dim_to_fact_accounts(dim: DataFrame, fact: DataFrame) -> DataFrame:
+    """J2/P9: the reference filters the dim to accounts present in the batch
+    with a driver-side ``isin`` (calculate/service.py:166-168). Distributed
+    form is a left-semi join; with a broadcast dim it is a no-op for
+    correctness, so this exists only as an exposed operator."""
+    return dim.join(
+        fact.select("billing_account_id").distinct(), on="billing_account_id", how="left_semi"
+    )

@@ -1,0 +1,393 @@
+"""DuckDB oracle SQL builders for the billing-engine queries.
+
+Every query the engine exposes in ``__spark_entry__.queries()`` has a twin
+here: ANSI/DuckDB SQL over the same parquet views, reproducing the chosen
+reference semantics (SURVEY §2.10 — pandas production path) independently of
+the Spark implementation. The synthetic fact/dim derivation CTEs are the
+SAME SQL text both engines execute (sources/synthetic.py), so a hash match
+verifies the engine's operators, not the generator.
+
+All double outputs are ROUND(x, 6) in both engines (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+from billing_etl_v1_spark.operators.pricing import DEFAULT_EXTRA_DISCOUNTS
+from billing_etl_v1_spark.operators.rules import PRIORITY, RULE_PATTERNS, RULE_COLUMNS
+from billing_etl_v1_spark.schemas import CREDIT_BUCKET_COLUMNS
+from billing_etl_v1_spark.sources.synthetic import DIM_SQL, FACT_SQL
+
+# extra-discount overlay used by all synthetic-fixture queries (the reference's
+# DEFAULT_EXTRA_DISCOUNTS literals never occur in the synthetic accounts)
+TEST_EXTRA_DISCOUNTS: dict[str, float] = {
+    "ACCT-0": 0.975,
+    "ACCT-5": 0.965,
+    "ACCT-12": 0.95,
+    "ACCT-17": 0.88,
+    "ACCT-19": 28.5 / 27.2,
+}
+
+FLAGSHIP_MONTH = "199506"
+
+def _r6(expr: str) -> str:
+    """Same quantization as functions.quantize6 — floor(x*1e6+0.5)/1e6 in pure
+    double arithmetic, bit-identical across engines (ROUND ties differ)."""
+    return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+SUM_MEASURES = [
+    "usage_amount_in_pricing_units",
+    "cost",
+    "cost_at_list",
+    *CREDIT_BUCKET_COLUMNS,
+    "internal_credits_cost",
+    "internal_credits_consumption",
+]
+
+DETAIL_KEYS = [
+    "usage_day",
+    "invoice_month",
+    "billing_account_id",
+    "service_id",
+    "service_description",
+    "sku_id",
+    "sku_description",
+    "project_id",
+    "project_name",
+    "usage_pricing_unit",
+    "currency",
+    "currency_conversion_rate",
+    "cost_type",
+]
+
+PIPELINE_KEYS = [
+    "invoice_month",
+    "billing_account_id",
+    "usage_day",
+    "project_id",
+    "service_id",
+    "service_description",
+    "sku_id",
+    "cost_type",
+]
+
+
+def _sums() -> str:
+    return ",\n         ".join(f"sum({m}) AS {m}" for m in SUM_MEASURES)
+
+
+def _base_ctes(month: str | None = None) -> str:
+    month_filter = f"WHERE invoice_month = '{month}'" if month else ""
+    return f"""
+WITH fact AS (
+  SELECT * FROM ({FACT_SQL}) {month_filter}
+),
+dim AS ({DIM_SQL}),
+dim_dedup AS (
+  SELECT month, billing_account_id, project_id, service_description, sku_id,
+         mode, discount, price, credit_fields, customer_id, contract_id
+  FROM (
+    SELECT d.*, row_number() OVER (
+      PARTITION BY month, billing_account_id, project_id, service_description, sku_id
+      ORDER BY mode ASC NULLS LAST, discount ASC NULLS LAST, price ASC NULLS LAST,
+               credit_fields ASC NULLS LAST, customer_id ASC NULLS LAST,
+               contract_id ASC NULLS LAST
+    ) AS rn
+    FROM dim d
+  )
+  WHERE rn = 1
+)"""
+
+
+def _rule_ctes() -> str:
+    parts = []
+    for rule, pattern in RULE_PATTERNS.items():
+        conds = []
+        for c in ("project_id", "service_description", "sku_id"):
+            conds.append(f"{c} IS {'NOT ' if c in pattern else ''}NULL")
+        parts.append(f"r{rule} AS (SELECT * FROM dim_dedup WHERE {' AND '.join(conds)})")
+    return ",\n".join(parts)
+
+
+def _source_cte(keys: list[str]) -> str:
+    key_list = ", ".join(keys + ["contract_month"])
+    return f"""
+source AS (
+  SELECT {key_list},
+         {_sums()}
+  FROM fact
+  GROUP BY {key_list}
+)"""
+
+
+def _matched_cte() -> str:
+    joins = []
+    for rule, pattern in RULE_PATTERNS.items():
+        on = [f"s.contract_month = d{rule}.month",
+              f"s.billing_account_id = d{rule}.billing_account_id"]
+        on += [f"s.{c} = d{rule}.{c}" for c in pattern]
+        joins.append(f"LEFT JOIN r{rule} d{rule} ON {' AND '.join(on)}")
+    coalesces = ",\n    ".join(
+        f"COALESCE({', '.join(f'd{r}.{c}' for r in PRIORITY)}) AS {c}"
+        for c in RULE_COLUMNS
+    )
+    return f"""
+matched AS (
+  SELECT s.*,
+    {coalesces}
+  FROM source s
+  {chr(10).join('  ' + j for j in joins)}
+)"""
+
+
+def _extra_discount_case(mapping: dict[str, float]) -> str:
+    by_factor: dict[float, list[str]] = {}
+    for acct, f in mapping.items():
+        by_factor.setdefault(f, []).append(acct)
+    whens = "\n      ".join(
+        f"WHEN billing_account_id IN ({', '.join(repr(a) for a in accounts)}) THEN CAST({factor!r} AS DOUBLE)"
+        for factor, accounts in by_factor.items()
+    )
+    return f"CASE\n      {whens}\n      ELSE CAST(1.0 AS DOUBLE) END"
+
+
+def _credit_part() -> str:
+    terms = "\n      + ".join(
+        f"(CASE WHEN list_contains(string_split(COALESCE(credit_fields, ''), '/'), '{c}') "
+        f"THEN {c} ELSE CAST(0.0 AS DOUBLE) END)"
+        for c in CREDIT_BUCKET_COLUMNS
+    )
+    return f"({terms})"
+
+
+def _priced_cte(mapping: dict[str, float]) -> str:
+    """Pandas-path pricing semantics (SURVEY §2.10):
+
+    - extra-discount factor scales internal_cost only
+      (reference calculate/service.py:209)
+    - mode-4 NULL price/discount -> 1.0 (calculate/service.py:87-88)
+    - mode-4 zero-price guard (calculate/service.py:93)
+    """
+    return f"""
+priced AS (
+  SELECT m.*,
+    (cost + internal_credits_cost) * ({_extra_discount_case(mapping)}) AS internal_cost,
+    (cost + internal_credits_consumption) AS internal_consumption,
+    CAST(discount AS DOUBLE) AS discount_d,
+    CAST(price AS DOUBLE) AS price_d,
+    COALESCE(CAST(discount AS DOUBLE), 1.0) AS disc4,
+    COALESCE(CAST(price AS DOUBLE), 1.0) AS price4,
+    {_credit_part()} AS credit_part
+  FROM matched m
+),
+calc AS (
+  SELECT p.*,
+    (CASE WHEN price4 <> 0 THEN credit_part / price4 ELSE 0.0 END) AS credit_over_price,
+    CASE
+      WHEN mode = 1 THEN internal_consumption * discount_d
+      WHEN mode = 2 THEN usage_amount_in_pricing_units * price_d
+      WHEN mode = 3 THEN usage_amount_in_pricing_units * price_d * discount_d
+      WHEN mode = 4 THEN cost_at_list * disc4
+                         + (CASE WHEN price4 <> 0 THEN credit_part / price4 ELSE 0.0 END) * disc4
+      ELSE 0.0
+    END AS external_consumption_raw,
+    CASE
+      WHEN mode = 1 THEN internal_credits_consumption
+      WHEN mode = 4 THEN (CASE WHEN price4 <> 0 THEN credit_part / price4 ELSE 0.0 END)
+      ELSE 0.0
+    END AS discount_amount_raw
+  FROM priced p
+)"""
+
+
+def _final_select(keys: list[str], production_defaults: bool = False) -> str:
+    """Project onto the 36-column target (etl_time excluded for determinism)
+    with the sink's conformance defaults
+    (reference billing_calculation_service.py:354-425)."""
+    detail_only = {
+        "sku_description",
+        "project_name",
+        "usage_pricing_unit",
+        "currency",
+        "currency_conversion_rate",
+    }
+    cols = []
+    for name in [
+        "usage_day",
+        "invoice_month",
+        "billing_account_id",
+        "customer_id",
+        "contract_id",
+        "service_id",
+        "service_description",
+        "sku_id",
+        "sku_description",
+        "project_id",
+        "project_name",
+        "usage_pricing_unit",
+        "usage_amount_in_pricing_units",
+        "currency",
+        "currency_conversion_rate",
+        "cost_type",
+        "cost",
+        "cost_at_list",
+        *CREDIT_BUCKET_COLUMNS,
+        "internal_credits_cost",
+        "internal_credits_consumption",
+        "internal_cost",
+        "internal_consumption",
+        "external_consumption",
+        "discount_amount",
+        "mode",
+        "price",
+        "discount",
+        "credit_fields",
+    ]:
+        if production_defaults and name in detail_only:
+            if name == "currency_conversion_rate":
+                cols.append(f"CAST(0.0 AS DOUBLE) AS {name}")
+            else:
+                cols.append(f"'' AS {name}")
+        elif name == "usage_day":
+            cols.append("CAST(usage_day AS DATE) AS usage_day")
+        elif name == "mode":
+            cols.append("COALESCE(mode, 0) AS mode")
+        elif name == "price":
+            cols.append(f"{_r6('COALESCE(price_d, 0.0)')} AS price")
+        elif name == "discount":
+            cols.append(f"{_r6('COALESCE(discount_d, 0.0)')} AS discount")
+        elif name == "credit_fields":
+            cols.append("COALESCE(credit_fields, '') AS credit_fields")
+        elif name in ("customer_id", "contract_id"):
+            cols.append(f"{name}")
+        elif name == "external_consumption":
+            cols.append(f"{_r6('COALESCE(external_consumption_raw, 0.0)')} AS external_consumption")
+        elif name == "discount_amount":
+            cols.append(f"{_r6('COALESCE(discount_amount_raw, 0.0)')} AS discount_amount")
+        elif name in SUM_MEASURES + ["internal_cost", "internal_consumption"]:
+            cols.append(f"{_r6(f'COALESCE({name}, 0.0)')} AS {name}")
+        else:
+            cols.append(name)
+    return "SELECT\n  " + ",\n  ".join(cols) + "\nFROM calc"
+
+
+def flagship_sql(
+    month: str | None = None,
+    grain: str = "detail",
+    mapping: dict[str, float] | None = None,
+) -> str:
+    keys = DETAIL_KEYS if grain == "detail" else PIPELINE_KEYS
+    mapping = TEST_EXTRA_DISCOUNTS if mapping is None else mapping
+    return (
+        _base_ctes(month)
+        + ",\n"
+        + _rule_ctes()
+        + ",\n"
+        + _source_cte(keys)
+        + ",\n"
+        + _matched_cte()
+        + ",\n"
+        + _priced_cte(mapping)
+        + "\n"
+        + _final_select(keys, production_defaults=(grain != "detail"))
+    )
+
+
+def source_agg_sql(keys: list[str]) -> str:
+    key_list = ", ".join(keys)
+    rounded = ",\n       ".join(f"{_r6(f'sum({m})')} AS {m}" for m in SUM_MEASURES)
+    return f"""
+WITH fact AS ({FACT_SQL})
+SELECT {key_list},
+       {rounded}
+FROM fact
+GROUP BY {key_list}
+"""
+
+
+def minmax_day_sql(month: str = FLAGSHIP_MONTH) -> str:
+    return f"""
+WITH fact AS ({FACT_SQL})
+SELECT min(usage_day) AS min_day, max(usage_day) AS max_day
+FROM fact WHERE invoice_month = '{month}'
+"""
+
+
+def distinct_accounts_sql() -> str:
+    return f"""
+WITH fact AS ({FACT_SQL})
+SELECT DISTINCT billing_account_id FROM fact
+"""
+
+
+def dim_rules_sql() -> str:
+    """Deduped dim with the derived rule tag (NULL-pattern number)."""
+    tag = """CASE
+      WHEN project_id IS NULL AND service_description IS NULL AND sku_id IS NULL THEN 1
+      WHEN project_id IS NOT NULL AND service_description IS NULL AND sku_id IS NULL THEN 2
+      WHEN project_id IS NULL AND service_description IS NOT NULL AND sku_id IS NULL THEN 3
+      WHEN project_id IS NOT NULL AND service_description IS NOT NULL AND sku_id IS NULL THEN 4
+      WHEN project_id IS NULL AND service_description IS NULL AND sku_id IS NOT NULL THEN 5
+      WHEN project_id IS NOT NULL AND service_description IS NULL AND sku_id IS NOT NULL THEN 6
+      WHEN project_id IS NULL AND service_description IS NOT NULL AND sku_id IS NOT NULL THEN 7
+      ELSE 8 END"""
+    return f"""{_base_ctes()}
+SELECT d.*, {tag} AS rule
+FROM dim_dedup d
+"""
+
+
+def rule_match_sql(month: str = FLAGSHIP_MONTH) -> str:
+    keys = ", ".join(DETAIL_KEYS)
+    return (
+        _base_ctes(month)
+        + ",\n"
+        + _rule_ctes()
+        + ",\n"
+        + _source_cte(DETAIL_KEYS)
+        + ",\n"
+        + _matched_cte()
+        + f"""
+SELECT {keys}, mode, discount, price, credit_fields, customer_id, contract_id
+FROM matched
+"""
+    )
+
+
+def credits_pivot_sql() -> str:
+    """Truth for the array-pivot path: the scalar-derived buckets and totals
+    must equal what the engine reconstructs from the nested arrays."""
+    buckets = ", ".join(f"{_r6(c)} AS {c}" for c in CREDIT_BUCKET_COLUMNS)
+    return f"""
+WITH fact AS ({FACT_SQL})
+SELECT usage_day, billing_account_id, project_id, sku_id, cost_type,
+       {_r6('cost_at_list')} AS cost_at_list,
+       {buckets},
+       {_r6('internal_credits_cost')} AS internal_credits_cost,
+       {_r6('internal_credits_consumption')} AS internal_credits_consumption
+FROM fact
+"""
+
+
+def pricing_modes_sql(month: str = FLAGSHIP_MONTH) -> str:
+    keys = ", ".join(DETAIL_KEYS)
+    return (
+        _base_ctes(month)
+        + ",\n"
+        + _rule_ctes()
+        + ",\n"
+        + _source_cte(DETAIL_KEYS)
+        + ",\n"
+        + _matched_cte()
+        + ",\n"
+        + _priced_cte(TEST_EXTRA_DISCOUNTS)
+        + f"""
+SELECT {keys},
+       COALESCE(mode, 0) AS mode,
+       {_r6('COALESCE(internal_cost, 0.0)')} AS internal_cost,
+       {_r6('COALESCE(internal_consumption, 0.0)')} AS internal_consumption,
+       {_r6('COALESCE(external_consumption_raw, 0.0)')} AS external_consumption,
+       {_r6('COALESCE(discount_amount_raw, 0.0)')} AS discount_amount
+FROM calc
+"""
+    )
