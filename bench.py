@@ -1,0 +1,63 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Each query is executed to completion with the no-op sink (full pipeline runs,
+nothing materializes on the driver — no collect bottleneck, mirrors a real
+distributed write).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+QUERY_NAMES = [
+    "billing_source_agg",
+    "billing_source_agg_detail",
+    "billing_credits_pivot",
+    "billing_rule_match",
+    "billing_flagship_month",
+    "billing_flagship",
+    "billing_flagship_production",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as em
+    from billing_etl_v1_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = em.queries()
+    timings: dict[str, float] = {}
+    for name in QUERY_NAMES:
+        if name not in queries:
+            continue
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "billing_engine_headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -82,6 +82,7 @@ def match_rules(
     dim: DataFrame,
     month_col: str = "contract_month",
     dedupe: bool = True,
+    cache_dim: bool = True,
 ) -> DataFrame:
     """J1: attach the winning rule's payload columns to the fact.
 
@@ -89,9 +90,18 @@ def match_rules(
     billing_calculation_service.py:129). Adds the 6 RULE_COLUMNS; ``discount``
     and ``price`` stay loosely-typed strings exactly like the dim
     (cast at use — reference calculate/service.py:51,61,70,87-88).
+
+    ``cache_dim`` materializes the deduped dim once so the 8 join subtrees
+    broadcast from one in-memory relation instead of re-computing the dim
+    lineage 8 times — the Spark analogue of the reference loading the whole
+    dim into driver memory once per run
+    (billing_calculation_service.py:291-327). The dim is broadcast-small by
+    contract, so this is O(rules) memory.
     """
     if dedupe:
         dim = dedupe_dim(dim)
+    if cache_dim:
+        dim = dim.cache()
     subsets = split_rules(dim)
 
     df = fact
