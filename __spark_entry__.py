@@ -19,8 +19,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from billing_etl_v1_spark import oracle
+from billing_etl_v1_spark import oracle, oracle_ext
 from billing_etl_v1_spark.functions import round_doubles
+from billing_etl_v1_spark.operators import dedup as dedup_ops
+from billing_etl_v1_spark.operators import events as event_ops
+from billing_etl_v1_spark.operators import multimodal as mm_ops
+from billing_etl_v1_spark.operators import similarity as sim_ops
+from billing_etl_v1_spark.operators import text as text_ops
+from billing_etl_v1_spark.plans import examples as example_plans
+from billing_etl_v1_spark.sources.readers import load_table
 from billing_etl_v1_spark.operators import aggregate as agg_ops
 from billing_etl_v1_spark.operators.credits import credits_pivot
 from billing_etl_v1_spark.operators.pricing import (
@@ -162,6 +169,91 @@ def _flagship(month: str | None, grain: str) -> Callable[[SparkSession, str], Da
     return q
 
 
+# --- extension queries (dedup / similarity / text / events / relational) ---
+
+
+def _q_text_stats(spark, sf_dir):
+    return text_ops.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _q_lang_id(spark, sf_dir):
+    return text_ops.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return text_ops.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dedup_ops.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    return dedup_ops.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    return dedup_ops.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    return dedup_ops.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _q_sim_bruteforce(spark, sf_dir):
+    return sim_ops.cosine_topk_bruteforce(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_sim_ivf(spark, sf_dir):
+    return sim_ops.cosine_topk_ivf(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_events_window(spark, sf_dir):
+    return event_ops.tumbling_window_agg(load_table(spark, sf_dir, "events"))
+
+
+def _q_events_sessionize(spark, sf_dir):
+    return event_ops.sessionize(load_table(spark, sf_dir, "events"))
+
+
+def _q_events_top_types(spark, sf_dir):
+    return event_ops.top_event_types_per_user(load_table(spark, sf_dir, "events"))
+
+
+def _q_events_json(spark, sf_dir):
+    return event_ops.json_props_agg(load_table(spark, sf_dir, "events"))
+
+
+def _q_tpch_q1(spark, sf_dir):
+    return example_plans.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_top_customers(spark, sf_dir):
+    return example_plans.top_customers_by_nation(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _q_multimodal_meta(spark, sf_dir):
+    docs = mm_ops.attach_payload(load_table(spark, sf_dir, "documents"))
+    return mm_ops.payload_metadata(docs)
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """mapInPandas feature extraction — not SQL-expressible (driver records
+    the weaker rows-only check); unit-tested in tests/test_multimodal.py."""
+    docs = mm_ops.attach_payload(load_table(spark, sf_dir, "documents"))
+    feats = mm_ops.extract_features(docs, fake=True)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "byte_len",
+        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(mm_ops.FEATURE_DIM)],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -176,6 +268,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
         "billing_flagship": _flagship(None, "detail"),
         "billing_flagship_production": _flagship(None, "pipeline"),
+        "docs_text_stats": _q_text_stats,
+        "docs_lang_id": _q_lang_id,
+        "docs_fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "sim_topk_bruteforce": _q_sim_bruteforce,
+        "sim_topk_ivf": _q_sim_ivf,
+        "events_window_agg": _q_events_window,
+        "events_sessionize": _q_events_sessionize,
+        "events_top_types": _q_events_top_types,
+        "events_json_props": _q_events_json,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_top_customers": _q_top_customers,
+        "multimodal_meta": _q_multimodal_meta,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -193,4 +302,21 @@ def oracle_sql() -> dict[str, str]:
         "billing_flagship_month": oracle.flagship_sql(month=oracle.FLAGSHIP_MONTH),
         "billing_flagship": oracle.flagship_sql(),
         "billing_flagship_production": oracle.flagship_sql(grain="pipeline"),
+        "docs_text_stats": oracle_ext.text_stats_sql(),
+        "docs_lang_id": oracle_ext.lang_id_sql(),
+        "docs_fingerprint": oracle_ext.fingerprint_sql(),
+        "dedup_exact": oracle_ext.dedup_exact_sql(),
+        "dedup_ngram_jaccard": oracle_ext.ngram_jaccard_sql(),
+        "dedup_minhash_lsh": oracle_ext.minhash_lsh_sql(),
+        "dedup_simhash": oracle_ext.simhash_pairs_sql(),
+        "sim_topk_bruteforce": oracle_ext.sim_topk_bruteforce_sql(),
+        "sim_topk_ivf": oracle_ext.sim_topk_ivf_sql(),
+        "events_window_agg": oracle_ext.events_window_sql(),
+        "events_sessionize": oracle_ext.sessionize_sql(),
+        "events_top_types": oracle_ext.top_event_types_sql(),
+        "events_json_props": oracle_ext.json_props_sql(),
+        "tpch_q1": oracle_ext.tpch_q1_sql(),
+        "tpch_top_customers": oracle_ext.top_customers_sql(),
+        "multimodal_meta": oracle_ext.multimodal_meta_sql(),
+        # multimodal_features: mapInPandas — intentionally no oracle
     }

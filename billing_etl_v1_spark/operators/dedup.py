@@ -1,0 +1,194 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families (SURVEY §7.2 step 8), all designed for the 100 TB posture:
+
+- exact:        one shuffle on a 60-bit content hash (map-side combine).
+- n-gram Jaccard: shingle explode -> equi-join on shingle -> pair agg; the
+                  only shuffles are on shingle and pair keys, both fine-
+                  grained; ultra-common shingles can be frequency-pruned.
+- MinHash+LSH:  signatures are computed PER ROW from the shingle array
+                 (array_min over salted engine-identical md5 hashes — no
+                 explode, no shuffle); only candidate pairing shuffles, on
+                 band keys whose cardinality is controlled by band width.
+- SimHash:      16-bit per-row signature from token hashes; pairing by
+                 hamming distance.
+
+All hashing uses the engine-identical md5→60-bit-int trick (text.md5_long),
+so every operator here has a full DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from billing_etl_v1_spark.functions import quantize6
+from billing_etl_v1_spark.operators.text import md5_long
+
+NUM_MINHASH = 16
+BANDS = 4  # 4 bands x 4 rows
+
+
+def _norm_text(text_col: str) -> Column:
+    return F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+
+
+def word_shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles (1-based element_at, mirroring the
+    oracle's 1-based list indexing); short docs use the whole token string."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + off) for off in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(ngrams)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized content hash: one row per distinct content,
+    keeping the smallest id as representative."""
+    h = md5_long(_norm_text(text_col))
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("rep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"doc": "doc_a", "sz": "sz_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "sz": "sz_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            quantize6(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def _salted_hash(i: int):
+    # NB: must stay a ONE-parameter lambda — a second (even defaulted)
+    # parameter makes pyspark treat it as an (element, index) lambda
+    prefix = f"{i}|"
+    return lambda s: md5_long(F.concat(F.lit(prefix), s))
+
+
+def minhash_signature(text_col: str = "text", n: int = 3, k: int = NUM_MINHASH) -> list[Column]:
+    """k MinHash values computed per row: array_min over salted hashes of the
+    shingle array — no explode, no shuffle."""
+    sh = word_shingles(text_col, n)
+    return [
+        F.array_min(F.transform(sh, _salted_hash(i))).alias(f"mh{i}") for i in range(k)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = BANDS,
+    k: int = NUM_MINHASH,
+) -> DataFrame:
+    """MinHash LSH candidate pairs with the estimated Jaccard
+    (fraction of equal signature components)."""
+    rows = k // bands
+    sig = df.select(F.col(id_col).alias("doc"), *minhash_signature(text_col, n, k))
+    banded = sig.select(
+        "doc",
+        *[F.concat_ws("_", *[f"mh{b * rows + r}" for r in range(rows)]).alias(f"band{b}") for b in range(bands)],
+        *[f"mh{i}" for i in range(k)],
+    )
+    cand = None
+    for b in range(bands):
+        a = banded.alias("a")
+        c = banded.alias("c")
+        p = a.join(
+            c, (F.col(f"a.band{b}") == F.col(f"c.band{b}")) & (F.col("a.doc") < F.col("c.doc"))
+        ).select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("c.doc").alias("doc_b"),
+            *[F.col(f"a.mh{i}").alias(f"a{i}") for i in range(k)],
+            *[F.col(f"c.mh{i}").alias(f"b{i}") for i in range(k)],
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.dropDuplicates(["doc_a", "doc_b"])
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    ) / F.lit(float(k))
+    return cand.select("doc_a", "doc_b", quantize6(est).alias("est_jaccard"))
+
+
+def simhash16(text_col: str = "text") -> Column:
+    """16-bit SimHash over distinct tokens, fully per-row.
+
+    bit b of the signature = 1 iff sum over tokens of (+1 if bit b of the
+    token hash else -1) > 0.
+    """
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    hashes = F.transform(toks, lambda t: md5_long(t))
+
+    def _vote(b: int):
+        # keep the merge lambda strictly binary (see _salted_hash note)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bits = []
+    for b in range(16):
+        vote = F.aggregate(hashes, F.lit(0), _vote(b))
+        bits.append(F.when(vote > 0, F.lit(2**b)).otherwise(F.lit(0)))
+    return sum(bits[1:], bits[0]).cast("int")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup candidates by SimHash hamming distance.
+
+    All-pairs at test scale; at 100 TB you'd block on signature bytes first
+    (join on high byte) — the blocking join keys are already in the output.
+    """
+    sig = df.select(F.col(id_col).alias("doc"), simhash16(text_col).alias("sig"))
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,103 @@
+"""Event-stream operators (batch form) over the ``events`` table.
+
+The reference is batch-only (SURVEY §2.11) — these extend the engine with
+the windowed/sessionized shapes a usage-metering pipeline needs, expressed
+so the same logic also runs under Structured Streaming
+(billing_etl_v1_spark/streaming). Epoch-based bucketing is used instead of
+``F.window`` so the DuckDB oracle can reproduce buckets exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from billing_etl_v1_spark.functions import quantize6
+
+
+def _epoch(col) -> F.Column:
+    # ts is timestamp_ntz in the fixtures; treat as UTC in both engines
+    return F.unix_timestamp(col.cast("timestamp"))
+
+
+def tumbling_window_agg(events: DataFrame, width_s: int = 300) -> DataFrame:
+    """Tumbling-window count/sum per (bucket, event_type).
+
+    The bucket is exposed as epoch seconds (bigint) so both engines agree on
+    the exact value; render with ``timestamp_seconds`` for display."""
+    bucket = (F.floor(_epoch(F.col("ts")) / width_s) * width_s).cast("bigint")
+    return (
+        events.withColumn("bucket_start_s", bucket)
+        .groupBy("bucket_start_s", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            quantize6(F.sum("value")).alias("total_value"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Gap-based sessionization: a new session starts after gap_s of
+    inactivity per user. Output: one row per session with bounds and counts.
+
+    Ordering ties on ts are broken by event_id in both engines.
+    """
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    ep = _epoch(F.col("ts"))
+    new_session = F.when(
+        F.lag(ep).over(w).isNull() | ((ep - F.lag(ep).over(w)) > gap_s), 1
+    ).otherwise(0)
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.withColumn("session_idx", F.sum(new_session).over(wsum))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            quantize6(F.sum("value")).alias("total_value"),
+        )
+        .withColumn(
+            "duration_s",
+            quantize6(
+                _epoch(F.col("session_end")).cast("double")
+                - _epoch(F.col("session_start")).cast("double")
+            ),
+        )
+    )
+
+
+def top_event_types_per_user(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k event types per user by total value (window top-k — a shape the
+    reference lacks entirely, SURVEY §2.11)."""
+    agg = events.groupBy("user_id", "event_type").agg(
+        quantize6(F.sum("value")).alias("total_value")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("total_value").desc(), F.col("event_type").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+def json_props_agg(events: DataFrame) -> DataFrame:
+    """JSON extraction (props -> $.k) + aggregation per event_type."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

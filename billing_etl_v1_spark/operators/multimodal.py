@@ -1,0 +1,106 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata; decode / feature-extraction run as Arrow-batched ``mapInPandas``
+stages (the one place Python is the right tool — SURVEY §7.2 step 8).
+
+The decode step itself is STUBBED: the container has no image/audio codecs,
+so ``decode_image`` raises NotImplementedError unless ``fake=True``, in
+which case a deterministic byte-statistics "feature vector" stands in. The
+Spark-side plumbing — schema, batch iteration, partition preservation — is
+real and tested; swapping in a real codec touches only ``_decode_payload``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_DIM = 8
+
+MULTIMODAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", IntegerType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Testdata has no real media; model a payload as the utf-8 bytes of the
+    text with a deterministic media_type tag. Real pipelines read the binary
+    column straight from parquet — the downstream plumbing is identical."""
+    return df.withColumns(
+        {
+            "payload": F.encode(F.col(text_col), "UTF-8"),
+            "media_type": F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+            .otherwise(F.lit("video/mp4")),
+        }
+    )
+
+
+def _decode_payload(payload: bytes, media_type: str, fake: bool) -> list[float]:
+    if not fake:
+        raise NotImplementedError(
+            "real media decode requires image/audio codecs not present in "
+            "this container; pass fake=True for the deterministic stand-in"
+        )
+    # deterministic byte-statistics features (stand-in for codec output)
+    n = len(payload) or 1
+    buckets = [0] * FEATURE_DIM
+    for i, b in enumerate(payload):
+        buckets[i % FEATURE_DIM] += b
+    return [round(x / n, 6) for x in buckets]
+
+
+def extract_features(df: DataFrame, fake: bool = True, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over (doc_id, media_type, payload).
+
+    mapInPandas keeps the data partition-parallel end to end — no collect,
+    no per-row Python round trips; batches arrive as pandas frames.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": pdf["payload"].map(len).astype("int32"),
+                    "features": [
+                        _decode_payload(p, m, fake)
+                        for p, m in zip(pdf["payload"], pdf["media_type"])
+                    ],
+                }
+            )
+            yield out
+
+    return df.select("doc_id", "media_type", "payload").mapInPandas(
+        run, schema=MULTIMODAL_SCHEMA
+    )
+
+
+def payload_metadata(df: DataFrame) -> DataFrame:
+    """Pure-JVM metadata projection (no Python): byte length per media type —
+    the oracle-checkable part of the multimodal path."""
+    return df.select(
+        "doc_id",
+        "media_type",
+        F.length(F.col("payload")).cast("int").alias("byte_len"),
+    )

@@ -1,0 +1,134 @@
+"""Approximate-nearest-neighbor operators over an embedding column.
+
+Brute-force cosine top-k as the exactness baseline, and an IVF-style
+cluster-pruned variant as the scale path (SURVEY §7.2 step 8).
+
+Dot products use a sequential left fold (``F.aggregate`` over
+``zip_with``), which is bit-identical to DuckDB's ``list_reduce`` — verified
+empirically — so both operators have full oracle twins. Ranking uses
+quantized scores with vec_id tie-breaks for cross-engine determinism.
+
+Scale posture: the query set and centroid set are broadcast-small; the big
+side streams through broadcast nested-loop joins (no shuffle of the
+embedding corpus). At 100 TB the IVF path prunes the candidate set per
+query by the cluster assignment computed in the same pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from billing_etl_v1_spark.functions import quantize6
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left fold — matches DuckDB list_reduce bit-for-bit."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def with_norm(df: DataFrame, vec_col: str = "v", out_col: str = "norm") -> DataFrame:
+    return df.withColumn(out_col, F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return with_norm(
+        df.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
+    )
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_mod: int = 50,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: queries are the rows with id % query_mod == 0
+    (a deterministic stand-in for an external query set).
+
+    Output: query_id, neighbor_id, rank, score (quantized).
+    """
+    base = _prep(embeddings, id_col, vec_col)
+    queries = base.filter(F.col("vid") % query_mod == 0).select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    scored = base.crossJoin(F.broadcast(queries)).filter(F.col("vid") != F.col("qid"))
+    score = quantize6(_dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qn")))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vid").asc())
+    return (
+        scored.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "score",
+        )
+    )
+
+
+def assign_clusters(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 25,
+) -> DataFrame:
+    """IVF coarse quantization with deterministic 'centroids' (rows with
+    id % centroid_mod == 0): each vector goes to its max-cosine centroid
+    (ties -> smallest centroid id). Output: vid, v, norm, cluster."""
+    base = _prep(embeddings, id_col, vec_col)
+    cents = base.filter(F.col("vid") % centroid_mod == 0).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cn")
+    )
+    sim = quantize6(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn")))
+    w = Window.partitionBy("vid").orderBy(F.col("csim").desc(), F.col("cid").asc())
+    return (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("csim", sim)
+        .withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") == 1)
+        .select("vid", "v", "norm", F.col("cid").alias("cluster"))
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_mod: int = 50,
+    centroid_mod: int = 25,
+    k: int = 5,
+) -> DataFrame:
+    """Cluster-pruned ANN: each query searches only vectors assigned to its
+    own cluster. Same output shape as the brute-force baseline, so recall is
+    directly measurable."""
+    assigned = assign_clusters(embeddings, id_col, vec_col, centroid_mod)
+    queries = assigned.filter(F.col("vid") % query_mod == 0).select(
+        F.col("vid").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.col("cluster").alias("qcluster"),
+    )
+    cand = assigned.join(
+        F.broadcast(queries),
+        (F.col("cluster") == F.col("qcluster")) & (F.col("vid") != F.col("qid")),
+    )
+    score = quantize6(_dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qn")))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vid").asc())
+    return (
+        cand.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "score",
+        )
+    )

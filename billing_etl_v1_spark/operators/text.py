@@ -1,0 +1,120 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond reference parity (SURVEY §7.2 step 8): language-ID (stopword n-gram
+heuristic), quality scoring (length/punct/stopword ratios), token counting,
+and document fingerprinting (md5-based). All pure built-in expressions —
+JVM-side, whole-stage codegen, no UDFs — so they scale linearly with a
+100 TB documents table (embarrassingly parallel, zero shuffles).
+
+Every formula is mirrored verbatim in the DuckDB oracle
+(billing_etl_v1_spark/oracle_ext.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from billing_etl_v1_spark.functions import quantize6
+
+# deterministic stopword sets for the language heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "dans", "un", "une"],
+    "es": ["el", "los", "y", "es", "no", "por", "para", "un", "una", "como"],
+}
+
+QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
+
+PUNCT_CLASS = "[.,!?;:]"
+DIGIT_CLASS = "[0-9]"
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(_tokens(col))
+    )
+
+
+def _class_ratio(col: Column, char_class: str) -> Column:
+    """Fraction of characters matching a regex character class."""
+    removed = F.length(col) - F.length(F.regexp_replace(col, char_class, ""))
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        removed.cast("double") / F.length(col).cast("double")
+    )
+
+
+def _stopword_hits(col: Column, stopwords: list[str]) -> Column:
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(_tokens(col), lambda t: F.array_contains(arr, t)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats + a deterministic quality score."""
+    c = F.col(text_col)
+    tc = token_count(c)
+    punct = _class_ratio(c, PUNCT_CLASS)
+    digit = _class_ratio(c, DIGIT_CLASS)
+    stop_ratio = F.when(tc == 0, F.lit(0.0)).otherwise(
+        _stopword_hits(c, QUALITY_STOPWORDS).cast("double") / tc.cast("double")
+    )
+    quality = (
+        F.least(F.lit(1.0), tc.cast("double") / F.lit(100.0))
+        * (F.lit(1.0) - F.least(F.lit(1.0), F.lit(4.0) * punct))
+        * (F.lit(1.0) - F.least(F.lit(1.0), F.lit(4.0) * digit))
+    )
+    return df.withColumns(
+        {
+            "char_count": F.length(c).cast("int"),
+            "token_count": tc.cast("int"),
+            "punct_ratio": quantize6(punct),
+            "digit_ratio": quantize6(digit),
+            "stopword_ratio": quantize6(stop_ratio),
+            "quality_score": quantize6(quality),
+        }
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-voting language heuristic; 'und' when no language scores.
+
+    Ties break by language code ascending — mirrored in the oracle.
+    """
+    c = F.col(text_col)
+    scores = {lang: _stopword_hits(c, sw) for lang, sw in LANG_STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # descending code order so earlier (ascending) languages win ties via
+    # later .when overwrite... build ascending with coalesce-style chain:
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return df.withColumn(out_col, pred)
+
+
+def md5_long(col: Column, salt: str | None = None) -> Column:
+    """Engine-identical 60-bit integer hash: first 15 hex chars of md5.
+
+    DuckDB twin: ('0x' || substr(md5(x), 1, 15))::BIGINT.
+    """
+    if salt is not None:
+        col = F.concat(F.lit(salt + "|"), col)
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 hex + 60-bit int of the normalized text
+    (lowercased, whitespace collapsed)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.withColumns(
+        {
+            "fingerprint_md5": F.md5(norm),
+            "fingerprint_int": md5_long(norm),
+        }
+    )

@@ -1,0 +1,353 @@
+"""DuckDB oracle SQL for the extension operators (text / dedup / similarity /
+events / relational demos).
+
+Formulas mirror the Spark operators exactly:
+
+- token/shingle definitions share the same regex + 1-based indexing
+- all integer hashing is the engine-identical md5 trick:
+  Spark  conv(substr(md5(x),1,15),16,10)::bigint
+  DuckDB ('0x' || substr(md5(x),1,15))::BIGINT
+- doubles quantized with floor(x*1e6+0.5)/1e6 (see oracle._r6)
+- epoch arithmetic truncated to whole seconds in both engines
+- large-group sums (TPC-H Q1) accumulate in DECIMAL(38,10) in BOTH engines
+  because double summation order differs across engines by more than 1e-6
+  at 10k+ rows per group
+"""
+
+from __future__ import annotations
+
+from billing_etl_v1_spark.operators.dedup import BANDS, NUM_MINHASH
+from billing_etl_v1_spark.operators.text import LANG_STOPWORDS, QUALITY_STOPWORDS
+from billing_etl_v1_spark.oracle import _r6
+
+_MD5INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _md5int(x: str, salt: str | None = None) -> str:
+    if salt is not None:
+        x = f"'{salt}|' || ({x})"
+    return _MD5INT.format(x=x)
+
+
+_TOKENS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def text_stats_sql() -> str:
+    stop = _sql_list(QUALITY_STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, lang, source, n_chars,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS}) END AS token_count,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text) END AS punct,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text) END AS digit,
+    len(list_filter({_TOKENS}, x -> list_contains({stop}, x))) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, text, lang, source, n_chars,
+  length(text)::INT AS char_count,
+  token_count::INT AS token_count,
+  {_r6('punct')} AS punct_ratio,
+  {_r6('digit')} AS digit_ratio,
+  {_r6('CASE WHEN token_count = 0 THEN 0.0 ELSE stop_hits::DOUBLE / token_count END')} AS stopword_ratio,
+  {_r6('least(1.0, token_count / 100.0) * (1.0 - least(1.0, 4.0 * punct)) * (1.0 - least(1.0, 4.0 * digit))')} AS quality_score
+FROM t
+"""
+
+
+def lang_id_sql() -> str:
+    scores = ",\n    ".join(
+        f"len(list_filter({_TOKENS}, x -> list_contains({_sql_list(sw)}, x))) AS s_{lang}"
+        for lang, sw in LANG_STOPWORDS.items()
+    )
+    langs = sorted(LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    whens = "\n      ".join(f"WHEN s_{lg} = best THEN '{lg}'" for lg in langs)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, lang, source, n_chars,
+    {scores}
+  FROM documents
+),
+b AS (SELECT *, {best} AS best FROM t)
+SELECT doc_id, text, lang, source, n_chars,
+  CASE WHEN best = 0 THEN 'und'
+      {whens}
+      ELSE 'und' END AS lang_pred
+FROM b
+"""
+
+
+def fingerprint_sql() -> str:
+    return f"""
+SELECT doc_id, text, lang, source, n_chars,
+  md5({_NORM}) AS fingerprint_md5,
+  {_md5int(_NORM)} AS fingerprint_int
+FROM documents
+"""
+
+
+def dedup_exact_sql() -> str:
+    return f"""
+WITH h AS (SELECT doc_id, {_md5int(_NORM)} AS content_hash FROM documents)
+SELECT content_hash, min(doc_id) AS rep_doc_id, count(*) AS n_docs
+FROM h GROUP BY content_hash
+"""
+
+
+_SHINGLES = f"""
+toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+    CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         ELSE array_to_string(t, ' ') END AS shingle
+  FROM toks,
+       UNNEST(generate_series(1, CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 1 END)) AS g(i)
+)"""
+
+
+def ngram_jaccard_sql(threshold: float = 0.1) -> str:
+    jac = _r6("inter::DOUBLE / (sa.sz + sb.sz - inter)")
+    return f"""
+WITH {_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT doc_a, doc_b, {jac} AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {threshold}
+"""
+
+
+def minhash_lsh_sql(k: int = NUM_MINHASH, bands: int = BANDS) -> str:
+    rows = k // bands
+    mins = ",\n    ".join(
+        f"min({_md5int('shingle', salt=str(i))}) AS mh{i}" for i in range(k)
+    )
+    band_cols = ",\n    ".join(
+        " || '_' || ".join(f"mh{b * rows + r}::VARCHAR" for r in range(rows)) + f" AS band{b}"
+        for b in range(bands)
+    )
+    band_or = " OR ".join(f"a.band{b} = b.band{b}" for b in range(bands))
+    est = " + ".join(f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(k))
+    return f"""
+WITH {_SHINGLES},
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT *,
+    {band_cols}
+  FROM sig
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       {_r6(f'({est}) / {float(k)}')} AS est_jaccard
+FROM banded a JOIN banded b
+  ON a.doc_id < b.doc_id AND ({band_or})
+"""
+
+
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16)
+    )
+    sig = " + ".join(f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16))
+    return f"""
+WITH toks AS (SELECT doc_id, list_distinct({_TOKENS}) AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+th AS (SELECT doc_id, {_md5int('tk')} AS h FROM tok),
+v AS (
+  SELECT doc_id,
+    {votes}
+  FROM th GROUP BY doc_id
+),
+sig AS (SELECT doc_id, ({sig})::INT AS sig FROM v)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sig, b.sig))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+"""
+
+
+_DOT = "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]), (x, y) -> x + y)"
+
+
+def _norms_cte() -> str:
+    self_dot = _DOT.format(a="v", b="v")
+    return f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt({self_dot}) AS nrm FROM e)"""
+
+
+def sim_topk_bruteforce_sql(query_mod: int = 50, k: int = 5) -> str:
+    dot = _DOT.format(a="n.v", b="q.qv")
+    return f"""
+WITH {_norms_cte()},
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % {query_mod} = 0),
+s AS (
+  SELECT q.qid, n.vec_id, {_r6(f'({dot}) / (n.nrm * q.qn)')} AS score
+  FROM n, q WHERE n.vec_id <> q.qid
+),
+r AS (
+  SELECT qid, vec_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+  FROM s
+)
+SELECT qid AS query_id, vec_id AS neighbor_id, rnk::INT AS rank, score
+FROM r WHERE rnk <= {k}
+"""
+
+
+def sim_topk_ivf_sql(query_mod: int = 50, centroid_mod: int = 25, k: int = 5) -> str:
+    cdot = _DOT.format(a="n.v", b="c.cv")
+    qdot = _DOT.format(a="a.v", b="q.qv")
+    return f"""
+WITH {_norms_cte()},
+cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % {centroid_mod} = 0),
+asg0 AS (
+  SELECT n.vec_id AS vid, n.v, n.nrm, c.cid,
+         row_number() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY {_r6(f'({cdot}) / (n.nrm * c.cn)')} DESC, c.cid ASC
+         ) AS crk
+  FROM n, cents c
+),
+asg AS (SELECT vid, v, nrm, cid AS cluster FROM asg0 WHERE crk = 1),
+q AS (SELECT vid AS qid, v AS qv, nrm AS qn, cluster AS qc FROM asg WHERE vid % {query_mod} = 0),
+s AS (
+  SELECT q.qid, a.vid, {_r6(f'({qdot}) / (a.nrm * q.qn)')} AS score
+  FROM asg a, q WHERE a.cluster = q.qc AND a.vid <> q.qid
+),
+r AS (
+  SELECT qid, vid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid ASC) AS rnk
+  FROM s
+)
+SELECT qid AS query_id, vid AS neighbor_id, rnk::INT AS rank, score
+FROM r WHERE rnk <= {k}
+"""
+
+
+def events_window_sql(width_s: int = 300) -> str:
+    return f"""
+SELECT (floor(epoch(ts) / {width_s}) * {width_s})::BIGINT AS bucket_start_s,
+       event_type,
+       count(*) AS n_events,
+       {_r6('sum(value)')} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def sessionize_sql(gap_s: int = 1800) -> str:
+    return f"""
+WITH e AS (SELECT event_id, user_id, ts, value, floor(epoch(ts))::BIGINT AS ep FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > {gap_s}
+                 THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM m
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       {_r6('sum(value)')} AS total_value,
+       {_r6('(floor(epoch(max(ts))) - floor(epoch(min(ts))))::DOUBLE')} AS duration_s
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def top_event_types_sql(k: int = 3) -> str:
+    return f"""
+WITH a AS (
+  SELECT user_id, event_type, {_r6('sum(value)')} AS total_value
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY total_value DESC, event_type ASC) AS rnk
+  FROM a
+)
+SELECT user_id, event_type, total_value, rnk::INT AS rank FROM r WHERE rnk <= {k}
+"""
+
+
+def json_props_sql() -> str:
+    return """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS INTEGER))::BIGINT AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def tpch_q1_sql() -> str:
+    # DECIMAL(38,10) accumulation: exact + associative, so partition order
+    # cannot perturb the 6th decimal (unlike double sums over 10k+ rows)
+    dec = "CAST({x} AS DECIMAL(38,10))"
+    sq = dec.format(x="l_quantity")
+    sb = dec.format(x="l_extendedprice")
+    sd = dec.format(x="l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")
+    sdisc = dec.format(x="l_discount")
+    return f"""
+SELECT l_returnflag, l_linestatus,
+  {_r6(f'sum({sq})::DOUBLE')} AS sum_qty,
+  {_r6(f'sum({sb})::DOUBLE')} AS sum_base_price,
+  {_r6(f'sum({sd})::DOUBLE')} AS sum_disc_price,
+  {_r6(f'sum({sq})::DOUBLE / count(*)')} AS avg_qty,
+  {_r6(f'sum({sdisc})::DOUBLE / count(*)')} AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def top_customers_sql(k: int = 5) -> str:
+    return f"""
+WITH rev AS (
+  SELECT n.n_name, c.c_custkey, c.c_name, {_r6('sum(o.o_totalprice)')} AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY n_name
+                               ORDER BY revenue DESC, c_custkey ASC) AS rnk
+  FROM rev
+)
+SELECT n_name, c_custkey, c_name, revenue, rnk::INT AS rank FROM r WHERE rnk <= {k}
+"""
+
+
+def multimodal_meta_sql() -> str:
+    return """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       octet_length(encode(text))::INT AS byte_len
+FROM documents
+"""

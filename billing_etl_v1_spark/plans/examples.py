@@ -1,0 +1,60 @@
+"""General relational queries on the TPC-H-ish tables.
+
+These showcase the engine surface beyond the billing pipeline — multi-way
+broadcast joins, sorted aggregates, window top-k — all shapes the reference
+lacks (SURVEY §2.11) but a switching user would expect from an analytics
+engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from billing_etl_v1_spark.functions import quantize6
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: grouped sums/averages with
+    map-side partial aggregation.
+
+    Sums accumulate in DECIMAL(38,10): exact and associative, so the result
+    is independent of partition order — double sums over 10k+-row groups
+    differ across engines beyond the 1e-6 quantization and would break the
+    oracle hash (and, at 100 TB, reproducibility across runs)."""
+
+    def dsum(col):
+        return F.sum(col.cast("decimal(38,10)"))
+
+    cnt = F.count(F.lit(1))
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            quantize6(dsum(F.col("l_quantity")).cast("double")).alias("sum_qty"),
+            quantize6(dsum(F.col("l_extendedprice")).cast("double")).alias("sum_base_price"),
+            quantize6(dsum(disc_price).cast("double")).alias("sum_disc_price"),
+            quantize6(dsum(F.col("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            quantize6(dsum(F.col("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+def top_customers_by_nation(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame, k: int = 5
+) -> DataFrame:
+    """3-way join (dims broadcast) + window top-k: top customers per nation
+    by total order value."""
+    revenue = (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", "c_custkey", "c_name")
+        .agg(quantize6(F.sum("o_totalprice")).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        revenue.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )

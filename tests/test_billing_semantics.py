@@ -1,0 +1,213 @@
+"""Targeted fixtures for the reference's trickiest semantics (SURVEY §7.4):
+priority order under NULL wildcards, per-column coalesce, duplicate-dim
+dedup, credits pivot edge cases, mode-4 zero-price guard, extra-discount
+pandas-path behavior."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from billing_etl_v1_spark.operators.credits import credits_pivot
+from billing_etl_v1_spark.operators.pricing import (
+    apply_extra_discount,
+    with_internal_measures,
+    with_pricing_modes,
+)
+from billing_etl_v1_spark.operators.rules import dedupe_dim, match_rules
+
+DIM_DDL = (
+    "month string, billing_account_id string, project_id string, "
+    "service_description string, sku_id string, mode int, discount string, "
+    "price string, credit_fields string, customer_id string, contract_id string"
+)
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(rows, schema=DIM_DDL)
+
+
+def _fact(spark, rows):
+    ddl = (
+        "contract_month string, billing_account_id string, project_id string, "
+        "service_description string, sku_id string"
+    )
+    return spark.createDataFrame(rows, schema=ddl)
+
+
+FACT_ROW = ("2026-01", "A", "p1", "s1", "k1")
+
+
+def test_priority_8_beats_1(spark):
+    dim = _dim(
+        spark,
+        [
+            ("2026-01", "A", None, None, None, 1, "0.9", None, None, "c1", "t1"),
+            ("2026-01", "A", "p1", "s1", "k1", 2, "0.5", "0.1", None, "c8", "t8"),
+        ],
+    )
+    out = match_rules(_fact(spark, [FACT_ROW]), dim).collect()[0]
+    assert out.mode == 2 and out.customer_id == "c8"
+
+
+@pytest.mark.parametrize(
+    "winner_rule,loser_rule,winner_mode",
+    [
+        # (rule pattern of winner, loser) per priority 8>4>6>2>7>3>5>1
+        ((("p1", "s1", None), 4), (("p1", None, "k1"), 6), 4),
+        ((("p1", None, "k1"), 6), ((None, "s1", "k1"), 7), 6),
+        ((("p1", None, None), 2), ((None, "s1", "k1"), 7), 2),
+        (((None, "s1", "k1"), 7), ((None, "s1", None), 3), 7),
+        (((None, "s1", None), 3), ((None, None, "k1"), 5), 3),
+        (((None, None, "k1"), 5), ((None, None, None), 1), 5),
+    ],
+)
+def test_priority_pairs(spark, winner_rule, loser_rule, winner_mode):
+    (wp, ws, wk), _ = winner_rule
+    (lp, ls, lk), _ = loser_rule
+    dim = _dim(
+        spark,
+        [
+            ("2026-01", "A", wp, ws, wk, winner_mode, "0.1", None, None, "w", "w"),
+            ("2026-01", "A", lp, ls, lk, 9, "0.2", None, None, "l", "l"),
+        ],
+    )
+    out = match_rules(_fact(spark, [FACT_ROW]), dim).collect()[0]
+    assert out.mode == winner_mode and out.customer_id == "w"
+
+
+def test_per_column_coalesce_falls_through_nulls(spark):
+    """The winning rule's NULL cells fall back to lower-priority rules —
+    pandas df.update skips NaN per cell (reference calculate/service.py:138)
+    and the SQL template coalesces per column (sql_template.py:93-98)."""
+    dim = _dim(
+        spark,
+        [
+            ("2026-01", "A", None, None, None, 1, "0.8", None, "cf_low", None, "CTR-low"),
+            ("2026-01", "A", "p1", "s1", "k1", 2, None, "0.3", None, "CUST-high", None),
+        ],
+    )
+    out = match_rules(_fact(spark, [FACT_ROW]), dim).collect()[0]
+    assert out.mode == 2
+    assert out.price == "0.3"
+    assert out.discount == "0.8"  # fell through from rule 1
+    assert out.credit_fields == "cf_low"
+    assert out.customer_id == "CUST-high"
+    assert out.contract_id == "CTR-low"
+
+
+def test_month_mismatch_no_match(spark):
+    dim = _dim(spark, [("2026-02", "A", None, None, None, 1, "0.8", None, None, "c", "t")])
+    out = match_rules(_fact(spark, [FACT_ROW]), dim).collect()[0]
+    assert out.mode is None
+
+
+def test_duplicate_dim_dedup_deterministic(spark):
+    dim = _dim(
+        spark,
+        [
+            ("2026-01", "A", None, None, None, 1, "0.9", None, None, "c", "t"),
+            ("2026-01", "A", None, None, None, 1, "0.5", None, None, "c2", "t2"),
+        ],
+    )
+    kept = dedupe_dim(dim).collect()
+    assert len(kept) == 1 and kept[0].discount == "0.5"  # smallest payload wins
+    out = match_rules(_fact(spark, [FACT_ROW]), dim).collect()
+    assert len(out) == 1  # no row multiplication (SURVEY §2.3 hazard)
+
+
+def _credits_df(spark, types, amounts):
+    return spark.createDataFrame(
+        [(types, amounts, 0.0)], "credits_type: array<string>, credits_amount: array<double>, c_x: double"
+    )
+
+
+def test_credits_pivot_repeated_and_unknown_types(spark):
+    """Repeated types accumulate; unknown types skip buckets but count in the
+    total (reference calculate/service.py:35-42)."""
+    out = credits_pivot(
+        _credits_df(
+            spark,
+            ["DISCOUNT", "DISCOUNT", "SOMETHING_NEW", "RESELLER_MARGIN"],
+            [-1.0, -2.0, -4.0, -8.0],
+        )
+    ).collect()[0]
+    assert out.c_discount == -3.0
+    assert out.c_rm == -8.0
+    assert out.internal_credits_cost == -15.0  # unknown included
+    assert out.internal_credits_consumption == -7.0  # total - c_rm
+
+
+def test_credits_pivot_empty_array(spark):
+    out = credits_pivot(_credits_df(spark, [], [])).collect()[0]
+    assert out.internal_credits_cost == 0.0
+    assert out.internal_credits_consumption == 0.0
+    assert out.c_cud == 0.0
+
+
+PRICING_COLS = (
+    "billing_account_id string, usage_amount_in_pricing_units double, "
+    "cost double, cost_at_list double, internal_credits_cost double, "
+    "internal_credits_consumption double, c_cud double, c_cud_db double, "
+    "c_discount double, c_free_tier double, c_promotion double, c_rm double, "
+    "c_sub_benefit double, c_sud double, mode int, discount string, "
+    "price string, credit_fields string"
+)
+
+
+def _priced(spark, mode, discount, price, credit_fields, extra=None, acct="A"):
+    row = [acct, 10.0, 100.0, 120.0, -5.0, -3.0, -1.0, 0.0, -2.0, 0.0, 0.0, -2.0, 0.0, 0.0,
+           mode, discount, price, credit_fields]
+    df = spark.createDataFrame([tuple(row)], schema=PRICING_COLS)
+    df = with_internal_measures(df)
+    df = apply_extra_discount(df, extra or {})
+    return with_pricing_modes(df).collect()[0]
+
+
+def test_mode1(spark):
+    out = _priced(spark, 1, "0.85", None, None)
+    assert out.external_consumption == pytest.approx((100.0 - 3.0) * 0.85)
+    assert out.discount_amount == -3.0
+
+
+def test_mode2_mode3(spark):
+    assert _priced(spark, 2, None, "0.5", None).external_consumption == pytest.approx(5.0)
+    assert _priced(spark, 3, "0.5", "0.5", None).external_consumption == pytest.approx(2.5)
+
+
+def test_mode4_with_credit_fields(spark):
+    out = _priced(spark, 4, "0.8", "2.0", "c_cud/c_discount")
+    credit_part = (-1.0) + (-2.0)
+    assert out.external_consumption == pytest.approx(120.0 * 0.8 + (credit_part / 2.0) * 0.8)
+    assert out.discount_amount == pytest.approx(credit_part / 2.0)
+
+
+def test_mode4_zero_price_guard(spark):
+    """price==0 -> credit part contributes 0, list part still charged
+    (reference calculate/service.py:93-96)."""
+    out = _priced(spark, 4, "0.8", "0", "c_cud/c_discount")
+    assert out.external_consumption == pytest.approx(120.0 * 0.8)
+    assert out.discount_amount == 0.0
+
+
+def test_mode4_null_price_discount_default_1(spark):
+    """NULL price/discount -> 1.0 in mode 4 (reference calculate/service.py:87-88)."""
+    out = _priced(spark, 4, None, None, "c_cud")
+    assert out.external_consumption == pytest.approx(120.0 * 1.0 + (-1.0 / 1.0) * 1.0)
+
+
+def test_mode0_unmatched_defaults(spark):
+    out = _priced(spark, None, None, None, None)
+    assert out.external_consumption == 0.0
+    assert out.discount_amount == 0.0
+
+
+def test_extra_discount_scales_internal_cost_only(spark):
+    """Pandas-path semantics (SURVEY §2.10.1): factor multiplies internal_cost
+    only; mode-1 external uses UNSCALED internal_consumption
+    (reference calculate/service.py:209)."""
+    out = _priced(spark, 1, "0.5", None, None, extra={"A": 0.9})
+    assert out.internal_cost == pytest.approx((100.0 - 5.0) * 0.9)
+    assert out.internal_consumption == pytest.approx(97.0)  # unscaled
+    assert out.external_consumption == pytest.approx(97.0 * 0.5)  # unscaled base

@@ -1,0 +1,97 @@
+"""Quality/behavior tests for the extension operators beyond oracle parity:
+MinHash recall against exact Jaccard, IVF recall against brute force,
+SimHash sanity, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from billing_etl_v1_spark.operators import multimodal as mm
+from billing_etl_v1_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from billing_etl_v1_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+)
+from billing_etl_v1_spark.sources.readers import load_table
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMALL, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF_SMALL, "embeddings").cache()
+
+
+def test_exact_dedup_partitions_ids(spark, docs):
+    total = docs.count()
+    agg = exact_dedup(docs).agg(F.sum("n_docs"), F.count(F.lit(1))).collect()[0]
+    assert agg[0] == total  # every doc in exactly one group
+    assert agg[1] <= total
+
+
+def test_minhash_recall_of_high_jaccard_pairs(spark, docs):
+    """LSH candidates must contain every pair with true Jaccard >= 0.5
+    (4 bands x 4 rows: p(miss at j=0.5) = (1-0.5^4)^4 ~ 0.77 per pair —
+    so assert on the very-high band where miss probability is negligible,
+    and on overall candidate sanity)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    cand = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()}
+    missed = exact - cand
+    assert not missed, f"LSH missed near-identical pairs: {missed}"
+
+
+def test_minhash_estimates_close_to_exact(spark, docs):
+    est = minhash_lsh_pairs(docs).withColumnsRenamed({"est_jaccard": "est"})
+    exact = ngram_jaccard_pairs(docs, threshold=0.0)
+    joined = est.join(exact, ["doc_a", "doc_b"]).select("est", "jaccard").collect()
+    assert joined, "no overlapping pairs to compare"
+    mae = sum(abs(r.est - r.jaccard) for r in joined) / len(joined)
+    assert mae < 0.25  # 16 hashes -> coarse but unbiased estimate
+
+
+def test_simhash_identical_docs_hamming_zero(spark, docs):
+    dups = (
+        exact_dedup(docs)
+        .filter(F.col("n_docs") >= 2)
+        .count()
+    )
+    pairs = simhash_pairs(docs, max_hamming=0)
+    if dups:
+        assert pairs.count() >= dups  # exact dups always collide at hamming 0
+
+
+def test_ivf_recall_vs_bruteforce(spark, embeddings):
+    bf = {(r.query_id, r.neighbor_id) for r in cosine_topk_bruteforce(embeddings).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in cosine_topk_ivf(embeddings).collect()}
+    recall = len(bf & ivf) / len(bf)
+    # cluster pruning trades recall for candidate reduction; sanity floor
+    assert recall > 0.1, f"IVF recall collapsed: {recall}"
+    assert ivf, "IVF returned nothing"
+
+
+def test_multimodal_features_deterministic_and_batched(spark, docs):
+    withp = mm.attach_payload(docs.limit(50))
+    out1 = mm.extract_features(withp, fake=True).orderBy("doc_id").collect()
+    out2 = mm.extract_features(withp, fake=True).orderBy("doc_id").collect()
+    assert out1 == out2
+    assert all(len(r.features) == mm.FEATURE_DIM for r in out1)
+    assert all(r.byte_len > 0 for r in out1)
+
+
+def test_multimodal_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm._decode_payload(b"xx", "image/png", fake=False)

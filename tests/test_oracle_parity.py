@@ -16,8 +16,14 @@ def test_every_query_has_an_oracle_or_is_declared():
     missing = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops may be declared without an oracle; keep the
     # list explicit so additions are deliberate
-    allowed_weak = set()
+    allowed_weak = {"multimodal_features"}
     assert missing <= allowed_weak
+
+
+def test_weak_checked_queries_run(spark):
+    for name in set(QUERIES) - set(ORACLES):
+        df = QUERIES[name](spark, SF_SMALL)
+        assert df.count() > 0, name
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) & set(ORACLES)))
