@@ -254,6 +254,14 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+def _q_flagship_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: the whole pipeline as ONE spark.sql statement (the reference's
+    pure-SQL engine, calculate/sql_template.py) — same oracle as the
+    DataFrame flagship, proving the two surfaces agree."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(oracle.flagship_sql(dialect="spark"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -268,6 +276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
         "billing_flagship": _flagship(None, "detail"),
         "billing_flagship_production": _flagship(None, "pipeline"),
+        "billing_flagship_sql": _q_flagship_sql,
         "docs_text_stats": _q_text_stats,
         "docs_lang_id": _q_lang_id,
         "docs_fingerprint": _q_fingerprint,
@@ -302,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "billing_flagship_month": oracle.flagship_sql(month=oracle.FLAGSHIP_MONTH),
         "billing_flagship": oracle.flagship_sql(),
         "billing_flagship_production": oracle.flagship_sql(grain="pipeline"),
+        "billing_flagship_sql": oracle.flagship_sql(),
         "docs_text_stats": oracle_ext.text_stats_sql(),
         "docs_lang_id": oracle_ext.lang_id_sql(),
         "docs_fingerprint": oracle_ext.fingerprint_sql(),

@@ -32,7 +32,12 @@ FLAGSHIP_MONTH = "199506"
 def _r6(expr: str) -> str:
     """Same quantization as functions.quantize6 — floor(x*1e6+0.5)/1e6 in pure
     double arithmetic, bit-identical across engines (ROUND ties differ)."""
-    return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
+    # CAST the constants: Spark SQL types a bare 1000000.0 literal as
+    # DECIMAL(8,1), which would silently turn the whole expression decimal
+    return (
+        f"floor(({expr}) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" / CAST(1000000.0 AS DOUBLE)"
+    )
 
 
 SUM_MEASURES = [
@@ -151,16 +156,19 @@ def _extra_discount_case(mapping: dict[str, float]) -> str:
     return f"CASE\n      {whens}\n      ELSE CAST(1.0 AS DOUBLE) END"
 
 
-def _credit_part() -> str:
+def _credit_part(dialect: str = "duckdb") -> str:
+    contains, split = (
+        ("list_contains", "string_split") if dialect == "duckdb" else ("array_contains", "split")
+    )
     terms = "\n      + ".join(
-        f"(CASE WHEN list_contains(string_split(COALESCE(credit_fields, ''), '/'), '{c}') "
+        f"(CASE WHEN {contains}({split}(COALESCE(credit_fields, ''), '/'), '{c}') "
         f"THEN {c} ELSE CAST(0.0 AS DOUBLE) END)"
         for c in CREDIT_BUCKET_COLUMNS
     )
     return f"({terms})"
 
 
-def _priced_cte(mapping: dict[str, float]) -> str:
+def _priced_cte(mapping: dict[str, float], dialect: str = "duckdb") -> str:
     """Pandas-path pricing semantics (SURVEY §2.10):
 
     - extra-discount factor scales internal_cost only
@@ -177,7 +185,7 @@ priced AS (
     CAST(price AS DOUBLE) AS price_d,
     COALESCE(CAST(discount AS DOUBLE), 1.0) AS disc4,
     COALESCE(CAST(price AS DOUBLE), 1.0) AS price4,
-    {_credit_part()} AS credit_part
+    {_credit_part(dialect)} AS credit_part
   FROM matched m
 ),
 calc AS (
@@ -275,7 +283,13 @@ def flagship_sql(
     month: str | None = None,
     grain: str = "detail",
     mapping: dict[str, float] | None = None,
+    dialect: str = "duckdb",
 ) -> str:
+    """The whole pipeline as ONE SQL statement — the analogue of the
+    reference's pure-SQL engine (calculate/sql_template.py:3-209, operator
+    S6). ``dialect='spark'`` yields a statement ``spark.sql`` runs verbatim
+    (the fragments are dialect-shared except credit-field membership);
+    ``dialect='duckdb'`` is the oracle."""
     keys = DETAIL_KEYS if grain == "detail" else PIPELINE_KEYS
     mapping = TEST_EXTRA_DISCOUNTS if mapping is None else mapping
     return (
@@ -287,7 +301,7 @@ def flagship_sql(
         + ",\n"
         + _matched_cte()
         + ",\n"
-        + _priced_cte(mapping)
+        + _priced_cte(mapping, dialect)
         + "\n"
         + _final_select(keys, production_defaults=(grain != "detail"))
     )

@@ -1,0 +1,74 @@
+"""Structured Streaming variants driven with Trigger.AvailableNow over the
+parquet fixtures."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from billing_etl_v1_spark.sources import synthetic
+from billing_etl_v1_spark.sources.readers import load_table, register_views
+from billing_etl_v1_spark.sources.writers import read_calculated
+from billing_etl_v1_spark.streaming.pipeline import (
+    streaming_billing_ingest,
+    streaming_window_counts,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_streaming_billing_ingest_matches_batch(spark, tmp_path):
+    register_views(spark, SF_SMALL, ["lineitem"])
+    fact = synthetic.fact_df(spark).filter("invoice_month = '199506'")
+    dim = synthetic.dim_df(spark)
+
+    fact_dir = str(tmp_path / "fact_in")
+    fact.write.parquet(fact_dir)
+    schema = spark.read.parquet(fact_dir).schema
+
+    target = str(tmp_path / "calc_out")
+    q = streaming_billing_ingest(
+        spark,
+        fact_dir,
+        schema,
+        dim,
+        target,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    from billing_etl_v1_spark.plans.pipeline import billing_pipeline
+
+    batch_rows = billing_pipeline(fact, dim, include_etl_time=False).count()
+    stream_rows = read_calculated(spark, target).count()
+    assert stream_rows == batch_rows > 0
+
+
+def test_streaming_window_counts_matches_batch(spark, tmp_path):
+    events = load_table(spark, SF_SMALL, "events")
+    events_dir = str(tmp_path / "events_in")
+    events.write.parquet(events_dir)
+
+    stream = spark.readStream.schema(spark.read.parquet(events_dir).schema).parquet(events_dir)
+    agg = streaming_window_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sum(n_events) AS n FROM wincounts").collect()[0].n
+    # append mode emits only watermark-closed windows; the final (max-ts)
+    # window stays open, so compare against batch minus the open tail
+    batch = (
+        events.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    closed = batch.filter(F.col("w.end") <= F.lit(max_ts) - F.expr("INTERVAL 30 MINUTES"))
+    expected = closed.agg(F.sum("n")).collect()[0][0]
+    assert got == expected

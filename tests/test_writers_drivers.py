@@ -1,0 +1,57 @@
+"""Partition-overwrite idempotency + daily/monthly driver windows —
+the Spark replacement for the reference's delete-then-insert swap."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from billing_etl_v1_spark.plans.drivers import daily_window, run_daily, run_month
+from billing_etl_v1_spark.sources import synthetic
+from billing_etl_v1_spark.sources.readers import register_views
+from billing_etl_v1_spark.sources.writers import read_calculated
+from tests.conftest import SF_SMALL
+
+
+def _ctx(spark):
+    register_views(spark, SF_SMALL, ["lineitem"])
+    return synthetic.fact_df(spark), synthetic.dim_df(spark)
+
+
+def test_daily_window_lookback_and_month_clamp():
+    # mid-month: plain 4-day lookback (reference main.py:165-171)
+    m, s, e = daily_window(dt.date(2026, 1, 20))
+    assert (m, s, e) == ("202601", dt.date(2026, 1, 16), dt.date(2026, 1, 21))
+    # near month start: clamped to the 1st
+    m, s, e = daily_window(dt.date(2026, 1, 2))
+    assert (m, s, e) == ("202601", dt.date(2026, 1, 1), dt.date(2026, 1, 3))
+
+
+def test_month_overwrite_is_idempotent_and_partition_scoped(spark, tmp_path):
+    fact, dim = _ctx(spark)
+    target = str(tmp_path / "calculated")
+
+    run_month(fact, dim, target, "199506", include_etl_time=False)
+    run_month(fact, dim, target, "199507", include_etl_time=False)
+    first = read_calculated(spark, target)
+    counts = dict(
+        first.groupBy("invoice_month").count().collect()
+    )
+    assert set(counts) == {"199506", "199507"}
+
+    # re-run one month: its partitions are replaced, the other untouched
+    run_month(fact, dim, target, "199506", include_etl_time=False)
+    again = dict(read_calculated(spark, target).groupBy("invoice_month").count().collect())
+    assert again == counts  # no duplication => delete-then-insert semantics
+
+
+def test_daily_overwrites_only_window_days(spark, tmp_path):
+    fact, dim = _ctx(spark)
+    target = str(tmp_path / "daily")
+    # seed the whole month, then re-run one day window on top
+    run_month(fact, dim, target, "199506", include_etl_time=False)
+    before = read_calculated(spark, target).count()
+    run_daily(fact, dim, target, dt.date(1995, 6, 20), include_etl_time=False)
+    after = read_calculated(spark, target).count()
+    assert after == before  # re-run duplicated nothing
