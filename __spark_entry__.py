@@ -200,6 +200,14 @@ def _q_dedup_simhash(spark, sf_dir):
     return dedup_ops.simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def _q_dedup_embedding(spark, sf_dir):
+    return dedup_ops.embedding_cosine_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_dedup_embedding_lsh(spark, sf_dir):
+    return dedup_ops.embedding_lsh_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_sim_bruteforce(spark, sf_dir):
     return sim_ops.cosine_topk_bruteforce(load_table(spark, sf_dir, "embeddings"))
 
@@ -284,6 +292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding_cosine": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "sim_topk_bruteforce": _q_sim_bruteforce,
         "sim_topk_ivf": _q_sim_ivf,
         "events_window_agg": _q_events_window,
@@ -319,6 +329,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": oracle_ext.ngram_jaccard_sql(),
         "dedup_minhash_lsh": oracle_ext.minhash_lsh_sql(),
         "dedup_simhash": oracle_ext.simhash_pairs_sql(),
+        "dedup_embedding_cosine": oracle_ext.embedding_cosine_sql(),
+        "dedup_embedding_lsh": oracle_ext.embedding_lsh_sql(),
         "sim_topk_bruteforce": oracle_ext.sim_topk_bruteforce_sql(),
         "sim_topk_ivf": oracle_ext.sim_topk_ivf_sql(),
         "events_window_agg": oracle_ext.events_window_sql(),

@@ -12,6 +12,9 @@ Four families (SURVEY §7.2 step 8), all designed for the 100 TB posture:
                  band keys whose cardinality is controlled by band width.
 - SimHash:      16-bit per-row signature from token hashes; pairing by
                  hamming distance.
+- embedding-cosine: near-dup pairs over an embedding column — brute-force
+                 baseline plus a sign-LSH bucketed scale path (band join on
+                 coordinate-sign bits, exact cosine only within buckets).
 
 All hashing uses the engine-identical md5→60-bit-int trick (text.md5_long),
 so every operator here has a full DuckDB oracle twin.
@@ -167,6 +170,101 @@ def simhash16(text_col: str = "text") -> Column:
         vote = F.aggregate(hashes, F.lit(0), _vote(b))
         bits.append(F.when(vote > 0, F.lit(2**b)).otherwise(F.lit(0)))
     return sum(bits[1:], bits[0]).cast("int")
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (brute-force baseline).
+
+    All id_a < id_b pairs with quantized cosine >= threshold. O(n²) — the
+    correctness baseline; the scale path is :func:`embedding_lsh_pairs`.
+    """
+    from billing_etl_v1_spark.operators.similarity import _dot, _prep
+
+    base = _prep(embeddings, id_col, vec_col)
+    a, b = base.alias("a"), base.alias("b")
+    cos = quantize6(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    )
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vid_a"),
+            F.col("b.vid").alias("vid_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+SIGN_BITS = 16
+SIGN_BANDS = 4  # 4 bands x 4 sign bits
+
+
+def _sign_band_keys(vec: Column, bits: int = SIGN_BITS, bands: int = SIGN_BANDS) -> list[Column]:
+    """Band keys from coordinate signs: band b concatenates the >=0 indicator
+    of `bits/bands` leading dimensions (1-based element_at, matching the
+    oracle's 1-based list indexing). Random-hyperplane LSH restricted to
+    axis-aligned hyperplanes — deterministic, hence oracle-expressible."""
+    per = bits // bands
+    return [
+        F.concat_ws(
+            "",
+            *[
+                (F.element_at(vec, b * per + r + 1) >= 0).cast("int")
+                for r in range(per)
+            ],
+        ).alias(f"sband{b}")
+        for b in range(bands)
+    ]
+
+
+def embedding_lsh_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    bits: int = SIGN_BITS,
+    bands: int = SIGN_BANDS,
+) -> DataFrame:
+    """Sign-LSH bucketed near-dup: candidates must agree on ALL sign bits of
+    at least one band; exact cosine is computed only within buckets.
+
+    At 100 TB the all-pairs step disappears: each band join shuffles on a
+    band key whose selectivity is tuned by `bits/bands`; everything else is
+    per-row. Same output shape as the brute-force baseline, so recall is
+    directly measurable (LSH output ⊆ brute-force output).
+    """
+    from billing_etl_v1_spark.operators.similarity import _dot, _prep
+
+    base = _prep(embeddings, id_col, vec_col)
+    sig = base.select("vid", "v", "norm", *_sign_band_keys(F.col("v"), bits, bands))
+    cand = None
+    for b in range(bands):
+        a, c = sig.alias("a"), sig.alias("c")
+        p = a.join(
+            c,
+            (F.col(f"a.sband{b}") == F.col(f"c.sband{b}"))
+            & (F.col("a.vid") < F.col("c.vid")),
+        ).select(
+            F.col("a.vid").alias("vid_a"),
+            F.col("c.vid").alias("vid_b"),
+            F.col("a.v").alias("va"),
+            F.col("a.norm").alias("na"),
+            F.col("c.v").alias("vb"),
+            F.col("c.norm").alias("nb"),
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cos = quantize6(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+    return (
+        cand.dropDuplicates(["vid_a", "vid_b"])
+        .select("vid_a", "vid_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def simhash_pairs(

@@ -187,6 +187,43 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
 _DOT = "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]), (x, y) -> x + y)"
 
 
+def embedding_cosine_sql(threshold: float = 0.4) -> str:
+    dot = _DOT.format(a="a.v", b="b.v")
+    cos = _r6(f"({dot}) / (a.nrm * b.nrm)")
+    return f"""
+WITH {_norms_cte()}
+SELECT a.vec_id AS vid_a, b.vec_id AS vid_b, {cos} AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+"""
+
+
+def embedding_lsh_sql(threshold: float = 0.4, bits: int = 16, bands: int = 4) -> str:
+    per = bits // bands
+    band_cols = ",\n    ".join(
+        " || ".join(
+            f"(CASE WHEN v[{b * per + r + 1}] >= 0 THEN 1 ELSE 0 END)::VARCHAR"
+            for r in range(per)
+        )
+        + f" AS sband{b}"
+        for b in range(bands)
+    )
+    band_or = " OR ".join(f"a.sband{b} = b.sband{b}" for b in range(bands))
+    dot = _DOT.format(a="a.v", b="b.v")
+    cos = _r6(f"({dot}) / (a.nrm * b.nrm)")
+    return f"""
+WITH {_norms_cte()},
+sig AS (
+  SELECT vec_id, v, nrm,
+    {band_cols}
+  FROM n
+)
+SELECT a.vec_id AS vid_a, b.vec_id AS vid_b, {cos} AS cosine
+FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({band_or})
+WHERE {cos} >= {threshold}
+"""
+
+
 def _norms_cte() -> str:
     self_dot = _DOT.format(a="v", b="v")
     return f"""

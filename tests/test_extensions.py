@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 from billing_etl_v1_spark.operators import multimodal as mm
 from billing_etl_v1_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    embedding_lsh_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -81,6 +83,25 @@ def test_ivf_recall_vs_bruteforce(spark, embeddings):
     # cluster pruning trades recall for candidate reduction; sanity floor
     assert recall > 0.1, f"IVF recall collapsed: {recall}"
     assert ivf, "IVF returned nothing"
+
+
+def test_embedding_lsh_is_subset_of_bruteforce(spark, embeddings):
+    brute = {
+        (r.vid_a, r.vid_b, r.cosine)
+        for r in embedding_cosine_pairs(embeddings).collect()
+    }
+    lsh = {
+        (r.vid_a, r.vid_b, r.cosine)
+        for r in embedding_lsh_pairs(embeddings).collect()
+    }
+    assert lsh <= brute  # bucketing can only prune, never invent pairs
+    assert len(brute) > 0
+
+
+def test_embedding_cosine_pairs_symmetric_and_bounded(spark, embeddings):
+    rows = embedding_cosine_pairs(embeddings, threshold=0.0).limit(500).collect()
+    assert all(r.vid_a < r.vid_b for r in rows)
+    assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
 
 
 def test_multimodal_features_deterministic_and_batched(spark, docs):
