@@ -19,13 +19,33 @@ from pyspark.sql import functions as F
 from billing_etl_v1_spark.schemas import CREDIT_TYPE_TO_COLUMN
 
 
-def _bucket_sum(pairs: Column, credit_type: str) -> Column:
-    return F.aggregate(
-        pairs,
-        F.lit(0.0),
-        lambda acc, x: acc
-        + F.when(x["credits_type"] == credit_type, x["credits_amount"]).otherwise(F.lit(0.0)),
-    )
+_TOTAL = "internal_credits_cost"
+
+
+def _fold_all_buckets(pairs: Column) -> Column:
+    """ONE left fold over the zipped credits producing a struct of all 8
+    bucket sums + the total — a single array traversal instead of nine.
+
+    Adding 0.0 for non-matching elements is an exact double identity (no
+    -0.0 survives the upstream zero-filter), so this is bit-identical to
+    per-bucket folds, just ~9x less array work per row.
+    """
+    buckets = list(CREDIT_TYPE_TO_COLUMN.items())  # (credit_type, c_* column)
+    fields = [c for _, c in buckets] + [_TOTAL]
+    zero = F.struct(*[F.lit(0.0).alias(f) for f in fields])
+
+    def step(acc: Column, x: Column) -> Column:
+        out = [
+            (
+                acc[col]
+                + F.when(x["credits_type"] == ct, x["credits_amount"]).otherwise(F.lit(0.0))
+            ).alias(col)
+            for ct, col in buckets
+        ]
+        out.append((acc[_TOTAL] + x["credits_amount"]).alias(_TOTAL))
+        return F.struct(*out)
+
+    return F.aggregate(pairs, zero, step)
 
 
 def credits_pivot(
@@ -43,15 +63,13 @@ def credits_pivot(
     pairs = F.arrays_zip(
         F.col(type_col).alias("credits_type"), F.col(amount_col).alias("credits_amount")
     )
+    df = df.withColumn("_credit_acc", _fold_all_buckets(pairs))
     cols: dict[str, Column] = {
-        bucket: _bucket_sum(pairs, credit_type)
-        for credit_type, bucket in CREDIT_TYPE_TO_COLUMN.items()
+        bucket: F.coalesce(F.col("_credit_acc")[bucket], F.lit(0.0))
+        for bucket in CREDIT_TYPE_TO_COLUMN.values()
     }
-    total = F.coalesce(
-        F.aggregate(F.col(amount_col), F.lit(0.0), lambda acc, x: acc + x), F.lit(0.0)
-    )
-    cols["internal_credits_cost"] = total
-    df = df.withColumns(cols)
+    cols[_TOTAL] = F.coalesce(F.col("_credit_acc")[_TOTAL], F.lit(0.0))
+    df = df.withColumns(cols).drop("_credit_acc")
     return df.withColumn(
-        "internal_credits_consumption", F.col("internal_credits_cost") - F.col("c_rm")
+        "internal_credits_consumption", F.col(_TOTAL) - F.col("c_rm")
     )
