@@ -11,6 +11,9 @@ logic for continuous ingest:
   business logic between batch and streaming.
 - ``streaming_window_counts``: event-time tumbling windows with a watermark
   for late data — the streaming twin of operators.events.tumbling_window_agg.
+- ``streaming_sessionize``: custom stateful operator via
+  ``applyInPandasWithState`` — per-user session state with an event-time
+  timeout, the streaming twin of operators.events.sessionize.
 
 Tested with Trigger.AvailableNow against the parquet fixtures
 (tests/test_streaming.py).
@@ -18,9 +21,12 @@ Tested with Trigger.AvailableNow against the parquet fixtures
 
 from __future__ import annotations
 
+from typing import Any, Iterable, Iterator
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from billing_etl_v1_spark.plans.pipeline import billing_pipeline
 from billing_etl_v1_spark.sources.writers import write_calculated
@@ -53,6 +59,83 @@ def streaming_billing_ingest(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start_s bigint, session_end_s bigint, "
+    "n_events bigint, total_value double"
+)
+# open-session accumulator: (start_s, last_s, n_events, total_value)
+SESSION_STATE_SCHEMA = "start_s bigint, last_s bigint, n_events bigint, total_value double"
+
+
+def streaming_sessionize(
+    events_stream: DataFrame,
+    gap_s: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stateful streaming sessionization (gap-based), one state row per user.
+
+    Arbitrary-state operator via ``applyInPandasWithState``: each user's open
+    session lives in the state store across micro-batches; a session is
+    emitted when a later event arrives more than ``gap_s`` after it ends, or
+    when the event-time timeout fires (watermark passed end + gap — no more
+    on-time events can extend it). Timestamps are whole epoch seconds,
+    matching the batch twin (operators.events.sessionize).
+
+    Scale posture: state is partitioned by user_id across executors, sized
+    O(active users), and expired by the timeout — the pattern survives an
+    unbounded stream.
+    """
+    import pandas as pd
+
+    def fn(
+        key: tuple, pdfs: Iterable["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        (user_id,) = key
+        cols = ["user_id", "session_start_s", "session_end_s", "n_events", "total_value"]
+
+        if state.hasTimedOut:
+            start_s, last_s, n, tot = state.get
+            state.remove()
+            yield pd.DataFrame([[user_id, start_s, last_s, n, tot]], columns=cols)
+            return
+
+        rows: list[tuple[int, float]] = []
+        for pdf in pdfs:
+            ep = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+            rows.extend(zip(ep, pdf["value"].tolist()))
+        rows.sort()
+
+        cur: list[Any] | None = list(state.get) if state.exists else None
+        out: list[list[Any]] = []
+        for ep, val in rows:
+            if cur is None:
+                cur = [ep, ep, 0, 0.0]
+            elif ep - cur[1] > gap_s:
+                out.append([user_id, cur[0], cur[1], cur[2], cur[3]])
+                cur = [ep, ep, 0, 0.0]
+            cur[1] = max(cur[1], ep)
+            cur[2] += 1
+            cur[3] += val
+        if cur is not None:
+            state.update(tuple(cur))
+            # flush once the watermark proves no on-time event can extend it
+            state.setTimeoutTimestamp((cur[1] + gap_s) * 1000)
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

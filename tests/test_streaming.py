@@ -13,6 +13,7 @@ from billing_etl_v1_spark.sources.readers import load_table, register_views
 from billing_etl_v1_spark.sources.writers import read_calculated
 from billing_etl_v1_spark.streaming.pipeline import (
     streaming_billing_ingest,
+    streaming_sessionize,
     streaming_window_counts,
 )
 from tests.conftest import SF_SMALL
@@ -72,3 +73,57 @@ def test_streaming_window_counts_matches_batch(spark, tmp_path):
     closed = batch.filter(F.col("w.end") <= F.lit(max_ts) - F.expr("INTERVAL 30 MINUTES"))
     expected = closed.agg(F.sum("n")).collect()[0][0]
     assert got == expected
+
+
+def test_streaming_sessionize_matches_batch_closed_sessions(spark, tmp_path):
+    from pyspark.sql import Window
+
+    from billing_etl_v1_spark.operators.events import sessionize
+
+    events = load_table(spark, SF_SMALL, "events")
+    events_dir = str(tmp_path / "events_sess")
+    events.write.parquet(events_dir)
+
+    stream = spark.readStream.schema(spark.read.parquet(events_dir).schema).parquet(events_dir)
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start_s, r.session_end_s, r.n_events, round(r.total_value, 6))
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+
+    # a session is emitted either when a LATER event proves it closed, or when
+    # the event-time timeout fires in a trailing no-data micro-batch (final
+    # watermark = max_ts - 30min). Successor-closed sessions must appear
+    # exactly; each user's last session appears iff its timeout predates the
+    # final watermark, so allow it on either side of that boundary.
+    def key(user, start, end, n, tot):
+        return (user, start, end, n, round(tot, 6))
+
+    batch = sessionize(events)
+    w_last = F.max("session_idx").over(Window.partitionBy("user_id"))
+    rows = batch.withColumn("_last", w_last).collect()
+    closed = {
+        key(r.user_id, int(r.session_start.timestamp()), int(r.session_end.timestamp()),
+            r.n_events, r.total_value)
+        for r in rows
+        if r.session_idx < r._last
+    }
+    all_sessions = {
+        key(r.user_id, int(r.session_start.timestamp()), int(r.session_end.timestamp()),
+            r.n_events, r.total_value)
+        for r in rows
+    }
+    assert closed <= got <= all_sessions
+    wm_s = events.agg(F.max("ts")).collect()[0][0].timestamp() - 1800
+    for extra in got - closed:  # flushed by timeout -> must be timeout-eligible
+        assert extra[2] + 1800 <= wm_s + 1
+    assert len(got) > 0
