@@ -30,6 +30,16 @@ QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
 PUNCT_CLASS = "[.,!?;:]"
 DIGIT_CLASS = "[0-9]"
 
+# BPE-ish pre-tokenization: letter runs, digit runs, and single punctuation
+# marks each count as one token (the word/number/symbol split every BPE
+# vocabulary starts from). Same pattern runs in Java regex and RE2 (DuckDB).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-style pre-tokens (letter runs / digit runs / symbols)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+
 
 def _tokens(col: Column) -> Column:
     return F.split(F.trim(F.lower(col)), r"\s+")
@@ -73,6 +83,7 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         {
             "char_count": F.length(c).cast("int"),
             "token_count": tc.cast("int"),
+            "bpe_token_count": bpe_token_count(c).cast("int"),
             "punct_ratio": quantize6(punct),
             "digit_ratio": quantize6(digit),
             "stopword_ratio": quantize6(stop_ratio),

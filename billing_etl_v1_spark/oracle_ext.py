@@ -53,6 +53,7 @@ WITH t AS (
 SELECT doc_id, text, lang, source, n_chars,
   length(text)::INT AS char_count,
   token_count::INT AS token_count,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::INT AS bpe_token_count,
   {_r6('punct')} AS punct_ratio,
   {_r6('digit')} AS digit_ratio,
   {_r6('CASE WHEN token_count = 0 THEN 0.0 ELSE stop_hits::DOUBLE / token_count END')} AS stopword_ratio,
