@@ -1,0 +1,172 @@
+"""Property-based tests (SURVEY §5): the rule-priority join checked against
+an independent Python model of the reference's pandas semantics, plus
+dataset-wide invariants over the full flagship output.
+
+The model re-implements reference calculate/service.py:102-138 directly:
+apply rules in order [1,5,3,7,2,6,4,8], each ``df.update`` overwriting
+earlier matches per non-null cell (last-writer-wins == per-column coalesce
+in priority 8>4>6>2>7>3>5>1). Hypothesis drives random rule sets and fact
+keys through BOTH the model and the Spark operator.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from billing_etl_v1_spark.operators.rules import (
+    PRIORITY,
+    RULE_COLUMNS,
+    RULE_PATTERNS,
+    match_rules,
+)
+
+MONTH = "1995-06"
+PROJECTS = [None, "proj-0", "proj-1"]
+SERVICES = [None, "service-0", "service-1"]
+SKUS = [None, "sku-0", "sku-1"]
+
+rule_strategy = st.fixed_dictionaries(
+    {
+        "project_id": st.sampled_from(PROJECTS),
+        "service_description": st.sampled_from(SERVICES),
+        "sku_id": st.sampled_from(SKUS),
+        "mode": st.integers(min_value=1, max_value=4),
+        "discount": st.sampled_from([None, "0.5", "0.8"]),
+        "price": st.sampled_from([None, "0", "1.5"]),
+    }
+)
+
+fact_key_strategy = st.fixed_dictionaries(
+    {
+        "project_id": st.sampled_from([p for p in PROJECTS if p] + ["proj-x"]),
+        "service_description": st.sampled_from([s for s in SERVICES if s] + ["service-x"]),
+        "sku_id": st.sampled_from([k for k in SKUS if k] + ["sku-x"]),
+    }
+)
+
+
+def _rule_number(rule: dict) -> int:
+    pattern = tuple(
+        c
+        for c in ("project_id", "service_description", "sku_id")
+        if rule[c] is not None
+    )
+    return next(n for n, p in RULE_PATTERNS.items() if tuple(sorted(p)) == tuple(sorted(pattern)))
+
+
+def _matches(rule: dict, fact: dict) -> bool:
+    return all(
+        rule[c] is None or rule[c] == fact[c]
+        for c in ("project_id", "service_description", "sku_id")
+    )
+
+
+def model_match(rules: list[dict], fact: dict) -> dict:
+    """Reference pandas semantics: apply in order [1,5,3,7,2,6,4,8]; later
+    non-null cells overwrite (calculate/service.py:126-138). Among duplicate
+    rules in the same subset, the engine's dedupe keeps the smallest payload
+    (rule columns ascending, NULLs last) — mirrored here."""
+    by_number: dict[int, list[dict]] = {}
+    for r in rules:
+        by_number.setdefault(_rule_number(r), []).append(r)
+
+    def sort_key(r: dict):
+        out = []
+        for c in RULE_COLUMNS:
+            v = r.get(c)
+            out.append((v is None, str(v) if v is not None else ""))
+        return out
+
+    out = {c: None for c in RULE_COLUMNS}
+    for number in [1, 5, 3, 7, 2, 6, 4, 8]:  # reverse priority
+        candidates = [r for r in by_number.get(number, []) if _matches(r, fact)]
+        if not candidates:
+            continue
+        winner = min(candidates, key=sort_key)
+        for c in RULE_COLUMNS:
+            v = winner.get(c)
+            if v is not None:  # df.update skips NaN cells
+                out[c] = v
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    rules=st.lists(rule_strategy, min_size=0, max_size=6),
+    fact=fact_key_strategy,
+)
+def test_rule_match_agrees_with_pandas_model(spark, rules, fact):
+    dim_rows = [
+        (
+            MONTH,
+            "ACCT-P",
+            r["project_id"],
+            r["service_description"],
+            r["sku_id"],
+            str(r["mode"]),
+            r["discount"],
+            r["price"],
+            None,
+            f"CUST-{i}",
+            f"CTR-{i}",
+        )
+        for i, r in enumerate(rules)
+    ]
+    dim = spark.createDataFrame(
+        dim_rows,
+        "month string, billing_account_id string, project_id string, "
+        "service_description string, sku_id string, mode string, discount string, "
+        "price string, credit_fields string, customer_id string, contract_id string",
+    )
+    fact_df = spark.createDataFrame(
+        [(MONTH, "ACCT-P", fact["project_id"], fact["service_description"], fact["sku_id"])],
+        "contract_month string, billing_account_id string, project_id string, "
+        "service_description string, sku_id string",
+    )
+    got = match_rules(fact_df, dim, cache_dim=False).collect()[0]
+
+    expected = model_match(
+        [dict(r, customer_id=f"CUST-{i}", contract_id=f"CTR-{i}", credit_fields=None)
+         for i, r in enumerate(rules)],
+        fact,
+    )
+    for c in ("mode", "discount", "price"):
+        assert (got[c] if got[c] is None else str(got[c])) == (
+            None if expected[c] is None else str(expected[c])
+        ), (c, rules, fact)
+
+
+def test_flagship_invariants_hold_datasetwide(spark):
+    """internal_cost = cost + internal_credits_cost and
+    internal_credits_consumption = total - c_rm over EVERY output row of the
+    full pipeline (reference calculate/service.py:41-42,154-155) — modulo the
+    extra-discount overlay, which scales internal_cost only (§2.10.1)."""
+    import __spark_entry__ as em
+    from tests.conftest import SF_SMALL
+
+    out = em.queries()["billing_flagship"](spark, SF_SMALL)
+    eps = 1e-6
+    bad = out.filter(
+        (
+            F.abs(
+                F.col("internal_consumption")
+                - (F.col("cost") + F.col("internal_credits_consumption"))
+            )
+            > eps
+        )
+        | (
+            F.abs(
+                F.col("internal_credits_consumption")
+                - (F.col("internal_credits_cost") - F.col("c_rm"))
+            )
+            > eps
+        )
+    ).count()
+    assert bad == 0
