@@ -224,6 +224,10 @@ def _q_events_sessionize(spark, sf_dir):
     return event_ops.sessionize(load_table(spark, sf_dir, "events"))
 
 
+def _q_events_asof(spark, sf_dir):
+    return event_ops.clicks_asof_purchase(load_table(spark, sf_dir, "events"))
+
+
 def _q_events_top_types(spark, sf_dir):
     return event_ops.top_event_types_per_user(load_table(spark, sf_dir, "events"))
 
@@ -298,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf": _q_sim_ivf,
         "events_window_agg": _q_events_window,
         "events_sessionize": _q_events_sessionize,
+        "events_asof_purchase": _q_events_asof,
         "events_top_types": _q_events_top_types,
         "events_json_props": _q_events_json,
         "tpch_q1": _q_tpch_q1,
@@ -335,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_ivf": oracle_ext.sim_topk_ivf_sql(),
         "events_window_agg": oracle_ext.events_window_sql(),
         "events_sessionize": oracle_ext.sessionize_sql(),
+        "events_asof_purchase": oracle_ext.asof_purchase_sql(),
         "events_top_types": oracle_ext.top_event_types_sql(),
         "events_json_props": oracle_ext.json_props_sql(),
         "tpch_q1": oracle_ext.tpch_q1_sql(),

@@ -88,6 +88,65 @@ def top_event_types_per_user(events: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Point-in-time (as-of) join: each left row gets the value columns of
+    the LATEST right row with ``right.ts <= left.ts`` per ``by`` key.
+
+    Spark has no native as-of join; the classic union trick expresses it with
+    built-ins: tag both sides, sort each key's rows by (ts, side) with right
+    rows first at equal ts, and carry the last non-null right value forward
+    (``F.last(ignorenulls=True)`` over an unbounded-preceding window). Ties
+    on ts therefore match (<= semantics), same as DuckDB's ASOF JOIN oracle.
+
+    Scale posture: ONE shuffle on ``by`` and a per-key sort — no range
+    cross-product, no broadcast of either side; at 100 TB both sides stream
+    through the same hash partitioning. Right should be pre-deduplicated to
+    one row per (by, ts) for determinism.
+    """
+    r = right.select(
+        F.col(by),
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        *[F.col(v).alias(f"__r_{v}") for v in value_cols],
+    )
+    l = left.withColumn("__side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for v in value_cols:
+        u = u.withColumn(f"{v}{suffix}", F.last(f"__r_{v}", ignorenulls=True).over(w))
+    return (
+        u.filter(F.col("__side") == 1)
+        .drop("__side", *[f"__r_{v}" for v in value_cols])
+    )
+
+
+def clicks_asof_purchase(events: DataFrame) -> DataFrame:
+    """For every click event, the most recent purchase value at-or-before it
+    for the same user (NULL when the user has not purchased yet)."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks, purchases, by="user_id", value_cols=("purchase_value",), suffix=""
+    ).select("event_id", "user_id", "ts", "purchase_value")
+
+
 def json_props_agg(events: DataFrame) -> DataFrame:
     """JSON extraction (props -> $.k) + aggregation per event_type."""
     k = F.get_json_object("props", "$.k").cast("int")

@@ -330,6 +330,19 @@ SELECT user_id, event_type, total_value, rnk::INT AS rank FROM r WHERE rnk <= {k
 """
 
 
+def asof_purchase_sql() -> str:
+    # DuckDB native ASOF JOIN as the oracle for the union-trick operator
+    return """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (
+  SELECT user_id, ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, l.ts, r.purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def json_props_sql() -> str:
     return """
 SELECT event_type,

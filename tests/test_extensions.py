@@ -104,6 +104,23 @@ def test_embedding_cosine_pairs_symmetric_and_bounded(spark, embeddings):
     assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
 
 
+def test_asof_join_point_in_time_correct(spark):
+    from billing_etl_v1_spark.operators.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (2, 205), (3, 300)], "id int, ts int"
+    ).withColumn("user", F.lit("u"))
+    right = spark.createDataFrame(
+        [(200, 2.0), (205, 2.5), (250, 3.0)], "ts int, value double"
+    ).withColumn("user", F.lit("u"))
+    got = {
+        r.id: r.value_asof
+        for r in asof_join(left, right, by="user", ts_col="ts").collect()
+    }
+    # before first right row -> NULL; equal ts matches (<=); latest wins
+    assert got == {1: None, 2: 2.5, 3: 3.0}
+
+
 def test_multimodal_features_deterministic_and_batched(spark, docs):
     withp = mm.attach_payload(docs.limit(50))
     out1 = mm.extract_features(withp, fake=True).orderBy("doc_id").collect()

@@ -98,6 +98,15 @@ def test_similarity_corpus_never_shuffles(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_asof_join_is_one_keyed_shuffle(spark):
+    # the union-trick as-of join must not build a range cross-product: both
+    # sides hash-partition on the key once, then a per-key sort
+    plan = plan_of(spark, "events_asof_purchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(nodes(plan, "Window")) >= 1
+
+
 def test_dedup_lsh_joins_on_band_keys(spark):
     # candidate pairing shuffles on band keys only (hash-partitionable);
     # no cartesian of the corpus
