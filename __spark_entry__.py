@@ -266,6 +266,12 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+def _q_multimodal_frames(spark, sf_dir):
+    docs = mm_ops.attach_payload(load_table(spark, sf_dir, "documents"))
+    # 64-byte frames so test docs (~150-400 bytes) genuinely expand 1-to-N
+    return mm_ops.sample_frames(docs, frame_size=64, every_n=2).drop("frame")
+
+
 def _q_flagship_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: the whole pipeline as ONE spark.sql statement (the reference's
     pure-SQL engine, calculate/sql_template.py) — same oracle as the
@@ -308,6 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_top_customers": _q_top_customers,
         "multimodal_meta": _q_multimodal_meta,
+        "multimodal_frame_sample": _q_multimodal_frames,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -346,5 +353,6 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": oracle_ext.tpch_q1_sql(),
         "tpch_top_customers": oracle_ext.top_customers_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
+        "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),
         # multimodal_features: mapInPandas — intentionally no oracle
     }

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -94,6 +95,88 @@ def extract_features(df: DataFrame, fake: bool = True, batch_hint: int = 1024) -
     return df.select("doc_id", "media_type", "payload").mapInPandas(
         run, schema=MULTIMODAL_SCHEMA
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_len", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, frame_size: int = 256, every_n: int = 4
+) -> DataFrame:
+    """Video frame sampling plumbing: split each payload into fixed-size
+    frames and emit every Nth — a 1-to-N Arrow-batched expansion (the shape a
+    real ffmpeg-backed sampler needs; swapping in a codec touches only the
+    chunking line). Output rows: (doc_id, frame_idx, frame_len, frame)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, idxs, lens, frames = [], [], [], []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(p) + frame_size - 1) // frame_size
+                for i in range(0, n_frames, every_n):
+                    chunk = p[i * frame_size : (i + 1) * frame_size]
+                    doc_ids.append(d)
+                    idxs.append(i)
+                    lens.append(len(chunk))
+                    frames.append(bytes(chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_payload(df: DataFrame, target_len: int = 64, fake: bool = True) -> DataFrame:
+    """Resize plumbing: deterministic stride downsample of the payload bytes
+    to ``target_len`` (stand-in for an image resample — a real implementation
+    replaces only the sampling line with PIL/libvips). Keeps doc_id,
+    media_type, original and resized lengths, and the resized payload."""
+    if not fake:
+        raise NotImplementedError(
+            "real image resize requires codecs not present in this container"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = []
+            for p in pdf["payload"]:
+                if len(p) <= target_len:
+                    resized.append(bytes(p))
+                else:
+                    stride = len(p) / target_len
+                    resized.append(bytes(p[int(i * stride)] for i in range(target_len)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "orig_len": pdf["payload"].map(len).astype("int32"),
+                    "resized_len": pd.Series([len(r) for r in resized], dtype="int32"),
+                    "resized": pd.Series(resized, dtype="object"),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("orig_len", IntegerType()),
+            StructField("resized_len", IntegerType()),
+            StructField("resized", FRAME_SCHEMA["frame"].dataType),
+        ]
+    )
+    return df.select("doc_id", "media_type", "payload").mapInPandas(run, schema)
 
 
 def payload_metadata(df: DataFrame) -> DataFrame:

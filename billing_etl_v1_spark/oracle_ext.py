@@ -393,6 +393,22 @@ SELECT n_name, c_custkey, c_name, revenue, rnk::INT AS rank FROM r WHERE rnk <= 
 """
 
 
+def multimodal_frames_sql(frame_size: int = 256, every_n: int = 4) -> str:
+    # frame boundaries are pure arithmetic over byte length, so the 1-to-N
+    # mapInPandas expansion has an exact SQL twin via per-row series
+    return f"""
+WITH p AS (SELECT doc_id, octet_length(encode(text)) AS byte_len FROM documents),
+f AS (
+  SELECT doc_id, byte_len,
+         unnest(range(0, (byte_len + {frame_size - 1}) // {frame_size})) AS frame_idx
+  FROM p
+)
+SELECT doc_id, frame_idx::INT AS frame_idx,
+       least({frame_size}, byte_len - frame_idx * {frame_size})::INT AS frame_len
+FROM f WHERE frame_idx % {every_n} = 0
+"""
+
+
 def multimodal_meta_sql() -> str:
     return """
 SELECT doc_id,

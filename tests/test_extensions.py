@@ -130,6 +130,26 @@ def test_multimodal_features_deterministic_and_batched(spark, docs):
     assert all(r.byte_len > 0 for r in out1)
 
 
+def test_multimodal_frame_sample_reassembles(spark, docs):
+    payloads = mm.attach_payload(docs).select("doc_id", "payload").limit(20)
+    frames = mm.sample_frames(payloads, frame_size=64, every_n=1).collect()
+    by_doc: dict = {}
+    for f in frames:
+        by_doc.setdefault(f.doc_id, []).append(f)
+    originals = {r.doc_id: bytes(r.payload) for r in payloads.collect()}
+    for doc_id, fs in by_doc.items():
+        fs.sort(key=lambda f: f.frame_idx)
+        assert b"".join(bytes(f.frame) for f in fs) == originals[doc_id]
+
+
+def test_multimodal_resize_downsamples_deterministically(spark, docs):
+    payloads = mm.attach_payload(docs).limit(20)
+    a = {r.doc_id: bytes(r.resized) for r in mm.resize_payload(payloads).collect()}
+    b = {r.doc_id: bytes(r.resized) for r in mm.resize_payload(payloads).collect()}
+    assert a == b  # deterministic across runs
+    assert all(len(v) <= 64 for v in a.values())
+
+
 def test_multimodal_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         mm._decode_payload(b"xx", "image/png", fake=False)
