@@ -79,6 +79,48 @@ def source_aggregate(
     return fact.groupBy(*keys).agg(*aggs)
 
 
+def rollup_totals(fact: DataFrame) -> DataFrame:
+    """Invoice subtotals with ROLLUP(invoice_month, billing_account_id):
+    per-account lines, per-month subtotals, and the grand total in one pass
+    (grouping-sets surface — absent from the reference, SURVEY §2.11).
+
+    Sums accumulate in DECIMAL(38,10): exact and associative, so partition
+    order cannot perturb the quantized double output (same trick as the
+    TPC-H Q1 oracle). grouping() flags distinguish subtotal rows from data
+    rows whose key could itself be NULL.
+
+    Scale posture: Spark plans rollup as ONE shuffle over the expanded
+    grouping-set keys with map-side partial aggregation — no extra pass per
+    grouping level.
+    """
+    from billing_etl_v1_spark.functions import quantize6
+
+    dec = lambda c: F.col(c).cast("decimal(38,10)")  # noqa: E731
+    return (
+        fact.rollup("invoice_month", "billing_account_id")
+        .agg(
+            F.grouping("invoice_month").cast("int").alias("month_is_total"),
+            F.grouping("billing_account_id").cast("int").alias("account_is_total"),
+            F.count(F.lit(1)).alias("n_rows"),
+            quantize6(F.sum(dec("cost")).cast("double")).alias("sum_cost"),
+            quantize6(F.sum(dec("cost_at_list")).cast("double")).alias("sum_cost_at_list"),
+            quantize6(
+                F.sum(dec("usage_amount_in_pricing_units")).cast("double")
+            ).alias("sum_usage"),
+        )
+        .select(
+            "invoice_month",
+            "billing_account_id",
+            "month_is_total",
+            "account_is_total",
+            "n_rows",
+            "sum_cost",
+            "sum_cost_at_list",
+            "sum_usage",
+        )
+    )
+
+
 def filter_month(fact: DataFrame, invoice_month: str | None) -> Column | DataFrame:
     """P3: equality predicate on invoice_month — pushed to the parquet scan
     (partition pruning when the fact is laid out by invoice_month)."""

@@ -319,6 +319,25 @@ GROUP BY {key_list}
 """
 
 
+def rollup_sql() -> str:
+    """ROLLUP subtotals twin of operators.aggregate.rollup_totals —
+    DECIMAL(38,10) accumulation so partition order can't move the 6th
+    decimal."""
+    dec = lambda c: f"CAST({c} AS DECIMAL(38,10))"  # noqa: E731
+    return f"""
+WITH fact AS ({FACT_SQL})
+SELECT invoice_month, billing_account_id,
+       grouping(invoice_month)::INT AS month_is_total,
+       grouping(billing_account_id)::INT AS account_is_total,
+       count(*) AS n_rows,
+       {_r6(f"sum({dec('cost')})::DOUBLE")} AS sum_cost,
+       {_r6(f"sum({dec('cost_at_list')})::DOUBLE")} AS sum_cost_at_list,
+       {_r6(f"sum({dec('usage_amount_in_pricing_units')})::DOUBLE")} AS sum_usage
+FROM fact
+GROUP BY ROLLUP (invoice_month, billing_account_id)
+"""
+
+
 def minmax_day_sql(month: str = FLAGSHIP_MONTH) -> str:
     return f"""
 WITH fact AS ({FACT_SQL})
