@@ -17,6 +17,14 @@ import __spark_entry__ as em
 from tests.conftest import SF_SMALL
 
 
+@pytest.fixture(autouse=True)
+def _clean_cache(spark):
+    # earlier test modules cache tables (docs/dim fixtures); cached relations
+    # change plan shapes (InMemoryTableScan, pruning), so assert on clean plans
+    spark.catalog.clearCache()
+    yield
+
+
 def plan_of(spark, name: str) -> str:
     df = em.queries()[name](spark, SF_SMALL)
     qe = df._jdf.queryExecution()
