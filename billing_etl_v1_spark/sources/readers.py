@@ -28,7 +28,30 @@ TPCH_TABLES = [
 ]
 
 
+# runtime-settable confs the engine's results depend on, applied defensively
+# so queries also behave correctly under a caller-provided vanilla session
+# (the driver harness builds its own SparkSession)
+_REQUIRED_RUNTIME_CONF = {
+    # deterministic epoch math in events operators + oracle agreement
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type — read
+    # as long, converted to micros in load_table (DuckDB coerces ns->us)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # '199506' stays a string invoice_month on partitioned read-back
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
+}
+
+
+def harden_session(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not recognized/settable on this build — best effort
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    harden_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read via nanosAsLong -> truncate to micros,
