@@ -73,9 +73,18 @@ def source_aggregate(
     ``extra_keys`` lets callers thread helper columns (e.g. contract_month)
     through the aggregation as grouping keys without changing the grain —
     contract_month is functionally dependent on invoice_month.
+
+    Sums accumulate in DECIMAL(38,10) and cast back to double: exact and
+    associative, so the result is bit-identical under ANY partitioning (a
+    driver harness may run with different shuffle settings) and matches the
+    oracle's identical accumulation. Downstream pricing math stays double,
+    like the reference's float pipeline.
     """
     keys = list(keys or PIPELINE_KEYS) + list(extra_keys or [])
-    aggs = [F.sum(m).alias(m) for m in (measures or SUM_MEASURES)]
+    aggs = [
+        F.sum(F.col(m).cast("decimal(38,10)")).cast("double").alias(m)
+        for m in (measures or SUM_MEASURES)
+    ]
     return fact.groupBy(*keys).agg(*aggs)
 
 

@@ -77,8 +77,15 @@ PIPELINE_KEYS = [
 ]
 
 
+def _dsum(m: str) -> str:
+    """Partition-order-proof sum: DECIMAL(38,10) accumulation (exact,
+    associative) cast back to double — dialect-shared (Spark SQL + DuckDB),
+    matching operators.aggregate.source_aggregate."""
+    return f"CAST(sum(CAST({m} AS DECIMAL(38,10))) AS DOUBLE)"
+
+
 def _sums() -> str:
-    return ",\n         ".join(f"sum({m}) AS {m}" for m in SUM_MEASURES)
+    return ",\n         ".join(f"{_dsum(m)} AS {m}" for m in SUM_MEASURES)
 
 
 def _base_ctes(month: str | None = None) -> str:
@@ -309,7 +316,7 @@ def flagship_sql(
 
 def source_agg_sql(keys: list[str]) -> str:
     key_list = ", ".join(keys)
-    rounded = ",\n       ".join(f"{_r6(f'sum({m})')} AS {m}" for m in SUM_MEASURES)
+    rounded = ",\n       ".join(f"{_r6(_dsum(m))} AS {m}" for m in SUM_MEASURES)
     return f"""
 WITH fact AS ({FACT_SQL})
 SELECT {key_list},
