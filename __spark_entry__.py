@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 
 from billing_etl_v1_spark import oracle, oracle_ext
 from billing_etl_v1_spark.functions import round_doubles
+from billing_etl_v1_spark.operators import analytics as analytics_ops
+from billing_etl_v1_spark.operators import corpus as corpus_ops
 from billing_etl_v1_spark.operators import dedup as dedup_ops
 from billing_etl_v1_spark.operators import events as event_ops
 from billing_etl_v1_spark.operators import multimodal as mm_ops
@@ -192,6 +194,21 @@ def _flagship(month: str | None, grain: str) -> Callable[[SparkSession, str], Da
     return q
 
 
+def _q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact, _ = _billing_ctx(spark, sf_dir)
+    return analytics_ops.daily_running_totals(fact)
+
+
+def _q_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact, _ = _billing_ctx(spark, sf_dir)
+    return analytics_ops.month_over_month(fact)
+
+
+def _q_new_usage_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact, _ = _billing_ctx(spark, sf_dir)
+    return analytics_ops.new_usage_lines(fact, oracle.FLAGSHIP_MONTH, "199505")
+
+
 # --- extension queries (dedup / similarity / text / events / relational) ---
 
 
@@ -259,8 +276,24 @@ def _q_events_json(spark, sf_dir):
     return event_ops.json_props_agg(load_table(spark, sf_dir, "events"))
 
 
+def _q_docs_sample(spark, sf_dir):
+    return corpus_ops.hash_sample(load_table(spark, sf_dir, "documents"), fraction=0.1)
+
+
+def _q_quality_corpus(spark, sf_dir):
+    return corpus_ops.quality_corpus(load_table(spark, sf_dir, "documents"))
+
+
 def _q_tpch_q1(spark, sf_dir):
     return example_plans.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_tpch_q3(spark, sf_dir):
+    return example_plans.shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
 
 
 def _q_top_customers(spark, sf_dir):
@@ -319,6 +352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_flagship": _flagship(None, "detail"),
         "billing_flagship_production": _flagship(None, "pipeline"),
         "billing_flagship_sql": _q_flagship_sql,
+        "billing_running_totals": _q_running_totals,
+        "billing_month_over_month": _q_month_over_month,
+        "billing_new_usage_lines": _q_new_usage_lines,
         "docs_text_stats": _q_text_stats,
         "docs_lang_id": _q_lang_id,
         "docs_fingerprint": _q_fingerprint,
@@ -335,7 +371,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_purchase": _q_events_asof,
         "events_top_types": _q_events_top_types,
         "events_json_props": _q_events_json,
+        "docs_sample": _q_docs_sample,
+        "docs_quality_corpus": _q_quality_corpus,
         "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
         "tpch_top_customers": _q_top_customers,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frame_sample": _q_multimodal_frames,
@@ -359,6 +398,9 @@ def oracle_sql() -> dict[str, str]:
         "billing_flagship": oracle.flagship_sql(),
         "billing_flagship_production": oracle.flagship_sql(grain="pipeline"),
         "billing_flagship_sql": oracle.flagship_sql(),
+        "billing_running_totals": oracle.running_totals_sql(),
+        "billing_month_over_month": oracle.month_over_month_sql(),
+        "billing_new_usage_lines": oracle.new_usage_lines_sql(oracle.FLAGSHIP_MONTH, "199505"),
         "docs_text_stats": oracle_ext.text_stats_sql(),
         "docs_lang_id": oracle_ext.lang_id_sql(),
         "docs_fingerprint": oracle_ext.fingerprint_sql(),
@@ -375,7 +417,10 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_purchase": oracle_ext.asof_purchase_sql(),
         "events_top_types": oracle_ext.top_event_types_sql(),
         "events_json_props": oracle_ext.json_props_sql(),
+        "docs_sample": oracle_ext.hash_sample_sql(fraction=0.1),
+        "docs_quality_corpus": oracle_ext.quality_corpus_sql(),
         "tpch_q1": oracle_ext.tpch_q1_sql(),
+        "tpch_q3": oracle_ext.tpch_q3_sql(),
         "tpch_top_customers": oracle_ext.top_customers_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),

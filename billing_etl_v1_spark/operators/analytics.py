@@ -1,0 +1,111 @@
+"""Window/analytic and set-operator surface over the billing fact.
+
+The reference has NO window functions, sorts, or set operators
+(SURVEY §2.11) — these are extension operators a switching user gains for
+free from the Spark engine: running invoice totals, month-over-month
+movement, and new-account detection.
+
+Determinism discipline (same as operators.aggregate): every sum that feeds
+a hashed output accumulates in DECIMAL(38,10) — exact and associative — so
+partition order cannot perturb the quantized double results, and the running
+window sums equal DuckDB's bit-for-bit.
+
+Scale posture: each operator is two keyed shuffles — the grain aggregation,
+then a repartition onto the window keys (hash on (month, account, day) does
+NOT satisfy a (month, account) window, so Spark must re-exchange; the
+re-exchanged relation is the already-aggregated day grain, orders of
+magnitude smaller than the fact). All windows over the same keys share one
+sort. No driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from billing_etl_v1_spark.functions import quantize6
+
+
+def _dec(col: str):
+    return F.col(col).cast("decimal(38,10)")
+
+
+def daily_running_totals(fact: DataFrame) -> DataFrame:
+    """Per (invoice_month, billing_account_id): day-grain cost, cumulative
+    month-to-date cost, day rank, and each day's share of the month total.
+
+    Shuffle 1 aggregates to the (month, account, day) grain; shuffle 2
+    re-exchanges that small grain onto (month, account) where the ordered
+    and unordered windows share one sort. The cumulative frame is ROWS
+    UNBOUNDED PRECEDING over the unique day grain, so the running sum is
+    well-defined.
+    """
+    day = (
+        fact.groupBy("invoice_month", "billing_account_id", "usage_day")
+        .agg(F.sum(_dec("cost")).alias("__day_cost"))
+    )
+    w_cum = (
+        Window.partitionBy("invoice_month", "billing_account_id")
+        .orderBy("usage_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_ord = Window.partitionBy("invoice_month", "billing_account_id").orderBy("usage_day")
+    w_all = Window.partitionBy("invoice_month", "billing_account_id")
+    total = F.sum(F.col("__day_cost")).over(w_all)
+    return (
+        day.withColumn("running_cost", F.sum("__day_cost").over(w_cum))
+        .withColumn("day_rank", F.row_number().over(w_ord).cast("int"))
+        .withColumn(
+            "month_share",
+            F.when(
+                total.cast("double") != 0.0,
+                F.col("__day_cost").cast("double") / total.cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(
+            "invoice_month",
+            "billing_account_id",
+            "usage_day",
+            quantize6(F.col("__day_cost").cast("double")).alias("day_cost"),
+            quantize6(F.col("running_cost").cast("double")).alias("running_cost"),
+            "day_rank",
+            quantize6(F.col("month_share")).alias("month_share"),
+        )
+    )
+
+
+def month_over_month(fact: DataFrame) -> DataFrame:
+    """Per-account monthly cost with the previous month's cost and delta
+    (LAG over months; 'YYYYMM' strings order lexicographically)."""
+    month = (
+        fact.groupBy("billing_account_id", "invoice_month")
+        .agg(F.sum(_dec("cost")).alias("__cost"))
+    )
+    w = Window.partitionBy("billing_account_id").orderBy("invoice_month")
+    prev = F.lag("__cost").over(w)
+    return month.select(
+        "billing_account_id",
+        "invoice_month",
+        quantize6(F.col("__cost").cast("double")).alias("month_cost"),
+        quantize6(F.coalesce(prev, F.lit(0)).cast("double")).alias("prev_month_cost"),
+        (prev.isNotNull()).cast("int").alias("has_prev"),
+        quantize6((F.col("__cost") - F.coalesce(prev, F.lit(0))).cast("double")).alias(
+            "mom_delta"
+        ),
+    )
+
+
+def new_usage_lines(fact: DataFrame, invoice_month: str, prior_month: str) -> DataFrame:
+    """Usage lines — (account, project, sku) combos — billed in
+    ``invoice_month`` but absent from ``prior_month``: the month's distinct
+    combos EXCEPT the prior month's (set-op surface; implemented as a
+    left-anti join so the big fact never collects).
+
+    At scale both sides reduce to distinct projections of three narrow
+    columns — a map-side-combined shuffle each — and the anti join is a
+    plain hash join AQE converts to broadcast when the prior set is small.
+    """
+    keys = ["billing_account_id", "project_id", "sku_id"]
+    cur = fact.filter(F.col("invoice_month") == invoice_month).select(*keys).distinct()
+    prior = fact.filter(F.col("invoice_month") == prior_month).select(*keys).distinct()
+    return cur.join(prior, on=keys, how="left_anti")

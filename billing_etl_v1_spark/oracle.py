@@ -409,6 +409,67 @@ FROM fact
 """
 
 
+def running_totals_sql() -> str:
+    """Twin of operators.analytics.daily_running_totals — DECIMAL(38,10)
+    day sums so the running window totals are exact in both engines."""
+    share = (
+        "CASE WHEN CAST(sum(day_cost) OVER w_all AS DOUBLE) <> 0.0 "
+        "THEN CAST(day_cost AS DOUBLE) / CAST(sum(day_cost) OVER w_all AS DOUBLE) "
+        "ELSE 0.0 END"
+    )
+    return f"""
+WITH fact AS ({FACT_SQL}),
+day_agg AS (
+  SELECT invoice_month, billing_account_id, usage_day,
+         sum(CAST(cost AS DECIMAL(38,10))) AS day_cost
+  FROM fact
+  GROUP BY invoice_month, billing_account_id, usage_day
+)
+SELECT invoice_month, billing_account_id, usage_day,
+  {_r6('CAST(day_cost AS DOUBLE)')} AS day_cost,
+  {_r6('CAST(sum(day_cost) OVER w_cum AS DOUBLE)')} AS running_cost,
+  CAST(row_number() OVER w_ord AS INT) AS day_rank,
+  {_r6(share)} AS month_share
+FROM day_agg
+WINDOW
+  w_cum AS (PARTITION BY invoice_month, billing_account_id ORDER BY usage_day
+            ROWS UNBOUNDED PRECEDING),
+  w_ord AS (PARTITION BY invoice_month, billing_account_id ORDER BY usage_day),
+  w_all AS (PARTITION BY invoice_month, billing_account_id)
+"""
+
+
+def month_over_month_sql() -> str:
+    """Twin of operators.analytics.month_over_month (LAG analytics)."""
+    return f"""
+WITH fact AS ({FACT_SQL}),
+m AS (
+  SELECT billing_account_id, invoice_month,
+         sum(CAST(cost AS DECIMAL(38,10))) AS c
+  FROM fact GROUP BY billing_account_id, invoice_month
+)
+SELECT billing_account_id, invoice_month,
+  {_r6('CAST(c AS DOUBLE)')} AS month_cost,
+  {_r6('CAST(COALESCE(lag(c) OVER w, 0) AS DOUBLE)')} AS prev_month_cost,
+  CAST(lag(c) OVER w IS NOT NULL AS INT) AS has_prev,
+  {_r6('CAST(c - COALESCE(lag(c) OVER w, 0) AS DOUBLE)')} AS mom_delta
+FROM m
+WINDOW w AS (PARTITION BY billing_account_id ORDER BY invoice_month)
+"""
+
+
+def new_usage_lines_sql(month: str = FLAGSHIP_MONTH, prior: str = "199505") -> str:
+    """Twin of operators.analytics.new_usage_lines (EXCEPT set op)."""
+    return f"""
+WITH fact AS ({FACT_SQL})
+SELECT DISTINCT billing_account_id, project_id, sku_id
+FROM fact WHERE invoice_month = '{month}'
+EXCEPT
+SELECT DISTINCT billing_account_id, project_id, sku_id
+FROM fact WHERE invoice_month = '{prior}'
+"""
+
+
 def pricing_modes_sql(month: str = FLAGSHIP_MONTH) -> str:
     keys = ", ".join(DETAIL_KEYS)
     return (

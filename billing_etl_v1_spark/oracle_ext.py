@@ -393,6 +393,96 @@ SELECT n_name, c_custkey, c_name, revenue, rnk::INT AS rank FROM r WHERE rnk <= 
 """
 
 
+def hash_sample_sql(fraction: float = 0.1, salt: str = "sample") -> str:
+    """Twin of operators.corpus.hash_sample: salted md5-bucket sampling is
+    layout-independent, so both engines select the identical row set."""
+    bucket = _md5int("CAST(doc_id AS VARCHAR)", salt=salt)
+    return f"""
+SELECT doc_id, text, lang, source, n_chars
+FROM documents
+WHERE ({bucket}) % 1000000 < {int(fraction * 1_000_000)}
+"""
+
+
+def quality_corpus_sql(
+    min_tokens: int = 30,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+) -> str:
+    """Twin of operators.corpus.quality_corpus: stats -> quality/lang gate ->
+    exact dedup on the normalized-text fingerprint (min doc_id survives).
+    quality_score is quantized BEFORE the gate, exactly like the Spark side
+    (text_stats emits the quantized column)."""
+    stop = _sql_list(QUALITY_STOPWORDS)
+    scores = ",\n    ".join(
+        f"len(list_filter({_TOKENS}, x -> list_contains({_sql_list(sw)}, x))) AS s_{lang}"
+        for lang, sw in LANG_STOPWORDS.items()
+    )
+    lang_codes = sorted(LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in lang_codes) + ")"
+    whens = "\n      ".join(f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in lang_codes)
+    quality = _r6(
+        "least(1.0, token_count / 100.0) * (1.0 - least(1.0, 4.0 * punct))"
+        " * (1.0 - least(1.0, 4.0 * digit))"
+    )
+    in_langs = ", ".join(f"'{lg}'" for lg in langs)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, lang,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS}) END AS token_count,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::INT AS bpe_token_count,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text) END AS punct,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text) END AS digit,
+    len(list_filter({_TOKENS}, x -> list_contains({stop}, x))) AS stop_hits,
+    {scores}
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, text, lang, token_count, bpe_token_count,
+    {quality} AS quality_score,
+    CASE WHEN {best} = 0 THEN 'und'
+      {whens}
+      ELSE 'und' END AS lang_pred
+  FROM t
+),
+kept AS (
+  SELECT *, {_md5int(_NORM)} AS fp
+  FROM scored
+  WHERE token_count >= {min_tokens}
+    AND quality_score >= {min_quality}
+    AND lang_pred IN ({in_langs})
+),
+d AS (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn FROM kept
+)
+SELECT doc_id, lang, lang_pred, token_count::INT AS token_count,
+       bpe_token_count, quality_score, text
+FROM d WHERE rn = 1
+"""
+
+
+def tpch_q3_sql(segment: str = "BUILDING", cutoff: str = "1996-07-01", k: int = 10) -> str:
+    """Twin of plans.examples.shipping_priority — DECIMAL revenue so the
+    top-k row SET is exact and identical across engines."""
+    rev = "CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,10))"
+    return f"""
+WITH rev AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority, sum({rev}) AS r
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = '{segment}'
+    AND o_orderdate < TIMESTAMP '{cutoff}'
+    AND l_shipdate > TIMESTAMP '{cutoff}'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+SELECT l_orderkey, o_orderdate, o_orderpriority, {_r6('CAST(r AS DOUBLE)')} AS revenue
+FROM rev ORDER BY r DESC, l_orderkey ASC LIMIT {k}
+"""
+
+
 def multimodal_frames_sql(frame_size: int = 256, every_n: int = 4) -> str:
     # frame boundaries are pure arithmetic over byte length, so the 1-to-N
     # mapInPandas expansion has an exact SQL twin via per-row series

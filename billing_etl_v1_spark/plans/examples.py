@@ -41,6 +41,55 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1996-07-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: 3-way join with filters on
+    both fact sides, revenue aggregation, deterministic top-k.
+
+    Scale shape: customer is broadcast (small dim after the segment
+    filter); orders⋈lineitem is the one real shuffle, on l_orderkey — at
+    100 TB that is a sort-merge join AQE can skew-split. Revenue
+    accumulates in DECIMAL(38,10) so the top-k cutoff is exact and the
+    selected row SET (not just the values) is identical across engines and
+    partitionings; ties break by orderkey.
+    """
+    revenue = (
+        lineitem.filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == segment)),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(38,10)"
+                )
+            ).alias("__rev")
+        )
+    )
+    return (
+        revenue.orderBy(F.col("__rev").desc(), F.col("l_orderkey").asc())
+        .limit(k)
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            quantize6(F.col("__rev").cast("double")).alias("revenue"),
+        )
+    )
+
+
 def top_customers_by_nation(
     customer: DataFrame, orders: DataFrame, nation: DataFrame, k: int = 5
 ) -> DataFrame:

@@ -153,3 +153,52 @@ def test_multimodal_resize_downsamples_deterministically(spark, docs):
 def test_multimodal_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         mm._decode_payload(b"xx", "image/png", fake=False)
+
+
+# --- corpus prep (sampling + quality filter + dedup) -----------------------
+
+
+def test_hash_sample_split_is_a_partition(spark, docs):
+    """sample(f) and its complement partition the table exactly: the same
+    salted hash drives both, so train/holdout are disjoint and exhaustive."""
+    from billing_etl_v1_spark.operators.corpus import SAMPLE_BUCKETS, hash_sample
+    from billing_etl_v1_spark.operators.text import md5_long
+
+    total = docs.count()
+    train = hash_sample(docs, fraction=0.2)
+    bucket = md5_long(F.col("doc_id").cast("string"), salt="sample") % SAMPLE_BUCKETS
+    holdout = docs.filter(bucket >= int(0.2 * SAMPLE_BUCKETS))
+    n_train, n_hold = train.count(), holdout.count()
+    assert n_train + n_hold == total
+    assert train.join(holdout, "doc_id", "inner").count() == 0
+    assert 0 < n_train < total
+
+
+def test_hash_sample_is_layout_independent(spark, docs):
+    from billing_etl_v1_spark.operators.corpus import hash_sample
+
+    a = sorted(r.doc_id for r in hash_sample(docs, 0.3).select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in hash_sample(docs.repartition(13), 0.3).select("doc_id").collect()
+    )
+    assert a == b
+
+
+def test_quality_corpus_gates_and_dedups(spark, docs):
+    from billing_etl_v1_spark.operators.corpus import quality_corpus
+
+    out = quality_corpus(docs, min_tokens=30, min_quality=0.5).cache()
+    rows = out.collect()
+    assert rows, "corpus should not be empty on testdata"
+    assert all(r.token_count >= 30 and r.quality_score >= 0.5 for r in rows)
+    assert all(r.lang_pred in ("en", "de", "fr", "es") for r in rows)
+    # exact-dup free: normalized texts are unique post-dedup
+    n_norm = (
+        out.select(
+            F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ").alias("n")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_norm == out.count()
