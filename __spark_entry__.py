@@ -28,6 +28,7 @@ from billing_etl_v1_spark.operators import events as event_ops
 from billing_etl_v1_spark.operators import multimodal as mm_ops
 from billing_etl_v1_spark.operators import similarity as sim_ops
 from billing_etl_v1_spark.operators import text as text_ops
+from billing_etl_v1_spark.operators import timeseries as ts_ops
 from billing_etl_v1_spark.plans import examples as example_plans
 from billing_etl_v1_spark.sources.readers import load_table
 from billing_etl_v1_spark.operators import aggregate as agg_ops
@@ -209,6 +210,28 @@ def _q_new_usage_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics_ops.new_usage_lines(fact, oracle.FLAGSHIP_MONTH, "199505")
 
 
+def _q_repeat_usage_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact, _ = _billing_ctx(spark, sf_dir)
+    return analytics_ops.repeat_usage_lines(fact, oracle.FLAGSHIP_MONTH, "199505")
+
+
+def _q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact, _ = _billing_ctx(spark, sf_dir)
+    return ts_ops.gap_fill_daily(fact, oracle.FLAGSHIP_MONTH)
+
+
+def _q_value_percentiles(spark, sf_dir):
+    return ts_ops.value_percentiles(load_table(spark, sf_dir, "events"))
+
+
+def _q_approx_stats(spark, sf_dir):
+    return ts_ops.approx_group_stats(load_table(spark, sf_dir, "events"))
+
+
+def _q_price_bands(spark, sf_dir):
+    return example_plans.price_band_summary(load_table(spark, sf_dir, "part"))
+
+
 # --- extension queries (dedup / similarity / text / events / relational) ---
 
 
@@ -355,6 +378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_running_totals": _q_running_totals,
         "billing_month_over_month": _q_month_over_month,
         "billing_new_usage_lines": _q_new_usage_lines,
+        "billing_repeat_usage_lines": _q_repeat_usage_lines,
+        "billing_gap_fill": _q_gap_fill,
         "docs_text_stats": _q_text_stats,
         "docs_lang_id": _q_lang_id,
         "docs_fingerprint": _q_fingerprint,
@@ -371,10 +396,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_purchase": _q_events_asof,
         "events_top_types": _q_events_top_types,
         "events_json_props": _q_events_json,
+        "events_value_percentiles": _q_value_percentiles,
+        "events_approx_stats": _q_approx_stats,
         "docs_sample": _q_docs_sample,
         "docs_quality_corpus": _q_quality_corpus,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
+        "tpch_price_bands": _q_price_bands,
         "tpch_top_customers": _q_top_customers,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frame_sample": _q_multimodal_frames,
@@ -401,6 +429,10 @@ def oracle_sql() -> dict[str, str]:
         "billing_running_totals": oracle.running_totals_sql(),
         "billing_month_over_month": oracle.month_over_month_sql(),
         "billing_new_usage_lines": oracle.new_usage_lines_sql(oracle.FLAGSHIP_MONTH, "199505"),
+        "billing_repeat_usage_lines": oracle.repeat_usage_lines_sql(
+            oracle.FLAGSHIP_MONTH, "199505"
+        ),
+        "billing_gap_fill": oracle.gap_fill_daily_sql(oracle.FLAGSHIP_MONTH),
         "docs_text_stats": oracle_ext.text_stats_sql(),
         "docs_lang_id": oracle_ext.lang_id_sql(),
         "docs_fingerprint": oracle_ext.fingerprint_sql(),
@@ -417,10 +449,14 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_purchase": oracle_ext.asof_purchase_sql(),
         "events_top_types": oracle_ext.top_event_types_sql(),
         "events_json_props": oracle_ext.json_props_sql(),
+        "events_value_percentiles": oracle_ext.value_percentiles_sql(
+            ts_ops.PERCENTILES
+        ),
         "docs_sample": oracle_ext.hash_sample_sql(fraction=0.1),
         "docs_quality_corpus": oracle_ext.quality_corpus_sql(),
         "tpch_q1": oracle_ext.tpch_q1_sql(),
         "tpch_q3": oracle_ext.tpch_q3_sql(),
+        "tpch_price_bands": oracle_ext.price_band_summary_sql(),
         "tpch_top_customers": oracle_ext.top_customers_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),

@@ -109,3 +109,17 @@ def new_usage_lines(fact: DataFrame, invoice_month: str, prior_month: str) -> Da
     cur = fact.filter(F.col("invoice_month") == invoice_month).select(*keys).distinct()
     prior = fact.filter(F.col("invoice_month") == prior_month).select(*keys).distinct()
     return cur.join(prior, on=keys, how="left_anti")
+
+
+def repeat_usage_lines(
+    fact: DataFrame, invoice_month: str, prior_month: str
+) -> DataFrame:
+    """INTERSECT twin of :func:`new_usage_lines`: the (account, project, sku)
+    combos billed in BOTH months — a left-semi join over the two distinct
+    projections, the retention-analysis counterpart to new-line detection.
+    Same scale shape: two narrow map-side-combined distincts and one hash
+    join AQE broadcasts when a side is small."""
+    keys = ["billing_account_id", "project_id", "sku_id"]
+    cur = fact.filter(F.col("invoice_month") == invoice_month).select(*keys).distinct()
+    prior = fact.filter(F.col("invoice_month") == prior_month).select(*keys).distinct()
+    return cur.join(prior, on=keys, how="left_semi")

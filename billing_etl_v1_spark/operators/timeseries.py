@@ -1,0 +1,109 @@
+"""Time-series surface: calendar gap-filling and per-group distribution
+statistics.
+
+The reference iterates calendar days in driver Python (``timedelta`` loop,
+reference billing_calculation_service.py:87-94) and has no distribution
+operators at all (SURVEY §2.11). Here the calendar itself is relational
+data: ``F.sequence`` + ``explode`` build the date spine inside the DAG, so
+gap detection is a left join — no driver loop, no collect.
+
+Scale posture: the spine is (accounts x days) — microscopic next to the
+fact (a month of days per account vs thousands of usage lines per account
+per day). The day-grain aggregation is the only fact-sized shuffle; the
+spine join then broadcasts the exploded day list (a single aggregated row)
+and shuffles only the day grain. Exact percentiles sort each group's values
+once inside one aggregation — right for the grouped-report grain; at
+raw-fact grain the sketch path (``approx_percentile``, see
+``approx_group_stats``) replaces the exact sort with a mergeable KLL-style
+summary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from billing_etl_v1_spark.functions import quantize6
+
+PERCENTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def gap_fill_daily(fact: DataFrame, month: str) -> DataFrame:
+    """Zero-filled daily cost series per account over ``month``'s observed
+    day span: every (account, day) cell of the spine appears exactly once,
+    with ``is_gap = 1`` marking days the account had no usage.
+
+    The spine span is the month's global [min, max] usage_day so every
+    account is comparable over the same calendar window.
+
+    The day grain is a diamond (it feeds the bounds agg, the account list,
+    and the join probe); Catalyst does not share common subplans, so the
+    month's fact partition is scanned three times. That is fine when the
+    fact is at rest in cache/parquet with the month filter pushed down; in
+    a 100 TB pipeline, materialize the day grain once (it is only
+    accounts x days rows) and feed this operator from that table instead.
+    """
+    day = (
+        fact.filter(F.col("invoice_month") == month)
+        .groupBy("billing_account_id", "usage_day")
+        .agg(F.sum(F.col("cost").cast("decimal(38,10)")).alias("__cost"))
+    )
+    bounds = day.agg(F.min("usage_day").alias("d0"), F.max("usage_day").alias("d1"))
+    spine_days = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("usage_day")
+    )
+    accounts = day.select("billing_account_id").distinct()
+    spine = accounts.crossJoin(F.broadcast(spine_days))
+    return spine.join(day, ["billing_account_id", "usage_day"], "left").select(
+        "billing_account_id",
+        "usage_day",
+        quantize6(F.coalesce(F.col("__cost").cast("double"), F.lit(0.0))).alias(
+            "day_cost"
+        ),
+        F.col("__cost").isNull().cast("int").alias("is_gap"),
+    )
+
+
+def value_percentiles(
+    events: DataFrame, qs: tuple[float, ...] = PERCENTILES
+) -> DataFrame:
+    """Exact value percentiles per event_type (linear interpolation — the
+    PERCENTILE_CONT definition both Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` implement), plus count/min/max context."""
+    pct = F.percentile("value", F.array(*[F.lit(q) for q in qs]))
+    cols = [
+        quantize6(F.element_at(pct, i + 1)).alias(f"p{int(q * 100)}")
+        for i, q in enumerate(qs)
+    ]
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        quantize6(F.min("value")).alias("min_value"),
+        *cols,
+        quantize6(F.max("value")).alias("max_value"),
+    )
+
+
+def approx_group_stats(
+    events: DataFrame, qs: tuple[float, ...] = PERCENTILES, rsd: float = 0.01
+) -> DataFrame:
+    """The 100 TB path for the same report: mergeable sketches instead of
+    exact sorts — HyperLogLog++ cardinality (``approx_count_distinct``) and
+    KLL-style quantiles (``approx_percentile``). Constant memory per group,
+    one map-side-combinable aggregation, no per-group sort.
+
+    No DuckDB oracle (sketch estimates are engine-specific); correctness is
+    bounded against the exact operators in tests/test_timeseries.py.
+    """
+    pct = F.percentile_approx(
+        "value", F.array(*[F.lit(q) for q in qs]), F.lit(100_000)
+    )
+    cols = [
+        quantize6(F.element_at(pct, i + 1)).alias(f"approx_p{int(q * 100)}")
+        for i, q in enumerate(qs)
+    ]
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        *cols,
+    )

@@ -492,3 +492,43 @@ SELECT {keys},
 FROM calc
 """
     )
+
+
+def repeat_usage_lines_sql(month: str = FLAGSHIP_MONTH, prior: str = "199505") -> str:
+    """Twin of operators.analytics.repeat_usage_lines (INTERSECT set op)."""
+    return f"""
+WITH fact AS ({FACT_SQL})
+SELECT DISTINCT billing_account_id, project_id, sku_id
+FROM fact WHERE invoice_month = '{month}'
+INTERSECT
+SELECT DISTINCT billing_account_id, project_id, sku_id
+FROM fact WHERE invoice_month = '{prior}'
+"""
+
+
+def gap_fill_daily_sql(month: str = FLAGSHIP_MONTH) -> str:
+    """Twin of operators.timeseries.gap_fill_daily — date spine via
+    generate_series over the month's observed [min, max] day span."""
+    return f"""
+WITH fact AS ({FACT_SQL}),
+day_agg AS (
+  SELECT billing_account_id, usage_day,
+         sum(CAST(cost AS DECIMAL(38,10))) AS c
+  FROM fact WHERE invoice_month = '{month}'
+  GROUP BY billing_account_id, usage_day
+),
+bounds AS (SELECT min(usage_day) AS d0, max(usage_day) AS d1 FROM day_agg),
+spine AS (
+  SELECT a.billing_account_id, CAST(t.d AS DATE) AS usage_day
+  FROM (SELECT DISTINCT billing_account_id FROM day_agg) a,
+       bounds,
+       unnest(generate_series(bounds.d0::TIMESTAMP, bounds.d1::TIMESTAMP,
+                              INTERVAL 1 DAY)) t(d)
+)
+SELECT s.billing_account_id, s.usage_day,
+  {_r6('CAST(COALESCE(d.c, 0) AS DOUBLE)')} AS day_cost,
+  CAST(d.c IS NULL AS INT) AS is_gap
+FROM spine s
+LEFT JOIN day_agg d
+  ON s.billing_account_id = d.billing_account_id AND s.usage_day = d.usage_day
+"""

@@ -508,3 +508,41 @@ SELECT doc_id,
        octet_length(encode(text))::INT AS byte_len
 FROM documents
 """
+
+
+def value_percentiles_sql(qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)) -> str:
+    """Twin of operators.timeseries.value_percentiles — quantile_cont uses
+    the same PERCENTILE_CONT linear interpolation as Spark's percentile."""
+    pcols = ",\n  ".join(
+        f"{_r6(f'quantile_cont(value, {q})')} AS p{int(q * 100)}" for q in qs
+    )
+    return f"""
+SELECT event_type,
+  count(*) AS n_events,
+  {_r6('min(value)')} AS min_value,
+  {pcols},
+  {_r6('max(value)')} AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+def price_band_summary_sql() -> str:
+    """Twin of plans.examples.price_band_summary — same half-open [lo, hi)
+    bands as a VALUES dim, inequality join."""
+    from billing_etl_v1_spark.plans.examples import PRICE_BANDS
+
+    rows = ", ".join(
+        f"('{n}', {lo}, {'1e308' if hi == float('inf') else hi})"
+        for n, lo, hi in PRICE_BANDS
+    )
+    return f"""
+WITH bands(band, lo, hi) AS (VALUES {rows})
+SELECT band, CAST(lo AS DOUBLE) AS lo,
+  count(*) AS n_parts,
+  {_r6('CAST(sum(CAST(p_retailprice AS DECIMAL(38,10))) AS DOUBLE)')} AS total_retail,
+  {_r6('min(p_retailprice)')} AS min_price,
+  {_r6('max(p_retailprice)')} AS max_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band, lo
+"""

@@ -90,6 +90,45 @@ def shipping_priority(
     )
 
 
+PRICE_BANDS = [
+    ("budget", 0.0, 905.0),
+    ("mid", 905.0, 915.0),
+    ("premium", 915.0, 950.0),
+    ("luxury", 950.0, float("inf")),
+]
+
+
+def price_band_summary(part: DataFrame) -> DataFrame:
+    """Range (non-equi) join surface: classify parts into half-open retail
+    price bands [lo, hi) held in a tiny banding dimension, then aggregate
+    per band.
+
+    The band table is broadcast, so the non-equi condition executes as a
+    broadcast nested-loop join — each part row scans 4 in-memory band rows,
+    no shuffle of the big side and no cartesian blow-up. This is the
+    idiomatic Spark shape for interval/banding joins whenever one side is
+    small; only two LARGE interval sides would need the bucketed
+    interval-overlap decomposition (as in operators.dedup's LSH band join).
+    """
+    spark = part.sparkSession
+    bands = spark.createDataFrame(
+        [(n, lo, hi) for n, lo, hi in PRICE_BANDS],
+        "band string, lo double, hi double",
+    )
+    joined = part.join(
+        F.broadcast(bands),
+        (F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") < F.col("hi")),
+    )
+    return joined.groupBy("band", "lo").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        quantize6(
+            F.sum(F.col("p_retailprice").cast("decimal(38,10)")).cast("double")
+        ).alias("total_retail"),
+        quantize6(F.min("p_retailprice")).alias("min_price"),
+        quantize6(F.max("p_retailprice")).alias("max_price"),
+    )
+
+
 def top_customers_by_nation(
     customer: DataFrame, orders: DataFrame, nation: DataFrame, k: int = 5
 ) -> DataFrame:
