@@ -319,6 +319,17 @@ def _q_tpch_q3(spark, sf_dir):
     )
 
 
+def _q_tpch_q5(spark, sf_dir):
+    return example_plans.local_supplier_volume(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
 def _q_top_customers(spark, sf_dir):
     return example_plans.top_customers_by_nation(
         load_table(spark, sf_dir, "customer"),
@@ -402,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_corpus": _q_quality_corpus,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
         "tpch_price_bands": _q_price_bands,
         "tpch_top_customers": _q_top_customers,
         "multimodal_meta": _q_multimodal_meta,
@@ -456,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality_corpus": oracle_ext.quality_corpus_sql(),
         "tpch_q1": oracle_ext.tpch_q1_sql(),
         "tpch_q3": oracle_ext.tpch_q3_sql(),
+        "tpch_q5": oracle_ext.tpch_q5_sql(),
         "tpch_price_bands": oracle_ext.price_band_summary_sql(),
         "tpch_top_customers": oracle_ext.top_customers_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),

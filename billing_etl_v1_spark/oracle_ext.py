@@ -483,6 +483,28 @@ FROM rev ORDER BY r DESC, l_orderkey ASC LIMIT {k}
 """
 
 
+def tpch_q5_sql(
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> str:
+    """Twin of plans.examples.local_supplier_volume (TPC-H Q5 shape)."""
+    rev = "CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,10))"
+    return f"""
+SELECT n_name, {_r6(f'CAST(sum({rev}) AS DOUBLE)')} AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{region_name}'
+  AND o_orderdate >= TIMESTAMP '{date_from}'
+  AND o_orderdate < TIMESTAMP '{date_to}'
+GROUP BY n_name
+"""
+
+
 def multimodal_frames_sql(frame_size: int = 256, every_n: int = 4) -> str:
     # frame boundaries are pure arithmetic over byte length, so the 1-to-N
     # mapInPandas expansion has an exact SQL twin via per-row series

@@ -129,6 +129,57 @@ def price_band_summary(part: DataFrame) -> DataFrame:
     )
 
 
+def local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: 6-table join where the
+    customer and supplier nations must MATCH (c_nationkey = s_nationkey),
+    revenue per nation within one region and order-date year.
+
+    Scale shape: region/nation/supplier are broadcast; customer⋈orders and
+    ⋈lineitem are the two real shuffles (custkey, then orderkey) — at
+    100 TB both are sort-merge joins AQE can size. The date filter sits on
+    orders BEFORE any join so partition/row-group pruning cuts the scan;
+    the nation-match predicate rides the broadcast supplier join instead
+    of a post-join filter, so mismatched rows never materialize.
+    """
+    asian_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    revenue = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asian_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return revenue.groupBy("n_name").agg(
+        quantize6(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(38,10)"
+                )
+            ).cast("double")
+        ).alias("revenue")
+    )
+
+
 def top_customers_by_nation(
     customer: DataFrame, orders: DataFrame, nation: DataFrame, k: int = 5
 ) -> DataFrame:
