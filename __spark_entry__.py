@@ -27,6 +27,7 @@ from billing_etl_v1_spark.operators import dedup as dedup_ops
 from billing_etl_v1_spark.operators import events as event_ops
 from billing_etl_v1_spark.operators import multimodal as mm_ops
 from billing_etl_v1_spark.operators import similarity as sim_ops
+from billing_etl_v1_spark.operators import skew as skew_ops
 from billing_etl_v1_spark.operators import text as text_ops
 from billing_etl_v1_spark.operators import timeseries as ts_ops
 from billing_etl_v1_spark.plans import examples as example_plans
@@ -338,6 +339,77 @@ def _q_top_customers(spark, sf_dir):
     )
 
 
+def _q_tpch_q4(spark, sf_dir):
+    return example_plans.late_shipment_priority(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def _q_tpch_q6(spark, sf_dir):
+    return example_plans.forecast_revenue_change(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_tpch_q10(spark, sf_dir):
+    return example_plans.returned_item_revenue(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _q_tpch_q12(spark, sf_dir):
+    return example_plans.priority_shipping_mix(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def _q_tpch_q14(spark, sf_dir):
+    return example_plans.promo_revenue_share(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def _q_tpch_q16(spark, sf_dir):
+    return example_plans.supplier_part_diversity(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def _q_tpch_q18(spark, sf_dir):
+    return example_plans.large_volume_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_tpch_q19(spark, sf_dir):
+    return example_plans.brand_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def _q_tpch_q22(spark, sf_dir):
+    return example_plans.idle_rich_customers(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def _q_events_salted_join(spark, sf_dir):
+    return skew_ops.user_activity_enriched(load_table(spark, sf_dir, "events"))
+
+
+def _q_docs_top_ngrams(spark, sf_dir):
+    return text_ops.top_ngrams(load_table(spark, sf_dir, "documents"))
+
+
+def _q_docs_tfidf(spark, sf_dir):
+    return text_ops.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
 def _q_multimodal_meta(spark, sf_dir):
     docs = mm_ops.attach_payload(load_table(spark, sf_dir, "documents"))
     return mm_ops.payload_metadata(docs)
@@ -413,9 +485,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_corpus": _q_quality_corpus,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
+        "tpch_q4": _q_tpch_q4,
         "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q22": _q_tpch_q22,
         "tpch_price_bands": _q_price_bands,
         "tpch_top_customers": _q_top_customers,
+        "events_salted_user_join": _q_events_salted_join,
+        "docs_top_ngrams": _q_docs_top_ngrams,
+        "docs_tfidf_top_terms": _q_docs_tfidf,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frame_sample": _q_multimodal_frames,
         "multimodal_features": _q_multimodal_features,
@@ -468,9 +552,21 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality_corpus": oracle_ext.quality_corpus_sql(),
         "tpch_q1": oracle_ext.tpch_q1_sql(),
         "tpch_q3": oracle_ext.tpch_q3_sql(),
+        "tpch_q4": oracle_ext.tpch_q4_sql(),
         "tpch_q5": oracle_ext.tpch_q5_sql(),
+        "tpch_q6": oracle_ext.tpch_q6_sql(),
+        "tpch_q10": oracle_ext.tpch_q10_sql(),
+        "tpch_q12": oracle_ext.tpch_q12_sql(),
+        "tpch_q14": oracle_ext.tpch_q14_sql(),
+        "tpch_q16": oracle_ext.tpch_q16_sql(),
+        "tpch_q18": oracle_ext.tpch_q18_sql(),
+        "tpch_q19": oracle_ext.tpch_q19_sql(),
+        "tpch_q22": oracle_ext.tpch_q22_sql(),
         "tpch_price_bands": oracle_ext.price_band_summary_sql(),
         "tpch_top_customers": oracle_ext.top_customers_sql(),
+        "events_salted_user_join": oracle_ext.salted_user_join_sql(),
+        "docs_top_ngrams": oracle_ext.top_ngrams_sql(),
+        "docs_tfidf_top_terms": oracle_ext.tfidf_top_terms_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),
         # multimodal_features: mapInPandas — intentionally no oracle

@@ -129,3 +129,71 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint_int": md5_long(norm),
         }
     )
+
+
+def top_ngrams(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus-wide top-k word bigrams by frequency.
+
+    Tokens use the same whitespace split as every other text operator;
+    bigram construction is a pure array transform (JVM-side, no UDF), so
+    the only shuffle is the final count — a classic two-level aggregate
+    whose partial (map-side) combine collapses each partition's counts
+    before the exchange. Ties break by ngram ascending so the top-k row
+    SET is deterministic. Single-token and blank documents contribute
+    nothing (guard: sequence() would run descending for size<2).
+    """
+    with_toks = df.select(_tokens(F.col(text_col)).alias("__toks"))
+    grams = F.when(
+        F.size(F.col("__toks")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(__toks) - 1),"
+            " i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        with_toks.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counted.orderBy(F.col("n").desc(), F.col("ngram").asc()).limit(k)
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Per-document top-k terms by a tf-idf-style weight.
+
+    weight = tf × (N+1)/(df+1): the inverse-document-frequency factor in
+    RATIONAL form, not ln() — both engines then compute bit-identical IEEE
+    doubles (libm log implementations may differ in the last ulp, which a
+    1e-6 quantization boundary could amplify into a different top-k set).
+    Rankings per document match classic tf·idf whenever tf ties don't
+    cross df levels; ties break by term ascending.
+
+    Scale shape: explode → (doc, term) count is one shuffle; document
+    frequency reuses that aggregate with a term-level re-aggregation; N is
+    a broadcast scalar; the per-doc top-k is a window over doc_id. Four
+    exchanges total, all key-partitioned, no driver-side collection.
+    """
+    from pyspark.sql import Window
+
+    terms = (
+        df.select("doc_id", F.explode(_tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        terms.join(docfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "score",
+            F.col("tf") * (F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", quantize6(F.col("score")).alias("score"), "rank")
+    )

@@ -505,6 +505,219 @@ GROUP BY n_name
 """
 
 
+def salted_user_join_sql() -> str:
+    """Twin of operators.skew.user_activity_enriched — the salted join is
+    row-identical to the PLAIN join, so the oracle is the plain join (that
+    equality is exactly what the check proves)."""
+    return f"""
+WITH u AS (
+  SELECT user_id, count(*) AS user_events,
+         sum(CAST(value AS DECIMAL(38,10))) AS tv
+  FROM events GROUP BY user_id
+)
+SELECT event_id, e.user_id, event_type, {_r6('value')} AS value,
+       user_events, {_r6('CAST(tv AS DOUBLE)')} AS user_total_value
+FROM events e JOIN u USING (user_id)
+"""
+
+
+def top_ngrams_sql(k: int = 20) -> str:
+    """Twin of operators.text.top_ngrams — DuckDB lists are 1-based like
+    Spark's element_at, so the bigram construction matches index-for-index."""
+    return f"""
+WITH toks AS (SELECT {_TOKENS} AS t FROM documents),
+grams AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS ngram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT ngram, count(*) AS n FROM grams
+GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT {k}
+"""
+
+
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    """Twin of operators.text.tfidf_top_terms — same rational idf form and
+    the same left-associative tf * (N+1.0) / (df+1.0) double arithmetic."""
+    return f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms WHERE term <> '' GROUP BY 1, 2
+),
+docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df, tf * (n + 1.0) / (df + 1.0) AS score
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, {_r6('score')} AS score, rnk::INT AS rank
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+def tpch_q6_sql(
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> str:
+    """Twin of plans.examples.forecast_revenue_change (TPC-H Q6 shape)."""
+    rev = "CAST(l_extendedprice * l_discount AS DECIMAL(38,10))"
+    return f"""
+SELECT {_r6(f'CAST(sum({rev}) AS DOUBLE)')} AS revenue, count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{date_from}' AND l_shipdate < TIMESTAMP '{date_to}'
+  AND l_discount BETWEEN {disc_lo} AND {disc_hi} AND l_quantity < {max_qty}
+"""
+
+
+def tpch_q4_sql(
+    date_from: str = "1996-01-01", date_to: str = "1996-07-01", grace_days: int = 90
+) -> str:
+    """Twin of plans.examples.late_shipment_priority (TPC-H Q4 shape)."""
+    return f"""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '{date_from}' AND o_orderdate < TIMESTAMP '{date_to}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL {grace_days} DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def tpch_q10_sql(
+    date_from: str = "1996-01-01", date_to: str = "1996-04-01", k: int = 20
+) -> str:
+    """Twin of plans.examples.returned_item_revenue (TPC-H Q10 shape)."""
+    rev = "CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,10))"
+    return f"""
+WITH rev AS (
+  SELECT c_custkey, c_name, c_acctbal, n_name, sum({rev}) AS r
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '{date_from}' AND o_orderdate < TIMESTAMP '{date_to}'
+  GROUP BY 1, 2, 3, 4
+)
+SELECT c_custkey, c_name, {_r6('c_acctbal')} AS c_acctbal, n_name,
+       {_r6('CAST(r AS DOUBLE)')} AS revenue
+FROM rev ORDER BY r DESC, c_custkey ASC LIMIT {k}
+"""
+
+
+def tpch_q12_sql(grace_days: int = 60) -> str:
+    """Twin of plans.examples.priority_shipping_mix (TPC-H Q12 shape)."""
+    from billing_etl_v1_spark.plans.examples import HIGH_PRIORITIES
+
+    high = ", ".join(f"'{p}'" for p in HIGH_PRIORITIES)
+    return f"""
+SELECT year(l_shipdate)::INT AS ship_year,
+  sum(CASE WHEN o_orderpriority IN ({high}) THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+  sum(CASE WHEN o_orderpriority IN ({high}) THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM orders JOIN lineitem
+  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL {grace_days} DAY
+GROUP BY 1
+"""
+
+
+def tpch_q14_sql(
+    date_from: str = "1996-01-01", date_to: str = "1997-01-01", promo_type: str = "PROMO"
+) -> str:
+    """Twin of plans.examples.promo_revenue_share (TPC-H Q14 shape)."""
+    rev = "CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,10))"
+    return f"""
+WITH agg AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+    sum(CASE WHEN p_type = '{promo_type}' THEN {rev} ELSE CAST(0 AS DECIMAL(38,10)) END) AS promo,
+    sum({rev}) AS total
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{date_from}' AND l_shipdate < TIMESTAMP '{date_to}'
+  GROUP BY 1
+)
+SELECT ship_month,
+  {_r6('CAST(100.0 AS DOUBLE) * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE)')} AS promo_revenue_pct,
+  {_r6('CAST(total AS DOUBLE)')} AS total_revenue
+FROM agg
+"""
+
+
+def tpch_q16_sql() -> str:
+    """Twin of plans.examples.supplier_part_diversity (TPC-H Q16 shape,
+    lineitem standing in for the absent partsupp association)."""
+    return """
+SELECT p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_type, p_size
+"""
+
+
+def tpch_q18_sql(min_qty: float = 200.0) -> str:
+    """Twin of plans.examples.large_volume_customers (TPC-H Q18 shape)."""
+    return f"""
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(38,10))) AS qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(38,10))) > CAST({min_qty} AS DECIMAL(38,10))
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       {_r6('o_totalprice')} AS o_totalprice,
+       {_r6('CAST(qty AS DOUBLE)')} AS total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def tpch_q19_sql() -> str:
+    """Twin of plans.examples.brand_quantity_revenue (TPC-H Q19 shape)."""
+    from billing_etl_v1_spark.plans.examples import BRAND_QTY_BANDS
+
+    disj = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {szlo} AND {szhi}"
+        f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, szlo, szhi, qlo, qhi in BRAND_QTY_BANDS
+    )
+    rev = "CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,10))"
+    return f"""
+SELECT p_brand, {_r6(f'CAST(sum({rev}) AS DOUBLE)')} AS revenue, count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {disj}
+GROUP BY p_brand
+"""
+
+
+def tpch_q22_sql(cutoff: str = "2000-01-01") -> str:
+    """Twin of plans.examples.idle_rich_customers (TPC-H Q22 shape). The
+    above-average test is cross-multiplied (bal × n > total) with an exact
+    DECIMAL total, so no decimal-division rounding differs between engines."""
+    return f"""
+WITH pos AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(38,10))) AS total, count(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS n_customers,
+       {_r6('CAST(sum(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE)')} AS total_acctbal
+FROM customer, pos
+WHERE CAST(c_acctbal AS DECIMAL(38,10)) * n > total
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{cutoff}')
+GROUP BY c_mktsegment
+"""
+
+
 def multimodal_frames_sql(frame_size: int = 256, every_n: int = 4) -> str:
     # frame boundaries are pure arithmetic over byte length, so the 1-to-N
     # mapInPandas expansion has an exact SQL twin via per-row series

@@ -180,6 +180,316 @@ def local_supplier_volume(
     )
 
 
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6-shaped forecast query: pure scan → filter → global aggregate.
+
+    Every predicate is a plain column comparison, so ALL of them push down
+    to the parquet scan (row-group min/max skipping); the scan reads only
+    the 4 referenced columns. At 100 TB this is the best case for Spark —
+    no shuffle at all except the single-row final aggregate.
+    """
+    filtered = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        & (F.col("l_discount") >= disc_lo)
+        & (F.col("l_discount") <= disc_hi)
+        & (F.col("l_quantity") < max_qty)
+    )
+    return filtered.agg(
+        quantize6(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(38,10)"))
+            .cast("double")
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def late_shipment_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-07-01",
+    grace_days: int = 90,
+) -> DataFrame:
+    """TPC-H Q4-shaped existence check: orders in a window that had at least
+    one lineitem shipped more than `grace_days` after the order date,
+    counted per order priority.
+
+    The EXISTS becomes a LEFT SEMI join — Spark dedupes the probe side
+    during the join, so there is no distinct-aggregation of lineitem keys
+    and each qualifying order is counted exactly once. The join condition
+    carries the non-equi lateness predicate, so non-late lineitems are
+    discarded inside the join instead of materializing a joined row first
+    (reference has no such operator class; SURVEY §2.11 extension).
+    """
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    late = o.join(
+        lineitem,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {grace_days} DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def returned_item_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: revenue lost to returns per
+    customer in one quarter, top-k customers.
+
+    Scale shape: orders is filtered to the quarter BEFORE joining (partition
+    pruning on the date), lineitem filters to returnflag='R' at the scan;
+    the orders⋈lineitem shuffle on orderkey is the only large exchange —
+    customer and nation broadcast. DECIMAL revenue keeps the top-k row set
+    exact; ties break by custkey.
+    """
+    rev = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(38,10)"
+                )
+            ).alias("__rev")
+        )
+    )
+    return (
+        rev.orderBy(F.col("__rev").desc(), F.col("c_custkey").asc())
+        .limit(k)
+        .select(
+            "c_custkey",
+            "c_name",
+            quantize6(F.col("c_acctbal")).alias("c_acctbal"),
+            "n_name",
+            quantize6(F.col("__rev").cast("double")).alias("revenue"),
+        )
+    )
+
+
+HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def priority_shipping_mix(
+    orders: DataFrame, lineitem: DataFrame, grace_days: int = 60
+) -> DataFrame:
+    """TPC-H Q12-shaped conditional aggregation: among lineitems shipped
+    more than `grace_days` after their order date, count high- vs
+    low-priority order lines per ship year.
+
+    The CASE sums are map-side partial aggregates over the single
+    orderkey-join shuffle; the high/low split never widens the row.
+    """
+    late = orders.join(
+        lineitem,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {grace_days} DAYS")),
+    )
+    is_high = F.col("o_orderpriority").isin(*HIGH_PRIORITIES)
+    return late.groupBy(F.year("l_shipdate").cast("int").alias("ship_year")).agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    promo_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q14-shaped promotion-effect query: per ship month, the share of
+    revenue from promo-typed parts.
+
+    part broadcasts; the conditional numerator and total denominator
+    accumulate in DECIMAL in one aggregate pass, so the percentage is a
+    single deterministic double division at the end.
+    """
+    joined = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(38,10)"
+    )
+    agg = joined.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")).agg(
+        F.sum(F.when(F.col("p_type") == promo_type, rev).otherwise(F.lit(0).cast("decimal(38,10)"))).alias("__promo"),
+        F.sum(rev).alias("__total"),
+    )
+    return agg.select(
+        "ship_month",
+        quantize6(F.lit(100.0) * F.col("__promo").cast("double") / F.col("__total").cast("double")).alias(
+            "promo_revenue_pct"
+        ),
+        quantize6(F.col("__total").cast("double")).alias("total_revenue"),
+    )
+
+
+def supplier_part_diversity(
+    part: DataFrame, lineitem: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q16-shaped supplier diversity: how many distinct suppliers in
+    good standing shipped each (p_type, p_size bucket), using lineitem as
+    the part↔supplier association (this schema has no partsupp table).
+
+    Suppliers with negative account balance are excluded via LEFT ANTI
+    join (Q16's complaints-suppliers exclusion). The distinct count runs as
+    partial distinct aggregation on the orderkey-free (partkey, suppkey)
+    projection — lineitem is never widened by the join.
+    """
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    assoc = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return assoc.groupBy("p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 200.0,
+) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-order report: orders whose total
+    quantity exceeds `min_qty`, with their customer.
+
+    The HAVING subquery is a grouped aggregate on lineitem joined back to
+    orders — the aggregate output is tiny (only qualifying orderkeys), so
+    AQE converts the orders join to broadcast at runtime. Quantity sums
+    accumulate in DECIMAL so the threshold cut is exact across engines.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,10)")).alias("__qty"))
+        .filter(F.col("__qty") > F.lit(min_qty).cast("decimal(38,10)"))
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            quantize6(F.col("o_totalprice")).alias("o_totalprice"),
+            quantize6(F.col("__qty").cast("double")).alias("total_qty"),
+        )
+    )
+
+
+BRAND_QTY_BANDS = [
+    ("Brand#1", 1, 20, 1.0, 20.0),
+    ("Brand#2", 1, 35, 10.0, 35.0),
+    ("Brand#3", 1, 50, 20.0, 50.0),
+]
+
+
+def brand_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate join: revenue from three
+    (brand, size range, quantity range) bands OR-ed together.
+
+    The disjunction lives in the broadcast-hash-join condition (equi on
+    partkey + residual OR filter), so Catalyst still picks a hash join on
+    the equi part — the OR never forces a nested-loop over the big side.
+    One output row per band keeps the result auditable.
+    """
+    conds = [
+        (
+            (F.col("p_brand") == b)
+            & (F.col("p_size") >= szlo)
+            & (F.col("p_size") <= szhi)
+            & (F.col("l_quantity") >= qlo)
+            & (F.col("l_quantity") <= qhi)
+        )
+        for b, szlo, szhi, qlo, qhi in BRAND_QTY_BANDS
+    ]
+    disjunction = conds[0]
+    for c in conds[1:]:
+        disjunction = disjunction | c
+    joined = lineitem.join(
+        F.broadcast(part), (F.col("l_partkey") == F.col("p_partkey")) & disjunction
+    )
+    return joined.groupBy("p_brand").agg(
+        quantize6(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(38,10)"
+                )
+            ).cast("double")
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, cutoff: str = "2000-01-01"
+) -> DataFrame:
+    """TPC-H Q22-shaped opportunity report: customers with above-average
+    account balance and NO orders since `cutoff`, summarized per market
+    segment.
+
+    The global average is computed as exact DECIMAL (sum, count) and the
+    comparison is cross-multiplied (bal × n > total) so no engine-specific
+    decimal-division rounding can flip a boundary row. The "no recent
+    orders" test is a LEFT ANTI join against date-filtered orders — the
+    filter prunes orders partitions before the join at scale.
+    """
+    pos = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(38,10)")).alias("__total"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp")).select(
+        "o_custkey"
+    )
+    rich = (
+        customer.crossJoin(F.broadcast(pos))
+        .filter(
+            F.col("c_acctbal").cast("decimal(38,10)") * F.col("__n") > F.col("__total")
+        )
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return rich.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        quantize6(
+            F.sum(F.col("c_acctbal").cast("decimal(38,10)")).cast("double")
+        ).alias("total_acctbal"),
+    )
+
+
 def top_customers_by_nation(
     customer: DataFrame, orders: DataFrame, nation: DataFrame, k: int = 5
 ) -> DataFrame:

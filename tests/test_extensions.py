@@ -202,3 +202,49 @@ def test_quality_corpus_gates_and_dedups(spark, docs):
         .count()
     )
     assert n_norm == out.count()
+
+
+# --- skew salting -----------------------------------------------------------
+
+
+def test_salted_join_matches_plain_join(spark):
+    from billing_etl_v1_spark.operators.skew import salted_join
+
+    events = load_table(spark, SF_SMALL, "events")
+    totals = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    plain = events.join(totals, "user_id").select("event_id", "user_id", "n")
+    for buckets in (1, 4, 16):
+        salted = salted_join(
+            events, totals, key="user_id", salt_from="event_id", buckets=buckets
+        ).select("event_id", "user_id", "n")
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_left_join_keeps_unmatched_rows(spark):
+    from billing_etl_v1_spark.operators.skew import salted_join
+
+    events = load_table(spark, SF_SMALL, "events")
+    some = events.filter(F.col("user_id") < 5).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = salted_join(events, some, key="user_id", salt_from="event_id", how="left")
+    assert out.count() == events.count()
+    assert out.filter(F.col("n").isNull()).count() == events.filter(
+        F.col("user_id") >= 5
+    ).count()
+
+
+# --- n-grams ----------------------------------------------------------------
+
+
+def test_top_ngrams_handles_degenerate_docs(spark):
+    from billing_etl_v1_spark.operators.text import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "   "), (4, "a b a b"), (5, "a b c")],
+        "doc_id long, text string",
+    )
+    rows = {r["ngram"]: r["n"] for r in top_ngrams(df, k=10).collect()}
+    # blank/single-token docs contribute nothing; counts are corpus-wide
+    assert rows == {"a b": 3, "b a": 1, "b c": 1}

@@ -129,3 +129,28 @@ def test_dedup_lsh_joins_on_band_keys(spark):
     # no cartesian of the corpus
     plan = plan_of(spark, "dedup_minhash_lsh")
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_spreads_the_key(spark):
+    """The salted join must (a) join on (user_id, __salt) so a hot user key
+    fans out, and (b) never fall back to a broadcast of the replicated
+    side only because the test inputs are tiny — correctness of the salt
+    plumbing shows in the join keys."""
+    plan = plan_of(spark, "events_salted_user_join")
+    assert "__salt" in plan  # salt participates in the physical join keys
+
+
+def test_tpch_q6_pushes_all_predicates(spark):
+    plan = plan_of(spark, "tpch_q6")
+    assert "PushedFilters: [" in plan
+    # shipdate range + discount band + quantity cap all reach the scan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert re.search(rf"PushedFilters:.*{col}", plan), col
+
+
+def test_tpch_q18_join_is_broadcastable_by_aqe(spark):
+    # the HAVING aggregate output is tiny; with AQE enabled the orders join
+    # must not be planned as a cartesian/nested-loop
+    plan = plan_of(spark, "tpch_q18")
+    assert not nodes(plan, "CartesianProduct")
+    assert not nodes(plan, "BroadcastNestedLoopJoin")
