@@ -229,6 +229,10 @@ def _q_approx_stats(spark, sf_dir):
     return ts_ops.approx_group_stats(load_table(spark, sf_dir, "events"))
 
 
+def _q_user_trend(spark, sf_dir):
+    return ts_ops.user_value_trend(load_table(spark, sf_dir, "events"))
+
+
 def _q_price_bands(spark, sf_dir):
     return example_plans.price_band_summary(load_table(spark, sf_dir, "part"))
 
@@ -481,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": _q_events_json,
         "events_value_percentiles": _q_value_percentiles,
         "events_approx_stats": _q_approx_stats,
+        "events_user_trend": _q_user_trend,
         "docs_sample": _q_docs_sample,
         "docs_quality_corpus": _q_quality_corpus,
         "tpch_q1": _q_tpch_q1,
@@ -548,6 +553,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_percentiles": oracle_ext.value_percentiles_sql(
             ts_ops.PERCENTILES
         ),
+        "events_user_trend": oracle_ext.user_value_trend_sql(),
         "docs_sample": oracle_ext.hash_sample_sql(fraction=0.1),
         "docs_quality_corpus": oracle_ext.quality_corpus_sql(),
         "tpch_q1": oracle_ext.tpch_q1_sql(),

@@ -107,3 +107,56 @@ def approx_group_stats(
         F.count_distinct("user_id").alias("exact_users"),
         *cols,
     )
+
+
+def user_value_trend(events: DataFrame, min_points: int = 2) -> DataFrame:
+    """Per-user linear trend (least-squares slope/intercept) of `value` over
+    event time, x in whole days.
+
+    Implemented as ONE grouped aggregate accumulating the five classic
+    regression sums — n, Σx, Σy, Σxy, Σx² — as exact integers (y quantized
+    to micro-units: the fit's determinism contract), then the closed-form
+    slope/intercept in double on the driver-free final projection. This is
+    the scalable shape for per-key regression at 100 TB: no window, no
+    second pass, one shuffle on the group key.
+    Degenerate groups (fewer than `min_points` events or zero x-variance)
+    are filtered, matching the oracle.
+
+    x = epoch-days (unix seconds integer-divided by 86400) keeps the
+    slope in a quantizable range (per-day units) and the Σx² sums inside
+    DECIMAL(38,10) headroom.
+    """
+    # Every accumulated term is an EXACT INTEGER: x = epoch-days, y scaled
+    # to micro-units via the house floor(v*1e6+0.5) quantization. Summing
+    # doubles-cast-to-decimal is NOT cross-engine-safe for full-precision
+    # products (Spark casts double→decimal through the shortest-round-trip
+    # string, DuckDB through the exact binary expansion — they disagree at
+    # the 10th decimal), but integer sums in DECIMAL(38,0) are exact
+    # everywhere, and the closed form below starts from identical doubles.
+    dec0 = lambda c: F.sum(c.cast("decimal(38,0)"))  # noqa: E731
+    x = F.floor(F.unix_timestamp("ts") / F.lit(86400))
+    yk = F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5))
+    agg = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec0(x).alias("__sx"),
+        dec0(yk).alias("__syk"),
+        dec0(x.cast("decimal(38,0)") * yk.cast("decimal(38,0)")).alias("__sxyk"),
+        dec0(x.cast("decimal(38,0)") * x.cast("decimal(38,0)")).alias("__sxx"),
+    )
+    n = F.col("n_events").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__syk").cast("double") / F.lit(1_000_000.0)
+    sxy = F.col("__sxyk").cast("double") / F.lit(1_000_000.0)
+    sxx = F.col("__sxx").cast("double")
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
+    return (
+        agg.filter((F.col("n_events") >= min_points) & (denom != 0))
+        .select(
+            "user_id",
+            "n_events",
+            quantize6(slope).alias("slope_per_day"),
+            quantize6((sy - slope * sx) / n).alias("intercept"),
+            quantize6(sy / n).alias("mean_value"),
+        )
+    )

@@ -505,6 +505,44 @@ GROUP BY n_name
 """
 
 
+def user_value_trend_sql(min_points: int = 2) -> str:
+    """Twin of operators.timeseries.user_value_trend — the same exact-
+    integer regression sums (x = epoch-days, y in floor(v*1e6+0.5) micro-
+    units) and the same double closed form. Integer accumulation is the
+    point: double→decimal casts of PRODUCTS diverge between engines at the
+    10th decimal (shortest-repr vs exact-binary rounding), integer sums
+    cannot."""
+    x = "floor(floor(epoch(ts)) / 86400)::BIGINT"
+    yk = "floor(value * 1000000.0 + 0.5)::BIGINT"
+    return f"""
+WITH s AS (
+  SELECT user_id, count(*) AS n_events,
+    sum({x}) AS sx,
+    sum({yk}) AS syk,
+    sum({x} * {yk}) AS sxyk,
+    sum({x} * {x}) AS sxx
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT user_id, n_events,
+    n_events::DOUBLE AS n, sx::DOUBLE AS sxd,
+    syk::DOUBLE / 1000000.0 AS syd,
+    sxyk::DOUBLE / 1000000.0 AS sxyd, sxx::DOUBLE AS sxxd
+  FROM s
+),
+f AS (
+  SELECT *, n * sxxd - sxd * sxd AS denom,
+         (n * sxyd - sxd * syd) / (n * sxxd - sxd * sxd) AS slope
+  FROM d WHERE n_events >= {min_points} AND n * sxxd - sxd * sxd <> 0
+)
+SELECT user_id, n_events,
+  {_r6('slope')} AS slope_per_day,
+  {_r6('(syd - slope * sxd) / n')} AS intercept,
+  {_r6('syd / n')} AS mean_value
+FROM f
+"""
+
+
 def salted_user_join_sql() -> str:
     """Twin of operators.skew.user_activity_enriched — the salted join is
     row-identical to the PLAIN join, so the oracle is the plain join (that

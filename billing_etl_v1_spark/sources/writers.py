@@ -40,3 +40,31 @@ def append_calculated(df: DataFrame, path: str, partition_by=DEFAULT_PARTITIONIN
 
 def read_calculated(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    path: str | None = None,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table sink: pre-shuffles rows into `buckets` files by
+    hash(key) and (optionally) sorts within each bucket.
+
+    This is the 100 TB answer to "this join runs every day on the same
+    key": two tables bucketed by the same key with the same bucket count
+    join WITHOUT any exchange — the shuffle was paid once at write time
+    and amortizes across every later join/aggregate on that key
+    (tests/test_writers_drivers.py asserts the exchange-free plan).
+    The reference has no equivalent; its substitute was re-aggregating in
+    ClickHouse per query (reference billing_calculation_service.py:164-187).
+    """
+    writer = df.write.mode(mode).bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)

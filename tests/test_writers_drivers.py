@@ -55,3 +55,26 @@ def test_daily_overwrites_only_window_days(spark, tmp_path):
     run_daily(fact, dim, target, dt.date(1995, 6, 20), include_etl_time=False)
     after = read_calculated(spark, target).count()
     assert after == before  # re-run duplicated nothing
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    from billing_etl_v1_spark.sources.readers import load_table
+    from billing_etl_v1_spark.sources.writers import write_bucketed
+    from tests.conftest import SF_SMALL
+
+    events = load_table(spark, SF_SMALL, "events")
+    left = events.select("event_id", "user_id", "value")
+    right = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    write_bucketed(left, "bk_left", "user_id", buckets=8, path=str(tmp_path / "l"))
+    write_bucketed(right, "bk_right", "user_id", buckets=8, path=str(tmp_path / "r"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bk_left").join(spark.table("bk_right"), "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # both sides pre-bucketed: no shuffle
+        assert joined.count() == left.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
