@@ -347,20 +347,50 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup candidates by SimHash hamming distance.
+    """Near-dup pairs by SimHash hamming distance.
 
-    All-pairs at test scale; at 100 TB you'd block on signature bytes first
-    (join on high byte) — the blocking join keys are already in the output.
+    Pigeonhole banding makes this an EQUI-join: the 16-bit signature splits
+    into (max_hamming + 1) bands, and any pair within `max_hamming` flipped
+    bits must agree on at least one whole band — so joining on
+    (band_idx, band_bits) finds every qualifying pair (result set is
+    IDENTICAL to the naive all-pairs join, which planned as a quadratic
+    broadcast nested-loop). The oracle keeps the all-pairs formulation;
+    the hash-join plan is asserted in tests/test_scale_posture.py.
     """
+    from pyspark import StorageLevel
+
+    n_bands = max_hamming + 1
+    assert 16 % n_bands == 0, "banding needs max_hamming+1 to divide 16"
+    width = 16 // n_bands
+    mask = (1 << width) - 1
     sig = df.select(F.col(id_col).alias("doc"), simhash16(text_col).alias("sig"))
-    a, b = sig.alias("a"), sig.alias("b")
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = sig.select(
+        "doc",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sig", width * b).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_bits"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
-        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
             ham.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )

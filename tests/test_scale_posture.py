@@ -154,3 +154,11 @@ def test_tpch_q18_join_is_broadcastable_by_aqe(spark):
     plan = plan_of(spark, "tpch_q18")
     assert not nodes(plan, "CartesianProduct")
     assert not nodes(plan, "BroadcastNestedLoopJoin")
+
+
+def test_simhash_pairing_is_a_hash_join(spark):
+    # pigeonhole banding must plan as an equi-join on (band_idx, band_bits);
+    # the naive all-pairs formulation planned as a quadratic nested-loop
+    plan = plan_of(spark, "dedup_simhash")
+    assert not nodes(plan, "BroadcastNestedLoopJoin")
+    assert not nodes(plan, "CartesianProduct")
