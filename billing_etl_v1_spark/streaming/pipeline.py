@@ -157,3 +157,22 @@ def streaming_window_counts(
             "total_value",
         )
     )
+
+
+def streaming_dedup(
+    events_stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop redelivered events within the watermark.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state row per key and —
+    unlike plain ``dropDuplicates`` on a stream — EXPIRES state once the
+    watermark passes the first sighting, so the state store is bounded by
+    the duplicate-arrival horizon instead of growing with the full history.
+    This is the at-least-once -> exactly-once repair stage of an ingest
+    pipeline (the batch twin is a plain dropDuplicates on the same keys).
+    """
+    return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

@@ -127,3 +127,27 @@ def test_streaming_sessionize_matches_batch_closed_sessions(spark, tmp_path):
     for extra in got - closed:  # flushed by timeout -> must be timeout-eligible
         assert extra[2] + 1800 <= wm_s + 1
     assert len(got) > 0
+
+
+def test_streaming_dedup_drops_redelivered_events(spark, tmp_path):
+    from billing_etl_v1_spark.streaming.pipeline import streaming_dedup
+
+    events = load_table(spark, SF_SMALL, "events").limit(500)
+    events_dir = str(tmp_path / "dup_in")
+    # simulate at-least-once delivery: the same events land twice
+    events.write.mode("append").parquet(events_dir)
+    events.write.mode("append").parquet(events_dir)
+
+    stream = spark.readStream.schema(spark.read.parquet(events_dir).schema).parquet(events_dir)
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out").first()
+    assert got.n == got.d == events.count()
