@@ -402,6 +402,42 @@ def _q_tpch_q22(spark, sf_dir):
     )
 
 
+def _q_tpch_q7(spark, sf_dir):
+    return example_plans.nation_trade_volume(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _q_tpch_q13(spark, sf_dir):
+    return example_plans.customer_order_distribution(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def _q_tpch_q15(spark, sf_dir):
+    return example_plans.top_revenue_suppliers(
+        load_table(spark, sf_dir, "supplier"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def _q_tpch_q17(spark, sf_dir):
+    return example_plans.small_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def _q_tpch_q21(spark, sf_dir):
+    return example_plans.waiting_suppliers(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def _q_events_salted_join(spark, sf_dir):
     return skew_ops.user_activity_enriched(load_table(spark, sf_dir, "events"))
 
@@ -493,12 +529,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": _q_tpch_q4,
         "tpch_q5": _q_tpch_q5,
         "tpch_q6": _q_tpch_q6,
+        "tpch_q7": _q_tpch_q7,
         "tpch_q10": _q_tpch_q10,
         "tpch_q12": _q_tpch_q12,
+        "tpch_q13": _q_tpch_q13,
         "tpch_q14": _q_tpch_q14,
+        "tpch_q15": _q_tpch_q15,
         "tpch_q16": _q_tpch_q16,
+        "tpch_q17": _q_tpch_q17,
         "tpch_q18": _q_tpch_q18,
         "tpch_q19": _q_tpch_q19,
+        "tpch_q21": _q_tpch_q21,
         "tpch_q22": _q_tpch_q22,
         "tpch_price_bands": _q_price_bands,
         "tpch_top_customers": _q_top_customers,
@@ -561,12 +602,17 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q4": oracle_ext.tpch_q4_sql(),
         "tpch_q5": oracle_ext.tpch_q5_sql(),
         "tpch_q6": oracle_ext.tpch_q6_sql(),
+        "tpch_q7": oracle_ext.tpch_q7_sql(),
         "tpch_q10": oracle_ext.tpch_q10_sql(),
         "tpch_q12": oracle_ext.tpch_q12_sql(),
+        "tpch_q13": oracle_ext.tpch_q13_sql(),
         "tpch_q14": oracle_ext.tpch_q14_sql(),
+        "tpch_q15": oracle_ext.tpch_q15_sql(),
         "tpch_q16": oracle_ext.tpch_q16_sql(),
+        "tpch_q17": oracle_ext.tpch_q17_sql(),
         "tpch_q18": oracle_ext.tpch_q18_sql(),
         "tpch_q19": oracle_ext.tpch_q19_sql(),
+        "tpch_q21": oracle_ext.tpch_q21_sql(),
         "tpch_q22": oracle_ext.tpch_q22_sql(),
         "tpch_price_bands": oracle_ext.price_band_summary_sql(),
         "tpch_top_customers": oracle_ext.top_customers_sql(),

@@ -766,6 +766,102 @@ GROUP BY c_mktsegment
 """
 
 
+def tpch_q7_sql(nation_a: str = "NATION_1", nation_b: str = "NATION_2") -> str:
+    """Twin of plans.examples.nation_trade_volume (TPC-H Q7 shape)."""
+    rev = "CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,10))"
+    return f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       year(l_shipdate)::INT AS ship_year,
+       {_r6(f'CAST(sum({rev}) AS DOUBLE)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE nc.n_name IN ('{nation_a}', '{nation_b}')
+  AND ns.n_name IN ('{nation_a}', '{nation_b}')
+  AND nc.n_name <> ns.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def tpch_q13_sql(excluded_priority: str = "1-URGENT") -> str:
+    """Twin of plans.examples.customer_order_distribution (TPC-H Q13 shape)."""
+    return f"""
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '{excluded_priority}'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
+"""
+
+
+def tpch_q15_sql(date_from: str = "1996-01-01", date_to: str = "1996-04-01") -> str:
+    """Twin of plans.examples.top_revenue_suppliers (TPC-H Q15 shape)."""
+    rev = "CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,10))"
+    return f"""
+WITH rev AS (
+  SELECT l_suppkey, sum({rev}) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{date_from}' AND l_shipdate < TIMESTAMP '{date_to}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, {_r6('CAST(r AS DOUBLE)')} AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT max(r) FROM rev)
+"""
+
+
+def tpch_q17_sql(brand: str = "Brand#1", num: int = 1, den: int = 5) -> str:
+    """Twin of plans.examples.small_quantity_revenue (TPC-H Q17 shape) —
+    the below-average cut cross-multiplied over exact DECIMAL sums."""
+    return f"""
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{brand}'
+),
+avg_q AS (
+  SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(38,10))) AS sq,
+         count(*) AS n
+  FROM li GROUP BY l_partkey
+)
+SELECT
+  {_r6('CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) / 7.0')} AS avg_yearly,
+  count(*) AS n_lines
+FROM li JOIN avg_q ON l_partkey = pk
+WHERE CAST(l_quantity AS DECIMAL(38,10)) * n * {den} < sq * {num}
+"""
+
+
+def tpch_q21_sql(grace_days: int = 90, k: int = 20) -> str:
+    """Twin of plans.examples.waiting_suppliers (TPC-H Q21 shape)."""
+    return f"""
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL {grace_days} DAY
+),
+all_lines AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+blamed AS (
+  SELECT t.l_orderkey, t.l_suppkey
+  FROM late t
+  WHERE EXISTS (SELECT 1 FROM all_lines o
+                WHERE o.l_orderkey = t.l_orderkey AND o.l_suppkey <> t.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM late o
+                    WHERE o.l_orderkey = t.l_orderkey AND o.l_suppkey <> t.l_suppkey)
+)
+SELECT s_suppkey, s_name, numwait
+FROM (SELECT l_suppkey, count(*) AS numwait FROM blamed GROUP BY l_suppkey)
+JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY numwait DESC, s_suppkey ASC LIMIT {k}
+"""
+
+
 def multimodal_frames_sql(frame_size: int = 256, every_n: int = 4) -> str:
     # frame boundaries are pure arithmetic over byte length, so the 1-to-N
     # mapInPandas expansion has an exact SQL twin via per-row series

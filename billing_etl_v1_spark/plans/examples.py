@@ -490,6 +490,198 @@ def idle_rich_customers(
     )
 
 
+def nation_trade_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: revenue shipped between two
+    nations (both directions), per ship year.
+
+    The two-nation filter lands on the broadcast customer/supplier sides
+    BEFORE the fact joins, so lineitem rows for any other nation pair are
+    dropped at the first probe. The direction disjunction is a residual on
+    the (custkey, suppkey) equi-joins — never a nested loop.
+    """
+    n2 = F.broadcast(
+        nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    cust = customer.join(n2, F.col("c_nationkey") == F.col("n_nationkey")).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    supp = supplier.join(n2, F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("ship_year")
+    ).agg(
+        quantize6(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(38,10)"
+                )
+            ).cast("double")
+        ).alias("revenue")
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame, excluded_priority: str = "1-URGENT"
+) -> DataFrame:
+    """TPC-H Q13-shaped distribution: how many customers placed exactly N
+    qualifying orders (N = 0 included via the left join).
+
+    Two-level aggregate: per-customer count, then histogram over counts —
+    both key-partitioned shuffles; the second input is one row per
+    customer, so the histogram stage is trivially small.
+    """
+    per_cust = (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != excluded_priority),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def top_revenue_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: supplier(s) with the maximum quarterly
+    revenue — the view + scalar-max-subquery formulation as a rank-1 window
+    over the per-supplier aggregate (ties all surface, like Q15's =max).
+
+    DECIMAL revenue makes the max cut exact; the window input is one row
+    per supplier, so the unpartitioned window is a single tiny task, not a
+    scale hazard.
+    """
+    from pyspark.sql import Window
+
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(38,10)"
+                )
+            ).alias("__rev")
+        )
+    )
+    w = Window.orderBy(F.col("__rev").desc())
+    return (
+        rev.withColumn("__rnk", F.rank().over(w))
+        .filter(F.col("__rnk") == 1)
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey"),
+            "s_name",
+            quantize6(F.col("__rev").cast("double")).alias("total_revenue"),
+        )
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#1", frac: float = 0.2
+) -> DataFrame:
+    """TPC-H Q17-shaped small-order revenue: average yearly revenue lost if
+    small orders (below ``frac`` of the part's average quantity) were not
+    filled, for one brand.
+
+    The correlated AVG subquery becomes a grouped aggregate re-joined to
+    lineitem. The below-average test is cross-multiplied
+    (qty * n < frac_num/frac_den * sum_qty with exact DECIMAL sums and the
+    fraction as a ratio of integers) so no engine-division rounding can
+    flip a boundary row.
+    """
+    # frac as an integer ratio keeps the comparison exact (0.2 = 1/5)
+    num, den = (1, 5) if frac == 0.2 else (int(frac * 100), 100)
+    brand_parts = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+    avg_q = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,10)")).alias("__sq"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    below = li.join(F.broadcast(avg_q), F.col("l_partkey") == F.col("__pk")).filter(
+        F.col("l_quantity").cast("decimal(38,10)") * F.col("__n") * F.lit(den)
+        < F.col("__sq") * F.lit(num)
+    )
+    return below.agg(
+        quantize6(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,10)")).cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def waiting_suppliers(
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    grace_days: int = 90,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21-shaped blame report: suppliers whose lineitem was late on a
+    multi-supplier order where NO other supplier was late — one semi-join
+    (another supplier exists) and one anti-join (no other LATE supplier)
+    against the same order, exactly Q21's EXISTS/NOT EXISTS pair.
+
+    Both existence checks join on orderkey with a supplier-inequality
+    residual; the fact side is pre-filtered to late lines only, so the
+    semi/anti probes carry a fraction of lineitem.
+    """
+    late = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {grace_days} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .dropDuplicates()
+    )
+    all_lines = lineitem.select("l_orderkey", "l_suppkey").dropDuplicates()
+    l2 = all_lines.withColumnsRenamed({"l_orderkey": "o2", "l_suppkey": "s2"})
+    l3 = late.withColumnsRenamed({"l_orderkey": "o3", "l_suppkey": "s3"})
+    blamed = (
+        late.join(
+            l2, (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")), "left_semi"
+        ).join(
+            l3, (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")), "left_anti"
+        )
+    )
+    counts = (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        counts.orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(k)
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
 def top_customers_by_nation(
     customer: DataFrame, orders: DataFrame, nation: DataFrame, k: int = 5
 ) -> DataFrame:
