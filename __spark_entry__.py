@@ -233,6 +233,18 @@ def _q_user_trend(spark, sf_dir):
     return ts_ops.user_value_trend(load_table(spark, sf_dir, "events"))
 
 
+def _q_event_pivot(spark, sf_dir):
+    return event_ops.event_type_pivot(load_table(spark, sf_dir, "events"))
+
+
+def _q_value_deciles(spark, sf_dir):
+    return event_ops.value_deciles(load_table(spark, sf_dir, "events"))
+
+
+def _q_pii_scrub(spark, sf_dir):
+    return corpus_ops.pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
 def _q_price_bands(spark, sf_dir):
     return example_plans.price_band_summary(load_table(spark, sf_dir, "part"))
 
@@ -522,6 +534,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_percentiles": _q_value_percentiles,
         "events_approx_stats": _q_approx_stats,
         "events_user_trend": _q_user_trend,
+        "events_type_pivot": _q_event_pivot,
+        "events_value_deciles": _q_value_deciles,
+        "docs_pii_scrub": _q_pii_scrub,
         "docs_sample": _q_docs_sample,
         "docs_quality_corpus": _q_quality_corpus,
         "tpch_q1": _q_tpch_q1,
@@ -595,6 +610,9 @@ def oracle_sql() -> dict[str, str]:
             ts_ops.PERCENTILES
         ),
         "events_user_trend": oracle_ext.user_value_trend_sql(),
+        "events_type_pivot": oracle_ext.event_type_pivot_sql(),
+        "events_value_deciles": oracle_ext.value_deciles_sql(),
+        "docs_pii_scrub": oracle_ext.pii_scrub_sql(),
         "docs_sample": oracle_ext.hash_sample_sql(fraction=0.1),
         "docs_quality_corpus": oracle_ext.quality_corpus_sql(),
         "tpch_q1": oracle_ext.tpch_q1_sql(),

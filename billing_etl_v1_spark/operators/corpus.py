@@ -74,3 +74,29 @@ def quality_corpus(
             "text",
         )
     )
+
+
+# deliberately simple patterns that parse identically in Java regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII pass: count and redact email/phone-shaped spans.
+
+    Pure regexp_replace/regexp_count expressions — JVM-side, zero
+    shuffles, linear over a 100 TB corpus. The patterns are intentionally
+    conservative (high precision); a production pass would chain more
+    specific recognizers in the same shape.
+    """
+    c = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0))
+    scrubbed = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    n_phone = F.size(F.regexp_extract_all(scrubbed, F.lit(PHONE_RE), 0))
+    return df.select(
+        "doc_id",
+        n_email.cast("int").alias("n_emails"),
+        n_phone.cast("int").alias("n_phones"),
+        F.regexp_replace(scrubbed, PHONE_RE, "<PHONE>").alias("scrubbed_text"),
+    )

@@ -160,3 +160,62 @@ def json_props_agg(events: DataFrame) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+def event_type_pivot(events: DataFrame, types: list[str] | None = None) -> DataFrame:
+    """Per-user wide rollup via groupBy().pivot(): one column pair
+    (n_<type>, v_<type>) per event type.
+
+    The pivot values are EXPLICIT — passing them skips Spark's extra
+    distinct-collection job and keeps the output schema stable when a new
+    type appears upstream (it lands nowhere instead of reshaping the
+    table; widen deliberately). Value sums accumulate in DECIMAL so the
+    per-cell totals are partition-order-independent.
+    """
+    from billing_etl_v1_spark.functions import quantize6
+
+    types = types or ["click", "view", "purchase", "signup", "error"]
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,10)")).alias("v"),
+        )
+    )
+    out = [F.col("user_id")]
+    for t in types:
+        out.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}"))
+        out.append(
+            quantize6(
+                F.coalesce(F.col(f"{t}_v").cast("double"), F.lit(0.0))
+            ).alias(f"v_{t}")
+        )
+    return pivoted.select(*out)
+
+
+def value_deciles(events: DataFrame) -> DataFrame:
+    """Global decile assignment via an unpartitioned ntile(10) window,
+    summarized per decile.
+
+    The total order (value, event_id) is fully deterministic, so the
+    decile boundaries are reproducible across engines and partitionings.
+    The unpartitioned window is the scale hazard here — Spark sorts all
+    rows into ONE task; the per-decile summary output is what you'd
+    materialize at 100 TB (or switch to approx percentiles /
+    range-partitioned rank when the raw assignment itself is needed).
+    """
+    from pyspark.sql import Window
+
+    from billing_etl_v1_spark.functions import quantize6
+
+    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    decd = events.withColumn("decile", F.ntile(10).over(w))
+    return decd.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        quantize6(F.min("value")).alias("min_value"),
+        quantize6(F.max("value")).alias("max_value"),
+        quantize6(
+            F.sum(F.col("value").cast("decimal(38,10)")).cast("double")
+        ).alias("total_value"),
+    )

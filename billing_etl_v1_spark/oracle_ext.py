@@ -553,6 +553,59 @@ FROM f
 """
 
 
+def event_type_pivot_sql(types: tuple[str, ...] = ("click", "view", "purchase", "signup", "error")) -> str:
+    """Twin of operators.events.event_type_pivot — the pivot as explicit
+    CASE aggregates."""
+    cols = []
+    for t in types:
+        cols.append(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS n_{t}")
+        v = f"sum(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(38,10)) ELSE CAST(0 AS DECIMAL(38,10)) END)"
+        cols.append(f"{_r6(f'CAST({v} AS DOUBLE)')} AS v_{t}")
+    sel = ",\n  ".join(cols)
+    return f"""
+SELECT user_id,
+  {sel}
+FROM events GROUP BY user_id
+"""
+
+
+def value_deciles_sql() -> str:
+    """Twin of operators.events.value_deciles — same deterministic
+    (value, event_id) total order under ntile(10)."""
+    return f"""
+WITH d AS (
+  SELECT value, ntile(10) OVER (ORDER BY value ASC, event_id ASC) AS decile
+  FROM events
+)
+SELECT decile::INT AS decile, count(*) AS n_events,
+  {_r6('min(value)')} AS min_value,
+  {_r6('max(value)')} AS max_value,
+  {_r6('CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)')} AS total_value
+FROM d GROUP BY decile
+"""
+
+
+def pii_scrub_sql() -> str:
+    """Twin of operators.corpus.pii_scrub — same patterns; DuckDB needs the
+    'g' flag to match Spark's replace-all semantics."""
+    from billing_etl_v1_spark.operators.corpus import EMAIL_RE, PHONE_RE
+
+    email = EMAIL_RE.replace("'", "''")
+    phone = PHONE_RE.replace("'", "''")
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '{email}'))::INT AS n_emails,
+    regexp_replace(text, '{email}', '<EMAIL>', 'g') AS t1
+  FROM documents
+)
+SELECT doc_id, n_emails,
+  len(regexp_extract_all(t1, '{phone}'))::INT AS n_phones,
+  regexp_replace(t1, '{phone}', '<PHONE>', 'g') AS scrubbed_text
+FROM s
+"""
+
+
 def salted_user_join_sql() -> str:
     """Twin of operators.skew.user_activity_enriched — the salted join is
     row-identical to the PLAIN join, so the oracle is the plain join (that
