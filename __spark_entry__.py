@@ -486,6 +486,55 @@ def _q_multimodal_frames(spark, sf_dir):
     return mm_ops.sample_frames(docs, frame_size=64, every_n=2).drop("frame")
 
 
+def _q_tpch_q2(spark, sf_dir):
+    return example_plans.cheapest_supplier_per_part(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_tpch_q8(spark, sf_dir):
+    return example_plans.nation_market_share(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def _q_tpch_q9(spark, sf_dir):
+    return example_plans.product_type_profit(
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_tpch_q11(spark, sf_dir):
+    return example_plans.important_part_values(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_tpch_q20(spark, sf_dir):
+    return example_plans.bulk_part_suppliers(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def _q_flagship_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: the whole pipeline as ONE spark.sql statement (the reference's
     pure-SQL engine, calculate/sql_template.py) — same oracle as the
@@ -549,6 +598,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": _q_tpch_q12,
         "tpch_q13": _q_tpch_q13,
         "tpch_q14": _q_tpch_q14,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q20": _q_tpch_q20,
         "tpch_q15": _q_tpch_q15,
         "tpch_q16": _q_tpch_q16,
         "tpch_q17": _q_tpch_q17,
@@ -625,6 +679,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q12": oracle_ext.tpch_q12_sql(),
         "tpch_q13": oracle_ext.tpch_q13_sql(),
         "tpch_q14": oracle_ext.tpch_q14_sql(),
+        "tpch_q2": oracle_ext.tpch_q2_sql(),
+        "tpch_q8": oracle_ext.tpch_q8_sql(),
+        "tpch_q9": oracle_ext.tpch_q9_sql(),
+        "tpch_q11": oracle_ext.tpch_q11_sql(),
+        "tpch_q20": oracle_ext.tpch_q20_sql(),
         "tpch_q15": oracle_ext.tpch_q15_sql(),
         "tpch_q16": oracle_ext.tpch_q16_sql(),
         "tpch_q17": oracle_ext.tpch_q17_sql(),

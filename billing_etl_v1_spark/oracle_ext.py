@@ -978,3 +978,146 @@ SELECT band, CAST(lo AS DOUBLE) AS lo,
 FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
 GROUP BY band, lo
 """
+
+
+def tpch_q2_sql(
+    region_name: str = "EUROPE", type_name: str = "STANDARD", size: int = 15, k: int = 100
+) -> str:
+    """Twin of plans.examples.cheapest_supplier_per_part (TPC-H Q2 shape,
+    supply cost derived from lineitem — no partsupp in this schema)."""
+    return f"""
+WITH regional_sups AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{region_name}'
+),
+offers AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN regional_sups ON l_suppkey = s_suppkey
+  WHERE p_type = '{type_name}' AND p_size = {size}
+  GROUP BY ALL
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       {_r6('unit_cost')} AS unit_cost
+FROM offers
+QUALIFY rank() OVER (PARTITION BY p_partkey ORDER BY unit_cost ASC) = 1
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT {k}
+"""
+
+
+def tpch_q8_sql(
+    target_nation: str = "NATION_3",
+    region_name: str = "EUROPE",
+    type_name: str = "ECONOMY",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> str:
+    """Twin of plans.examples.nation_market_share (TPC-H Q8 shape)."""
+    rev = "CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,10))"
+    return f"""
+WITH base AS (
+  SELECT year(o_orderdate)::INT AS o_year,
+         {rev} AS rev,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE p_type = '{type_name}'
+    AND o_orderdate >= TIMESTAMP '{date_from}' AND o_orderdate < TIMESTAMP '{date_to}'
+    AND EXISTS (
+      SELECT 1 FROM customer
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      WHERE c_custkey = o_custkey AND r_name = '{region_name}'
+    )
+)
+SELECT o_year,
+       {_r6(f"CAST(coalesce(sum(CASE WHEN supp_nation = '{target_nation}' THEN rev END), 0) AS DOUBLE) / CAST(sum(rev) AS DOUBLE)")} AS mkt_share
+FROM base GROUP BY o_year
+"""
+
+
+def tpch_q9_sql(
+    name_word: str = "widget", cost_frac_num: int = 1, cost_frac_den: int = 10
+) -> str:
+    """Twin of plans.examples.product_type_profit (TPC-H Q9 shape, supply
+    cost proxied as a fraction of p_retailprice — no partsupp)."""
+    prof = (
+        "CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)"
+        f" - p_retailprice * l_quantity * {cost_frac_num} / {cost_frac_den}"
+        " AS DECIMAL(38,10))"
+    )
+    return f"""
+SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+       {_r6(f'CAST(sum({prof}) AS DOUBLE)')} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%{name_word}%'
+GROUP BY ALL
+"""
+
+
+def tpch_q11_sql(
+    nation_name: str = "NATION_3", frac_num: int = 1, frac_den: int = 1000
+) -> str:
+    """Twin of plans.examples.important_part_values (TPC-H Q11 shape,
+    shipped value instead of partsupp inventory value) — the threshold cut
+    cross-multiplied over exact DECIMAL sums."""
+    rev = "CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,10))"
+    return f"""
+WITH per_part AS (
+  SELECT l_partkey, sum({rev}) AS val
+  FROM lineitem
+  WHERE EXISTS (
+    SELECT 1 FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey = l_suppkey AND n_name = '{nation_name}'
+  )
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, {_r6('CAST(val AS DOUBLE)')} AS value
+FROM per_part
+WHERE val * {frac_den} > (SELECT sum(val) FROM per_part) * {frac_num}
+"""
+
+
+def tpch_q20_sql(
+    nation_name: str = "NATION_1",
+    name_word: str = "widget",
+    min_qty: float = 50.0,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> str:
+    """Twin of plans.examples.bulk_part_suppliers (TPC-H Q20 shape,
+    shipped-quantity threshold instead of partsupp availqty)."""
+    return f"""
+WITH moved AS (
+  SELECT l_suppkey, count(*) AS n_bulk_parts
+  FROM (
+    SELECT l_suppkey, l_partkey,
+           sum(CAST(l_quantity AS DECIMAL(38,10))) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{date_from}' AND l_shipdate < TIMESTAMP '{date_to}'
+      AND EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey
+                  AND p_name LIKE '%{name_word}%')
+    GROUP BY l_suppkey, l_partkey
+  )
+  WHERE qty > CAST({min_qty} AS DECIMAL(38,10))
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, n_bulk_parts
+FROM moved
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = '{nation_name}'
+"""

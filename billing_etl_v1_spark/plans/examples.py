@@ -699,3 +699,274 @@ def top_customers_by_nation(
         .filter(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("int"))
     )
+
+
+def cheapest_supplier_per_part(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "EUROPE",
+    type_name: str = "STANDARD",
+    size: int = 15,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2-shaped sourcing query, adapted: this schema has no partsupp
+    table, so the per-(part, supplier) supply cost is DERIVED from observed
+    lineitems — min unit price (l_extendedprice / l_quantity) a supplier
+    ever charged for the part. The correlated MIN subquery ("cheapest offer
+    for this part within the region") becomes a rank-1 window over the
+    derived offer table, ties surfacing like Q2's = min(ps_supplycost).
+
+    Scale shape: part is filtered before the join and broadcast; the
+    supplier⋈nation⋈region chain collapses to one broadcast dim. The only
+    real shuffle is the (partkey, suppkey) aggregate over lineitem; the
+    window input is one row per offer, partitioned by part — no global
+    sort. Unit price is a single IEEE double division, bit-identical in
+    any engine, so the min cut is exact.
+    """
+    wanted_parts = part.filter(
+        (F.col("p_type") == type_name) & (F.col("p_size") == size)
+    ).select("p_partkey", "p_name")
+    regional_sups = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        lineitem.join(F.broadcast(wanted_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(regional_sups), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.col("unit_cost").asc())
+    return (
+        offers.withColumn("__rnk", F.rank().over(w))
+        .filter(F.col("__rnk") == 1)
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(k)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            quantize6(F.col("unit_cost")).alias("unit_cost"),
+        )
+    )
+
+
+def nation_market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_3",
+    region_name: str = "EUROPE",
+    type_name: str = "ECONOMY",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q8-shaped market share: of all revenue for one part type sold
+    to customers in a region over two years, the fraction supplied by one
+    nation, per order year — the classic conditional-aggregate ratio
+    sum(CASE WHEN supp_nation = X THEN rev END) / sum(rev).
+
+    Scale shape: part (type-filtered), supplier, and both nation legs are
+    broadcast; orders carries the date filter down to its scan. The two
+    real shuffles are lineitem⋈orders (orderkey) and ⋈customer (custkey).
+    Numerator and denominator accumulate in DECIMAL(38,10); only the final
+    ratio is a double divide, so the share survives hash comparison.
+    """
+    cust_in_region = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nations = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    base = (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type") == type_name).select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust_in_region, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nations), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev.cast("decimal(38,10)").alias("__rev"),
+            F.col("supp_nation"),
+        )
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == target_nation, F.col("__rev"))).alias("__num"),
+            F.sum("__rev").alias("__den"),
+        )
+        .select(
+            "o_year",
+            quantize6(
+                F.coalesce(F.col("__num"), F.lit(0)).cast("double")
+                / F.col("__den").cast("double")
+            ).alias("mkt_share"),
+        )
+    )
+
+
+def product_type_profit(
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    name_word: str = "widget",
+    cost_frac_num: int = 1,
+    cost_frac_den: int = 10,
+) -> DataFrame:
+    """TPC-H Q9-shaped profit report, adapted: no partsupp table, so supply
+    cost is proxied as a fixed fraction (num/den) of p_retailprice — profit
+    = l_extendedprice*(1-l_discount) − p_retailprice*(num/den)*l_quantity,
+    grouped by supplier nation and order year, for parts whose name
+    contains one word.
+
+    Scale shape: part (name-filtered), supplier, nation are all broadcast;
+    lineitem⋈orders on orderkey is the single real shuffle. The cost
+    fraction is applied as (retail*qty*num)/den inside DECIMAL so the
+    profit sum is exact and partition-order independent.
+    """
+    prof = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(cost_frac_num) / F.lit(cost_frac_den)
+    )
+    base = (
+        lineitem.join(
+            F.broadcast(
+                part.filter(F.col("p_name").contains(name_word)).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        base.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(quantize6(F.sum(prof.cast("decimal(38,10)")).cast("double")).alias("sum_profit"))
+    )
+
+
+def important_part_values(
+    supplier: DataFrame,
+    nation: DataFrame,
+    lineitem: DataFrame,
+    nation_name: str = "NATION_3",
+    frac_num: int = 1,
+    frac_den: int = 1000,
+) -> DataFrame:
+    """TPC-H Q11-shaped concentration query, adapted: partsupp inventory
+    value becomes SHIPPED value — per part, the discounted revenue moved by
+    one nation's suppliers — keeping parts above a fraction of that
+    nation's total (Q11's scalar GROUP-BY-HAVING subquery).
+
+    Scale shape: the supplier⋈nation filter broadcasts; one shuffle
+    aggregates lineitem per part. The nation-total threshold is a 1-row
+    aggregate broadcast back over the per-part rows; the cut is
+    cross-multiplied over exact DECIMAL sums (value*den > total*num) so no
+    division decides a boundary part.
+    """
+    nation_sups = (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_part = (
+        lineitem.join(F.broadcast(nation_sups), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(rev.cast("decimal(38,10)")).alias("__val"))
+    )
+    total = per_part.agg(F.sum("__val").alias("__total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("__val") * F.lit(frac_den) > F.col("__total") * F.lit(frac_num))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            quantize6(F.col("__val").cast("double")).alias("value"),
+        )
+    )
+
+
+def bulk_part_suppliers(
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+    nation_name: str = "NATION_1",
+    name_word: str = "widget",
+    min_qty: float = 50.0,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q20-shaped nested-existence query, adapted: suppliers from one
+    nation who, in one year, shipped more than ``min_qty`` units of at
+    least one part whose name contains a word (Q20's availqty > 0.5×moved
+    test becomes a shipped-quantity threshold — no partsupp here). Reports
+    each such supplier with how many distinct parts qualified.
+
+    Scale shape: the part name filter broadcasts into the lineitem probe;
+    the (suppkey, partkey) aggregate is the one shuffle; supplier⋈nation
+    is broadcast onto the tiny qualifying set. Quantity accumulates in
+    DECIMAL so the threshold cut is exact.
+    """
+    wanted = part.filter(F.col("p_name").contains(name_word)).select("p_partkey")
+    moved = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(F.broadcast(wanted), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,10)")).alias("__qty"))
+        .filter(F.col("__qty") > F.lit(min_qty).cast("decimal(38,10)"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_bulk_parts"))
+    )
+    nation_sups = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return moved.join(nation_sups, F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "s_suppkey", "s_name", "n_bulk_parts"
+    )
