@@ -320,6 +320,18 @@ def _q_docs_sample(spark, sf_dir):
     return corpus_ops.hash_sample(load_table(spark, sf_dir, "documents"), fraction=0.1)
 
 
+def _q_docs_stratified_sample(spark, sf_dir):
+    return corpus_ops.stratified_sample(load_table(spark, sf_dir, "documents"), cap=60)
+
+
+def _q_events_funnel(spark, sf_dir):
+    return event_ops.funnel(load_table(spark, sf_dir, "events"))
+
+
+def _q_events_retention(spark, sf_dir):
+    return event_ops.cohort_retention(load_table(spark, sf_dir, "events"))
+
+
 def _q_quality_corpus(spark, sf_dir):
     return corpus_ops.quality_corpus(load_table(spark, sf_dir, "documents"))
 
@@ -587,6 +599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_deciles": _q_value_deciles,
         "docs_pii_scrub": _q_pii_scrub,
         "docs_sample": _q_docs_sample,
+        "docs_stratified_sample": _q_docs_stratified_sample,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "docs_quality_corpus": _q_quality_corpus,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
@@ -668,6 +683,9 @@ def oracle_sql() -> dict[str, str]:
         "events_value_deciles": oracle_ext.value_deciles_sql(),
         "docs_pii_scrub": oracle_ext.pii_scrub_sql(),
         "docs_sample": oracle_ext.hash_sample_sql(fraction=0.1),
+        "docs_stratified_sample": oracle_ext.stratified_sample_sql(cap=60),
+        "events_funnel": oracle_ext.funnel_sql(),
+        "events_retention": oracle_ext.cohort_retention_sql(),
         "docs_quality_corpus": oracle_ext.quality_corpus_sql(),
         "tpch_q1": oracle_ext.tpch_q1_sql(),
         "tpch_q3": oracle_ext.tpch_q3_sql(),

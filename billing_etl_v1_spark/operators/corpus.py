@@ -100,3 +100,39 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_phone.cast("int").alias("n_phones"),
         F.regexp_replace(scrubbed, PHONE_RE, "<PHONE>").alias("scrubbed_text"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    cap: int,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic stratified downsample: keep at most ~``cap`` rows per
+    stratum by hash-thresholding each stratum at floor(cap×B/count) of the
+    B-bucket hash space — the balanced-language corpus cut an LLM data
+    pipeline applies before mixing.
+
+    All-integer threshold math (floor division, exact in any engine) and
+    the layout-independent key hash make the selected row SET reproducible
+    across engines, partitionings, and cluster sizes. Scale shape: stratum
+    counts are a tiny aggregate broadcast back onto the scan; the filter
+    itself is map-side, so the only shuffle is over len(strata) rows.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    thresh = counts.select(
+        stratum_col,
+        F.least(
+            F.lit(SAMPLE_BUCKETS).cast("bigint"),
+            # explicit floor: Spark's double->bigint cast truncates but
+            # DuckDB's rounds, so the truncation must happen before the cast
+            F.floor(F.lit(cap) * F.lit(SAMPLE_BUCKETS) / F.col("__n")),
+        ).alias("__thresh"),
+    )
+    bucket = md5_long(F.col(key_col).cast("string"), salt=salt) % SAMPLE_BUCKETS
+    return (
+        df.join(F.broadcast(thresh), stratum_col)
+        .filter(bucket < F.col("__thresh"))
+        .drop("__thresh")
+    )

@@ -219,3 +219,81 @@ def value_deciles(events: DataFrame) -> DataFrame:
             F.sum(F.col("value").cast("decimal(38,10)")).cast("double")
         ).alias("total_value"),
     )
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def funnel(events: DataFrame, steps: list[str] | None = None) -> DataFrame:
+    """Ordered funnel analysis: how many users reached step k, where a user
+    reaches step k at the EARLIEST event of type steps[k] that is strictly
+    after their step-(k-1) time (min-over-qualifying semantics, the standard
+    windowless funnel definition — reference has no such operator class,
+    SURVEY §2.11 extension).
+
+    Scale shape: one shuffle per step, all on user_id — Spark reuses the
+    hash partitioning across the chained aggregates, and each per-step
+    frame is one row per user, so every join after the first aggregate is
+    tiny relative to the event stream. Min timestamps are exact, so step
+    attribution is deterministic under any partitioning.
+    """
+    steps = steps or FUNNEL_STEPS
+    reach = (
+        events.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    counts = [(steps[0], reach)]
+    for i, step in enumerate(steps[1:], start=1):
+        prev = counts[-1][1]
+        nxt = (
+            events.filter(F.col("event_type") == step)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(f"t{i-1}"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        counts.append((step, nxt))
+    spark = events.sparkSession
+    rows = None
+    for i, (step, df) in enumerate(counts):
+        one = df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(i + 1).cast("int").alias("step"),
+            F.lit(step).alias("event_type"),
+            "users",
+        )
+        rows = one if rows is None else rows.unionAll(one)
+    return rows
+
+
+def cohort_retention(events: DataFrame, bucket: str = "week") -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    period; for each (cohort, offset) the number of cohort users active
+    ``offset`` periods later.
+
+    Scale shape: two aggregates — first-seen per user and distinct
+    (user, period) activity — both shuffled on user_id so the join between
+    them co-partitions with no extra exchange; the final (cohort, offset)
+    rollup is tiny. Period arithmetic is integer datediff, exact in both
+    engines.
+    """
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc(bucket, F.min("ts")).alias("cohort")
+    )
+    active = (
+        events.select("user_id", F.date_trunc(bucket, F.col("ts")).alias("period"))
+        .distinct()
+    )
+    days = {"week": 7, "day": 1}[bucket]
+    return (
+        active.join(first_seen, "user_id")
+        .select(
+            F.to_date("cohort").alias("cohort"),
+            (F.datediff(F.to_date("period"), F.to_date("cohort")) / days)
+            .cast("int")
+            .alias("offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

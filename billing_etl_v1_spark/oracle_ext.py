@@ -1121,3 +1121,61 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 WHERE n_name = '{nation_name}'
 """
+
+
+def funnel_sql(steps: tuple[str, ...] = ("view", "click", "purchase")) -> str:
+    """Twin of operators.events.funnel — min-over-qualifying step times."""
+    ctes = [
+        f"s0 AS (SELECT user_id, min(ts) AS t0 FROM events"
+        f" WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for i, step in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.ts) AS t{i}"
+            f" FROM events e JOIN s{i-1} p ON e.user_id = p.user_id"
+            f" WHERE e.event_type = '{step}' AND e.ts > p.t{i-1}"
+            f" GROUP BY e.user_id)"
+        )
+    selects = [
+        f"SELECT {i + 1}::INT AS step, '{step}' AS event_type,"
+        f" (SELECT count(*) FROM s{i}) AS users"
+        for i, step in enumerate(steps)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def cohort_retention_sql(bucket: str = "week") -> str:
+    """Twin of operators.events.cohort_retention."""
+    days = {"week": 7, "day": 1}[bucket]
+    return f"""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('{bucket}', min(ts)) AS cohort
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('{bucket}', ts) AS period FROM events
+)
+SELECT CAST(cohort AS DATE) AS cohort,
+       (datediff('day', CAST(cohort AS DATE), CAST(period AS DATE)) / {days})::INT AS "offset",
+       count(*) AS n_active
+FROM active JOIN first_seen USING (user_id)
+GROUP BY ALL
+"""
+
+
+def stratified_sample_sql(
+    cap: int = 60, stratum: str = "lang", key: str = "doc_id", salt: str = "strat"
+) -> str:
+    """Twin of operators.corpus.stratified_sample — all-integer threshold,
+    explicit floor (DuckDB's double->bigint cast rounds, Spark's truncates)."""
+    h = _md5int(f"{key}::VARCHAR", salt=salt)
+    return f"""
+WITH thresh AS (
+  SELECT {stratum},
+         least(1000000, floor(({cap} * 1000000.0) / count(*))::BIGINT) AS th
+  FROM documents GROUP BY {stratum}
+)
+SELECT d.* FROM documents d
+JOIN thresh t ON d.{stratum} = t.{stratum}
+WHERE {h} % 1000000 < t.th
+"""
