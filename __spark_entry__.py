@@ -201,6 +201,11 @@ def _q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics_ops.daily_running_totals(fact)
 
 
+def _q_rolling_daily_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact, _ = _billing_ctx(spark, sf_dir)
+    return analytics_ops.rolling_daily_cost(fact)
+
+
 def _q_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact, _ = _billing_ctx(spark, sf_dir)
     return analytics_ops.month_over_month(fact)
@@ -274,6 +279,10 @@ def _q_dedup_jaccard(spark, sf_dir):
 
 def _q_dedup_minhash(spark, sf_dir):
     return dedup_ops.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    return dedup_ops.near_dup_clusters(load_table(spark, sf_dir, "documents"))
 
 
 def _q_dedup_simhash(spark, sf_dir):
@@ -572,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_flagship_production": _flagship(None, "pipeline"),
         "billing_flagship_sql": _q_flagship_sql,
         "billing_running_totals": _q_running_totals,
+        "billing_rolling_daily_cost": _q_rolling_daily_cost,
         "billing_month_over_month": _q_month_over_month,
         "billing_new_usage_lines": _q_new_usage_lines,
         "billing_repeat_usage_lines": _q_repeat_usage_lines,
@@ -582,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -653,6 +664,7 @@ def oracle_sql() -> dict[str, str]:
         "billing_flagship_production": oracle.flagship_sql(grain="pipeline"),
         "billing_flagship_sql": oracle.flagship_sql(),
         "billing_running_totals": oracle.running_totals_sql(),
+        "billing_rolling_daily_cost": oracle.rolling_daily_cost_sql(),
         "billing_month_over_month": oracle.month_over_month_sql(),
         "billing_new_usage_lines": oracle.new_usage_lines_sql(oracle.FLAGSHIP_MONTH, "199505"),
         "billing_repeat_usage_lines": oracle.repeat_usage_lines_sql(
@@ -665,6 +677,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracle_ext.dedup_exact_sql(),
         "dedup_ngram_jaccard": oracle_ext.ngram_jaccard_sql(),
         "dedup_minhash_lsh": oracle_ext.minhash_lsh_sql(),
+        "dedup_clusters": oracle_ext.near_dup_clusters_sql(),
         "dedup_simhash": oracle_ext.simhash_pairs_sql(),
         "dedup_embedding_cosine": oracle_ext.embedding_cosine_sql(),
         "dedup_embedding_lsh": oracle_ext.embedding_lsh_sql(),

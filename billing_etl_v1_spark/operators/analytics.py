@@ -123,3 +123,36 @@ def repeat_usage_lines(
     cur = fact.filter(F.col("invoice_month") == invoice_month).select(*keys).distinct()
     prior = fact.filter(F.col("invoice_month") == prior_month).select(*keys).distinct()
     return cur.join(prior, on=keys, how="left_semi")
+
+
+def rolling_daily_cost(fact: DataFrame, window_days: int = 7) -> DataFrame:
+    """RANGE-frame moving window: per-account daily cost with the
+    ``window_days``-day trailing sum and average — the range frame covers
+    VALUE distance (calendar days, including absent ones), not row count,
+    which is the frame shape a gap-filled rows-frame cannot express.
+
+    The frame orders by integer epoch-day (datediff from 1970-01-01), so
+    both engines resolve identical frame bounds — interval-typed RANGE
+    frames differ subtly across engines around DST/timezones; integers
+    don't. Scale shape: one aggregation shuffle to day grain, one window
+    exchange on account — the window input is the tiny day-grain relation.
+    """
+    daily = fact.groupBy("billing_account_id", "usage_day").agg(
+        F.sum(_dec("cost")).alias("__c")
+    )
+    epoch_day = F.datediff(F.col("usage_day"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("billing_account_id")
+        .orderBy(epoch_day)
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return daily.select(
+        "billing_account_id",
+        "usage_day",
+        quantize6(F.col("__c").cast("double")).alias("day_cost"),
+        quantize6(F.sum("__c").over(w).cast("double")).alias("trailing_sum"),
+        quantize6(
+            (F.sum("__c").over(w).cast("double") / F.count(F.lit(1)).over(w))
+        ).alias("trailing_avg"),
+        F.count(F.lit(1)).over(w).alias("days_present"),
+    )

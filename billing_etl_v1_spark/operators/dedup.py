@@ -394,3 +394,73 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float = 0.5,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup graph: every doc
+    labeled with its cluster representative (the component's min id), the
+    step that turns pair lists into an actual deduped corpus (keep
+    ``is_canonical = 1``, drop the rest).
+
+    Iterative min-label propagation (the Pregel/GraphX connected-components
+    recipe): each round every node takes the min of its own label and its
+    neighbors' labels; converges in O(component diameter) rounds — near-dup
+    clusters are shallow (dups of a common source), so a handful of rounds
+    in practice, ``max_iters`` as the safety bound. This is the one operator
+    family where a driver-side loop is legitimate: the convergence test is a
+    global fixpoint no single SQL statement expresses (the DuckDB oracle
+    uses a RECURSIVE CTE — fine at oracle scale, quadratic blowup at 100 TB).
+
+    Scale shape: every round is one join edges⋈labels (both sides hash on
+    the same key) + one per-node min — shuffle size is O(edges), and the
+    label frame is localCheckpoint()ed each round so the plan/lineage stays
+    O(1) deep instead of O(rounds). The edge list is persisted once;
+    label updates never touch the raw corpus.
+    """
+    pairs = minhash_lsh_pairs(df, id_col=id_col, text_col=text_col).filter(
+        F.col("est_jaccard") >= min_jaccard
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iters):
+        neigh_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("__nl"))
+        )
+        updated = (
+            labels.join(neigh_min, labels["node"] == neigh_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("__nl"), F.col("label"))).alias(
+                    "__new"
+                ),
+            )
+        )
+        changed = (
+            updated.filter(F.col("__new") != F.col("node"))
+            .join(labels, "node")
+            .filter(F.col("__new") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.withColumnRenamed("__new", "label").localCheckpoint()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).cast("int").alias("is_canonical"),
+    )

@@ -532,3 +532,25 @@ FROM spine s
 LEFT JOIN day_agg d
   ON s.billing_account_id = d.billing_account_id AND s.usage_day = d.usage_day
 """
+
+
+def rolling_daily_cost_sql(window_days: int = 7) -> str:
+    """Twin of operators.analytics.rolling_daily_cost — the RANGE frame
+    orders by integer epoch-day in both engines so frame bounds agree."""
+    ed = "datediff('day', DATE '1970-01-01', CAST(usage_day AS DATE))"
+    frame = f"(PARTITION BY billing_account_id ORDER BY {ed} RANGE BETWEEN {window_days - 1} PRECEDING AND CURRENT ROW)"
+    return f"""
+WITH fact AS ({FACT_SQL}),
+day_agg AS (
+  SELECT billing_account_id, usage_day,
+         sum(CAST(cost AS DECIMAL(38,10))) AS c
+  FROM fact GROUP BY billing_account_id, usage_day
+)
+SELECT billing_account_id, usage_day,
+  {_r6('CAST(c AS DOUBLE)')} AS day_cost,
+  {_r6('CAST(sum(c) OVER w AS DOUBLE)')} AS trailing_sum,
+  {_r6('CAST(sum(c) OVER w AS DOUBLE) / count(*) OVER w')} AS trailing_avg,
+  count(*) OVER w AS days_present
+FROM day_agg
+WINDOW w AS {frame}
+"""

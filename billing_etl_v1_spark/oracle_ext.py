@@ -1179,3 +1179,27 @@ SELECT d.* FROM documents d
 JOIN thresh t ON d.{stratum} = t.{stratum}
 WHERE {h} % 1000000 < t.th
 """
+
+
+def near_dup_clusters_sql(min_jaccard: float = 0.5) -> str:
+    """Twin of operators.dedup.near_dup_clusters — transitive closure via a
+    RECURSIVE CTE (exact at oracle scale; the Spark side uses iterative
+    label propagation, which is the 100 TB formulation)."""
+    return f"""
+WITH RECURSIVE near AS (
+  SELECT doc_a, doc_b FROM ({minhash_lsh_sql()}) WHERE est_jaccard >= {min_jaccard}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM near
+  UNION
+  SELECT doc_b, doc_a FROM near
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT x.node, e.b FROM reach x JOIN edges e ON e.a = x.r
+)
+SELECT node AS doc_id, min(r) AS cluster_id,
+       (node = min(r))::INT AS is_canonical
+FROM reach GROUP BY node
+"""

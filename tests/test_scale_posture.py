@@ -162,3 +162,45 @@ def test_simhash_pairing_is_a_hash_join(spark):
     plan = plan_of(spark, "dedup_simhash")
     assert not nodes(plan, "BroadcastNestedLoopJoin")
     assert not nodes(plan, "CartesianProduct")
+
+
+def test_new_tpch_shapes_have_no_cartesian(spark):
+    # q11's single 1-row total broadcast (BroadcastNestedLoopJoin over ONE
+    # row) is the only allowed nested-loop in the five added TPC-H shapes
+    for name in ["tpch_q2", "tpch_q8", "tpch_q9", "tpch_q20"]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    plan = plan_of(spark, "tpch_q11")
+    assert "CartesianProduct" not in plan
+    assert len(nodes(plan, "BroadcastNestedLoopJoin")) <= 1
+
+
+def test_tpch_q2_window_is_partitioned(spark):
+    # the rank-1 cut must partition by part — an unpartitioned window would
+    # serialize the whole offers relation through one task at scale
+    plan = plan_of(spark, "tpch_q2")
+    assert re.search(r"Window.*p_partkey", plan, re.DOTALL)
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    # every funnel stage keys on user_id; no Python eval, no cartesian
+    plan = plan_of(spark, "events_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stratified_sample_filter_is_map_side(spark):
+    # stratum thresholds must come back via a broadcast join; the only hash
+    # exchange is the tiny per-stratum count aggregate
+    plan = plan_of(spark, "docs_stratified_sample")
+    assert len(nodes(plan, "BroadcastHashJoin")) == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_rolling_window_input_is_day_grain(spark):
+    # the RANGE window must consume the aggregated day grain, not raw fact:
+    # exactly one window node, fed by a hash aggregate
+    plan = plan_of(spark, "billing_rolling_daily_cost")
+    assert len(nodes(plan, "Window")) == 1
+    assert "CartesianProduct" not in plan
