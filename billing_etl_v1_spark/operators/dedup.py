@@ -426,13 +426,29 @@ def near_dup_clusters(
     pairs = minhash_lsh_pairs(df, id_col=id_col, text_col=text_col).filter(
         F.col("est_jaccard") >= min_jaccard
     )
+    nodes = df.select(F.col(id_col).alias("node"))
+    comp = connected_components(nodes, pairs, max_iters=max_iters)
+    return comp.select(
+        F.col("node").alias(id_col),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """Generic distributed connected components: (node) × (doc_a, doc_b)
+    undirected pairs → (node, cluster_id = component min). The iterative
+    core of ``near_dup_clusters``, factored out so any pair generator
+    (simhash, embedding-LSH, exact) can feed it, and so the fixpoint logic
+    is property-testable against a union-find model on arbitrary graphs."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .persist()
     )
-    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
-    labels = labels.localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
     for _ in range(max_iters):
         neigh_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -459,8 +475,4 @@ def near_dup_clusters(
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(
-        F.col("node").alias(id_col),
-        F.col("label").alias("cluster_id"),
-        (F.col("node") == F.col("label")).cast("int").alias("is_canonical"),
-    )
+    return labels.select("node", F.col("label").alias("cluster_id"))

@@ -170,3 +170,56 @@ def test_flagship_invariants_hold_datasetwide(spark):
         )
     ).count()
     assert bad == 0
+
+
+# --- connected components vs union-find model ------------------------------
+
+
+def _union_find_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical representative = min node id of the component
+    comp_min: dict[int, int] = {}
+    for v in range(n_nodes):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    return {v: comp_min[find(v)] for v in range(n_nodes)}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_nodes=st.integers(min_value=1, max_value=24),
+    edge_seed=st.lists(
+        st.tuples(st.integers(0, 23), st.integers(0, 23)), min_size=0, max_size=40
+    ),
+)
+def test_connected_components_agree_with_union_find(spark, n_nodes, edge_seed):
+    from billing_etl_v1_spark.operators.dedup import connected_components
+
+    edges = [(min(a, b), max(a, b)) for a, b in edge_seed
+             if a != b and a < n_nodes and b < n_nodes]
+    nodes_df = spark.createDataFrame([(i,) for i in range(n_nodes)], "node bigint")
+    pairs_df = spark.createDataFrame(
+        edges or [(0, 0)], "doc_a bigint, doc_b bigint"
+    )
+    if not edges:
+        pairs_df = pairs_df.filter("doc_a <> doc_a")  # empty edge set
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(nodes_df, pairs_df).collect()
+    }
+    assert got == _union_find_components(n_nodes, edges)
