@@ -68,3 +68,39 @@ def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = 
     """Register the test tables as temp views so shared SQL can run on them."""
     for t in tables or TPCH_TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema,
+    header: bool = True,
+    timestamp_format: str | None = None,
+) -> DataFrame:
+    """CSV source with a MANDATORY explicit schema.
+
+    Schema inference is forbidden by design: it requires an extra full pass
+    over the data (prohibitive at 100 TB) and its type guesses depend on
+    the sampled partitions, so the same file can load with different types
+    on different clusters. ``mode=FAILFAST`` surfaces malformed rows at
+    read time instead of silently nulling them (the reference's equivalent
+    failure posture is its per-day try/except + failure CSV,
+    reference main.py:15-32).
+    """
+    harden_session(spark)
+    reader = (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", "FAILFAST")
+    )
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-lines source with a mandatory explicit schema (same rationale as
+    read_csv; additionally, inferred JSON schemas silently widen on new
+    keys, which breaks downstream column resolution)."""
+    harden_session(spark)
+    return spark.read.schema(schema).option("mode", "FAILFAST").json(path)

@@ -68,3 +68,18 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    """CSV sink (the reference's only non-DB sink is its failure-log CSV,
+    reference main.py:15-32 / billing_calculation_service.py:19-34; here it
+    is a general partitioned sink). Arrays/maps are not CSV-representable —
+    callers serialize them (to_json) first; Spark raises otherwise, which is
+    the correct loud failure."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — schema-preserving for nested columns (arrays,
+    structs) that CSV cannot carry."""
+    df.write.mode(mode).json(path)

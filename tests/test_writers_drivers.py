@@ -78,3 +78,60 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_csv_roundtrip_with_explicit_schema(spark, tmp_path):
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from billing_etl_v1_spark.sources.readers import read_csv
+    from billing_etl_v1_spark.sources.writers import write_csv
+
+    schema = StructType(
+        [
+            StructField("account", StringType()),
+            StructField("n", IntegerType()),
+            StructField("amount", DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [("ACCT-1", 1, 1.5), ("ACCT-2", None, 0.25), (None, 3, None)], schema
+    )
+    path = str(tmp_path / "csv_sink")
+    write_csv(df, path)
+    back = read_csv(spark, path, schema)
+    assert back.schema == schema
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_json_roundtrip_preserves_arrays(spark, tmp_path):
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from billing_etl_v1_spark.sources.readers import read_json
+    from billing_etl_v1_spark.sources.writers import write_json
+
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("credits", ArrayType(DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame([("a", [1.0, 2.5]), ("b", [])], schema)
+    path = str(tmp_path / "json_sink")
+    write_json(df, path)
+    back = read_json(spark, path, schema)
+    assert back.schema == schema
+    assert sorted(r.k for r in back.collect()) == ["a", "b"]
+    got = {r.k: r.credits for r in back.collect()}
+    assert got["a"] == [1.0, 2.5]
