@@ -83,3 +83,44 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines sink — schema-preserving for nested columns (arrays,
     structs) that CSV cannot carry."""
     df.write.mode(mode).json(path)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_by: tuple[str, ...] = DEFAULT_PARTITIONING,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> None:
+    """Small-file compaction for an append-heavy partitioned table.
+
+    Daily appends (append_calculated) leave one file per task per day; at
+    1000 executors that is thousands of KB-sized files per partition, and
+    scan/planning cost grows with file COUNT, not bytes. Compaction
+    rewrites each partition into ceil(bytes / target) files via a
+    partition-key repartition — the shuffle is one pass over the data and
+    amortizes across every later scan.
+
+    Uses dynamic partition overwrite (session default) so a crash mid-
+    compaction loses nothing: a partition is replaced atomically or not at
+    all, and re-running is idempotent — same delete-nothing safety the
+    reference's tmp-table swap aimed for (reference main.py:172-201).
+    """
+    import math
+    import os
+
+    df = spark.read.parquet(path)
+    # sizing from the file index — no data read; per-partition skew in the
+    # rewrite shuffle is handled by AQE coalescing
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    # localCheckpoint materializes the rows and severs lineage to the input
+    # files — required to overwrite the path being compacted (Spark refuses
+    # a write whose plan still scans the destination)
+    compacted = df.repartition(n_files, *partition_by).localCheckpoint()
+    compacted.write.mode("overwrite").partitionBy(*partition_by).parquet(path)

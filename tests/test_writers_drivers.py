@@ -135,3 +135,40 @@ def test_json_roundtrip_preserves_arrays(spark, tmp_path):
     assert sorted(r.k for r in back.collect()) == ["a", "b"]
     got = {r.k: r.credits for r in back.collect()}
     assert got["a"] == [1.0, 2.5]
+
+
+def test_compact_partitions_reduces_files_and_preserves_rows(spark, tmp_path):
+    from billing_etl_v1_spark.sources.writers import (
+        append_calculated,
+        compact_partitions,
+    )
+    import os
+
+    path = str(tmp_path / "compact_me")
+    base = spark.range(0, 2000).selectExpr(
+        "'199506' AS invoice_month",
+        "date_add(DATE '1995-06-01', CAST(id % 3 AS INT)) AS usage_day",
+        "id AS v",
+    )
+    # simulate many small appends: 4 writes x 32 tasks -> hundreds of files
+    for _ in range(4):
+        append_calculated(base.repartition(32), path)
+
+    def parquet_files():
+        return [
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    before = len(parquet_files())
+    total_before = spark.read.parquet(path).count()
+    sum_before = spark.read.parquet(path).agg({"v": "sum"}).first()[0]
+
+    compact_partitions(spark, path)
+
+    after = len(parquet_files())
+    assert after < before / 4
+    assert spark.read.parquet(path).count() == total_before
+    assert spark.read.parquet(path).agg({"v": "sum"}).first()[0] == sum_before
