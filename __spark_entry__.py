@@ -136,6 +136,11 @@ def _q_billing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_ops.rollup_totals(fact)
 
 
+def _q_billing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact, _ = _billing_ctx(spark, sf_dir)
+    return agg_ops.cube_totals(fact)
+
+
 def _q_rule_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _matched_detail(spark, sf_dir).select(*agg_ops.DETAIL_KEYS, *RULE_COLUMNS)
 
@@ -569,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "billing_source_agg": _q_source_agg,
         "billing_rollup": _q_billing_rollup,
+        "billing_cube": _q_billing_cube,
         "billing_source_agg_detail": _q_source_agg_detail,
         "billing_minmax_day": _q_minmax_day,
         "billing_distinct_accounts": _q_distinct_accounts,
@@ -652,6 +658,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "billing_source_agg": oracle.source_agg_sql(oracle.PIPELINE_KEYS),
         "billing_rollup": oracle.rollup_sql(),
+        "billing_cube": oracle.cube_sql(),
         "billing_source_agg_detail": oracle.source_agg_sql(oracle.DETAIL_KEYS),
         "billing_minmax_day": oracle.minmax_day_sql(),
         "billing_distinct_accounts": oracle.distinct_accounts_sql(),

@@ -158,3 +158,36 @@ def distinct_accounts(fact: DataFrame, invoice_month: str | None = None) -> Data
     query — the engine never collects it."""
     df = fact if invoice_month is None else fact.filter(F.col("invoice_month") == invoice_month)
     return df.select("billing_account_id").distinct()
+
+
+def cube_totals(fact: DataFrame) -> DataFrame:
+    """CUBE(invoice_month, cost_type) cross-classified totals: every
+    combination of (month, cost_type, month-only, cost_type-only, grand
+    total) in one pass — completes the grouping-sets family next to
+    ``rollup_totals`` (absent from the reference, SURVEY §2.11).
+
+    Same determinism discipline (DECIMAL accumulation, grouping() flags)
+    and the same scale posture: one shuffle over the expanded grouping-set
+    keys, partials map-side; a cube over k columns expands 2^k sets, so
+    keep k small and cardinalities low — exactly this query's shape.
+    """
+    from billing_etl_v1_spark.functions import quantize6
+
+    dec = lambda c: F.col(c).cast("decimal(38,10)")  # noqa: E731
+    return (
+        fact.cube("invoice_month", "cost_type")
+        .agg(
+            F.grouping("invoice_month").cast("int").alias("month_is_total"),
+            F.grouping("cost_type").cast("int").alias("type_is_total"),
+            F.count(F.lit(1)).alias("n_rows"),
+            quantize6(F.sum(dec("cost")).cast("double")).alias("sum_cost"),
+        )
+        .select(
+            "invoice_month",
+            "cost_type",
+            "month_is_total",
+            "type_is_total",
+            "n_rows",
+            "sum_cost",
+        )
+    )

@@ -554,3 +554,18 @@ SELECT billing_account_id, usage_day,
 FROM day_agg
 WINDOW w AS {frame}
 """
+
+
+def cube_sql() -> str:
+    """CUBE twin of operators.aggregate.cube_totals."""
+    dec = lambda c: f"CAST({c} AS DECIMAL(38,10))"  # noqa: E731
+    return f"""
+WITH fact AS ({FACT_SQL})
+SELECT invoice_month, cost_type,
+       grouping(invoice_month)::INT AS month_is_total,
+       grouping(cost_type)::INT AS type_is_total,
+       count(*) AS n_rows,
+       {_r6(f"sum({dec('cost')})::DOUBLE")} AS sum_cost
+FROM fact
+GROUP BY CUBE (invoice_month, cost_type)
+"""
