@@ -176,3 +176,38 @@ def streaming_dedup(
     return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+def streaming_enrich_user_profile(
+    events_stream: DataFrame,
+    user_profile: DataFrame,
+    watermark: str = "30 minutes",
+    width: str = "10 minutes",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: each micro-batch of
+    events joins the (slowly-changing, periodically reloaded) user profile
+    dimension, then aggregates revenue per (window, segment).
+
+    Stream-static joins are stateless on the stream side — Spark re-plans
+    the static side per micro-batch, so a broadcast hash join is re-used
+    with NO streaming state beyond the window aggregation's. This is the
+    idiomatic shape for dimension enrichment in ingest pipelines; the
+    alternative (stream-stream join) would hold state for both sides and
+    is only needed when the dimension itself is a stream of updates.
+    """
+    enriched = events_stream.withWatermark("ts", watermark).join(
+        F.broadcast(user_profile), "user_id"
+    )
+    return (
+        enriched.groupBy(F.window("ts", width).alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -151,3 +151,44 @@ def test_streaming_dedup_drops_redelivered_events(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out").first()
     assert got.n == got.d == events.count()
+
+
+def test_streaming_enrich_matches_batch(spark, tmp_path):
+    from billing_etl_v1_spark.streaming.pipeline import streaming_enrich_user_profile
+
+    events = load_table(spark, SF_SMALL, "events")
+    # derive a small static "profile" dim: user -> segment
+    profile = events.select("user_id").distinct().select(
+        "user_id",
+        F.concat(F.lit("seg-"), (F.col("user_id") % 4).cast("string")).alias("segment"),
+    )
+    events_dir = str(tmp_path / "events_in")
+    events.write.parquet(events_dir)
+    stream = spark.readStream.schema(spark.read.parquet(events_dir).schema).parquet(events_dir)
+
+    out = streaming_enrich_user_profile(stream, profile)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql(
+        "SELECT segment, sum(n_events) AS n FROM enriched GROUP BY segment"
+    ).collect()
+    # batch twin over watermark-closed windows only (append-mode semantics)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        events.join(profile, "user_id")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("w.end") <= F.lit(max_ts) - F.expr("INTERVAL 30 MINUTES"))
+        .groupBy("segment")
+        .agg(F.sum("n").alias("n"))
+    )
+    expected = {r.segment: r.n for r in batch.collect()}
+    assert {r.segment: r.n for r in got} == expected
