@@ -136,3 +136,62 @@ def stratified_sample(
         .filter(bucket < F.col("__thresh"))
         .drop("__thresh")
     )
+
+
+PACK_BUCKETS = 256
+
+
+def pack_shards(
+    df: DataFrame,
+    shard_tokens: int = 4000,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """Fixed-token-budget shard packing: lay documents on a deterministic
+    hash-ordered line, accumulate token counts, and cut a shard every
+    ``shard_tokens`` — the sharding step before tokenization/serialization
+    in an LLM training pipeline (a doc belongs to the shard its STARTING
+    offset falls in, so shards overflow by at most one document).
+
+    The global running sum is computed as a distributed two-phase prefix
+    sum, NOT one global window: an unpartitioned ORDER BY window would
+    funnel the whole corpus through a single task at 100 TB. Phase 1 is a
+    per-bucket cumulative sum (hash-partitioned window over PACK_BUCKETS
+    buckets); phase 2 adds each bucket's exclusive offset, computed from
+    the PACK_BUCKETS-row bucket-total table with one tiny window and
+    broadcast back. Output depends only on the (hash, id) order — identical
+    for any partitioning, cluster size, or engine (the oracle uses the
+    single-window formulation, which is equivalent and fine at test scale).
+    """
+    from billing_etl_v1_spark.operators.text import md5_long, token_count
+
+    h = md5_long(F.col(key_col).cast("string"), salt=salt)
+    base = df.select(
+        F.col(key_col),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        h.alias("__h"),
+    # RANGE buckets (top 8 bits of the 60-bit hash), NOT modulo: bucket-major
+    # order must equal global (h, id) order for phase-2 offsets to be a true
+    # prefix sum; md5 uniformity keeps range buckets load-balanced
+    ).withColumn("__b", F.shiftright("__h", 52))
+    w_local = (
+        Window.partitionBy("__b")
+        .orderBy("__h", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("__cum", F.sum("n_tokens").over(w_local))
+    totals = base.groupBy("__b").agg(F.sum("n_tokens").alias("__bt"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__b", F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__b")
+        .select(
+            key_col,
+            "n_tokens",
+            F.floor((F.col("__cum") + F.col("__off") - F.col("n_tokens")) / shard_tokens)
+            .alias("shard_id"),
+        )
+    )

@@ -1203,3 +1203,25 @@ SELECT node AS doc_id, min(r) AS cluster_id,
        (node = min(r))::INT AS is_canonical
 FROM reach GROUP BY node
 """
+
+
+def pack_shards_sql(shard_tokens: int = 4000, salt: str = "pack") -> str:
+    """Twin of operators.corpus.pack_shards — the single-global-window
+    formulation, equivalent to the Spark side's two-phase prefix sum."""
+    h = _md5int("doc_id::VARCHAR", salt=salt)
+    nt = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS}) END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST({nt} AS BIGINT) AS n_tokens, {h} AS h
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS c
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       floor((c - n_tokens) / {shard_tokens})::BIGINT AS shard_id
+FROM cum
+"""
