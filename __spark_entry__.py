@@ -342,6 +342,12 @@ def _q_docs_pack_shards(spark, sf_dir):
     return corpus_ops.pack_shards(load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_mixture_sample(spark, sf_dir):
+    return corpus_ops.mixture_sample(
+        load_table(spark, sf_dir, "documents"), oracle_ext.MIXTURE_WEIGHTS
+    )
+
+
 def _q_events_funnel(spark, sf_dir):
     return event_ops.funnel(load_table(spark, sf_dir, "events"))
 
@@ -622,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample": _q_docs_sample,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_pack_shards": _q_docs_pack_shards,
+        "docs_mixture_sample": _q_docs_mixture_sample,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
         "docs_quality_corpus": _q_quality_corpus,
@@ -710,6 +717,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_sample": oracle_ext.hash_sample_sql(fraction=0.1),
         "docs_stratified_sample": oracle_ext.stratified_sample_sql(cap=60),
         "docs_pack_shards": oracle_ext.pack_shards_sql(),
+        "docs_mixture_sample": oracle_ext.mixture_sample_sql(oracle_ext.MIXTURE_WEIGHTS),
         "events_funnel": oracle_ext.funnel_sql(),
         "events_retention": oracle_ext.cohort_retention_sql(),
         "docs_quality_corpus": oracle_ext.quality_corpus_sql(),

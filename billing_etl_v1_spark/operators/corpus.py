@@ -195,3 +195,32 @@ def pack_shards(
             .alias("shard_id"),
         )
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Training-mixture composition: per-source sampling fractions (e.g.
+    wiki 1.0, web 0.25, forum 0.1) applied as deterministic hash thresholds
+    — the weighted-mixture step after quality gating and before packing.
+
+    Sources absent from ``weights`` are dropped (explicit mixture = the
+    contract). Same layout-independent hash discipline as hash_sample, so
+    re-runs and engines agree row-for-row; entirely map-side after the tiny
+    weight-table broadcast.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, int(f * SAMPLE_BUCKETS)) for s, f in sorted(weights.items())],
+        f"{stratum_col} string, __thresh bigint",
+    )
+    bucket = md5_long(F.col(key_col).cast("string"), salt=salt) % SAMPLE_BUCKETS
+    return (
+        df.join(F.broadcast(wdf), stratum_col)
+        .filter(bucket < F.col("__thresh"))
+        .drop("__thresh")
+    )

@@ -1225,3 +1225,27 @@ SELECT doc_id, n_tokens,
        floor((c - n_tokens) / {shard_tokens})::BIGINT AS shard_id
 FROM cum
 """
+
+
+def mixture_sample_sql(weights: dict[str, float], salt: str = "mix") -> str:
+    """Twin of operators.corpus.mixture_sample."""
+    h = _md5int("doc_id::VARCHAR", salt=salt)
+    rows = ", ".join(
+        f"('{s}', {int(f * 1000000)})" for s, f in sorted(weights.items())
+    )
+    return f"""
+WITH w(source, th) AS (VALUES {rows})
+SELECT d.* FROM documents d
+JOIN w ON d.source = w.source
+WHERE {h} % 1000000 < w.th
+"""
+
+
+MIXTURE_WEIGHTS = {
+    "src0": 1.0,
+    "src1": 0.5,
+    "src2": 0.5,
+    "src3": 0.25,
+    "src4": 0.25,
+    "src5": 0.1,
+}
