@@ -315,27 +315,39 @@ def embedding_lsh_pairs(
     """
     from billing_etl_v1_spark.operators.similarity import _dot, _prep
 
-    base = _prep(embeddings, id_col, vec_col)
-    sig = base.select("vid", "v", "norm", *_sign_band_keys(F.col("v"), bits, bands))
-    cand = None
-    for b in range(bands):
-        a, c = sig.alias("a"), sig.alias("c")
-        p = a.join(
+    from pyspark import StorageLevel
+
+    base = _prep(embeddings, id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # the minhash_lsh_pairs layout: band keys as ROWS over ids only (the
+    # vectors stay out of the exploded relation and the pair-dedup shuffle),
+    # ONE self-join on (band_idx, band_key) instead of `bands` joins +
+    # union, then exact cosine via two hash joins of the deduped candidate
+    # ids back against the cached vector table — candidates are a tiny
+    # fraction of the corpus, so the rejoin moves far fewer vectors than
+    # either carrying them through the band join or recomputing per band.
+    banded = base.select(
+        "vid",
+        F.posexplode(F.array(*_sign_band_keys(F.col("v"), bits, bands))).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    a, c = banded.alias("a"), banded.alias("c")
+    cand = (
+        a.join(
             c,
-            (F.col(f"a.sband{b}") == F.col(f"c.sband{b}"))
+            (F.col("a.band_idx") == F.col("c.band_idx"))
+            & (F.col("a.band_key") == F.col("c.band_key"))
             & (F.col("a.vid") < F.col("c.vid")),
-        ).select(
-            F.col("a.vid").alias("vid_a"),
-            F.col("c.vid").alias("vid_b"),
-            F.col("a.v").alias("va"),
-            F.col("a.norm").alias("na"),
-            F.col("c.v").alias("vb"),
-            F.col("c.norm").alias("nb"),
         )
-        cand = p if cand is None else cand.unionByName(p)
+        .select(F.col("a.vid").alias("vid_a"), F.col("c.vid").alias("vid_b"))
+        .dropDuplicates(["vid_a", "vid_b"])
+    )
+    sa = base.select(F.col("vid").alias("vid_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    sb = base.select(F.col("vid").alias("vid_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
     cos = quantize6(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
     return (
-        cand.dropDuplicates(["vid_a", "vid_b"])
+        cand.join(sa, "vid_a")
+        .join(sb, "vid_b")
         .select("vid_a", "vid_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
