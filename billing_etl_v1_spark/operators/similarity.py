@@ -57,12 +57,18 @@ def cosine_topk_bruteforce(
     queries = base.filter(F.col("vid") % query_mod == 0).select(
         F.col("vid").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn")
     )
-    scored = base.crossJoin(F.broadcast(queries)).filter(F.col("vid") != F.col("qid"))
     score = quantize6(_dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qn")))
+    # project to (qid, vid, score) BEFORE the top-k window: the rank
+    # shuffle then moves 3 scalars per scored pair instead of two 64-float
+    # vectors — the dominant data volume at any scale
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", "vid", score.alias("score"))
+    )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vid").asc())
     return (
-        scored.withColumn("score", score)
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             F.col("qid").alias("query_id"),
@@ -87,14 +93,24 @@ def assign_clusters(
         F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cn")
     )
     sim = quantize6(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn")))
-    w = Window.partitionBy("vid").orderBy(F.col("csim").desc(), F.col("cid").asc())
-    return (
+    # narrow (vid, cid, csim) through the argmax window, vectors rejoined
+    # after — the rank-1 shuffle moves scalars, not num_centroids copies of
+    # every vector
+    best = (
         base.crossJoin(F.broadcast(cents))
-        .withColumn("csim", sim)
-        .withColumn("crk", F.row_number().over(w))
+        .select("vid", "cid", sim.alias("csim"))
+        .withColumn(
+            "crk",
+            F.row_number().over(
+                Window.partitionBy("vid").orderBy(
+                    F.col("csim").desc(), F.col("cid").asc()
+                )
+            ),
+        )
         .filter(F.col("crk") == 1)
-        .select("vid", "v", "norm", F.col("cid").alias("cluster"))
+        .select("vid", F.col("cid").alias("cluster"))
     )
+    return base.join(best, "vid").select("vid", "v", "norm", "cluster")
 
 
 def cosine_topk_ivf(
@@ -115,15 +131,18 @@ def cosine_topk_ivf(
         F.col("norm").alias("qn"),
         F.col("cluster").alias("qcluster"),
     )
-    cand = assigned.join(
-        F.broadcast(queries),
-        (F.col("cluster") == F.col("qcluster")) & (F.col("vid") != F.col("qid")),
-    )
     score = quantize6(_dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qn")))
+    cand = (
+        assigned.join(
+            F.broadcast(queries),
+            (F.col("cluster") == F.col("qcluster")) & (F.col("vid") != F.col("qid")),
+        )
+        # narrow before the top-k window (see cosine_topk_bruteforce)
+        .select("qid", "vid", score.alias("score"))
+    )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vid").asc())
     return (
-        cand.withColumn("score", score)
-        .withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             F.col("qid").alias("query_id"),
