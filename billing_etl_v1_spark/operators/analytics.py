@@ -156,3 +156,45 @@ def rolling_daily_cost(fact: DataFrame, window_days: int = 7) -> DataFrame:
         ).alias("trailing_avg"),
         F.count(F.lit(1)).over(w).alias("days_present"),
     )
+
+
+def month_reconciliation(
+    fact: DataFrame, month_a: str = "199506", month_b: str = "199507"
+) -> DataFrame:
+    """FULL OUTER reconciliation of two invoice months at account grain:
+    every account present in either month, with both totals, the delta, and
+    a status (added / removed / changed / unchanged) — the billing-close
+    sanity report a finance team runs after each cycle (full-outer shape;
+    the reference has no set/outer operators, SURVEY §2.11).
+
+    Scale shape: two month-pruned aggregates shuffle on account; the outer
+    join co-partitions with them (same key), so no extra exchange. DECIMAL
+    sums make the delta and the unchanged-test exact — a double sum could
+    flip 'unchanged' to 'changed' across partitionings.
+    """
+    def month_totals(month: str, alias: str) -> DataFrame:
+        return (
+            fact.filter(F.col("invoice_month") == month)
+            .groupBy("billing_account_id")
+            .agg(F.sum(_dec("cost")).alias(alias))
+        )
+
+    a = month_totals(month_a, "__ca")
+    b = month_totals(month_b, "__cb")
+    joined = a.join(b, "billing_account_id", "full_outer")
+    ca, cb = F.col("__ca"), F.col("__cb")
+    status = (
+        F.when(ca.isNull(), F.lit("added"))
+        .when(cb.isNull(), F.lit("removed"))
+        .when(ca == cb, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        "billing_account_id",
+        quantize6(F.coalesce(ca, F.lit(0)).cast("double")).alias("cost_a"),
+        quantize6(F.coalesce(cb, F.lit(0)).cast("double")).alias("cost_b"),
+        quantize6((F.coalesce(cb, F.lit(0)) - F.coalesce(ca, F.lit(0))).cast("double")).alias(
+            "delta"
+        ),
+        status.alias("status"),
+    )

@@ -569,3 +569,27 @@ SELECT invoice_month, cost_type,
 FROM fact
 GROUP BY CUBE (invoice_month, cost_type)
 """
+
+
+def month_reconciliation_sql(month_a: str = "199506", month_b: str = "199507") -> str:
+    """Twin of operators.analytics.month_reconciliation (FULL OUTER)."""
+    return f"""
+WITH fact AS ({FACT_SQL}),
+a AS (
+  SELECT billing_account_id, sum(CAST(cost AS DECIMAL(38,10))) AS ca
+  FROM fact WHERE invoice_month = '{month_a}' GROUP BY billing_account_id
+),
+b AS (
+  SELECT billing_account_id, sum(CAST(cost AS DECIMAL(38,10))) AS cb
+  FROM fact WHERE invoice_month = '{month_b}' GROUP BY billing_account_id
+)
+SELECT coalesce(a.billing_account_id, b.billing_account_id) AS billing_account_id,
+  {_r6('CAST(coalesce(ca, 0) AS DOUBLE)')} AS cost_a,
+  {_r6('CAST(coalesce(cb, 0) AS DOUBLE)')} AS cost_b,
+  {_r6('CAST(coalesce(cb, 0) - coalesce(ca, 0) AS DOUBLE)')} AS delta,
+  CASE WHEN ca IS NULL THEN 'added'
+       WHEN cb IS NULL THEN 'removed'
+       WHEN ca = cb THEN 'unchanged'
+       ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.billing_account_id = b.billing_account_id
+"""
