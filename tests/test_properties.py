@@ -223,3 +223,70 @@ def test_connected_components_agree_with_union_find(spark, n_nodes, edge_seed):
         for r in connected_components(nodes_df, pairs_df).collect()
     }
     assert got == _union_find_components(n_nodes, edges)
+
+
+# --- funnel vs a direct Python model ---------------------------------------
+
+
+def _model_funnel(events: list[tuple[int, int, str]], steps: list[str]) -> list[int]:
+    """events: (user, ts, type). Returns reached-count per step using the
+    min-over-qualifying definition independently of any SQL."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, ts, ty in events:
+        by_user[u].append((ts, ty))
+    counts = []
+    reach: dict[int, int] = {}
+    for i, step in enumerate(steps):
+        nxt: dict[int, int] = {}
+        for u, evs in by_user.items():
+            if i > 0 and u not in reach:
+                continue
+            lo = reach.get(u, -1) if i > 0 else None
+            qual = [
+                ts
+                for ts, ty in evs
+                if ty == step and (i == 0 or ts > lo)
+            ]
+            if qual:
+                nxt[u] = min(qual)
+        reach = nxt
+        counts.append(len(reach))
+    return counts
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    raw=st.lists(
+        st.tuples(
+            st.integers(0, 6),              # user
+            st.integers(0, 50),             # ts (seconds)
+            st.sampled_from(["view", "click", "purchase", "other"]),
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_funnel_agrees_with_python_model(spark, raw):
+    from billing_etl_v1_spark.operators.events import funnel
+
+    steps = ["view", "click", "purchase"]
+    rows = [
+        (i, u, f"2024-01-01 00:00:{ts:02d}.{ts % 7}", ty)
+        for i, (u, ts, ty) in enumerate(raw)
+    ]
+    # distinct sub-second offsets exercise strict-inequality boundaries
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["event_type"]: r["users"] for r in funnel(df, steps).collect()}
+    model_events = [
+        (u, ts * 10 + ts % 7, ty) for (u, ts, ty) in raw
+    ]  # same order/ties as the timestamp encoding
+    expected = _model_funnel(model_events, steps)
+    assert [got[s] for s in steps] == expected
