@@ -31,6 +31,12 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        # shuffle width = cores: measured equal-or-better than wider
+        # initialPartitionNum settings (64/128/256) at sf0.1 AND at a 4x
+        # replicated fact on this single-JVM box — task-launch overhead
+        # dominates before per-partition hash pressure does. On a real
+        # multi-executor cluster the equivalent knob is initialPartitionNum
+        # ≈ 2-4x total cores with AQE coalescing down; revisit there.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
