@@ -211,3 +211,52 @@ def streaming_enrich_user_profile(
             "total_value",
         )
     )
+
+
+def streaming_click_attribution(
+    events_stream: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the clicks
+    the same user made within ``attribution_window`` BEFORE it.
+
+    Both sides carry watermarks and the join condition bounds the event-time
+    distance, so Spark derives state-cleanup thresholds for BOTH state
+    stores — click state older than (watermark + window) is evicted instead
+    of growing forever, which is what separates a production stream-stream
+    join from an unbounded one. Inner join: late/unmatched rows drop once
+    the watermark passes (the batch twin reproduces this on complete data).
+    """
+    clicks = (
+        events_stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events_stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )

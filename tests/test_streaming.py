@@ -192,3 +192,46 @@ def test_streaming_enrich_matches_batch(spark, tmp_path):
     )
     expected = {r.segment: r.n for r in batch.collect()}
     assert {r.segment: r.n for r in got} == expected
+
+
+def test_streaming_click_attribution_matches_batch(spark, tmp_path):
+    from billing_etl_v1_spark.streaming.pipeline import streaming_click_attribution
+
+    events = load_table(spark, SF_SMALL, "events")
+    events_dir = str(tmp_path / "events_attr")
+    events.write.parquet(events_dir)
+    stream = spark.readStream.schema(spark.read.parquet(events_dir).schema).parquet(events_dir)
+
+    out = streaming_click_attribution(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attributed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT purchase_id, click_id FROM attributed"
+    ).collect()
+
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select("purchase_id", "click_id")
+    expected = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    assert {(r.purchase_id, r.click_id) for r in got} == expected
+    assert len(expected) > 0  # the fixture must actually exercise the join
