@@ -204,3 +204,42 @@ def test_rolling_window_input_is_day_grain(spark):
     plan = plan_of(spark, "billing_rolling_daily_cost")
     assert len(nodes(plan, "Window")) == 1
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_splits_skewed_sort_merge_join(spark):
+    """AQE's skew-join handling (the engine's replacement for the
+    reference's hardcoded heavy-account chunking, main.py:86-104) must
+    actually engage: with test-scale thresholds, a 95%-one-key join ends
+    with SortMergeJoin(skew=true) in the FINAL adaptive plan."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "20KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 100000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7))
+            .otherwise(F.col("id") % 500)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("pay"),
+        )
+        right = spark.range(0, 500).select(F.col("id").alias("k"), F.lit("dim").alias("d"))
+        j = left.join(right, "k")
+        assert len(j.collect()) == 100000
+        # executedPlan AFTER an action on the same QueryExecution = the
+        # final adaptive plan (a write would execute a clone and leave
+        # isFinalPlan=false here)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
