@@ -216,6 +216,16 @@ def _q_month_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics_ops.month_reconciliation(fact)
 
 
+def _q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from billing_etl_v1_spark.operators.conform import dq_audit
+
+    fact, dim = _billing_ctx(spark, sf_dir)
+    calc = billing_pipeline(
+        fact, dim, extra_discounts=oracle.TEST_EXTRA_DISCOUNTS, include_etl_time=False
+    )
+    return dq_audit(calc)
+
+
 def _q_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact, _ = _billing_ctx(spark, sf_dir)
     return analytics_ops.month_over_month(fact)
@@ -604,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_running_totals": _q_running_totals,
         "billing_rolling_daily_cost": _q_rolling_daily_cost,
         "billing_month_reconciliation": _q_month_reconciliation,
+        "billing_dq_audit": _q_dq_audit,
         "billing_month_over_month": _q_month_over_month,
         "billing_new_usage_lines": _q_new_usage_lines,
         "billing_repeat_usage_lines": _q_repeat_usage_lines,
@@ -691,6 +702,7 @@ def oracle_sql() -> dict[str, str]:
         "billing_running_totals": oracle.running_totals_sql(),
         "billing_rolling_daily_cost": oracle.rolling_daily_cost_sql(),
         "billing_month_reconciliation": oracle.month_reconciliation_sql(),
+        "billing_dq_audit": oracle.dq_audit_sql(),
         "billing_month_over_month": oracle.month_over_month_sql(),
         "billing_new_usage_lines": oracle.new_usage_lines_sql(oracle.FLAGSHIP_MONTH, "199505"),
         "billing_repeat_usage_lines": oracle.repeat_usage_lines_sql(

@@ -57,3 +57,69 @@ def conform_to_target(
             col = F.col(name)
         out.append(col.alias(name))
     return df.select(*out)
+
+
+def dq_audit(calculated: DataFrame) -> DataFrame:
+    """Data-quality audit over calculated invoice lines: one row per check
+    with its violation count — the post-pipeline gate a billing close runs
+    before publishing (the reference's only quality control is sink-side
+    schema conformance, billing_calculation_service.py:330-425; it never
+    validates VALUES).
+
+    Checks: NULL required keys, negative money, mode outside 0..4,
+    mode-4 rows with price=0 AND nonzero discount_amount (the zero-price
+    guard must zero the credit part, calculate/service.py:93), and
+    duplicate physical grain. One pass: every check is a conditional
+    count in a single aggregate, plus one grain-duplicate subquery —
+    2 shuffles total regardless of check count.
+    """
+    c = F.count(F.lit(1))
+    checks = calculated.agg(
+        F.sum(
+            (
+                F.col("invoice_month").isNull()
+                | F.col("billing_account_id").isNull()
+                | F.col("usage_day").isNull()
+            ).cast("long")
+        ).alias("null_required_keys"),
+        F.sum((F.col("cost") < 0).cast("long")).alias("negative_cost"),
+        F.sum(
+            ((F.col("mode") < 0) | (F.col("mode") > 4)).cast("long")
+        ).alias("mode_out_of_range"),
+        F.sum(
+            (
+                (F.col("mode") == 4)
+                & (F.col("price") == 0)
+                & (F.col("discount_amount") != 0)
+            ).cast("long")
+        ).alias("mode4_zero_price_leak"),
+    )
+    grain = [
+        "invoice_month",
+        "billing_account_id",
+        "usage_day",
+        "project_id",
+        "service_id",
+        "sku_id",
+        "cost_type",
+    ]
+    dup = (
+        calculated.groupBy(*grain)
+        .agg(c.alias("__n"))
+        .filter(F.col("__n") > 1)
+        .agg(F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).alias("duplicate_grain_rows"))
+    )
+    melted = None
+    for col in [
+        "null_required_keys",
+        "negative_cost",
+        "mode_out_of_range",
+        "mode4_zero_price_leak",
+    ]:
+        one = checks.select(F.lit(col).alias("check"), F.col(col).alias("violations"))
+        melted = one if melted is None else melted.unionAll(one)
+    dup_row = dup.select(
+        F.lit("duplicate_grain_rows").alias("check"),
+        F.col("duplicate_grain_rows").alias("violations"),
+    )
+    return melted.unionAll(dup_row)

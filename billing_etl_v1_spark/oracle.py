@@ -593,3 +593,31 @@ SELECT coalesce(a.billing_account_id, b.billing_account_id) AS billing_account_i
        ELSE 'changed' END AS status
 FROM a FULL OUTER JOIN b ON a.billing_account_id = b.billing_account_id
 """
+
+
+def dq_audit_sql() -> str:
+    """Twin of operators.conform.dq_audit over the flagship output."""
+    grain = ("invoice_month, billing_account_id, usage_day, project_id, "
+             "service_id, sku_id, cost_type")
+    return f"""
+WITH calc AS ({flagship_sql()}),
+checks AS (
+  SELECT
+    sum((invoice_month IS NULL OR billing_account_id IS NULL
+         OR usage_day IS NULL)::BIGINT) AS null_required_keys,
+    sum((cost < 0)::BIGINT) AS negative_cost,
+    sum((mode < 0 OR mode > 4)::BIGINT) AS mode_out_of_range,
+    sum((mode = 4 AND price = 0 AND discount_amount <> 0)::BIGINT)
+      AS mode4_zero_price_leak
+  FROM calc
+),
+dup AS (
+  SELECT coalesce(sum(n - 1), 0) AS duplicate_grain_rows
+  FROM (SELECT count(*) AS n FROM calc GROUP BY {grain}) WHERE n > 1
+)
+SELECT 'null_required_keys' AS "check", null_required_keys AS violations FROM checks
+UNION ALL SELECT 'negative_cost', negative_cost FROM checks
+UNION ALL SELECT 'mode_out_of_range', mode_out_of_range FROM checks
+UNION ALL SELECT 'mode4_zero_price_leak', mode4_zero_price_leak FROM checks
+UNION ALL SELECT 'duplicate_grain_rows', duplicate_grain_rows FROM dup
+"""
