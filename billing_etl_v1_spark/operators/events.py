@@ -254,7 +254,6 @@ def funnel(events: DataFrame, steps: list[str] | None = None) -> DataFrame:
             .agg(F.min("ts").alias(f"t{i}"))
         )
         counts.append((step, nxt))
-    spark = events.sparkSession
     rows = None
     for i, (step, df) in enumerate(counts):
         one = df.agg(F.count(F.lit(1)).alias("users")).select(
