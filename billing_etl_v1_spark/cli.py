@@ -1,0 +1,73 @@
+"""Command-line entry point — the switch-over surface for the reference's
+``main.py`` / ``excute_month_task.py`` / ``billing-etl.sh`` drivers
+(reference README.md:41-53 documents a CLI; main.py:207-215 is the daily
+cron, excute_month_task.py:167-200 the monthly backfill).
+
+    python -m billing_etl_v1_spark.cli daily  --fact F --dim D --target T [--date YYYY-MM-DD]
+    python -m billing_etl_v1_spark.cli month  --fact F --dim D --target T --invoice-month YYYYMM
+
+``--fact`` / ``--dim`` are parquet paths (the engine's tables-at-rest; the
+reference read the same shapes from ClickHouse). No scheduler is embedded —
+run ``daily`` from any cron, exactly as the reference's 05:00 schedule
+called its function.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="billing-etl-v1-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp: argparse.ArgumentParser) -> None:
+        sp.add_argument("--fact", required=True, help="fact table parquet path")
+        sp.add_argument("--dim", required=True, help="dim_contract parquet path")
+        sp.add_argument("--target", required=True, help="calculated-table parquet path")
+
+    daily = sub.add_parser("daily", help="incremental run (4-day lookback, month-clamped)")
+    common(daily)
+    daily.add_argument(
+        "--date",
+        default=None,
+        help="process date YYYY-MM-DD (default: today UTC, like the cron)",
+    )
+    daily.add_argument("--lookback-days", type=int, default=4)
+
+    month = sub.add_parser("month", help="whole-month backfill")
+    common(month)
+    month.add_argument("--invoice-month", required=True, help="YYYYMM")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from billing_etl_v1_spark.plans.drivers import run_daily, run_month
+    from billing_etl_v1_spark.session import get_spark
+
+    spark = get_spark("billing-etl-cli")
+    fact = spark.read.parquet(args.fact)
+    dim = spark.read.parquet(args.dim)
+    if args.command == "daily":
+        process_date = (
+            dt.date.fromisoformat(args.date)
+            if args.date
+            else dt.datetime.now(dt.timezone.utc).date()
+        )
+        month, lo, hi = run_daily(
+            fact, dim, args.target, process_date, lookback_days=args.lookback_days
+        )
+        print(f"daily run complete: month={month} window=[{lo}, {hi})")
+    else:
+        run_month(fact, dim, args.target, args.invoice_month)
+        print(f"month backfill complete: {args.invoice_month}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

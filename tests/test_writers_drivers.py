@@ -172,3 +172,58 @@ def test_compact_partitions_reduces_files_and_preserves_rows(spark, tmp_path):
     assert after < before / 4
     assert spark.read.parquet(path).count() == total_before
     assert spark.read.parquet(path).agg({"v": "sum"}).first()[0] == sum_before
+
+
+def test_cli_month_backfill_end_to_end(spark, tmp_path, monkeypatch):
+    """Drive the CLI surface end-to-end: write fact/dim parquet, run the
+    month subcommand, read the target back."""
+    from billing_etl_v1_spark import cli
+
+    fact, dim = _ctx(spark)
+    fact_path, dim_path = str(tmp_path / "fact"), str(tmp_path / "dim")
+    target = str(tmp_path / "target")
+    fact.write.parquet(fact_path)
+    dim.write.parquet(dim_path)
+    # reuse the test session instead of building a second JVM-attached one
+    monkeypatch.setattr("billing_etl_v1_spark.session.get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main(
+        [
+            "month",
+            "--fact", fact_path,
+            "--dim", dim_path,
+            "--target", target,
+            "--invoice-month", "199506",
+        ]
+    )
+    assert rc == 0
+    out = spark.read.parquet(target)
+    assert out.count() > 0
+    assert set(r.invoice_month for r in out.select("invoice_month").distinct().collect()) == {"199506"}
+
+
+def test_cli_daily_window_args(spark, tmp_path, monkeypatch):
+    from billing_etl_v1_spark import cli
+
+    fact, dim = _ctx(spark)
+    fact_path, dim_path = str(tmp_path / "factd"), str(tmp_path / "dimd")
+    target = str(tmp_path / "targetd")
+    fact.write.parquet(fact_path)
+    dim.write.parquet(dim_path)
+    monkeypatch.setattr("billing_etl_v1_spark.session.get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main(
+        [
+            "daily",
+            "--fact", fact_path,
+            "--dim", dim_path,
+            "--target", target,
+            "--date", "1995-06-20",
+        ]
+    )
+    assert rc == 0
+    # usage_day is a partition column and type inference is disabled, so it
+    # reads back as 'YYYY-MM-DD' strings; window is [16th, 21st) — which of
+    # those days carry data depends on the synthetic fact
+    days = {str(r.usage_day) for r in spark.read.parquet(target).select("usage_day").distinct().collect()}
+    assert days and all("1995-06-16" <= d <= "1995-06-20" for d in days)
