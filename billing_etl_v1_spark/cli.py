@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     month = sub.add_parser("month", help="whole-month backfill")
     common(month)
     month.add_argument("--invoice-month", required=True, help="YYYYMM")
+
+    # S8 introspection — the reference's check_schema.py (DESCRIBE both
+    # input tables, check_schema.py:19-22)
+    schema = sub.add_parser("schema", help="print the schema of a parquet table")
+    schema.add_argument("paths", nargs="+", help="parquet path(s) to describe")
     return p
 
 
@@ -50,6 +55,12 @@ def main(argv: list[str] | None = None) -> int:
     from billing_etl_v1_spark.session import get_spark
 
     spark = get_spark("billing-etl-cli")
+    if args.command == "schema":
+        for path in args.paths:
+            print(f"-- {path}")
+            print(spark.read.parquet(path).schema.treeString())
+        spark.stop()
+        return 0
     fact = spark.read.parquet(args.fact)
     dim = spark.read.parquet(args.dim)
     if args.command == "daily":

@@ -227,3 +227,14 @@ def test_cli_daily_window_args(spark, tmp_path, monkeypatch):
     # those days carry data depends on the synthetic fact
     days = {str(r.usage_day) for r in spark.read.parquet(target).select("usage_day").distinct().collect()}
     assert days and all("1995-06-16" <= d <= "1995-06-20" for d in days)
+
+
+def test_cli_schema_subcommand(spark, monkeypatch, capsys):
+    from billing_etl_v1_spark import cli
+
+    monkeypatch.setattr("billing_etl_v1_spark.session.get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main(["schema", f"{SF_SMALL}/region.parquet"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "r_regionkey" in out and "r_name" in out
