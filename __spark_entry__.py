@@ -357,6 +357,10 @@ def _q_docs_pack_shards(spark, sf_dir):
     return corpus_ops.pack_shards(load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_corpus_build(spark, sf_dir):
+    return corpus_ops.corpus_build(load_table(spark, sf_dir, "documents"))
+
+
 def _q_docs_mixture_sample(spark, sf_dir):
     return corpus_ops.mixture_sample(
         load_table(spark, sf_dir, "documents"), oracle_ext.MIXTURE_WEIGHTS
@@ -645,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample": _q_docs_sample,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_pack_shards": _q_docs_pack_shards,
+        "docs_corpus_build": _q_docs_corpus_build,
         "docs_mixture_sample": _q_docs_mixture_sample,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
@@ -736,6 +741,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_sample": oracle_ext.hash_sample_sql(fraction=0.1),
         "docs_stratified_sample": oracle_ext.stratified_sample_sql(cap=60),
         "docs_pack_shards": oracle_ext.pack_shards_sql(),
+        "docs_corpus_build": oracle_ext.corpus_build_sql(),
         "docs_mixture_sample": oracle_ext.mixture_sample_sql(oracle_ext.MIXTURE_WEIGHTS),
         "events_funnel": oracle_ext.funnel_sql(),
         "events_retention": oracle_ext.cohort_retention_sql(),

@@ -224,3 +224,23 @@ def mixture_sample(
         .filter(bucket < F.col("__thresh"))
         .drop("__thresh")
     )
+
+
+def corpus_build(
+    docs: DataFrame,
+    shard_tokens: int = 4000,
+    min_tokens: int = 30,
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """The composed end-to-end corpus build: quality/lang gate + exact
+    near-dup removal (quality_corpus) followed by fixed-token-budget shard
+    packing (pack_shards) — raw documents table in, training-shard
+    assignments out. The full pre-tokenization path a 100 TB corpus takes,
+    as one lazy DAG: narrow expression work, one fingerprint shuffle, one
+    (bucketed) prefix-sum window, everything else map-side.
+    """
+    kept = quality_corpus(docs, min_tokens=min_tokens, min_quality=min_quality)
+    packed = pack_shards(kept, shard_tokens=shard_tokens)
+    return packed.join(
+        kept.select("doc_id", "lang_pred", "quality_score"), "doc_id"
+    )

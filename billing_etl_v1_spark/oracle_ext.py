@@ -1249,3 +1249,29 @@ MIXTURE_WEIGHTS = {
     "src4": 0.25,
     "src5": 0.1,
 }
+
+
+def corpus_build_sql(
+    shard_tokens: int = 4000, min_tokens: int = 30, min_quality: float = 0.5
+) -> str:
+    """Twin of operators.corpus.corpus_build — pack_shards' single-window
+    formulation over the quality_corpus subquery."""
+    h = _md5int("doc_id::VARCHAR", salt="pack")
+    nt = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS}) END"
+    return f"""
+WITH kept AS ({quality_corpus_sql(min_tokens=min_tokens, min_quality=min_quality)}),
+base AS (
+  SELECT doc_id, lang_pred, quality_score,
+         CAST({nt} AS BIGINT) AS n_tokens, {h} AS hh
+  FROM kept
+),
+cum AS (
+  SELECT doc_id, lang_pred, quality_score, n_tokens,
+         sum(n_tokens) OVER (ORDER BY hh, doc_id ROWS UNBOUNDED PRECEDING) AS c
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       floor((c - n_tokens) / {shard_tokens})::BIGINT AS shard_id,
+       lang_pred, quality_score
+FROM cum
+"""
