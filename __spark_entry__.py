@@ -223,7 +223,10 @@ def _q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     calc = billing_pipeline(
         fact, dim, extra_discounts=oracle.TEST_EXTRA_DISCOUNTS, include_etl_time=False
     )
-    return dq_audit(calc)
+    # audit the QUANTIZED output (what the sink publishes, and what the
+    # oracle's flagship SQL emits) — raw doubles carry 1e-18 residues that
+    # flip exact-zero checks like the mode-4 guard
+    return dq_audit(round_doubles(calc))
 
 
 def _q_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,7 +59,7 @@ def conform_to_target(
     return df.select(*out)
 
 
-def dq_audit(calculated: DataFrame) -> DataFrame:
+def dq_audit(calculated: DataFrame, grain: list[str] | None = None) -> DataFrame:
     """Data-quality audit over calculated invoice lines: one row per check
     with its violation count — the post-pipeline gate a billing close runs
     before publishing (the reference's only quality control is sink-side
@@ -94,13 +94,21 @@ def dq_audit(calculated: DataFrame) -> DataFrame:
             ).cast("long")
         ).alias("mode4_zero_price_leak"),
     )
-    grain = [
+    # duplicate detection must run at the grain the frame is actually at —
+    # auditing detail-grain output against the coarser production grain
+    # reports legitimate detail rows as duplicates
+    grain = grain or [
         "invoice_month",
         "billing_account_id",
         "usage_day",
         "project_id",
+        "project_name",
         "service_id",
+        "service_description",
         "sku_id",
+        "sku_description",
+        "usage_pricing_unit",
+        "currency",
         "cost_type",
     ]
     dup = (

@@ -598,7 +598,8 @@ FROM a FULL OUTER JOIN b ON a.billing_account_id = b.billing_account_id
 def dq_audit_sql() -> str:
     """Twin of operators.conform.dq_audit over the flagship output."""
     grain = ("invoice_month, billing_account_id, usage_day, project_id, "
-             "service_id, sku_id, cost_type")
+             "project_name, service_id, service_description, sku_id, "
+             "sku_description, usage_pricing_unit, currency, cost_type")
     return f"""
 WITH calc AS ({flagship_sql()}),
 checks AS (
