@@ -32,6 +32,19 @@ from billing_etl_v1_spark.plans.pipeline import billing_pipeline
 from billing_etl_v1_spark.sources.writers import write_calculated
 
 
+def _event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP (LTZ).
+
+    Parquet fixtures read back as TIMESTAMP_NTZ, which ``withWatermark``
+    rejects. The session timezone is pinned to UTC (session.get_spark), so
+    the NTZ -> LTZ cast is value-preserving and keeps epoch math identical
+    to the batch twins.
+    """
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def streaming_billing_ingest(
     spark: SparkSession,
     fact_dir: str,
@@ -127,7 +140,7 @@ def streaming_sessionize(
             yield pd.DataFrame(out, columns=cols)
 
     return (
-        events_stream.withWatermark("ts", watermark)
+        _event_time(events_stream).withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
@@ -146,7 +159,7 @@ def streaming_window_counts(
 ) -> DataFrame:
     """Event-time tumbling window aggregation with late-data watermark."""
     return (
-        events_stream.withWatermark("ts", watermark)
+        _event_time(events_stream).withWatermark("ts", watermark)
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
         .select(
@@ -173,7 +186,7 @@ def streaming_dedup(
     This is the at-least-once -> exactly-once repair stage of an ingest
     pipeline (the batch twin is a plain dropDuplicates on the same keys).
     """
-    return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+    return _event_time(events_stream).withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
 
@@ -195,7 +208,7 @@ def streaming_enrich_user_profile(
     alternative (stream-stream join) would hold state for both sides and
     is only needed when the dimension itself is a stream of updates.
     """
-    enriched = events_stream.withWatermark("ts", watermark).join(
+    enriched = _event_time(events_stream).withWatermark("ts", watermark).join(
         F.broadcast(user_profile), "user_id"
     )
     return (
@@ -228,6 +241,7 @@ def streaming_click_attribution(
     join from an unbounded one. Inner join: late/unmatched rows drop once
     the watermark passes (the batch twin reproduces this on complete data).
     """
+    events_stream = _event_time(events_stream)
     clicks = (
         events_stream.filter(F.col("event_type") == "click")
         .select(
