@@ -254,7 +254,10 @@ def _q_value_percentiles(spark, sf_dir):
 
 
 def _q_approx_stats(spark, sf_dir):
-    return ts_ops.approx_group_stats(load_table(spark, sf_dir, "events"))
+    """Sketch aggregation (HLL++/KLL) with deterministic in-bounds flags so
+    the driver can hash-check it (raw sketch estimates are engine-specific;
+    the raw form is ts_ops.approx_group_stats, bounds-tested locally)."""
+    return ts_ops.approx_stats_checked(load_table(spark, sf_dir, "events"))
 
 
 def _q_user_trend(spark, sf_dir):
@@ -602,26 +605,78 @@ def _q_flagship_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Order matters: the driver's correctness harness checks the FIRST 50
+    entries only. Round 1 verified 50 names (CORRECTNESS_r01.json); this
+    round leads with the 33 queries that have never had a driver verdict,
+    followed by the 17 highest-value round-1 entries (the fixed
+    billing_dq_audit, the newly-oracled events_approx_stats, and the
+    flagship/billing core) so regressions there stay visible. The
+    remaining round-1-green queries keep local parity coverage
+    (tests/test_oracle_parity.py) below the fold.
+    """
     return {
-        "billing_source_agg": _q_source_agg,
-        "billing_rollup": _q_billing_rollup,
-        "billing_cube": _q_billing_cube,
-        "billing_source_agg_detail": _q_source_agg_detail,
-        "billing_minmax_day": _q_minmax_day,
-        "billing_distinct_accounts": _q_distinct_accounts,
-        "billing_dim_rules": _q_dim_rules,
-        "billing_rule_match": _q_rule_match,
-        "billing_credits_pivot": _q_credits_pivot,
-        "billing_pricing_modes": _q_pricing_modes,
+        # --- never driver-checked in round 1: lead with these ---
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
+        "tpch_price_bands": _q_price_bands,
+        "tpch_top_customers": _q_top_customers,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "events_salted_user_join": _q_events_salted_join,
+        "docs_quality_corpus": _q_quality_corpus,
+        "docs_top_ngrams": _q_docs_top_ngrams,
+        "docs_tfidf_top_terms": _q_docs_tfidf,
+        "multimodal_meta": _q_multimodal_meta,
+        "multimodal_frame_sample": _q_multimodal_frames,
+        "multimodal_features": _q_multimodal_features,
+        # --- round-1 rows worth re-confirming (fixed or most load-bearing) ---
+        "billing_dq_audit": _q_dq_audit,
+        "events_approx_stats": _q_approx_stats,
         "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
         "billing_flagship": _flagship(None, "detail"),
         "billing_flagship_production": _flagship(None, "pipeline"),
         "billing_flagship_sql": _q_flagship_sql,
+        "billing_source_agg": _q_source_agg,
+        "billing_source_agg_detail": _q_source_agg_detail,
+        "billing_rule_match": _q_rule_match,
+        "billing_pricing_modes": _q_pricing_modes,
+        "billing_credits_pivot": _q_credits_pivot,
+        "billing_dim_rules": _q_dim_rules,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_clusters": _q_dedup_clusters,
+        "sim_topk_ivf": _q_sim_ivf,
+        "docs_corpus_build": _q_docs_corpus_build,
+        "events_asof_purchase": _q_events_asof,
+        # --- round-1 green; driver re-checks as capacity allows ---
+        "billing_rollup": _q_billing_rollup,
+        "billing_cube": _q_billing_cube,
+        "billing_minmax_day": _q_minmax_day,
+        "billing_distinct_accounts": _q_distinct_accounts,
         "billing_running_totals": _q_running_totals,
         "billing_rolling_daily_cost": _q_rolling_daily_cost,
         "billing_month_reconciliation": _q_month_reconciliation,
-        "billing_dq_audit": _q_dq_audit,
         "billing_month_over_month": _q_month_over_month,
         "billing_new_usage_lines": _q_new_usage_lines,
         "billing_repeat_usage_lines": _q_repeat_usage_lines,
@@ -631,20 +686,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "sim_topk_bruteforce": _q_sim_bruteforce,
-        "sim_topk_ivf": _q_sim_ivf,
         "events_window_agg": _q_events_window,
         "events_sessionize": _q_events_sessionize,
-        "events_asof_purchase": _q_events_asof,
         "events_top_types": _q_events_top_types,
         "events_json_props": _q_events_json,
         "events_value_percentiles": _q_value_percentiles,
-        "events_approx_stats": _q_approx_stats,
         "events_user_trend": _q_user_trend,
         "events_type_pivot": _q_event_pivot,
         "events_value_deciles": _q_value_deciles,
@@ -652,41 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample": _q_docs_sample,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_pack_shards": _q_docs_pack_shards,
-        "docs_corpus_build": _q_docs_corpus_build,
         "docs_mixture_sample": _q_docs_mixture_sample,
-        "events_funnel": _q_events_funnel,
-        "events_retention": _q_events_retention,
-        "docs_quality_corpus": _q_quality_corpus,
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q4": _q_tpch_q4,
-        "tpch_q5": _q_tpch_q5,
-        "tpch_q6": _q_tpch_q6,
-        "tpch_q7": _q_tpch_q7,
-        "tpch_q10": _q_tpch_q10,
-        "tpch_q12": _q_tpch_q12,
-        "tpch_q13": _q_tpch_q13,
-        "tpch_q14": _q_tpch_q14,
-        "tpch_q2": _q_tpch_q2,
-        "tpch_q8": _q_tpch_q8,
-        "tpch_q9": _q_tpch_q9,
-        "tpch_q11": _q_tpch_q11,
-        "tpch_q20": _q_tpch_q20,
-        "tpch_q15": _q_tpch_q15,
-        "tpch_q16": _q_tpch_q16,
-        "tpch_q17": _q_tpch_q17,
-        "tpch_q18": _q_tpch_q18,
-        "tpch_q19": _q_tpch_q19,
-        "tpch_q21": _q_tpch_q21,
-        "tpch_q22": _q_tpch_q22,
-        "tpch_price_bands": _q_price_bands,
-        "tpch_top_customers": _q_top_customers,
-        "events_salted_user_join": _q_events_salted_join,
-        "docs_top_ngrams": _q_docs_top_ngrams,
-        "docs_tfidf_top_terms": _q_docs_tfidf,
-        "multimodal_meta": _q_multimodal_meta,
-        "multimodal_frame_sample": _q_multimodal_frames,
-        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -737,6 +753,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_percentiles": oracle_ext.value_percentiles_sql(
             ts_ops.PERCENTILES
         ),
+        "events_approx_stats": oracle_ext.approx_stats_sql(ts_ops.PERCENTILES),
         "events_user_trend": oracle_ext.user_value_trend_sql(),
         "events_type_pivot": oracle_ext.event_type_pivot_sql(),
         "events_value_deciles": oracle_ext.value_deciles_sql(),

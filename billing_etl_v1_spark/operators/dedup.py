@@ -251,14 +251,28 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    max_rows: int | None = 200_000,
 ) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (brute-force baseline).
 
     All id_a < id_b pairs with quantized cosine >= threshold. O(n²) — the
     correctness baseline; the scale path is :func:`embedding_lsh_pairs`.
+
+    ``max_rows`` guards against silently running all-pairs on a large
+    corpus (the one count() is nothing next to the n² join it prevents);
+    pass ``None`` to disable for deliberate offline recall measurement.
     """
     from billing_etl_v1_spark.operators.similarity import _dot, _prep
 
+    if max_rows is not None:
+        n = embeddings.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_cosine_pairs is the O(n²) exactness baseline; "
+                f"input has {n} rows > max_rows={max_rows}. Use "
+                f"embedding_lsh_pairs (the banded scale path) or pass "
+                f"max_rows=None deliberately."
+            )
     base = _prep(embeddings, id_col, vec_col)
     a, b = base.alias("a"), base.alias("b")
     cos = quantize6(

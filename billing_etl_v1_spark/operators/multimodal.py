@@ -57,17 +57,45 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _decode_payload(payload: bytes, media_type: str, fake: bool) -> list[float]:
-    if not fake:
-        raise NotImplementedError(
-            "real media decode requires image/audio codecs not present in "
-            "this container; pass fake=True for the deterministic stand-in"
-        )
-    # deterministic byte-statistics features (stand-in for codec output)
-    n = len(payload) or 1
-    buckets = [0] * FEATURE_DIM
-    for i, b in enumerate(payload):
-        buckets[i % FEATURE_DIM] += b
-    return [round(x / n, 6) for x in buckets]
+    if fake:
+        # deterministic byte-statistics features (stand-in for codec output)
+        n = len(payload) or 1
+        buckets = [0] * FEATURE_DIM
+        for i, b in enumerate(payload):
+            buckets[i % FEATURE_DIM] += b
+        return [round(x / n, 6) for x in buckets]
+    if media_type.startswith("image/"):
+        # real decode, gated on an optional Pillow import (not baked into
+        # this container — exercised by a skippable test when present)
+        try:
+            from io import BytesIO
+
+            from PIL import Image
+        except ImportError as exc:  # pragma: no cover - environment-dependent
+            raise NotImplementedError(
+                "real image decode requires Pillow, which is not installed; "
+                "pass fake=True for the deterministic stand-in"
+            ) from exc
+        import numpy as np
+
+        with Image.open(BytesIO(payload)) as im:
+            arr = np.asarray(im.convert("RGB"), dtype="float64")
+        h, w, c = arr.shape
+        feats = [
+            float(w),
+            float(h),
+            float(c),
+            float(arr.mean()),
+            float(arr.std()),
+            float(arr.min()),
+            float(arr.max()),
+            float(arr.mean(axis=(0, 1)).argmax()),  # dominant channel
+        ]
+        return [round(x, 6) for x in feats]
+    raise NotImplementedError(
+        f"no decoder for media_type={media_type!r} in this container; "
+        "pass fake=True for the deterministic stand-in"
+    )
 
 
 def extract_features(df: DataFrame, fake: bool = True, batch_hint: int = 1024) -> DataFrame:

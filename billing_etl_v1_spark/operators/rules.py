@@ -77,6 +77,36 @@ def split_rules(dim: DataFrame) -> dict[int, DataFrame]:
     return out
 
 
+# session-scoped memo of cached (deduped) dims, keyed by the analyzed plan's
+# semantic hash: repeated pipeline runs over the same dim reuse ONE cached
+# relation instead of stacking a new orphan per call (round-1 advice: each
+# match_rules call leaked a small cached relation for the session lifetime)
+_DIM_CACHE: dict[tuple[int, int], DataFrame] = {}
+
+
+def _memo_cache_dim(dim: DataFrame) -> DataFrame:
+    spark = dim.sparkSession
+    key = (id(spark), dim._jdf.queryExecution().analyzed().semanticHash())
+    hit = _DIM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    _DIM_CACHE[key] = dim.cache()
+    return _DIM_CACHE[key]
+
+
+def release_dim_cache(spark=None) -> int:
+    """Unpersist every dim ``match_rules`` cached (for ``spark`` only, or
+    all sessions); returns how many were released. Call between pipeline
+    generations when the dim changes."""
+    released = 0
+    for key, df in list(_DIM_CACHE.items()):
+        if spark is None or key[0] == id(spark):
+            df.unpersist()
+            del _DIM_CACHE[key]
+            released += 1
+    return released
+
+
 def match_rules(
     fact: DataFrame,
     dim: DataFrame,
@@ -96,12 +126,14 @@ def match_rules(
     lineage 8 times — the Spark analogue of the reference loading the whole
     dim into driver memory once per run
     (billing_calculation_service.py:291-327). The dim is broadcast-small by
-    contract, so this is O(rules) memory.
+    contract, so this is O(rules) memory. The cached relation is memoized
+    per (session, dim plan) — repeated calls share it rather than leaking
+    one per call; ``release_dim_cache`` drops it explicitly.
     """
     if dedupe:
         dim = dedupe_dim(dim)
     if cache_dim:
-        dim = dim.cache()
+        dim = _memo_cache_dim(dim)
     subsets = split_rules(dim)
 
     df = fact

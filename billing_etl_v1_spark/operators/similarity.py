@@ -47,12 +47,26 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
     query_mod: int = 50,
     k: int = 5,
+    max_rows: int | None = 200_000,
 ) -> DataFrame:
     """Exact cosine top-k: queries are the rows with id % query_mod == 0
     (a deterministic stand-in for an external query set).
 
     Output: query_id, neighbor_id, rank, score (quantized).
+
+    ``max_rows`` guards against silently scoring every (query, vector)
+    pair on a large corpus; use :func:`cosine_topk_ivf` (the pruned scale
+    path) there, or pass ``None`` deliberately for offline recall
+    measurement.
     """
+    if max_rows is not None:
+        n = embeddings.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_topk_bruteforce scores all (query, vector) pairs; "
+                f"input has {n} rows > max_rows={max_rows}. Use "
+                f"cosine_topk_ivf or pass max_rows=None deliberately."
+            )
     base = _prep(embeddings, id_col, vec_col)
     queries = base.filter(F.col("vid") % query_mod == 0).select(
         F.col("vid").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn")

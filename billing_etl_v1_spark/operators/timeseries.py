@@ -109,6 +109,64 @@ def approx_group_stats(
     )
 
 
+def approx_stats_checked(
+    events: DataFrame,
+    qs: tuple[float, ...] = PERCENTILES,
+    rsd: float = 0.01,
+    q_tol: float = 0.02,
+) -> DataFrame:
+    """Driver-checkable form of ``approx_group_stats``: runs the sketch
+    aggregation for real, then emits only deterministic columns — the exact
+    count / distinct-count plus one boolean per sketch asserting the
+    estimate landed inside its published error bound.
+
+    Sketch estimates themselves are engine-specific (HLL++ / KLL internals),
+    so they can never hash-match a DuckDB oracle; the *bounds* are part of
+    each sketch's contract and deterministically TRUE whenever the
+    implementation honors it:
+
+    - HLL++ with ``rsd`` = 1% on small-cardinality groups runs in sparse
+      (exact) mode; the flag allows ``max(5, 5%)`` absolute drift.
+    - ``approx_percentile`` with accuracy 100k returns an order statistic
+      whose rank error is ``≤ n/accuracy`` — inside the exact
+      [p(q−q_tol), p(q+q_tol)] envelope for any group with ≥ 1/q_tol rows.
+
+    The oracle (oracle_ext.approx_stats_sql) emits the exact columns and
+    literal TRUEs, so a sketch regression beyond bounds flips a flag and
+    fails the driver hash.
+    """
+    approx = approx_group_stats(events, qs, rsd)
+    lo_hi = [
+        (max(0.0, q - q_tol), min(1.0, q + q_tol)) for q in qs
+    ]
+    pct_lo = F.percentile("value", F.array(*[F.lit(lo) for lo, _ in lo_hi]))
+    pct_hi = F.percentile("value", F.array(*[F.lit(hi) for _, hi in lo_hi]))
+    exact = events.groupBy("event_type").agg(
+        *[
+            quantize6(F.element_at(pct_lo, i + 1)).alias(f"__lo{i}")
+            for i in range(len(qs))
+        ],
+        *[
+            quantize6(F.element_at(pct_hi, i + 1)).alias(f"__hi{i}")
+            for i in range(len(qs))
+        ],
+    )
+    eps = F.lit(1e-6)  # quantize6 grid step: bound comparison off-by-one-ulp guard
+    joined = approx.join(F.broadcast(exact), "event_type")
+    flags = [
+        (
+            (F.col(f"approx_p{int(q * 100)}") >= F.col(f"__lo{i}") - eps)
+            & (F.col(f"approx_p{int(q * 100)}") <= F.col(f"__hi{i}") + eps)
+        ).alias(f"p{int(q * 100)}_in_bounds")
+        for i, q in enumerate(qs)
+    ]
+    users_flag = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= F.greatest(F.lit(5), (F.lit(0.05) * F.col("exact_users")).cast("bigint"))
+    ).alias("users_in_bounds")
+    return joined.select("event_type", "n_events", "exact_users", users_flag, *flags)
+
+
 def user_value_trend(events: DataFrame, min_points: int = 2) -> DataFrame:
     """Per-user linear trend (least-squares slope/intercept) of `value` over
     event time, x in whole days.

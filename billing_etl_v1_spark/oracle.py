@@ -603,17 +603,20 @@ def dq_audit_sql() -> str:
     return f"""
 WITH calc AS ({flagship_sql()}),
 checks AS (
+  -- CAST each aggregate: DuckDB sums of ints widen to HUGEINT, which the
+  -- driver's comparator materializes as float (0.0) and hash-mismatches
+  -- against Spark's BIGINT 0
   SELECT
-    sum((invoice_month IS NULL OR billing_account_id IS NULL
-         OR usage_day IS NULL)::BIGINT) AS null_required_keys,
-    sum((cost < 0)::BIGINT) AS negative_cost,
-    sum((mode < 0 OR mode > 4)::BIGINT) AS mode_out_of_range,
-    sum((mode = 4 AND price = 0 AND discount_amount <> 0)::BIGINT)
+    CAST(sum((invoice_month IS NULL OR billing_account_id IS NULL
+         OR usage_day IS NULL)::BIGINT) AS BIGINT) AS null_required_keys,
+    CAST(sum((cost < 0)::BIGINT) AS BIGINT) AS negative_cost,
+    CAST(sum((mode < 0 OR mode > 4)::BIGINT) AS BIGINT) AS mode_out_of_range,
+    CAST(sum((mode = 4 AND price = 0 AND discount_amount <> 0)::BIGINT) AS BIGINT)
       AS mode4_zero_price_leak
   FROM calc
 ),
 dup AS (
-  SELECT coalesce(sum(n - 1), 0) AS duplicate_grain_rows
+  SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS duplicate_grain_rows
   FROM (SELECT count(*) AS n FROM calc GROUP BY {grain}) WHERE n > 1
 )
 SELECT 'null_required_keys' AS "check", null_required_keys AS violations FROM checks

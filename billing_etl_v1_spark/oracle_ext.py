@@ -959,6 +959,27 @@ GROUP BY event_type
 """
 
 
+def approx_stats_sql(qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)) -> str:
+    """Twin of operators.timeseries.approx_stats_checked. The sketch
+    estimates are engine-specific so the checked form exports only exact
+    aggregates plus in-bounds flags; the flags are deterministically TRUE
+    when the sketches honor their error contracts, so the oracle emits
+    literals — a sketch regression flips the Spark side and fails the
+    hash."""
+    flag_cols = ",\n  ".join(
+        f"TRUE AS p{int(q * 100)}_in_bounds" for q in qs
+    )
+    return f"""
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+  TRUE AS users_in_bounds,
+  {flag_cols}
+FROM events
+GROUP BY event_type
+"""
+
+
 def price_band_summary_sql() -> str:
     """Twin of plans.examples.price_band_summary — same half-open [lo, hi)
     bands as a VALUES dim, inequality join."""

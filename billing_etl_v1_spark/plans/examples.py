@@ -566,15 +566,15 @@ def top_revenue_suppliers(
     date_to: str = "1996-04-01",
 ) -> DataFrame:
     """TPC-H Q15-shaped top supplier: supplier(s) with the maximum quarterly
-    revenue — the view + scalar-max-subquery formulation as a rank-1 window
-    over the per-supplier aggregate (ties all surface, like Q15's =max).
+    revenue — the spec's view + scalar-max-subquery formulation: a 1-row
+    max aggregate broadcast-joined back on revenue equality (ties all
+    surface, like Q15's =max). DECIMAL revenue makes the equality exact.
 
-    DECIMAL revenue makes the max cut exact; the window input is one row
-    per supplier, so the unpartitioned window is a single tiny task, not a
-    scale hazard.
+    Deliberately NOT a global rank window: an unpartitioned Window funnels
+    the whole relation through one task, which is the kind of plan that
+    breaks at 100× scale even when today's input is small
+    (tests/test_scale_posture.py asserts no unpartitioned window here).
     """
-    from pyspark.sql import Window
-
     rev = (
         lineitem.filter(
             (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
@@ -589,10 +589,9 @@ def top_revenue_suppliers(
             ).alias("__rev")
         )
     )
-    w = Window.orderBy(F.col("__rev").desc())
+    max_rev = rev.agg(F.max("__rev").alias("__max_rev"))
     return (
-        rev.withColumn("__rnk", F.rank().over(w))
-        .filter(F.col("__rnk") == 1)
+        rev.join(F.broadcast(max_rev), F.col("__rev") == F.col("__max_rev"))
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("s_suppkey"),

@@ -36,11 +36,21 @@ def _event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     """Normalize the event-time column to TIMESTAMP (LTZ).
 
     Parquet fixtures read back as TIMESTAMP_NTZ, which ``withWatermark``
-    rejects. The session timezone is pinned to UTC (session.get_spark), so
-    the NTZ -> LTZ cast is value-preserving and keeps epoch math identical
-    to the batch twins.
+    rejects. The NTZ -> LTZ cast is value-preserving ONLY when the session
+    timezone is UTC (session.get_spark pins it); on any other timezone the
+    cast silently shifts event times — watermarks, windows, and session
+    epochs would all move. Assert the invariant instead of relying on it.
     """
     if dict(df.dtypes).get(col) == "timestamp_ntz":
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            raise ValueError(
+                f"streaming event-time normalization requires a UTC session "
+                f"(spark.sql.session.timeZone={tz!r}): the NTZ->timestamp "
+                f"cast would shift event times by the zone offset. Build the "
+                f"session via billing_etl_v1_spark.session.get_spark or set "
+                f"the conf to 'UTC'."
+            )
         df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 

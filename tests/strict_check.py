@@ -1,0 +1,132 @@
+"""Driver-mimic strict comparison: first-50 ``queries()`` vs ``oracle_sql()``
+at sf0.01, flagging what the float-tolerant parity test can't see —
+per-column dtype-kind mismatches (int vs float killed billing_dq_audit in
+round 1) and exact value drift on non-float columns.
+
+Run: python tests/strict_check.py [N] [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from billing_etl_v1_spark.session import get_spark
+from tests.conftest import SF_ORACLE, TESTDATA_TABLES, normalize
+
+
+def kind(s: pd.Series) -> str:
+    if pd.api.types.is_bool_dtype(s):
+        return "b"
+    if pd.api.types.is_integer_dtype(s):
+        return "i"
+    if pd.api.types.is_float_dtype(s):
+        return "f"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "t"
+    if s.dtype == object:
+        import datetime as dt
+        from decimal import Decimal
+
+        for v in s:
+            if v is None:
+                continue
+            if isinstance(v, Decimal):
+                return "dec"
+            if isinstance(v, (dt.date, dt.datetime)):
+                return "t"
+            if isinstance(v, (int, np.integer)):
+                return "i"
+            if isinstance(v, float):
+                return "f"
+            return "s"
+        return "s"
+    return str(s.dtype)
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    only = set(sys.argv[2:])
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = [k for k in list(queries)[:n] if not only or k in only]
+
+    spark = get_spark("strict-check", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF_ORACLE}/{t}.parquet'"
+        )
+
+    failures = []
+    for name in names:
+        try:
+            sdf = queries[name](spark, SF_ORACLE).toPandas()
+            if name not in oracles:
+                print(f"{name}: NO-ORACLE rows={len(sdf)}")
+                continue
+            ddf = con.execute(oracles[name]).df()
+            problems = []
+            if len(sdf) != len(ddf):
+                problems.append(f"rows {len(sdf)} != {len(ddf)}")
+            if sorted(sdf.columns) != sorted(ddf.columns):
+                problems.append(f"cols {sorted(sdf.columns)} != {sorted(ddf.columns)}")
+            else:
+                a, b = normalize(sdf), normalize(ddf)
+                for c in a.columns:
+                    ka, kb = kind(a[c]), kind(b[c])
+                    if ka != kb:
+                        problems.append(f"dtype[{c}]: spark={ka} oracle={kb}")
+                        continue
+                    if ka == "f":
+                        av = pd.to_numeric(a[c], errors="coerce").astype(float)
+                        bv = pd.to_numeric(b[c], errors="coerce").astype(float)
+                        bad = ~np.isclose(
+                            av.fillna(-1.23e18), bv.fillna(-1.23e18), rtol=0, atol=1e-9
+                        )
+                        if bad.any():
+                            i = int(np.argmax(bad))
+                            problems.append(
+                                f"float[{c}] row {i}: {av.iloc[i]!r} != {bv.iloc[i]!r}"
+                            )
+                        else:
+                            # driver quantizes floats before hashing; warn when
+                            # raw values differ beyond ~1e-12 even though the
+                            # tolerant test passes
+                            drift = np.max(
+                                np.abs(av.fillna(0).to_numpy() - bv.fillna(0).to_numpy())
+                            )
+                            if drift > 1e-12:
+                                print(f"  note {name}.{c}: max float drift {drift:.3e}")
+                    else:
+                        av = a[c].astype(str).where(~a[c].isna(), "<NULL>")
+                        bv = b[c].astype(str).where(~b[c].isna(), "<NULL>")
+                        bad = (av != bv).to_numpy()
+                        if bad.any():
+                            i = int(np.argmax(bad))
+                            problems.append(
+                                f"value[{c}] row {i}: {av.iloc[i]!r} != {bv.iloc[i]!r}"
+                            )
+            if problems:
+                failures.append(name)
+                print(f"{name}: FAIL  {'; '.join(problems)}")
+            else:
+                print(f"{name}: ok rows={len(sdf)}")
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"{name}: ERROR {type(exc).__name__}: {exc}")
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} strict-ok; failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -203,6 +203,21 @@ def test_mode0_unmatched_defaults(spark):
     assert out.discount_amount == 0.0
 
 
+def test_mode4_discount_follows_sql_template(spark):
+    """SURVEY §2.10.5: mode-4 `discount_amount` follows the SQL template
+    (sql_template.py:197-198 — emit credit_part/price), NOT the production
+    pandas path, which computes the same value in `_calculate_mode4_row`
+    (calculate/service.py:97) and then discards it because
+    `_calculate_mode4` assigns only `external_consumption` back
+    (calculate/service.py:79-81) — i.e. production accidentally emits 0.0.
+    This test pins the deliberate non-zero choice by name."""
+    out = _priced(spark, 4, "0.8", "2.0", "c_cud/c_discount")
+    credit_over_price = ((-1.0) + (-2.0)) / 2.0
+    # the SQL-template value — NOT the pandas-production 0.0
+    assert out.discount_amount == pytest.approx(credit_over_price)
+    assert out.discount_amount != 0.0
+
+
 def test_extra_discount_scales_internal_cost_only(spark):
     """Pandas-path semantics (SURVEY §2.10.1): factor multiplies internal_cost
     only; mode-1 external uses UNSCALED internal_consumption
@@ -211,3 +226,24 @@ def test_extra_discount_scales_internal_cost_only(spark):
     assert out.internal_cost == pytest.approx((100.0 - 5.0) * 0.9)
     assert out.internal_consumption == pytest.approx(97.0)  # unscaled
     assert out.external_consumption == pytest.approx(97.0 * 0.5)  # unscaled base
+
+
+def test_match_rules_dim_cache_does_not_grow(spark):
+    """Repeated pipeline runs over the same dim must reuse ONE cached
+    relation (round-1 advice: each call leaked a cached dim for the
+    session's lifetime)."""
+    from billing_etl_v1_spark.operators import rules as rules_mod
+
+    rules_mod.release_dim_cache(spark)
+    dim = _dim(
+        spark,
+        [("2026-01", "A", "p1", "s1", "k1", 2, "0.5", "0.1", None, "c8", "t8")],
+    )
+    fact = _fact(spark, [FACT_ROW])
+    sizes = []
+    for _ in range(3):
+        rules_mod.match_rules(fact, dim).collect()
+        sizes.append(len(rules_mod._DIM_CACHE))
+    assert sizes == [1, 1, 1], sizes
+    assert rules_mod.release_dim_cache(spark) == 1
+    assert len(rules_mod._DIM_CACHE) == 0

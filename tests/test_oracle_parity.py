@@ -16,7 +16,7 @@ def test_every_query_has_an_oracle_or_is_declared():
     missing = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops may be declared without an oracle; keep the
     # list explicit so additions are deliberate
-    allowed_weak = {"multimodal_features", "events_approx_stats"}
+    allowed_weak = {"multimodal_features"}
     assert missing <= allowed_weak
 
 

@@ -183,6 +183,17 @@ def test_tpch_q2_window_is_partitioned(spark):
     assert re.search(r"Window.*p_partkey", plan, re.DOTALL)
 
 
+def test_tpch_q15_has_no_global_window(spark):
+    # the =max cut is a 1-row aggregate broadcast back, NOT a global rank
+    # window — an unpartitioned Window.orderBy serializes every supplier
+    # through one task at scale
+    plan = plan_of(spark, "tpch_q15")
+    assert not nodes(plan, "Window"), plan
+    assert "CartesianProduct" not in plan
+    # both the max-rev row and supplier enter as broadcasts
+    assert len(nodes(plan, "BroadcastHashJoin")) >= 2
+
+
 def test_funnel_reuses_user_partitioning(spark):
     # every funnel stage keys on user_id; no Python eval, no cartesian
     plan = plan_of(spark, "events_funnel")

@@ -235,3 +235,23 @@ def test_streaming_click_attribution_matches_batch(spark, tmp_path):
     expected = {(r.purchase_id, r.click_id) for r in batch.collect()}
     assert {(r.purchase_id, r.click_id) for r in got} == expected
     assert len(expected) > 0  # the fixture must actually exercise the join
+
+
+def test_event_time_cast_requires_utc_session(spark):
+    """ADVICE r1: the NTZ->timestamp watermark cast silently shifts event
+    times on a non-UTC session; _event_time must refuse instead."""
+    import pytest
+
+    from billing_etl_v1_spark.streaming.pipeline import _event_time
+
+    df = spark.createDataFrame([("2026-01-01 12:00:00",)], "s string").select(
+        F.col("s").cast("timestamp_ntz").alias("ts")
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(ValueError, match="UTC"):
+            _event_time(df)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert dict(_event_time(df).dtypes)["ts"] == "timestamp"
