@@ -17,6 +17,14 @@ import os
 import sys
 import time
 
+# Reference-engine wall clock on the SAME synthetic fact, measured by
+# baseline_ref.py (the reference's own CalculateService imported from
+# /root/reference, driven per-day in 10k batches with DuckDB standing in
+# for the ClickHouse server-side GROUP BY — see BASELINE.md). Keyed by sf.
+# The comparable engine query is billing_flagship_production (same grain,
+# same months, same rows out).
+REFERENCE_BASELINE_SEC = {0.01: 129.4, 0.1: 181.1}
+
 QUERY_NAMES = [
     "billing_source_agg",
     "billing_source_agg_detail",
@@ -84,6 +92,9 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[f"ext:{name}"] = round(time.perf_counter() - t0, 3)
         print(f"# ext:{name}: {timings[f'ext:{name}']}s (cold {cold}s)", file=sys.stderr)
+    sf_num = float(sf) if sf else None
+    ref_sec = REFERENCE_BASELINE_SEC.get(sf_num)
+    flagship = timings.get("billing_flagship_production")
     print(
         json.dumps(
             {
@@ -91,7 +102,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf else None,
+                "sf": sf_num,
+                "baseline_reference_sec": ref_sec,
+                "speedup_vs_reference": (
+                    round(ref_sec / flagship, 1) if ref_sec and flagship else None
+                ),
             }
         )
     )
