@@ -519,6 +519,14 @@ def _q_docs_top_ngrams(spark, sf_dir):
     return text_ops.top_ngrams(load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_repetition(spark, sf_dir):
+    return text_ops.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _q_docs_decontaminate(spark, sf_dir):
+    return text_ops.decontaminate(load_table(spark, sf_dir, "documents"))
+
+
 def _q_docs_tfidf(spark, sf_dir):
     return text_ops.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
@@ -651,6 +659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frame_sample": _q_multimodal_frames,
         "multimodal_features": _q_multimodal_features,
+        # --- new in round 2 (need first verdicts) ---
+        "docs_repetition": _q_docs_repetition,
+        "docs_decontaminate": _q_docs_decontaminate,
         # --- round-1 rows worth re-confirming (fixed or most load-bearing) ---
         "billing_dq_audit": _q_dq_audit,
         "events_approx_stats": _q_approx_stats,
@@ -667,9 +678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
         "sim_topk_ivf": _q_sim_ivf,
+        # --- round-1 green; driver re-checks as capacity allows ---
         "docs_corpus_build": _q_docs_corpus_build,
         "events_asof_purchase": _q_events_asof,
-        # --- round-1 green; driver re-checks as capacity allows ---
         "billing_rollup": _q_billing_rollup,
         "billing_cube": _q_billing_cube,
         "billing_minmax_day": _q_minmax_day,
@@ -793,6 +804,8 @@ def oracle_sql() -> dict[str, str]:
         "events_salted_user_join": oracle_ext.salted_user_join_sql(),
         "docs_top_ngrams": oracle_ext.top_ngrams_sql(),
         "docs_tfidf_top_terms": oracle_ext.tfidf_top_terms_sql(),
+        "docs_repetition": oracle_ext.repetition_stats_sql(),
+        "docs_decontaminate": oracle_ext.decontaminate_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),
         # multimodal_features: mapInPandas — intentionally no oracle

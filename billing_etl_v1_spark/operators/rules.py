@@ -89,7 +89,13 @@ def _memo_cache_dim(dim: DataFrame) -> DataFrame:
     key = (id(spark), dim._jdf.queryExecution().analyzed().semanticHash())
     hit = _DIM_CACHE.get(key)
     if hit is not None:
-        return hit
+        # an external clearCache()/unpersist() may have dropped the entry
+        # behind our back — a stale memo row would silently hand out an
+        # UNcached dim and re-run its lineage per join subtree
+        sl = hit.storageLevel
+        if sl.useMemory or sl.useDisk:
+            return hit
+        del _DIM_CACHE[key]
     _DIM_CACHE[key] = dim.cache()
     return _DIM_CACHE[key]
 

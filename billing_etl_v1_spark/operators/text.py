@@ -171,6 +171,102 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _word_grams(col_name: str, n: int) -> Column:
+    """Word n-grams of a token-array column as a pure array transform
+    (JVM-side; callers choose whether to explode). Documents shorter than
+    ``n`` tokens yield an empty array (sequence() would run descending)."""
+    return F.when(
+        F.size(F.col(col_name)) >= n,
+        F.expr(
+            f"transform(sequence(1, size({col_name}) - {n} + 1),"
+            f" i -> concat_ws(' ', slice({col_name}, i, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition quality signals (the Gopher/C4-style gate
+    against degenerate loops): duplicate fraction of words, bigrams, and
+    trigrams — dup_frac = 1 − distinct/total — plus a boolean gate.
+
+    Entirely map-side: the n-grams are built with array transforms and
+    deduped with ``array_distinct`` INSIDE each row, so there is no explode,
+    no shuffle, and no state — the ideal 100 TB shape (embarrassingly
+    parallel over a documents scan, whole-stage codegen throughout).
+    """
+    toks = _tokens(F.col(text_col))
+    d = df.withColumn("__toks", toks)
+
+    def dup_frac(grams: Column) -> Column:
+        total = F.size(grams)
+        return F.when(total <= 0, F.lit(0.0)).otherwise(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double") / total.cast("double")
+        )
+
+    out = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        quantize6(dup_frac(F.col("__toks"))).alias("dup_word_frac"),
+        quantize6(dup_frac(_word_grams("__toks", 2))).alias("dup_2gram_frac"),
+        quantize6(dup_frac(_word_grams("__toks", 3))).alias("dup_3gram_frac"),
+    )
+    return out.withColumn(
+        "is_repetitive",
+        (F.col("dup_3gram_frac") > 0.2) | (F.col("dup_word_frac") > 0.9),
+    )
+
+
+def decontaminate(
+    df: DataFrame, text_col: str = "text", n: int = 5, eval_mod: int = 97
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    ``n``-gram with an evaluation/benchmark slice — the overlap check every
+    serious training-data pipeline runs before a model sees the corpus.
+
+    The eval slice here is ``doc_id % eval_mod == 0`` (a deterministic
+    stand-in for an external benchmark table; real pipelines pass one in).
+    Output: one row per NON-eval doc with the count of distinct benchmark
+    n-grams it contains and a contamination flag.
+
+    Scale shape: the benchmark n-gram set is broadcast (benchmarks are
+    MB-scale, corpora are TB-scale), the training side's n-grams are a
+    map-side explode feeding that broadcast hash join, and only MATCHED
+    rows reach the per-doc count shuffle — contamination is rare, so the
+    exchange carries almost nothing. If the benchmark outgrows broadcast,
+    drop the hint and the same plan shuffles both sides on the gram key.
+    """
+    toks = df.select("doc_id", _tokens(F.col(text_col)).alias("__toks"))
+    grams = toks.select(
+        "doc_id", F.explode(_word_grams("__toks", n)).alias("gram")
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % eval_mod == 0).select("gram").distinct()
+    )
+    train_hits = (
+        grams.filter(F.col("doc_id") % eval_mod != 0)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_overlap_grams"))
+    )
+    base = df.filter(F.col("doc_id") % eval_mod != 0).select(
+        "doc_id", "lang", "source"
+    )
+    return base.join(train_hits, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.coalesce(F.col("n_overlap_grams"), F.lit(0)).cast("bigint").alias(
+            "n_overlap_grams"
+        ),
+        (F.coalesce(F.col("n_overlap_grams"), F.lit(0)) > 0).alias(
+            "is_contaminated"
+        ),
+    )
+
+
 def top_ngrams(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     """Corpus-wide top-k word bigrams by frequency.
 

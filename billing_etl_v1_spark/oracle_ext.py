@@ -636,6 +636,67 @@ GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT {k}
 """
 
 
+def _grams_expr(n: int) -> str:
+    """DuckDB word n-grams over token list ``t`` — 1-based inclusive list
+    slicing t[i:i+n-1] matches Spark's slice(toks, i, n) index-for-index;
+    range(1, len-n+2) is end-exclusive like sequence(1, len-n+1)."""
+    return (
+        f"list_transform(range(1, len(t) - {n} + 2),"
+        f" i -> array_to_string(t[i:i+{n - 1}], ' '))"
+    )
+
+
+def repetition_stats_sql() -> str:
+    """Twin of operators.text.repetition_stats — same token split, same
+    1 − distinct/total duplicate fractions, same gate thresholds."""
+
+    def dup(grams: str) -> str:
+        return (
+            f"CASE WHEN len({grams}) <= 0 THEN 0.0 "
+            f"ELSE 1.0 - len(list_distinct({grams}))::DOUBLE / len({grams})::DOUBLE END"
+        )
+
+    g2, g3 = _grams_expr(2), _grams_expr(3)
+    return f"""
+WITH toks AS (SELECT doc_id, lang, source, text, {_TOKENS} AS t FROM documents),
+g AS (
+  SELECT doc_id, lang, source,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END AS n_tokens,
+    {_r6(dup('t'))} AS dup_word_frac,
+    {_r6(dup(f"CASE WHEN len(t) >= 2 THEN {g2} ELSE [] END"))} AS dup_2gram_frac,
+    {_r6(dup(f"CASE WHEN len(t) >= 3 THEN {g3} ELSE [] END"))} AS dup_3gram_frac
+  FROM toks
+)
+SELECT doc_id, lang, source, n_tokens, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+       (dup_3gram_frac > 0.2 OR dup_word_frac > 0.9) AS is_repetitive
+FROM g
+"""
+
+
+def decontaminate_sql(n: int = 5, eval_mod: int = 97) -> str:
+    """Twin of operators.text.decontaminate — same eval slice, same n-gram
+    construction, distinct-overlap count per non-eval doc."""
+    g = _grams_expr(n)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest({g}) AS gram FROM toks WHERE len(t) >= {n}
+),
+eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {eval_mod} = 0),
+hits AS (
+  SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_overlap_grams
+  FROM grams g JOIN eval_grams e USING (gram)
+  WHERE g.doc_id % {eval_mod} <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id, d.lang, d.source,
+       CAST(coalesce(h.n_overlap_grams, 0) AS BIGINT) AS n_overlap_grams,
+       coalesce(h.n_overlap_grams, 0) > 0 AS is_contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {eval_mod} <> 0
+"""
+
+
 def tfidf_top_terms_sql(k: int = 3) -> str:
     """Twin of operators.text.tfidf_top_terms — same rational idf form and
     the same left-associative tf * (N+1.0) / (df+1.0) double arithmetic."""

@@ -310,3 +310,40 @@ def test_top_ngrams_handles_degenerate_docs(spark):
     rows = {r["ngram"]: r["n"] for r in top_ngrams(df, k=10).collect()}
     # blank/single-token docs contribute nothing; counts are corpus-wide
     assert rows == {"a b": 3, "b a": 1, "b c": 1}
+
+
+# --- round-2 text ops: repetition + decontamination ------------------------
+
+
+def test_repetition_stats_flags_degenerate_docs(spark):
+    from billing_etl_v1_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "spam spam spam spam spam spam", "en", "s"),
+        (2, "one two three four five six", "en", "s"),
+        (3, "", "en", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    # 6x"spam": 6 words 1 distinct -> 5/6; 5 bigrams 1 distinct -> 4/5
+    assert out[1].dup_word_frac == pytest.approx(5 / 6, abs=1e-6)
+    assert out[1].dup_2gram_frac == pytest.approx(4 / 5, abs=1e-6)
+    assert out[1].is_repetitive
+    assert out[2].dup_word_frac == 0.0 and not out[2].is_repetitive
+    assert out[3].n_tokens == 0 and out[3].dup_3gram_frac == 0.0
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from billing_etl_v1_spark.operators.text import decontaminate
+
+    bench = "alpha bravo charlie delta echo"
+    rows = [
+        (0, f"intro words {bench} closing words", "en", "s"),  # eval slice (0 % 97 == 0)
+        (1, f"training doc copying {bench} verbatim here", "en", "s"),
+        (2, "completely unrelated training text with no overlap at all", "en", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r.doc_id: r for r in decontaminate(df).collect()}
+    assert set(out) == {1, 2}  # eval docs excluded from the output
+    assert out[1].is_contaminated and out[1].n_overlap_grams >= 1
+    assert not out[2].is_contaminated and out[2].n_overlap_grams == 0

@@ -254,3 +254,19 @@ def test_aqe_splits_skewed_sort_merge_join(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_repetition_stats_is_map_side_only(spark):
+    # per-doc dup fractions use in-row array_distinct — a pure projection
+    # over the scan: no exchange, no join, no python
+    plan = plan_of(spark, "docs_repetition")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    # the benchmark n-gram set must enter as a broadcast; the corpus side
+    # streams map-side (no corpus-sized shuffle before the match filter)
+    plan = plan_of(spark, "docs_decontaminate")
+    assert "CartesianProduct" not in plan
+    assert len(nodes(plan, "BroadcastHashJoin")) >= 1
