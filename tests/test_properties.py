@@ -11,6 +11,8 @@ keys through BOTH the model and the Spark operator.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -290,3 +292,88 @@ def test_funnel_agrees_with_python_model(spark, raw):
     ]  # same order/ties as the timestamp encoding
     expected = _model_funnel(model_events, steps)
     assert [got[s] for s in steps] == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "bravo", "charlie", "delta", "echo"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_repetition_stats_agree_with_python_model(spark, texts):
+    """dup_frac = 1 - distinct/total for words and n-grams, computed by an
+    independent Python model over random small-vocab docs (small vocab
+    forces real repetition)."""
+    from billing_etl_v1_spark.operators.text import repetition_stats
+
+    rows = [(i, " ".join(words), "en", "s") for i, words in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+
+    def model_dup(seq):
+        return 0.0 if not seq else 1.0 - len(set(seq)) / len(seq)
+
+    for i, words in enumerate(texts):
+        toks = words if words else [""]  # split('') == [''] in both engines
+        grams2 = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        grams3 = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        assert got[i].dup_word_frac == pytest.approx(model_dup(toks), abs=1e-6)
+        assert got[i].dup_2gram_frac == pytest.approx(model_dup(grams2), abs=1e-6)
+        assert got[i].dup_3gram_frac == pytest.approx(model_dup(grams3), abs=1e-6)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "bravo", "charlie", "delta", "echo", "fox"]),
+            min_size=0,
+            max_size=14,
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_decontaminate_agrees_with_python_model(spark, texts):
+    """Overlap flags from an independent Python n-gram model: a training doc
+    is contaminated iff it shares a 5-gram with any eval-slice doc."""
+    from billing_etl_v1_spark.operators.text import decontaminate
+
+    n, mod = 3, 4  # small n and eval_mod so tiny random docs hit both branches
+    rows = [(i, " ".join(words), "en", "s") for i, words in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {r.doc_id: r for r in decontaminate(df, n=n, eval_mod=mod).collect()}
+
+    def grams(words):
+        toks = words if words else [""]
+        return {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+
+    eval_grams = set()
+    for i, words in enumerate(texts):
+        if i % mod == 0:
+            eval_grams |= grams(words)
+    for i, words in enumerate(texts):
+        if i % mod == 0:
+            assert i not in got
+            continue
+        overlap = grams(words) & eval_grams
+        assert got[i].n_overlap_grams == len(overlap), (i, words)
+        assert got[i].is_contaminated == (len(overlap) > 0)
