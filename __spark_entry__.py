@@ -527,6 +527,10 @@ def _q_docs_decontaminate(spark, sf_dir):
     return text_ops.decontaminate(load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_chunk(spark, sf_dir):
+    return text_ops.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
 def _q_docs_tfidf(spark, sf_dir):
     return text_ops.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
@@ -662,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 2 (need first verdicts) ---
         "docs_repetition": _q_docs_repetition,
         "docs_decontaminate": _q_docs_decontaminate,
+        "docs_chunk": _q_docs_chunk,
         # --- round-1 rows worth re-confirming (fixed or most load-bearing) ---
         "billing_dq_audit": _q_dq_audit,
         "events_approx_stats": _q_approx_stats,
@@ -677,8 +682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_dim_rules": _q_dim_rules,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
-        "sim_topk_ivf": _q_sim_ivf,
         # --- round-1 green; driver re-checks as capacity allows ---
+        "sim_topk_ivf": _q_sim_ivf,
         "docs_corpus_build": _q_docs_corpus_build,
         "events_asof_purchase": _q_events_asof,
         "billing_rollup": _q_billing_rollup,
@@ -806,6 +811,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_tfidf_top_terms": oracle_ext.tfidf_top_terms_sql(),
         "docs_repetition": oracle_ext.repetition_stats_sql(),
         "docs_decontaminate": oracle_ext.decontaminate_sql(),
+        "docs_chunk": oracle_ext.chunk_documents_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),
         # multimodal_features: mapInPandas — intentionally no oracle

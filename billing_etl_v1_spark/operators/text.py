@@ -267,6 +267,42 @@ def decontaminate(
     )
 
 
+def chunk_documents(
+    df: DataFrame, text_col: str = "text", chunk_tokens: int = 32, stride: int = 24
+) -> DataFrame:
+    """Split documents into fixed-token chunks with overlap (stride <
+    chunk_tokens ⇒ consecutive chunks share ``chunk_tokens − stride``
+    tokens) — the windowing step before sequence packing in a training
+    pipeline (pair with corpus.pack_shards for the packing half).
+
+    One-to-N expansion entirely in array expressions: start offsets are a
+    ``sequence(1, n_tokens, stride)``, each chunk a ``slice`` — no UDF, no
+    shuffle; the explode is map-side, so a 100 TB corpus chunks at scan
+    speed. Blank documents produce no chunks. The tail chunk may be
+    shorter than ``chunk_tokens``; every token is covered exactly
+    ``ceil(chunk/stride)`` times or fewer (deterministic).
+    """
+    d = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select("doc_id", _tokens(F.col(text_col)).alias("__toks"))
+        .withColumn(
+            "__chunks",
+            F.expr(
+                f"transform(sequence(1, size(__toks), {stride}),"
+                f" s -> slice(__toks, s, {chunk_tokens}))"
+            ),
+        )
+    )
+    return d.select(
+        "doc_id", F.posexplode("__chunks").alias("chunk_idx", "__ct")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("__ct").cast("bigint").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("__ct")).alias("chunk_text"),
+    )
+
+
 def top_ngrams(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     """Corpus-wide top-k word bigrams by frequency.
 

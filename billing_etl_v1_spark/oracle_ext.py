@@ -673,6 +673,26 @@ FROM g
 """
 
 
+def chunk_documents_sql(chunk_tokens: int = 32, stride: int = 24) -> str:
+    """Twin of operators.text.chunk_documents — range(1, len+1, stride) is
+    end-exclusive so it matches Spark's inclusive sequence(1, len, stride);
+    1-based inclusive slice t[s:s+chunk-1] truncates at the tail exactly
+    like Spark's slice(toks, s, chunk)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents WHERE length(trim(text)) > 0
+),
+starts AS (
+  SELECT doc_id, t, unnest(range(1, len(t) + 1, {stride})) AS s FROM toks
+)
+SELECT doc_id,
+       CAST((s - 1) / {stride} AS INT) AS chunk_idx,
+       CAST(len(t[s:s + {chunk_tokens - 1}]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(t[s:s + {chunk_tokens - 1}], ' ') AS chunk_text
+FROM starts
+"""
+
+
 def decontaminate_sql(n: int = 5, eval_mod: int = 97) -> str:
     """Twin of operators.text.decontaminate — same eval slice, same n-gram
     construction, distinct-overlap count per non-eval doc."""

@@ -347,3 +347,27 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert set(out) == {1, 2}  # eval docs excluded from the output
     assert out[1].is_contaminated and out[1].n_overlap_grams >= 1
     assert not out[2].is_contaminated and out[2].n_overlap_grams == 0
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from billing_etl_v1_spark.operators.text import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    rows = [(1, " ".join(words), "en", "s"), (2, "", "en", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = sorted(
+        chunk_documents(df, chunk_tokens=4, stride=3).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    # blank doc contributes nothing; 10 tokens, stride 3 -> starts 1,4,7,10
+    assert [r.doc_id for r in out] == [1, 1, 1, 1]
+    assert [r.chunk_text for r in out] == [
+        "w0 w1 w2 w3",        # full chunk
+        "w3 w4 w5 w6",        # overlaps previous by chunk-stride = 1 token
+        "w6 w7 w8 w9",
+        "w9",                 # tail truncates
+    ]
+    assert [r.n_chunk_tokens for r in out] == [4, 4, 4, 1]
+    # every source token is covered
+    covered = {w for r in out for w in r.chunk_text.split()}
+    assert covered == set(words)
