@@ -531,6 +531,10 @@ def _q_docs_chunk(spark, sf_dir):
     return text_ops.chunk_documents(load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_winnow(spark, sf_dir):
+    return text_ops.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
 def _q_docs_tfidf(spark, sf_dir):
     return text_ops.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
@@ -667,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": _q_docs_repetition,
         "docs_decontaminate": _q_docs_decontaminate,
         "docs_chunk": _q_docs_chunk,
+        "docs_winnow_fingerprints": _q_docs_winnow,
         # --- round-1 rows worth re-confirming (fixed or most load-bearing) ---
         "billing_dq_audit": _q_dq_audit,
         "events_approx_stats": _q_approx_stats,
@@ -681,8 +686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_credits_pivot": _q_credits_pivot,
         "billing_dim_rules": _q_dim_rules,
         "dedup_minhash_lsh": _q_dedup_minhash,
-        "dedup_clusters": _q_dedup_clusters,
         # --- round-1 green; driver re-checks as capacity allows ---
+        "dedup_clusters": _q_dedup_clusters,
         "sim_topk_ivf": _q_sim_ivf,
         "docs_corpus_build": _q_docs_corpus_build,
         "events_asof_purchase": _q_events_asof,
@@ -812,6 +817,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_repetition": oracle_ext.repetition_stats_sql(),
         "docs_decontaminate": oracle_ext.decontaminate_sql(),
         "docs_chunk": oracle_ext.chunk_documents_sql(),
+        "docs_winnow_fingerprints": oracle_ext.winnow_fingerprints_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),
         # multimodal_features: mapInPandas — intentionally no oracle

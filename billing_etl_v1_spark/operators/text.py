@@ -267,6 +267,59 @@ def decontaminate(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 8, window: int = 4
+) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (the MOSS
+    algorithm): hash every character ``k``-gram of the normalized text,
+    then keep the minimum hash of each window of ``window`` consecutive
+    positions; the distinct minima are the document's fingerprint set.
+    Two documents sharing a fingerprint share at least one k-char run —
+    the guarantee winnowing adds over random sampling is that any match
+    of length ≥ k + window − 1 is always detected.
+
+    Per-row array expressions end to end (the "rolling" recurrence is an
+    equivalent per-position hash — same fingerprint set, and inside one
+    codegen stage the per-position form is what either formulation
+    compiles to): no UDF, no shuffle; the explode to (doc_id, fingerprint)
+    rows is map-side. Documents shorter than ``k`` chars yield no rows;
+    documents with fewer than ``window`` k-grams yield their single
+    global-min fingerprint.
+    """
+    md5int = (
+        "cast(conv(substring(md5(substring(__norm, i, {k})), 1, 15), 16, 10)"
+        " as bigint)"
+    ).format(k=k)
+    d = (
+        df.select(
+            "doc_id",
+            F.regexp_replace(
+                F.trim(F.lower(F.col(text_col))), r"\s+", " "
+            ).alias("__norm"),
+        )
+        .filter(F.length("__norm") >= k)
+        .withColumn(
+            "__hashes",
+            F.expr(
+                f"transform(sequence(1, length(__norm) - {k} + 1),"
+                f" i -> {md5int})"
+            ),
+        )
+        .withColumn(
+            "__fps",
+            F.when(
+                F.size("__hashes") >= window,
+                F.expr(
+                    f"array_distinct(transform("
+                    f"sequence(1, size(__hashes) - {window} + 1),"
+                    f" j -> array_min(slice(__hashes, j, {window}))))"
+                ),
+            ).otherwise(F.array(F.array_min("__hashes"))),
+        )
+    )
+    return d.select("doc_id", F.explode("__fps").alias("fingerprint"))
+
+
 def chunk_documents(
     df: DataFrame, text_col: str = "text", chunk_tokens: int = 32, stride: int = 24
 ) -> DataFrame:

@@ -673,6 +673,33 @@ FROM g
 """
 
 
+def winnow_fingerprints_sql(k: int = 8, window: int = 4) -> str:
+    """Twin of operators.text.winnow_fingerprints — same normalization,
+    same per-position md5 60-bit hashes, same window minima."""
+    h = f"('0x' || substr(md5(substr(n, i, {k})), 1, 15))::BIGINT"
+    return f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS n
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(range(1, length(n) - {k} + 2), i -> {h}) AS hs
+  FROM norm WHERE length(n) >= {k}
+),
+fps AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {window}
+              THEN list_distinct(list_transform(
+                     range(1, len(hs) - {window} + 2),
+                     j -> list_min(hs[j:j + {window - 1}])))
+              ELSE [list_min(hs)] END AS f
+  FROM hashed
+)
+SELECT doc_id, unnest(f) AS fingerprint FROM fps
+"""
+
+
 def chunk_documents_sql(chunk_tokens: int = 32, stride: int = 24) -> str:
     """Twin of operators.text.chunk_documents — range(1, len+1, stride) is
     end-exclusive so it matches Spark's inclusive sequence(1, len, stride);

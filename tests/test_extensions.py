@@ -371,3 +371,25 @@ def test_chunk_documents_overlap_and_tail(spark):
     # every source token is covered
     covered = {w for r in out for w in r.chunk_text.split()}
     assert covered == set(words)
+
+
+def test_winnow_guarantees_shared_fingerprint_for_long_matches(spark):
+    """Winnowing's core guarantee: two docs sharing a substring of length
+    >= k + window - 1 (here 8+4-1=11 chars) ALWAYS share a fingerprint;
+    disjoint-alphabet docs share none."""
+    from billing_etl_v1_spark.operators.text import winnow_fingerprints
+
+    shared = "identical run of text preserved verbatim"
+    rows = [
+        (1, f"left context AAA {shared} right tail one", "en", "s"),
+        (2, f"other prefix BBB {shared} different end", "en", "s"),
+        (3, "zzzz yyyy xxxx wwww vvvv uuuu tttt", "en", "s"),
+        (4, "ab", "en", "s"),  # shorter than k -> no fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    fps: dict[int, set] = {}
+    for r in winnow_fingerprints(df).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert fps[1] & fps[2], "shared 40-char run must produce a shared fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert 4 not in fps
