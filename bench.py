@@ -50,6 +50,10 @@ EXTENDED_NAMES = [
     "sim_topk_ivf",
     "docs_quality_corpus",
     "docs_tfidf_top_terms",
+    "docs_repetition",
+    "docs_decontaminate",
+    "docs_chunk",
+    "docs_winnow_fingerprints",
     "events_sessionize",
     "events_funnel",
     "events_user_trend",

@@ -278,46 +278,51 @@ def winnow_fingerprints(
     the guarantee winnowing adds over random sampling is that any match
     of length ≥ k + window − 1 is always detected.
 
-    Per-row array expressions end to end (the "rolling" recurrence is an
-    equivalent per-position hash — same fingerprint set, and inside one
-    codegen stage the per-position form is what either formulation
-    compiles to): no UDF, no shuffle; the explode to (doc_id, fingerprint)
-    rows is map-side. Documents shorter than ``k`` chars yield no rows;
-    documents with fewer than ``window`` k-grams yield their single
-    global-min fingerprint.
+    Formulated as explode → per-position hash → sliding-window MIN → per-doc
+    distinct, NOT as nested array lambdas: a lambda-transform version
+    looks natural but Catalyst inlines the hash-array expression into the
+    window lambda (projection collapse) and evaluates higher-order
+    functions interpreted, re-computing every k-gram hash per window —
+    O(positions²) regex+md5 per document (measured: ~50 min at sf0.1).
+    Here each hash is computed exactly once inside whole-stage codegen;
+    the ROWS window and the distinct both cluster on doc_id, so the
+    per-doc shuffle is paid once and the operator scales linearly.
+    Documents shorter than ``k`` chars yield no rows; documents with
+    fewer than ``window`` k-grams yield their single global-min
+    fingerprint.
     """
-    md5int = (
-        "cast(conv(substring(md5(substring(__norm, i, {k})), 1, 15), 16, 10)"
-        " as bigint)"
-    ).format(k=k)
-    d = (
-        df.select(
-            "doc_id",
-            F.regexp_replace(
-                F.trim(F.lower(F.col(text_col))), r"\s+", " "
-            ).alias("__norm"),
-        )
-        .filter(F.length("__norm") >= k)
-        .withColumn(
-            "__hashes",
-            F.expr(
-                f"transform(sequence(1, length(__norm) - {k} + 1),"
-                f" i -> {md5int})"
-            ),
-        )
-        .withColumn(
-            "__fps",
-            F.when(
-                F.size("__hashes") >= window,
-                F.expr(
-                    f"array_distinct(transform("
-                    f"sequence(1, size(__hashes) - {window} + 1),"
-                    f" j -> array_min(slice(__hashes, j, {window}))))"
-                ),
-            ).otherwise(F.array(F.array_min("__hashes"))),
-        )
+    from pyspark.sql import Window
+
+    d = df.select(
+        "doc_id",
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ").alias(
+            "__norm"
+        ),
+    ).filter(F.length("__norm") >= k)
+    pos = d.select(
+        "doc_id",
+        (F.length("__norm") - F.lit(k) + 1).alias("__n_pos"),
+        F.explode(F.expr(f"sequence(1, length(__norm) - {k} + 1)")).alias("__i"),
+        "__norm",
     )
-    return d.select("doc_id", F.explode("__fps").alias("fingerprint"))
+    hashed = pos.select(
+        "doc_id",
+        "__n_pos",
+        "__i",
+        md5_long(F.expr(f"substring(__norm, __i, {k})")).alias("__h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("__i")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    mins = hashed.withColumn("__wmin", F.min("__h").over(w)).filter(
+        (F.col("__i") <= F.col("__n_pos") - window + 1)
+        | ((F.col("__n_pos") < window) & (F.col("__i") == 1))
+    )
+    return mins.select(
+        "doc_id", F.col("__wmin").alias("fingerprint")
+    ).dropDuplicates(["doc_id", "fingerprint"])
 
 
 def chunk_documents(
