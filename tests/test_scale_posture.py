@@ -270,3 +270,22 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     plan = plan_of(spark, "docs_decontaminate")
     assert "CartesianProduct" not in plan
     assert len(nodes(plan, "BroadcastHashJoin")) >= 1
+
+
+def test_winnow_hashes_once_inside_codegen(spark):
+    """Winnowing must be the explode+window formulation: hashes computed in
+    a codegen projection (not interpreted array lambdas that recompute the
+    hash array per window — the O(n^2) trap), one doc_id-clustered window,
+    and the per-doc distinct reusing that clustering (no second exchange
+    beyond the window's)."""
+    plan = plan_of(spark, "docs_winnow_fingerprints")
+    assert len(nodes(plan, "Window")) == 1
+    assert "transform(" not in plan  # no higher-order lambda survives
+    hash_exchanges = {
+        nid
+        for nid, args in re.findall(
+            r"\((\d+)\) Exchange\nInput[^\n]*\nArguments: (\w+)", plan
+        )
+        if args == "hashpartitioning"
+    }
+    assert len(hash_exchanges) <= 1, plan
