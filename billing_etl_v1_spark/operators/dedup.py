@@ -159,6 +159,111 @@ def minhash_signature(hashes_col: Column, k: int = NUM_MINHASH) -> list[Column]:
     ]
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = NUM_MINHASH,
+) -> DataFrame:
+    """The persistable MinHash signature table: (doc, mh0..mh{k-1}).
+
+    ~k×8 bytes per document — the intermediate worth writing to storage
+    once per corpus. Incremental dedup (:func:`minhash_incremental_pairs`)
+    then joins each new batch against this table instead of re-hashing
+    the historical corpus."""
+    hashed = df.select(
+        F.col(id_col).alias("doc"), shingle_base_hashes(text_col, n).alias("__hs")
+    )
+    return hashed.select("doc", *minhash_signature(F.col("__hs"), k))
+
+
+def _banded(sig: DataFrame, bands: int = BANDS, k: int = NUM_MINHASH) -> DataFrame:
+    """(doc, band_idx, band_key) rows from a signature table — band keys as
+    ROWS so candidate pairing is ONE equi-join regardless of band count."""
+    rows = k // bands
+    return sig.select(
+        "doc",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("_", *[f"mh{b * rows + r}" for r in range(rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+
+
+def _estimated_jaccard(cand: DataFrame, sig: DataFrame, k: int) -> DataFrame:
+    """Attach est_jaccard (fraction of equal signature components) to a
+    (doc_a, doc_b) candidate set via two hash joins of the signature
+    table — candidates are tiny relative to the corpus."""
+    sa = sig.select(
+        F.col("doc").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)]
+    )
+    sb = sig.select(
+        F.col("doc").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)]
+    )
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    ) / F.lit(float(k))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", quantize6(est).alias("est_jaccard"))
+    )
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    old_signatures: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = BANDS,
+    k: int = NUM_MINHASH,
+) -> DataFrame:
+    """Incremental near-dup detection: candidate pairs of a NEW document
+    batch against an existing corpus represented ONLY by its persisted
+    signature table (:func:`minhash_signatures`), plus new-vs-new pairs
+    inside the batch. Historical old-vs-old pairs were found when the
+    corpus was built and are deliberately not re-derived.
+
+    This is the daily-ingest shape at 100 TB: the text of the historical
+    corpus is never re-read or re-hashed — only the new batch is shingled,
+    and the band join probes the old table's band keys. Cost scales with
+    the batch (plus one narrow scan of old signatures), not with corpus
+    content. Requires doc ids disjoint between batch and corpus.
+
+    Output matches :func:`minhash_lsh_pairs` restricted to pairs with at
+    least one side in the batch (property-tested), with ``doc_a`` always
+    the batch side for new-vs-old pairs.
+    """
+    from pyspark import StorageLevel
+
+    new_sig = minhash_signatures(new_docs, id_col, text_col, n, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    nb, ob = _banded(new_sig, bands, k), _banded(old_signatures, bands, k)
+    a, c = nb.alias("a"), ob.alias("c")
+    new_old = a.join(
+        c,
+        (F.col("a.band_idx") == F.col("c.band_idx"))
+        & (F.col("a.band_key") == F.col("c.band_key")),
+    ).select(F.col("a.doc").alias("doc_a"), F.col("c.doc").alias("doc_b"))
+    a2, c2 = nb.alias("a"), nb.alias("c")
+    new_new = a2.join(
+        c2,
+        (F.col("a.band_idx") == F.col("c.band_idx"))
+        & (F.col("a.band_key") == F.col("c.band_key"))
+        & (F.col("a.doc") < F.col("c.doc")),
+    ).select(F.col("a.doc").alias("doc_a"), F.col("c.doc").alias("doc_b"))
+    cand = new_old.unionByName(new_new).dropDuplicates(["doc_a", "doc_b"])
+    all_sig = old_signatures.unionByName(new_sig)
+    return _estimated_jaccard(cand, all_sig, k)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

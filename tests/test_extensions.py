@@ -393,3 +393,35 @@ def test_winnow_guarantees_shared_fingerprint_for_long_matches(spark):
     assert fps[1] & fps[2], "shared 40-char run must produce a shared fingerprint"
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
     assert 4 not in fps
+
+
+def test_incremental_minhash_matches_full_batch(spark, docs):
+    """The daily-ingest path must find exactly the pairs the full-corpus
+    operator finds, restricted to pairs touching the new batch — same
+    bands, same signatures, same estimates — while never re-reading the
+    old corpus text (it sees only the persisted signature table)."""
+    from billing_etl_v1_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    old_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    old_sig = minhash_signatures(old_docs)
+
+    full = {
+        frozenset((r.doc_a, r.doc_b)): r.est_jaccard
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    new_ids = {r.doc_id for r in new_docs.select("doc_id").collect()}
+    expected = {p: j for p, j in full.items() if p & new_ids}
+
+    got = {
+        frozenset((r.doc_a, r.doc_b)): r.est_jaccard
+        for r in minhash_incremental_pairs(new_docs, old_sig).collect()
+    }
+    assert got == expected
+    # doc_a is always the batch side for new-vs-old pairs
+    for r in minhash_incremental_pairs(new_docs, old_sig).collect():
+        assert r.doc_a in new_ids
