@@ -276,7 +276,6 @@ def minhash_lsh_pairs(
     (fraction of equal signature components)."""
     from pyspark import StorageLevel
 
-    rows = k // bands
     # The signature is by far the expensive part (k salted md5 passes over
     # every shingle of every doc) — materialize it ONCE and let every
     # downstream use read the cached k-int-per-doc table. Without this the
@@ -284,25 +283,13 @@ def minhash_lsh_pairs(
     # at bands=4: an 8× blowup measured at 27× wall-clock on sf0.1). At
     # 100 TB the signature table is ~k×8 bytes/doc — the one intermediate
     # worth persisting (MEMORY_AND_DISK: spills, never recomputes).
-    hashed = df.select(
-        F.col(id_col).alias("doc"), shingle_base_hashes(text_col, n).alias("__hs")
+    sig = minhash_signatures(df, id_col, text_col, n, k).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    sig = hashed.select("doc", *minhash_signature(F.col("__hs"), k))
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     # band keys as ROWS (band_idx, band_key): ONE self-join on the pair
     # instead of `bands` separate joins + union — same candidate set,
     # 1/bands the shuffle count, and AQE sees one join to size/skew-split
-    banded = sig.select(
-        "doc",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws("_", *[f"mh{b * rows + r}" for r in range(rows)])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_key"),
-    )
+    banded = _banded(sig, bands, k)
     a, c = banded.alias("a"), banded.alias("c")
     cand = (
         a.join(
@@ -316,16 +303,7 @@ def minhash_lsh_pairs(
     )
     # estimate from the cached signatures — candidate set is tiny relative
     # to the corpus, so these are two cheap hash joins
-    sa = sig.select(F.col("doc").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
-    sb = sig.select(F.col("doc").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
-    est = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
-    ) / F.lit(float(k))
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", quantize6(est).alias("est_jaccard"))
-    )
+    return _estimated_jaccard(cand, sig, k)
 
 
 def simhash16(text_col: str = "text") -> Column:
