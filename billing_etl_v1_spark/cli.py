@@ -45,6 +45,17 @@ def build_parser() -> argparse.ArgumentParser:
     # input tables, check_schema.py:19-22)
     schema = sub.add_parser("schema", help="print the schema of a parquet table")
     schema.add_argument("paths", nargs="+", help="parquet path(s) to describe")
+
+    # extension surface: end-to-end corpus build (quality gate -> dedup ->
+    # shard packing) over a documents table
+    corpus = sub.add_parser(
+        "corpus", help="build training shards from a documents parquet table"
+    )
+    corpus.add_argument("--docs", required=True, help="documents parquet path")
+    corpus.add_argument("--target", required=True, help="output shards parquet path")
+    corpus.add_argument("--shard-tokens", type=int, default=4000)
+    corpus.add_argument("--min-tokens", type=int, default=30)
+    corpus.add_argument("--min-quality", type=float, default=0.5)
     return p
 
 
@@ -59,6 +70,20 @@ def main(argv: list[str] | None = None) -> int:
         for path in args.paths:
             print(f"-- {path}")
             print(spark.read.parquet(path).schema.treeString())
+        spark.stop()
+        return 0
+    if args.command == "corpus":
+        from billing_etl_v1_spark.operators.corpus import corpus_build
+
+        out = corpus_build(
+            spark.read.parquet(args.docs),
+            shard_tokens=args.shard_tokens,
+            min_tokens=args.min_tokens,
+            min_quality=args.min_quality,
+        )
+        out.write.mode("overwrite").parquet(args.target)
+        n = spark.read.parquet(args.target).count()
+        print(f"corpus build complete: {n} docs packed into shards at {args.target}")
         spark.stop()
         return 0
     fact = spark.read.parquet(args.fact)

@@ -284,3 +284,44 @@ def streaming_click_attribution(
         "click_id",
         "click_ts",
     )
+
+
+def streaming_quality_gate(
+    spark: SparkSession,
+    docs_dir: str,
+    docs_schema,
+    target_path: str,
+    checkpoint_dir: str,
+    min_tokens: int = 30,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+) -> StreamingQuery:
+    """Continuous corpus-quality gating: document files land in a
+    directory; each micro-batch is scored (text stats + language ID) and
+    gated entirely map-side, then appended to the kept-corpus table.
+
+    The text operators are stateless expressions, so they run under
+    Structured Streaming unchanged — no state store, no watermark, and the
+    streamed output is row-identical to the batch gate (tested). Cross-
+    batch near-dup removal is deliberately NOT done here: streaming state
+    for corpus-scale dedup would be unbounded; the scalable pattern is the
+    batch incremental path (operators.dedup.minhash_incremental_pairs
+    against the persisted signature table) run on each landed increment.
+    """
+    from billing_etl_v1_spark.operators.text import lang_id, text_stats
+
+    stream = spark.readStream.schema(docs_schema).parquet(docs_dir)
+    scored = lang_id(text_stats(stream))
+    kept = scored.filter(
+        (F.col("token_count") >= min_tokens)
+        & (F.col("quality_score") >= min_quality)
+        & F.col("lang_pred").isin(*langs)
+    )
+    return (
+        kept.writeStream.format("parquet")
+        .option("path", target_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

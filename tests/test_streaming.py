@@ -255,3 +255,31 @@ def test_event_time_cast_requires_utc_session(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
     assert dict(_event_time(df).dtypes)["ts"] == "timestamp"
+
+
+def test_streaming_quality_gate_matches_batch(spark, tmp_path):
+    """The stateless text gate must emit row-identical results streamed
+    file-by-file vs run as one batch."""
+    from billing_etl_v1_spark.operators.text import lang_id, text_stats
+    from billing_etl_v1_spark.streaming.pipeline import streaming_quality_gate
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    docs_dir = str(tmp_path / "docs_in")
+    # several files so AvailableNow processes multiple micro-batches
+    docs.repartition(4).write.parquet(docs_dir)
+    schema = spark.read.parquet(docs_dir).schema
+
+    target = str(tmp_path / "kept")
+    q = streaming_quality_gate(
+        spark, docs_dir, schema, target, checkpoint_dir=str(tmp_path / "ckpt_q")
+    )
+    q.awaitTermination(120)
+
+    batch = lang_id(text_stats(docs)).filter(
+        (F.col("token_count") >= 30)
+        & (F.col("quality_score") >= 0.5)
+        & F.col("lang_pred").isin("en", "de", "fr", "es")
+    )
+    got = {r.doc_id for r in spark.read.parquet(target).select("doc_id").collect()}
+    want = {r.doc_id for r in batch.select("doc_id").collect()}
+    assert got == want and got

@@ -238,3 +238,27 @@ def test_cli_schema_subcommand(spark, monkeypatch, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "r_regionkey" in out and "r_name" in out
+
+
+def test_cli_corpus_build_end_to_end(spark, tmp_path, monkeypatch):
+    from billing_etl_v1_spark import cli
+    from billing_etl_v1_spark.sources.readers import load_table
+    from tests.conftest import SF_SMALL
+
+    target = str(tmp_path / "shards")
+    monkeypatch.setattr("billing_etl_v1_spark.session.get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main(
+        [
+            "corpus",
+            "--docs", f"{SF_SMALL}/documents.parquet",
+            "--target", target,
+            "--shard-tokens", "2000",
+        ]
+    )
+    assert rc == 0
+    out = spark.read.parquet(target)
+    assert out.count() > 0
+    assert {"doc_id", "shard_id", "lang_pred", "quality_score"} <= set(out.columns)
+    # the quality gate really dropped something
+    assert out.count() < load_table(spark, SF_SMALL, "documents").count()
