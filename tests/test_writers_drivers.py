@@ -262,3 +262,29 @@ def test_cli_corpus_build_end_to_end(spark, tmp_path, monkeypatch):
     assert {"doc_id", "shard_id", "lang_pred", "quality_score"} <= set(out.columns)
     # the quality gate really dropped something
     assert out.count() < load_table(spark, SF_SMALL, "documents").count()
+
+
+def test_partitioned_sink_prunes_on_read(spark, tmp_path):
+    """The (invoice_month, usage_day) layout must make month/day-filtered
+    reads prune partitions at PLAN time — the property that lets a daily
+    job over a 100 TB calculated table touch one day's files. Asserted via
+    the scan's partition filters and the pruned input-file count."""
+    from billing_etl_v1_spark.sources.writers import write_calculated
+
+    base = spark.range(0, 300).selectExpr(
+        "CAST(199505 + (id % 3) AS STRING) AS invoice_month",
+        "date_add(DATE'1995-06-01', CAST(id % 5 AS INT)) AS usage_day",
+        "id AS v",
+    )
+    path = str(tmp_path / "calc")
+    write_calculated(base, path)
+
+    filtered = spark.read.parquet(path).filter(F.col("invoice_month") == "199506")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "invoice_month" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    n_all = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+    n_pruned = filtered.select(F.input_file_name()).distinct().count()
+    assert 0 < n_pruned < n_all
+    assert filtered.count() == 100
