@@ -347,6 +347,10 @@ def _q_events_top_types(spark, sf_dir):
     return event_ops.top_event_types_per_user(load_table(spark, sf_dir, "events"))
 
 
+def _q_events_top_paths(spark, sf_dir):
+    return event_ops.top_event_paths(load_table(spark, sf_dir, "events"))
+
+
 def _q_events_json(spark, sf_dir):
     return event_ops.json_props_agg(load_table(spark, sf_dir, "events"))
 
@@ -672,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate": _q_docs_decontaminate,
         "docs_chunk": _q_docs_chunk,
         "docs_winnow_fingerprints": _q_docs_winnow,
+        "events_top_paths": _q_events_top_paths,
         # --- round-1 rows worth re-confirming (fixed or most load-bearing) ---
         "billing_dq_audit": _q_dq_audit,
         "events_approx_stats": _q_approx_stats,
@@ -684,9 +689,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_rule_match": _q_rule_match,
         "billing_pricing_modes": _q_pricing_modes,
         "billing_credits_pivot": _q_credits_pivot,
-        "billing_dim_rules": _q_dim_rules,
         "dedup_minhash_lsh": _q_dedup_minhash,
         # --- round-1 green; driver re-checks as capacity allows ---
+        "billing_dim_rules": _q_dim_rules,
         "dedup_clusters": _q_dedup_clusters,
         "sim_topk_ivf": _q_sim_ivf,
         "docs_corpus_build": _q_docs_corpus_build,
@@ -817,6 +822,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_repetition": oracle_ext.repetition_stats_sql(),
         "docs_decontaminate": oracle_ext.decontaminate_sql(),
         "docs_chunk": oracle_ext.chunk_documents_sql(),
+        "events_top_paths": oracle_ext.top_event_paths_sql(),
         "docs_winnow_fingerprints": oracle_ext.winnow_fingerprints_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),

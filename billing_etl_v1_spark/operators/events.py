@@ -88,6 +88,30 @@ def top_event_types_per_user(events: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def top_event_paths(events: DataFrame, length: int = 3, k: int = 20) -> DataFrame:
+    """Top-k ordered event-type paths: length-N subsequences of CONSECUTIVE
+    events per user (lead() windows over (ts, event_id) — event_id breaks
+    timestamp ties deterministically), counted corpus-wide. The
+    lightweight sequential-pattern query behind "what do users do next";
+    one user-clustered window + one count aggregate, so it scales like
+    any per-key window at 100 TB. Ties in the top-k break by path text.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = [F.col("event_type")] + [
+        F.lead("event_type", i).over(w) for i in range(1, length)
+    ]
+    paths = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__last", steps[-1])
+        .withColumn("__path", F.concat_ws(" > ", *steps))
+        .filter(F.col("__last").isNotNull())
+    )
+    counted = paths.groupBy(F.col("__path").alias("path")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counted.orderBy(F.col("n").desc(), F.col("path").asc()).limit(k)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

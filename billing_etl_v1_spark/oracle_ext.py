@@ -1067,6 +1067,26 @@ GROUP BY event_type
 """
 
 
+def top_event_paths_sql(length: int = 3, k: int = 20) -> str:
+    """Twin of operators.events.top_event_paths — same lead() windows over
+    (ts, event_id), same separator, same tie-breaks."""
+    leads = ["event_type"] + [
+        f"lead(event_type, {i}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        for i in range(1, length)
+    ]
+    concat = " || ' > ' || ".join(leads)
+    return f"""
+WITH stepped AS (
+  SELECT {concat} AS path,
+         {leads[-1]} AS last_step
+  FROM events
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM stepped WHERE last_step IS NOT NULL
+GROUP BY path ORDER BY n DESC, path ASC LIMIT {k}
+"""
+
+
 def approx_stats_sql(qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)) -> str:
     """Twin of operators.timeseries.approx_stats_checked. The sketch
     estimates are engine-specific so the checked form exports only exact
