@@ -50,7 +50,6 @@ def main() -> None:
     sys.path.insert(0, REFERENCE_PATH)
     from calculate.service import CalculateService  # the reference engine itself
 
-    from billing_etl_v1_spark import oracle
     from billing_etl_v1_spark.sources import synthetic
 
     con = duckdb.connect()
