@@ -87,19 +87,10 @@ def source_aggregate(
     whole-table rollup/cube totals keep the DECIMAL path. Downstream
     pricing math stays double, like the reference's float pipeline.
     """
+    from billing_etl_v1_spark.functions import exact_sum
+
     keys = list(keys or PIPELINE_KEYS) + list(extra_keys or [])
-    B = 1_000_000_000
-
-    def fast_sum(m: str) -> Column:
-        v10 = F.floor(F.col(m) * F.lit(1e10) + F.lit(0.5)).cast("bigint")
-        lo = ((v10 % B) + B) % B
-        hi = ((v10 - lo) / F.lit(B)).cast("bigint")  # exact: (v10-lo) % B == 0
-        return (
-            (F.sum(hi).cast("decimal(38,0)") * B + F.sum(lo)).cast("double")
-            / F.lit(1e10)
-        ).alias(m)
-
-    aggs = [fast_sum(m) for m in (measures or SUM_MEASURES)]
+    aggs = [exact_sum(F.col(m)).alias(m) for m in (measures or SUM_MEASURES)]
     return fact.groupBy(*keys).agg(*aggs)
 
 

@@ -365,20 +365,22 @@ FROM events GROUP BY event_type
 
 
 def tpch_q1_sql() -> str:
-    # DECIMAL(38,10) accumulation: exact + associative, so partition order
-    # cannot perturb the 6th decimal (unlike double sums over 10k+ rows)
-    dec = "CAST({x} AS DECIMAL(38,10))"
-    sq = dec.format(x="l_quantity")
-    sb = dec.format(x="l_extendedprice")
-    sd = dec.format(x="l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")
-    sdisc = dec.format(x="l_discount")
+    # exact (hi, lo) BIGINT-pair accumulation (oracle._dsum): associative,
+    # so partition order cannot perturb the 6th decimal — mirrors
+    # plans.examples.pricing_summary's functions.exact_sum formula-for-formula
+    from billing_etl_v1_spark.oracle import _dsum
+
+    sq = _dsum("l_quantity")
+    sb = _dsum("l_extendedprice")
+    sd = _dsum("(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount))")
+    sdisc = _dsum("l_discount")
     return f"""
 SELECT l_returnflag, l_linestatus,
-  {_r6(f'sum({sq})::DOUBLE')} AS sum_qty,
-  {_r6(f'sum({sb})::DOUBLE')} AS sum_base_price,
-  {_r6(f'sum({sd})::DOUBLE')} AS sum_disc_price,
-  {_r6(f'sum({sq})::DOUBLE / count(*)')} AS avg_qty,
-  {_r6(f'sum({sdisc})::DOUBLE / count(*)')} AS avg_disc,
+  {_r6(sq)} AS sum_qty,
+  {_r6(sb)} AS sum_base_price,
+  {_r6(sd)} AS sum_disc_price,
+  {_r6(f'({sq}) / count(*)')} AS avg_qty,
+  {_r6(f'({sdisc}) / count(*)')} AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus

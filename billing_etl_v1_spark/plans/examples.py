@@ -18,24 +18,23 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: grouped sums/averages with
     map-side partial aggregation.
 
-    Sums accumulate in DECIMAL(38,10): exact and associative, so the result
-    is independent of partition order — double sums over 10k+-row groups
-    differ across engines beyond the 1e-6 quantization and would break the
-    oracle hash (and, at 100 TB, reproducibility across runs)."""
-
-    def dsum(col):
-        return F.sum(col.cast("decimal(38,10)"))
+    Sums use the exact (hi, lo) BIGINT-pair accumulation (functions.
+    exact_sum): associative, so the result is independent of partition
+    order — double sums over 10k+-row groups differ across engines beyond
+    the 1e-6 quantization and would break the oracle hash (and, at 100 TB,
+    reproducibility across runs) — at primitive-long speed."""
+    from billing_etl_v1_spark.functions import exact_sum
 
     cnt = F.count(F.lit(1))
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         lineitem.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            quantize6(dsum(F.col("l_quantity")).cast("double")).alias("sum_qty"),
-            quantize6(dsum(F.col("l_extendedprice")).cast("double")).alias("sum_base_price"),
-            quantize6(dsum(disc_price).cast("double")).alias("sum_disc_price"),
-            quantize6(dsum(F.col("l_quantity")).cast("double") / cnt).alias("avg_qty"),
-            quantize6(dsum(F.col("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            quantize6(exact_sum(F.col("l_quantity"))).alias("sum_qty"),
+            quantize6(exact_sum(F.col("l_extendedprice"))).alias("sum_base_price"),
+            quantize6(exact_sum(disc_price)).alias("sum_disc_price"),
+            quantize6(exact_sum(F.col("l_quantity")) / cnt).alias("avg_qty"),
+            quantize6(exact_sum(F.col("l_discount")) / cnt).alias("avg_disc"),
             cnt.alias("count_order"),
         )
     )
