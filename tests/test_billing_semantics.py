@@ -247,3 +247,29 @@ def test_match_rules_dim_cache_does_not_grow(spark):
     assert sizes == [1, 1, 1], sizes
     assert rules_mod.release_dim_cache(spark) == 1
     assert len(rules_mod._DIM_CACHE) == 0
+
+
+def test_exact_sum_is_exact_signed_and_partition_order_proof(spark):
+    """The (hi, lo) BIGINT-pair accumulation behind source_aggregate and
+    tpch_q1: exact on the 1e-10 grid for signed values, and bit-identical
+    across partitionings (associativity is the whole point)."""
+    from billing_etl_v1_spark.functions import exact_sum
+
+    vals = [1.0000000001, -2.0000000003, 123456.789, -0.0000000001,
+            99999.5, -99999.5, 0.0, 7.25e-7, -7.25e-7]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    expected = round(sum(round(v * 1e10 + (0.5 if v >= 0 else 0.4999)) for v in vals) / 1e10, 10)
+    # floor(x*1e10+0.5) in python for exactness
+    import math
+    expected = sum(math.floor(v * 1e10 + 0.5) for v in vals) / 1e10
+
+    for parts in (1, 3, 7):
+        got = df.repartition(parts).agg(exact_sum(F.col("v")).alias("s")).collect()[0].s
+        assert got == pytest.approx(expected, abs=1e-12), (parts, got, expected)
+
+    # negative-heavy group reconstructs exactly (sign-safe hi/lo split)
+    neg = spark.createDataFrame([(-1.5,), (-2.5,), (-0.0000000004,)], "v double")
+    got = neg.agg(exact_sum(F.col("v")).alias("s")).collect()[0].s
+    assert got == pytest.approx(math.floor(-1.5e10 + 0.5) / 1e10
+                                + math.floor(-2.5e10 + 0.5) / 1e10
+                                + math.floor(-0.0000000004e10 + 0.5) / 1e10, abs=1e-12)
