@@ -539,6 +539,10 @@ def _q_docs_winnow(spark, sf_dir):
     return text_ops.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_fluency(spark, sf_dir):
+    return text_ops.bigram_fluency(load_table(spark, sf_dir, "documents"))
+
+
 def _q_docs_tfidf(spark, sf_dir):
     return text_ops.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
@@ -677,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_chunk": _q_docs_chunk,
         "docs_winnow_fingerprints": _q_docs_winnow,
         "events_top_paths": _q_events_top_paths,
+        "docs_bigram_fluency": _q_docs_fluency,
         # --- round-1 rows worth re-confirming (fixed or most load-bearing) ---
         "billing_dq_audit": _q_dq_audit,
         "events_approx_stats": _q_approx_stats,
@@ -688,9 +693,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_source_agg_detail": _q_source_agg_detail,
         "billing_rule_match": _q_rule_match,
         "billing_pricing_modes": _q_pricing_modes,
-        "billing_credits_pivot": _q_credits_pivot,
         "dedup_minhash_lsh": _q_dedup_minhash,
         # --- round-1 green; driver re-checks as capacity allows ---
+        "billing_credits_pivot": _q_credits_pivot,
         "billing_dim_rules": _q_dim_rules,
         "dedup_clusters": _q_dedup_clusters,
         "sim_topk_ivf": _q_sim_ivf,
@@ -823,6 +828,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_decontaminate": oracle_ext.decontaminate_sql(),
         "docs_chunk": oracle_ext.chunk_documents_sql(),
         "events_top_paths": oracle_ext.top_event_paths_sql(),
+        "docs_bigram_fluency": oracle_ext.bigram_fluency_sql(),
         "docs_winnow_fingerprints": oracle_ext.winnow_fingerprints_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),

@@ -267,6 +267,47 @@ def decontaminate(
     )
 
 
+def bigram_fluency(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-frequency fluency scoring — the language-model-perplexity
+    proxy of CCNet-style pipelines without the model: a document whose
+    bigrams are common across the corpus reads as fluent; one full of
+    never-seen-again bigrams is noise. Per doc: bigram count, mean corpus
+    frequency of its bigrams, and the hapax fraction (bigrams occurring
+    exactly once corpus-wide).
+
+    All scores derive from exact integer counts (no log(): libm
+    implementations differ in the last ulp across engines, which a 1e-6
+    quantization boundary can amplify — the tf-idf operator's rational-idf
+    lesson). Scale shape: corpus counts are one gram-keyed aggregate, the
+    rejoin shuffles grams once more, and the per-doc rollup clusters on
+    doc_id — the same three-exchange shape as tf-idf, all key-partitioned.
+    """
+    toks = df.select("doc_id", _tokens(F.col(text_col)).alias("__toks"))
+    grams = toks.select("doc_id", F.explode(_word_grams("__toks", 2)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("freq"))
+    scored = (
+        grams.join(counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("freq").alias("__sum_freq"),
+            F.sum(F.when(F.col("freq") == 1, 1).otherwise(0)).alias("__hapax"),
+        )
+    )
+    return df.select("doc_id", "lang", "source").join(scored, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        quantize6(
+            F.coalesce(F.col("__sum_freq") / F.col("n_bigrams"), F.lit(0.0))
+        ).alias("avg_bigram_freq"),
+        quantize6(
+            F.coalesce(F.col("__hapax") / F.col("n_bigrams"), F.lit(0.0))
+        ).alias("hapax_frac"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame, text_col: str = "text", k: int = 8, window: int = 4
 ) -> DataFrame:

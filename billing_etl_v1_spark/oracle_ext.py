@@ -675,6 +675,32 @@ FROM g
 """
 
 
+def bigram_fluency_sql() -> str:
+    """Twin of operators.text.bigram_fluency — same bigram construction,
+    exact integer counts, double division (no log: libm last-ulp drift)."""
+    g2 = _grams_expr(2)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest({g2}) AS gram FROM toks WHERE len(t) >= 2
+),
+counts AS (SELECT gram, count(*) AS freq FROM grams GROUP BY gram),
+scored AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         sum(c.freq) AS sum_freq,
+         sum(CASE WHEN c.freq = 1 THEN 1 ELSE 0 END) AS hapax
+  FROM grams g JOIN counts c USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id, d.lang, d.source,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       {_r6("coalesce(s.sum_freq / s.n_bigrams, 0.0)")} AS avg_bigram_freq,
+       {_r6("coalesce(s.hapax / s.n_bigrams, 0.0)")} AS hapax_frac
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def winnow_fingerprints_sql(k: int = 8, window: int = 4) -> str:
     """Twin of operators.text.winnow_fingerprints — same normalization,
     same per-position md5 60-bit hashes, same window minima."""

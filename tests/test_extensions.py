@@ -425,3 +425,22 @@ def test_incremental_minhash_matches_full_batch(spark, docs):
     # doc_a is always the batch side for new-vs-old pairs
     for r in minhash_incremental_pairs(new_docs, old_sig).collect():
         assert r.doc_a in new_ids
+
+
+def test_bigram_fluency_scores_common_vs_rare(spark):
+    from billing_etl_v1_spark.operators.text import bigram_fluency
+
+    rows = [
+        (1, "the quick fox", "en", "s"),
+        (2, "the quick fox", "en", "s"),      # duplicates doc 1's bigrams
+        (3, "zebra quantum yodel", "en", "s"),  # all hapax bigrams
+        (4, "one", "en", "s"),                 # no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r.doc_id: r for r in bigram_fluency(df).collect()}
+    # docs 1 and 2 share both bigrams -> every bigram has corpus freq 2
+    assert out[1].avg_bigram_freq == pytest.approx(2.0)
+    assert out[1].hapax_frac == 0.0
+    assert out[3].avg_bigram_freq == pytest.approx(1.0)
+    assert out[3].hapax_frac == 1.0  # noise doc: all bigrams unique
+    assert out[4].n_bigrams == 0 and out[4].avg_bigram_freq == 0.0
