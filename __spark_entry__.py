@@ -553,8 +553,10 @@ def _q_multimodal_meta(spark, sf_dir):
 
 
 def _q_multimodal_features(spark, sf_dir):
-    """mapInPandas feature extraction — not SQL-expressible (driver records
-    the weaker rows-only check); unit-tested in tests/test_multimodal.py."""
+    """mapInPandas feature extraction. The fake-decode features are
+    fixed-point byte-bucket means, which DO have an exact DuckDB twin
+    (oracle_ext.multimodal_features_sql) — hash-verified like any other
+    query despite the Python stage."""
     docs = mm_ops.attach_payload(load_table(spark, sf_dir, "documents"))
     feats = mm_ops.extract_features(docs, fake=True)
     return feats.select(
@@ -832,5 +834,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_winnow_fingerprints": oracle_ext.winnow_fingerprints_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),
-        # multimodal_features: mapInPandas — intentionally no oracle
+        # mapInPandas query with an exact SQL twin: fixed-point byte-bucket
+        # means over ASCII payloads (oracle_ext.multimodal_features_sql doc)
+        "multimodal_features": oracle_ext.multimodal_features_sql(),
     }

@@ -58,12 +58,18 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _decode_payload(payload: bytes, media_type: str, fake: bool) -> list[float]:
     if fake:
-        # deterministic byte-statistics features (stand-in for codec output)
+        # deterministic byte-statistics features (stand-in for codec output):
+        # per-stride byte-sum means in 6-decimal fixed point. Integer floor
+        # division BEFORE the float divide keeps the value bit-identical
+        # across engines (Python, Spark, DuckDB all compute the same BIGINT
+        # then the same exact-integer / 1e6 double), so the DuckDB oracle
+        # (oracle_ext.multimodal_features_sql) can hash-match it — unlike
+        # round(x / n, 6), whose half-way ties round differently per engine.
         n = len(payload) or 1
         buckets = [0] * FEATURE_DIM
         for i, b in enumerate(payload):
             buckets[i % FEATURE_DIM] += b
-        return [round(x / n, 6) for x in buckets]
+        return [(x * 1_000_000 // n) / 1e6 for x in buckets]
     if media_type.startswith("image/"):
         # real decode, gated on an optional Pillow import (not baked into
         # this container — exercised by a skippable test when present)

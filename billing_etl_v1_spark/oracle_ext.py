@@ -1078,6 +1078,38 @@ FROM documents
 """
 
 
+def multimodal_features_sql(dim: int = 8) -> str:
+    """Twin of operators.multimodal.extract_features(fake=True).
+
+    The fake features are per-stride byte-sum means in 6-decimal fixed
+    point: f_j = (sum of bytes at positions i ≡ j (mod dim)) * 1e6 // n / 1e6.
+    Testdata text is pure ASCII at every scale factor (verified: octet_length
+    == char length for all rows), so byte i of the utf-8 payload equals
+    unicode(text[i+1]) and the mapInPandas fold has an exact SQL twin. The
+    fixed-point floor keeps the doubles bit-identical across engines.
+    """
+    n = "greatest(byte_len, 1)"
+    fcols = ",\n  ".join(
+        f"((COALESCE(list_sum(list_transform(range({j}, byte_len, {dim}), "
+        f"i -> unicode(text[i + 1]))), 0)::BIGINT * 1000000) // {n}) / 1000000.0 AS f{j}"
+        for j in range(dim)
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         text,
+         octet_length(encode(text)) AS byte_len
+  FROM documents
+)
+SELECT doc_id, media_type, byte_len::INT AS byte_len,
+  {fcols}
+FROM p
+"""
+
+
 def value_percentiles_sql(qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)) -> str:
     """Twin of operators.timeseries.value_percentiles — quantile_cont uses
     the same PERCENTILE_CONT linear interpolation as Spark's percentile."""

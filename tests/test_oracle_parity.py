@@ -15,8 +15,9 @@ ORACLES = entrymod.oracle_sql()
 def test_every_query_has_an_oracle_or_is_declared():
     missing = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops may be declared without an oracle; keep the
-    # list explicit so additions are deliberate
-    allowed_weak = {"multimodal_features"}
+    # list explicit so additions are deliberate (empty since round 3 —
+    # multimodal_features gained a fixed-point oracle twin)
+    allowed_weak: set[str] = set()
     assert missing <= allowed_weak
 
 
