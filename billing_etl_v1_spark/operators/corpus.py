@@ -159,9 +159,11 @@ def pack_shards(
     funnel the whole corpus through a single task at 100 TB. Phase 1 is a
     per-bucket cumulative sum (hash-partitioned window over PACK_BUCKETS
     buckets); phase 2 adds each bucket's exclusive offset, computed from
-    the PACK_BUCKETS-row bucket-total table with one tiny window and
-    broadcast back. Output depends only on the (hash, id) order — identical
-    for any partitioning, cluster size, or engine (the oracle uses the
+    the PACK_BUCKETS-row bucket-total table via a broadcast cross-join with
+    a conditional sum (no window at all — the plan-wide "no unpartitioned
+    Window" posture assertion holds with zero exceptions) and broadcast
+    back. Output depends only on the (hash, id) order — identical for any
+    partitioning, cluster size, or engine (the oracle uses the
     single-window formulation, which is equivalent and fine at test scale).
     """
     from billing_etl_v1_spark.operators.text import md5_long, token_count
@@ -182,9 +184,15 @@ def pack_shards(
     )
     local = base.withColumn("__cum", F.sum("n_tokens").over(w_local))
     totals = base.groupBy("__b").agg(F.sum("n_tokens").alias("__bt"))
-    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "__b", F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__off")
+    offsets = (
+        totals.alias("a")
+        .crossJoin(F.broadcast(totals.alias("b")))
+        .groupBy(F.col("a.__b").alias("__b"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.__b") < F.col("a.__b"), F.col("b.__bt")).otherwise(0)
+            ).alias("__off")
+        )
     )
     return (
         local.join(F.broadcast(offsets), "__b")

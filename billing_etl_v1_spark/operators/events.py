@@ -218,30 +218,99 @@ def event_type_pivot(events: DataFrame, types: list[str] | None = None) -> DataF
     return pivoted.select(*out)
 
 
-def value_deciles(events: DataFrame) -> DataFrame:
-    """Global decile assignment via an unpartitioned ntile(10) window,
-    summarized per decile.
+def distributed_total_rank(
+    df: DataFrame, order_cols: list[str], rank_col: str = "__rank"
+) -> DataFrame:
+    """Exact global row_number() over a total order WITHOUT a single-task
+    sort: range-repartition on the order columns (partitions are globally
+    ordered, parallel local sorts), rank within each partition, then add
+    each partition's row-count prefix.
 
-    The total order (value, event_id) is fully deterministic, so the
-    decile boundaries are reproducible across engines and partitionings.
-    The unpartitioned window is the scale hazard here — Spark sorts all
-    rows into ONE task; the per-decile summary output is what you'd
-    materialize at 100 TB (or switch to approx percentiles /
-    range-partitioned rank when the raw assignment itself is needed).
+    The prefix sum runs as a tiny broadcast cross-join over the
+    per-partition counts (≤ shuffle-partitions rows each side) with a
+    conditional sum, rather than an unpartitioned window, so NO operator in
+    the plan sorts the full relation through one task — the posture
+    `tests/test_scale_posture.py` asserts for every registered query. The
+    order must be a total order (include a tiebreaker column) for the
+    result to be partitioning-proof. Output keeps a ``__total`` column
+    (grand row count) since it falls out of the same aggregate for free.
     """
-    from pyspark.sql import Window
+    order = [F.col(c).asc() for c in order_cols]
+    wp = Window.partitionBy("__pid")
+    local = (
+        df.repartitionByRange(*order)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrank", F.row_number().over(wp.orderBy(*order)))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wp))
+    )
+    # per-partition counts fall out of the SAME windowed pass (distinct over
+    # P rows after map-side partial), so the big relation is scanned exactly
+    # twice — once for this metadata branch, once for the ranked output —
+    # instead of once per downstream consumer. The grand total rides along
+    # in the offsets aggregate so callers needing n don't add a third scan.
+    counts = local.select("__pid", "__cnt").distinct()
+    offsets = (
+        counts.alias("a")
+        .crossJoin(F.broadcast(counts.alias("b")))
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.__pid") < F.col("a.__pid"), F.col("b.__cnt")).otherwise(0)
+            ).alias("__offset"),
+            F.sum("b.__cnt").alias("__total"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__offset") + F.col("__lrank")).cast("bigint"))
+        .drop("__pid", "__lrank", "__cnt", "__offset")
+    )
 
+
+def value_deciles(events: DataFrame, n_tiles: int = 10) -> DataFrame:
+    """Global decile assignment, summarized per decile.
+
+    Round 2 shipped this as an unpartitioned ``ntile(10)`` window — the
+    scale-killer form (the whole relation sorts through ONE task). Now:
+    two-phase. Phase 1 computes each row's exact global rank over the
+    deterministic (value, event_id) total order via
+    :func:`distributed_total_rank` (parallel range-partitioned sort + tiny
+    prefix join). Phase 2 reproduces ntile's row-count split arithmetically:
+    with n rows, q = n div k and r = n mod k, the first r tiles take q+1
+    rows and the rest q, so
+
+        tile(rank) = ceil(rank / (q+1))                     if rank <= r*(q+1)
+                     r + ceil((rank - r*(q+1)) / q)         otherwise
+
+    — identical output to the ntile oracle, no global single-task sort.
+    Integer DIV keeps the math exact at any n (no double ceil).
+    """
     from billing_etl_v1_spark.functions import quantize6
 
-    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
-    decd = events.withColumn("decile", F.ntile(10).over(w))
-    return decd.groupBy("decile").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        quantize6(F.min("value")).alias("min_value"),
-        quantize6(F.max("value")).alias("max_value"),
-        quantize6(
-            F.sum(F.col("value").cast("decimal(38,10)")).cast("double")
-        ).alias("total_value"),
+    ranked = distributed_total_rank(
+        events.select("value", "event_id"), ["value", "event_id"]
+    ).withColumnRenamed("__total", "__n")
+    k = n_tiles
+    # q = rows per small tile, r = number of big (q+1-row) tiles; greatest()
+    # keeps the never-taken otherwise-branch divisor nonzero when n < k
+    decile = F.expr(
+        f"CAST(CASE WHEN __rank <= (__n % {k}) * (__n div {k} + 1)"
+        f"  THEN (__rank + __n div {k}) div (__n div {k} + 1)"
+        f"  ELSE (__n % {k}) + (__rank - (__n % {k}) * (__n div {k} + 1)"
+        f"        + __n div {k} - 1) div greatest(__n div {k}, 1)"
+        f" END AS INT)"
+    )
+    return (
+        ranked.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            quantize6(F.min("value")).alias("min_value"),
+            quantize6(F.max("value")).alias("max_value"),
+            quantize6(
+                F.sum(F.col("value").cast("decimal(38,10)")).cast("double")
+            ).alias("total_value"),
+        )
     )
 
 

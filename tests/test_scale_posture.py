@@ -272,6 +272,47 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     assert len(nodes(plan, "BroadcastHashJoin")) >= 1
 
 
+def test_no_query_plans_an_unpartitioned_window(spark):
+    """NO registered query may plan a Window over the whole relation in one
+    task (the round-2 events_value_deciles hazard, now two-phase). In
+    formatted explain a Window's Arguments line is [exprs], [partition],
+    [order] — with empty specs omitted. So an UNPARTITIONED ordered window
+    renders exactly two groups with the second being an order spec
+    (contains ASC/DESC); partition-only windows also render two groups but
+    the second is a plain column list."""
+    offenders = []
+    for name in em.queries():
+        plan = plan_of(spark, name)
+        for m in re.finditer(r"\(\d+\) Window\nInput[^\n]*\nArguments: ([^\n]*)", plan):
+            groups = m.group(1).split("], [")
+            unpartitioned = len(groups) == 2 and (
+                " ASC" in groups[1] or " DESC" in groups[1]
+            )
+            if unpartitioned:
+                offenders.append((name, m.group(1)[:100]))
+    assert not offenders, offenders
+
+
+def test_deciles_two_phase_shape(spark):
+    # exact global ranks via range partitioning + prefix join: the events
+    # relation must range-partition (parallel local sorts), never pass
+    # through an Exchange SinglePartition before a Sort or Window
+    plan = plan_of(spark, "events_value_deciles")
+    assert "rangepartitioning" in plan
+    single = {
+        nid
+        for nid, args in re.findall(
+            r"\((\d+)\) Exchange\nInput[^\n]*\nArguments: (\w+)", plan
+        )
+        if args == "SinglePartition"
+    }
+    # the only single-partition exchange is the final step of the tiny
+    # pre-aggregated counts branch — never feeding a Sort/Window
+    for nid in single:
+        ctx = re.search(rf"\+- (Sort|Window) \(\d+\)\n\s*\+- Exchange \({nid}\)", plan)
+        assert ctx is None, plan
+
+
 def test_winnow_hashes_once_inside_codegen(spark):
     """Winnowing must be the explode+window formulation: hashes computed in
     a codegen projection (not interpreted array lambdas that recompute the
