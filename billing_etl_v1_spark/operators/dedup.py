@@ -94,6 +94,8 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.1,
+    max_rows: int | None = 200_000,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
@@ -104,16 +106,45 @@ def ngram_jaccard_pairs(
     oracle hashes identically, so the pair set matches by construction.
     Inherently quadratic in co-occurring docs per shingle — this is the
     EXACT baseline; the scale path is minhash_lsh_pairs.
+
+    ``max_rows`` guards against silently running the quadratic baseline on
+    a large corpus, exactly like :func:`embedding_cosine_pairs`; pass
+    ``None`` to disable for deliberate offline recall measurement.
+    ``max_doc_freq`` optionally drops shingles appearing in more than that
+    many docs before pairing (standard stop-shingle pruning — bounds the
+    per-shingle join fan-out at the cost of slightly under-counting
+    intersections for pairs sharing only ultra-common shingles; Jaccard
+    denominators keep the FULL per-doc shingle counts so scores only ever
+    shrink, never inflate).
     """
     from pyspark import StorageLevel
 
+    if max_rows is not None:
+        n_docs = df.count()
+        if n_docs > max_rows:
+            raise ValueError(
+                f"ngram_jaccard_pairs is the quadratic exactness baseline; "
+                f"input has {n_docs} rows > max_rows={max_rows}. Use "
+                f"minhash_lsh_pairs (the banded scale path), set "
+                f"max_doc_freq to prune hot shingles, or pass "
+                f"max_rows=None deliberately."
+            )
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("__s")
     ).select("doc", md5_long(F.col("__s")).alias("shingle"))
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    paired = sh
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("shingle")
+        )
+        paired = sh.join(keep, "shingle", "left_semi")
+    a = paired.alias("a")
+    b = paired.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))

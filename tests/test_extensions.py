@@ -67,6 +67,38 @@ def test_minhash_estimates_close_to_exact(spark, docs):
     assert mae < 0.25  # 16 hashes -> coarse but unbiased estimate
 
 
+def test_ngram_jaccard_guard_refuses_large_input(spark, docs):
+    # same loud-refusal contract as embedding_cosine_pairs: the quadratic
+    # baseline must not silently run on a corpus-sized input
+    with pytest.raises(ValueError, match="quadratic exactness baseline"):
+        ngram_jaccard_pairs(docs, max_rows=10).collect()
+
+
+def test_ngram_jaccard_doc_freq_prune_only_shrinks_scores(spark, docs):
+    """Stop-shingle pruning may drop pairs / lower scores but must never
+    create pairs or raise a score (denominators keep full shingle counts)."""
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    pruned = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=3).collect()
+    }
+    assert set(pruned) <= set(full)
+    assert all(pruned[k] <= full[k] + 1e-9 for k in pruned)
+    # prune at a high cutoff is a no-op on this corpus-free fixture only if
+    # no shingle exceeds it; at cutoff >= n_docs it must be exactly identity
+    n_docs = docs.count()
+    same = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.0, max_doc_freq=n_docs
+        ).collect()
+    }
+    assert same == full
+
+
 def test_simhash_identical_docs_hamming_zero(spark, docs):
     dups = (
         exact_dedup(docs)
