@@ -48,10 +48,16 @@ def exact_sum(col) -> "F.Column":
     the hot loop). Mirrored formula-for-formula by oracle._dsum so both
     engines agree bit-for-bit. Overflow envelope ~9e9 rows/group at
     1e5-scale values; use DECIMAL sums for whole-table totals beyond it.
+
+    hi uses INTEGER division (IntegralDivide; DuckDB ``//`` in the oracle):
+    a double division here would truncate hi off-by-one once |v10| exceeds
+    2^53 (|value| ~9e5) because the difference is no longer representable.
+    Integer div keeps hi exact across the full BIGINT range, so per-row
+    |value| is bounded only by the 1e-10 grid itself (~9e8).
     """
     v10 = F.floor(col.cast("double") * F.lit(1e10) + F.lit(0.5)).cast("bigint")
     lo = ((v10 % _B) + _B) % _B
-    hi = ((v10 - lo) / F.lit(_B)).cast("bigint")  # exact: (v10 - lo) % 1e9 == 0
+    hi = F.call_function("div", v10 - lo, F.lit(_B))  # exact: (v10-lo) % 1e9 == 0
     return (
         (F.sum(hi).cast("decimal(38,0)") * _B + F.sum(lo)).cast("double")
         / F.lit(1e10)

@@ -27,10 +27,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from billing_etl_v1_spark.functions import quantize6
+from billing_etl_v1_spark.operators import _memo
 from billing_etl_v1_spark.operators.text import md5_long
 
 NUM_MINHASH = 16
 BANDS = 4  # 4 bands x 4 rows
+
+# session-scoped memo for every expensive per-call persist in this module
+# (minhash signatures, exploded shingles, prepped vectors, simhash sigs):
+# repeated calls over the same input share ONE cached relation instead of
+# leaking one per call (round-2 advice for minhash_incremental_pairs —
+# the same cached-relation leak class round 1 flagged for match_rules)
+_SIG_CACHE: _memo.Registry = {}
+
+
+def _memo_persist_sig(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    return _memo.memo_persist(df, _SIG_CACHE, StorageLevel.MEMORY_AND_DISK)
+
+
+def release_signature_cache(spark=None) -> int:
+    """Unpersist every intermediate this module cached (for ``spark`` only,
+    or all sessions); returns how many were released. Call between ingest
+    generations — e.g. after each :func:`minhash_incremental_pairs` batch
+    is materialized — to free superseded signature tables."""
+    return _memo.release(_SIG_CACHE, spark)
 
 # Carter-Wegman universal-hash family for MinHash: ONE md5 pass per shingle
 # produces a 30-bit base hash hb, then mh_i = (a_i*hb + b_i) mod p with
@@ -117,8 +139,6 @@ def ngram_jaccard_pairs(
     denominators keep the FULL per-doc shingle counts so scores only ever
     shrink, never inflate).
     """
-    from pyspark import StorageLevel
-
     if max_rows is not None:
         n_docs = df.count()
         if n_docs > max_rows:
@@ -132,7 +152,7 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("__s")
     ).select("doc", md5_long(F.col("__s")).alias("shingle"))
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _memo_persist_sig(sh)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     paired = sh
     if max_doc_freq is not None:
@@ -270,12 +290,13 @@ def minhash_incremental_pairs(
     Output matches :func:`minhash_lsh_pairs` restricted to pairs with at
     least one side in the batch (property-tested), with ``doc_a`` always
     the batch side for new-vs-old pairs.
-    """
-    from pyspark import StorageLevel
 
-    new_sig = minhash_signatures(new_docs, id_col, text_col, n, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    The batch signature table persists through the session-scoped memo
+    (one cached relation per distinct batch plan, NOT one per call —
+    round-2 advice); call :func:`release_signature_cache` between ingest
+    generations to free superseded batches.
+    """
+    new_sig = _memo_persist_sig(minhash_signatures(new_docs, id_col, text_col, n, k))
     nb, ob = _banded(new_sig, bands, k), _banded(old_signatures, bands, k)
     a, c = nb.alias("a"), ob.alias("c")
     new_old = a.join(
@@ -305,18 +326,16 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash LSH candidate pairs with the estimated Jaccard
     (fraction of equal signature components)."""
-    from pyspark import StorageLevel
-
     # The signature is by far the expensive part (k salted md5 passes over
     # every shingle of every doc) — materialize it ONCE and let every
     # downstream use read the cached k-int-per-doc table. Without this the
     # lazy plan recomputes it on BOTH sides of every band join (2×bands×
     # at bands=4: an 8× blowup measured at 27× wall-clock on sf0.1). At
     # 100 TB the signature table is ~k×8 bytes/doc — the one intermediate
-    # worth persisting (MEMORY_AND_DISK: spills, never recomputes).
-    sig = minhash_signatures(df, id_col, text_col, n, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # worth persisting (MEMORY_AND_DISK: spills, never recomputes). The
+    # session-scoped memo means repeated calls over the same corpus share
+    # ONE cached relation; release_signature_cache() frees them.
+    sig = _memo_persist_sig(minhash_signatures(df, id_col, text_col, n, k))
     # band keys as ROWS (band_idx, band_key): ONE self-join on the pair
     # instead of `bands` separate joins + union — same candidate set,
     # 1/bands the shuffle count, and AQE sees one join to size/skew-split
@@ -443,9 +462,7 @@ def embedding_lsh_pairs(
     """
     from billing_etl_v1_spark.operators.similarity import _dot, _prep
 
-    from pyspark import StorageLevel
-
-    base = _prep(embeddings, id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    base = _memo_persist_sig(_prep(embeddings, id_col, vec_col))
     # the minhash_lsh_pairs layout: band keys as ROWS over ids only (the
     # vectors stay out of the exploded relation and the pair-dedup shuffle),
     # ONE self-join on (band_idx, band_key) instead of `bands` joins +
@@ -497,14 +514,12 @@ def simhash_pairs(
     broadcast nested-loop). The oracle keeps the all-pairs formulation;
     the hash-join plan is asserted in tests/test_scale_posture.py.
     """
-    from pyspark import StorageLevel
-
     n_bands = max_hamming + 1
     assert 16 % n_bands == 0, "banding needs max_hamming+1 to divide 16"
     width = 16 // n_bands
     mask = (1 << width) - 1
     sig = df.select(F.col(id_col).alias("doc"), simhash16(text_col).alias("sig"))
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _memo_persist_sig(sig)
     banded = sig.select(
         "doc",
         "sig",

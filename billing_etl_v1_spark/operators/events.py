@@ -95,11 +95,15 @@ def top_event_paths(events: DataFrame, length: int = 3, k: int = 20) -> DataFram
     lightweight sequential-pattern query behind "what do users do next";
     one user-clustered window + one count aggregate, so it scales like
     any per-key window at 100 TB. Ties in the top-k break by path text.
+
+    NULL event_type steps are coalesced to a '<null>' sentinel BEFORE the
+    lead windows: concat_ws silently skips nulls (shortened path) while the
+    oracle's ``||`` nulls the whole path — the sentinel keeps both engines
+    identical and reserves lead() NULL to mean end-of-sequence only.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    steps = [F.col("event_type")] + [
-        F.lead("event_type", i).over(w) for i in range(1, length)
-    ]
+    step = F.coalesce(F.col("event_type"), F.lit("<null>"))
+    steps = [step] + [F.lead(step, i).over(w) for i in range(1, length)]
     paths = (
         events.select("user_id", "ts", "event_id", "event_type")
         .withColumn("__last", steps[-1])

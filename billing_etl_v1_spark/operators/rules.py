@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from billing_etl_v1_spark.operators import _memo
+
 # rule number -> non-wildcard dim columns (join keys beyond account)
 RULE_PATTERNS: dict[int, tuple[str, ...]] = {
     1: (),
@@ -77,40 +79,21 @@ def split_rules(dim: DataFrame) -> dict[int, DataFrame]:
     return out
 
 
-# session-scoped memo of cached (deduped) dims, keyed by the analyzed plan's
-# semantic hash: repeated pipeline runs over the same dim reuse ONE cached
-# relation instead of stacking a new orphan per call (round-1 advice: each
-# match_rules call leaked a small cached relation for the session lifetime)
-_DIM_CACHE: dict[tuple[int, int], DataFrame] = {}
+# session-scoped memo of cached (deduped) dims: repeated pipeline runs over
+# the same dim reuse ONE cached relation instead of stacking a new orphan
+# per call (round-1 advice); hits confirmed via sameResult — see _memo
+_DIM_CACHE: _memo.Registry = {}
 
 
 def _memo_cache_dim(dim: DataFrame) -> DataFrame:
-    spark = dim.sparkSession
-    key = (id(spark), dim._jdf.queryExecution().analyzed().semanticHash())
-    hit = _DIM_CACHE.get(key)
-    if hit is not None:
-        # an external clearCache()/unpersist() may have dropped the entry
-        # behind our back — a stale memo row would silently hand out an
-        # UNcached dim and re-run its lineage per join subtree
-        sl = hit.storageLevel
-        if sl.useMemory or sl.useDisk:
-            return hit
-        del _DIM_CACHE[key]
-    _DIM_CACHE[key] = dim.cache()
-    return _DIM_CACHE[key]
+    return _memo.memo_persist(dim, _DIM_CACHE)
 
 
 def release_dim_cache(spark=None) -> int:
     """Unpersist every dim ``match_rules`` cached (for ``spark`` only, or
     all sessions); returns how many were released. Call between pipeline
     generations when the dim changes."""
-    released = 0
-    for key, df in list(_DIM_CACHE.items()):
-        if spark is None or key[0] == id(spark):
-            df.unpersist()
-            del _DIM_CACHE[key]
-            released += 1
-    return released
+    return _memo.release(_DIM_CACHE, spark)
 
 
 def match_rules(

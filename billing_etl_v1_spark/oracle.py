@@ -77,7 +77,7 @@ PIPELINE_KEYS = [
 ]
 
 
-def _dsum(m: str) -> str:
+def _dsum(m: str, dialect: str = "duckdb") -> str:
     """Partition-order-proof sum, fast form: quantize each double to an
     exact 1e-10 integer grid (round half toward +inf), accumulate as a
     sign-safe (hi, lo) BIGINT pair — lo = pmod(v, 1e9) ∈ [0, 1e9), hi the
@@ -89,21 +89,25 @@ def _dsum(m: str) -> str:
     2.8× faster on the sf0.1 13-key aggregate. Overflow envelope: lo sums
     bound ~9e9 rows/group, hi sums ~9e12 rows/group at 1e5-scale money —
     far beyond any real per-(account, day, sku) grain; whole-table
-    rollup/cube totals keep the DECIMAL path. Every operation is in the
+    rollup/cube totals keep the DECIMAL path. Every operation except the
+    integer division (DuckDB ``//`` vs Spark ``div`` — the one dialect
+    split, exact either way since (v10 - lo) divides evenly) is in the
     Spark SQL ∩ DuckDB dialect intersection and IEEE-identical, so both
-    engines agree bit-for-bit; matches
-    operators.aggregate.source_aggregate."""
+    engines agree bit-for-bit; matches operators.aggregate.source_aggregate.
+    Integer div (not ``/``): a double division truncates hi off-by-one once
+    |v10| > 2^53 (per-row |value| ~9e5); integer div is exact to ~9e8."""
+    idiv = "//" if dialect == "duckdb" else "div"
     v10 = f"CAST(floor({m} * 1e10 + 0.5) AS BIGINT)"
     lo = f"((({v10}) % 1000000000) + 1000000000) % 1000000000"
-    hi = f"CAST((({v10}) - ({lo})) / 1000000000 AS BIGINT)"
+    hi = f"((({v10}) - ({lo})) {idiv} 1000000000"  + ")"
     return (
         f"CAST(CAST(sum({hi}) AS DECIMAL(38,0)) * 1000000000"
         f" + sum({lo}) AS DOUBLE) / 1e10"
     )
 
 
-def _sums() -> str:
-    return ",\n         ".join(f"{_dsum(m)} AS {m}" for m in SUM_MEASURES)
+def _sums(dialect: str = "duckdb") -> str:
+    return ",\n         ".join(f"{_dsum(m, dialect)} AS {m}" for m in SUM_MEASURES)
 
 
 def _base_ctes(month: str | None = None) -> str:
@@ -139,12 +143,12 @@ def _rule_ctes() -> str:
     return ",\n".join(parts)
 
 
-def _source_cte(keys: list[str]) -> str:
+def _source_cte(keys: list[str], dialect: str = "duckdb") -> str:
     key_list = ", ".join(keys + ["contract_month"])
     return f"""
 source AS (
   SELECT {key_list},
-         {_sums()}
+         {_sums(dialect)}
   FROM fact
   GROUP BY {key_list}
 )"""
@@ -322,7 +326,7 @@ def flagship_sql(
         + ",\n"
         + _rule_ctes()
         + ",\n"
-        + _source_cte(keys)
+        + _source_cte(keys, dialect)
         + ",\n"
         + _matched_cte()
         + ",\n"

@@ -1129,9 +1129,13 @@ GROUP BY event_type
 
 def top_event_paths_sql(length: int = 3, k: int = 20) -> str:
     """Twin of operators.events.top_event_paths — same lead() windows over
-    (ts, event_id), same separator, same tie-breaks."""
-    leads = ["event_type"] + [
-        f"lead(event_type, {i}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    (ts, event_id), same separator, same tie-breaks, same NULL-step
+    sentinel (Spark's concat_ws SKIPS nulls while ``||`` nulls the whole
+    path — both engines coalesce before the leads so a NULL event_type is
+    a '<null>' step and lead() NULL means only end-of-sequence)."""
+    step = "coalesce(event_type, '<null>')"
+    leads = [step] + [
+        f"lead({step}, {i}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
         for i in range(1, length)
     ]
     concat = " || ' > ' || ".join(leads)

@@ -273,3 +273,20 @@ def test_exact_sum_is_exact_signed_and_partition_order_proof(spark):
     assert got == pytest.approx(math.floor(-1.5e10 + 0.5) / 1e10
                                 + math.floor(-2.5e10 + 0.5) / 1e10
                                 + math.floor(-0.0000000004e10 + 0.5) / 1e10, abs=1e-12)
+
+
+def test_exact_sum_large_magnitudes_use_integer_hi(spark):
+    """|value| beyond ~9e5 pushes v10 past 2^53: the old double-division hi
+    reconstruction truncated off-by-one (0.1 absolute error per row, both
+    engines identically so the oracle couldn't see it). Integer div must
+    keep hi exact across the bigint grid range (round-2 advice)."""
+    import math
+
+    from billing_etl_v1_spark.functions import exact_sum
+
+    vals = [12345678.9, -98765432.1, 9.0e8, -8.999999e8, 1234567.000000125]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    expected = sum(math.floor(v * 1e10 + 0.5) for v in vals) / 1e10
+    for parts in (1, 4):
+        got = df.repartition(parts).agg(exact_sum(F.col("v")).alias("s")).collect()[0].s
+        assert got == pytest.approx(expected, abs=1e-9), (parts, got, expected)

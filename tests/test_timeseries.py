@@ -64,6 +64,61 @@ def test_approx_stats_within_bounds_of_exact(spark):
             assert abs(row[f"approx_p{q}"] - ex[f"p{q}"]) <= 0.05 * spread + 1e-9
 
 
+def test_approx_stats_checked_flags_trivially_true_for_tiny_groups(spark):
+    """The rank-error envelope only binds for groups with >= 1/q_tol rows;
+    a 2-row group's approx_percentile (a data element) can legitimately sit
+    outside the interpolated exact bounds — the flag must be TRUE anyway so
+    the oracle's literal TRUE always matches (round-2 advice)."""
+    rows = [("rare", 1, 0.0), ("rare", 2, 1000.0)] + [
+        ("common", 100 + i, float(i)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id int, value double")
+    out = ts.approx_stats_checked(df).toPandas().set_index("event_type")
+    for et in ("rare", "common"):
+        for c in out.columns:
+            if c.endswith("_in_bounds"):
+                assert bool(out.loc[et, c]), (et, c)
+
+
+def test_top_paths_null_event_type_matches_oracle():
+    """NULL event_type mid-sequence: Spark's concat_ws would silently skip
+    the step while the oracle's || nulls the path — the shared '<null>'
+    sentinel keeps both engines identical (round-2 advice)."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from billing_etl_v1_spark.operators.events import top_event_paths
+    from billing_etl_v1_spark.oracle_ext import top_event_paths_sql
+    from billing_etl_v1_spark.session import get_spark
+    from tests.conftest import normalize
+
+    spark = get_spark("nullpath-test", shuffle_partitions=4)
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (1, "u1", t0, "view"),
+        (2, "u1", t0 + dt.timedelta(minutes=1), None),
+        (3, "u1", t0 + dt.timedelta(minutes=2), "purchase"),
+        (4, "u2", t0, "view"),
+        (5, "u2", t0 + dt.timedelta(minutes=1), None),
+        (6, "u2", t0 + dt.timedelta(minutes=2), "purchase"),
+        (7, "u3", t0, "view"),
+        (8, "u3", t0 + dt.timedelta(minutes=1), "click"),
+        (9, "u3", t0 + dt.timedelta(minutes=2), "purchase"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type"])
+    sdf = spark.createDataFrame(
+        pdf, "event_id long, user_id string, ts timestamp_ntz, event_type string"
+    )
+    got = normalize(top_event_paths(sdf).toPandas())
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = normalize(con.execute(top_event_paths_sql()).df())
+    assert got.equals(want), (got, want)
+    assert any("<null>" in p for p in got.path)
+
+
 def test_price_bands_partition_every_part(spark):
     part = load_table(spark, SF_SMALL, "part")
     out = examples.price_band_summary(part).toPandas()
