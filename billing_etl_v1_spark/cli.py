@@ -5,6 +5,14 @@ cron, excute_month_task.py:167-200 the monthly backfill).
 
     python -m billing_etl_v1_spark.cli daily  --fact F --dim D --target T [--date YYYY-MM-DD]
     python -m billing_etl_v1_spark.cli month  --fact F --dim D --target T --invoice-month YYYYMM
+    python -m billing_etl_v1_spark.cli sql    --tables DIR --query "SELECT … LIMIT 5"
+    python -m billing_etl_v1_spark.cli sql    --tables DIR --list-tables
+
+The ``sql`` subcommand honors the ad-hoc query surface the reference README
+documents but never implemented (README.md:38-45 describes ``--query`` /
+``--list-tables``; its main.py imports argparse and never uses it,
+SURVEY §3.3) — here it is one real ``spark.sql()`` pass-through over the
+parquet tables in ``--tables`` (each ``<name>.parquet`` becomes a view).
 
 ``--fact`` / ``--dim`` are parquet paths (the engine's tables-at-rest; the
 reference read the same shapes from ClickHouse). No scheduler is embedded —
@@ -56,6 +64,23 @@ def build_parser() -> argparse.ArgumentParser:
     corpus.add_argument("--shard-tokens", type=int, default=4000)
     corpus.add_argument("--min-tokens", type=int, default=30)
     corpus.add_argument("--min-quality", type=float, default=0.5)
+
+    # ad-hoc SQL over tables-at-rest (reference README.md:38-45's documented
+    # --query/--list-tables surface, dead in its main.py — real here)
+    sql = sub.add_parser("sql", help="run ad-hoc SQL over a directory of parquet tables")
+    sql.add_argument(
+        "--tables",
+        required=True,
+        help="directory of <name>.parquet files; each registers as view <name>",
+    )
+    group = sql.add_mutually_exclusive_group(required=True)
+    group.add_argument("--query", help="SQL to run (Spark SQL dialect)")
+    group.add_argument(
+        "--list-tables", action="store_true", help="print registered view names"
+    )
+    sql.add_argument(
+        "--max-rows", type=int, default=100, help="max rows to print (default 100)"
+    )
     return p
 
 
@@ -66,6 +91,24 @@ def main(argv: list[str] | None = None) -> int:
     from billing_etl_v1_spark.session import get_spark
 
     spark = get_spark("billing-etl-cli")
+    if args.command == "sql":
+        import glob
+        import os
+
+        from billing_etl_v1_spark.sources.readers import register_views
+
+        names = sorted(
+            os.path.splitext(os.path.basename(p))[0]
+            for p in glob.glob(os.path.join(args.tables, "*.parquet"))
+        )
+        register_views(spark, args.tables, names)
+        if args.list_tables:
+            for t in names:
+                print(t)
+        else:
+            spark.sql(args.query).show(n=args.max_rows, truncate=False)
+        spark.stop()
+        return 0
     if args.command == "schema":
         for path in args.paths:
             print(f"-- {path}")

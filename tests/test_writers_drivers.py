@@ -264,6 +264,34 @@ def test_cli_corpus_build_end_to_end(spark, tmp_path, monkeypatch):
     assert out.count() < load_table(spark, SF_SMALL, "documents").count()
 
 
+def test_cli_sql_subcommand_query_and_list_tables(spark, monkeypatch, capsys):
+    """The reference README documents --query/--list-tables but its main.py
+    never wires them (README.md:38-45, SURVEY §3.3) — our `sql` subcommand
+    is the real pass-through over the parquet tables."""
+    from billing_etl_v1_spark import cli
+    from tests.conftest import SF_SMALL
+
+    monkeypatch.setattr("billing_etl_v1_spark.session.get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    rc = cli.main(["sql", "--tables", SF_SMALL, "--list-tables"])
+    assert rc == 0
+    listed = capsys.readouterr().out.split()
+    assert {"region", "nation", "lineitem", "documents"} <= set(listed)
+
+    rc = cli.main(
+        [
+            "sql",
+            "--tables", SF_SMALL,
+            "--query",
+            "SELECT r_name, count(*) AS n FROM region GROUP BY r_name ORDER BY r_name LIMIT 5",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "r_name" in out and "AFRICA" in out
+
+
 def test_partitioned_sink_prunes_on_read(spark, tmp_path):
     """The (invoice_month, usage_day) layout must make month/day-filtered
     reads prune partitions at PLAN time — the property that lets a daily
