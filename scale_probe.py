@@ -8,6 +8,13 @@ account ids, which preserves group cardinality growth (keys replicate per
 copy, so the aggregate output scales too — the honest case, not a
 degenerate all-duplicate merge).
 
+Also probes the per-character text operators (winnowing fingerprints — the
+bench's most expensive query — and the repetition gate) at sf0.01 vs sf0.1
+and reports the time-vs-bytes scaling ratio: winnowing's history includes
+an O(pos²) formulation that only showed past toy scale, so linearity is
+something to MEASURE each round, not assume. time_ratio ≈ bytes_ratio (~10x)
+means linear; >> means a superlinear regression crept in.
+
 Usage: python scale_probe.py [replication]
 """
 
@@ -75,7 +82,38 @@ def main() -> None:
     results[label] = {"rows": n, "sec": round(dt, 3), "rows_per_sec": int(n / dt)}
     print(f"# {label}: {n} rows in {dt:.2f}s ({int(n/dt)} rows/s)", file=sys.stderr)
 
-    print(json.dumps({"metric": "flagship_scaling", "runs": results}))
+    text_ops = {}
+    for qname in ("docs_winnow_fingerprints", "docs_repetition"):
+        runs = {}
+        for label, sf_dir in [
+            ("sf0.01", "/root/testdata/sf0.01"),
+            ("sf0.1", "/root/testdata/sf0.1"),
+        ]:
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            n_bytes = docs.agg(F.sum(F.octet_length("text"))).first()[0]
+            q = em.queries()[qname](spark, sf_dir)
+            q.write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            q.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            runs[label] = {"bytes": int(n_bytes), "sec": round(dt, 3)}
+            print(f"# {qname} {label}: {n_bytes} bytes in {dt:.2f}s", file=sys.stderr)
+        bytes_ratio = runs["sf0.1"]["bytes"] / runs["sf0.01"]["bytes"]
+        time_ratio = runs["sf0.1"]["sec"] / max(runs["sf0.01"]["sec"], 1e-9)
+        runs["bytes_ratio"] = round(bytes_ratio, 2)
+        runs["time_ratio"] = round(time_ratio, 2)
+        # normalized >> 1 would mean superlinear in corpus bytes (per-task
+        # overheads make small-scale runs look artificially slow, so <1 is
+        # common; the O(pos²) trap showed up as ~5x here)
+        runs["time_ratio_over_bytes_ratio"] = round(time_ratio / bytes_ratio, 2)
+        text_ops[qname] = runs
+        print(
+            f"# {qname}: time x{time_ratio:.1f} for bytes x{bytes_ratio:.1f} "
+            f"(normalized {time_ratio / bytes_ratio:.2f})",
+            file=sys.stderr,
+        )
+
+    print(json.dumps({"metric": "flagship_scaling", "runs": results, "text_ops": text_ops}))
     spark.stop()
 
 
