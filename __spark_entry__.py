@@ -634,69 +634,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Order matters: the driver's correctness harness checks the FIRST 50
-    entries only. Round 1 verified 50 names (CORRECTNESS_r01.json); this
-    round leads with the 33 queries that have never had a driver verdict,
-    followed by the 17 highest-value round-1 entries (the fixed
-    billing_dq_audit, the newly-oracled events_approx_stats, and the
-    flagship/billing core) so regressions there stay visible. The
-    remaining round-1-green queries keep local parity coverage
-    (tests/test_oracle_parity.py) below the fold.
+    entries only; rotation policy is "every query's latest verdict <= 2
+    rounds old". Rounds 1+2 together verified all 89 names; round 3 leads
+    with the 39 whose latest verdict is r1 (r2's window covered the rest),
+    then the queries CHANGED this round (multimodal_features gained its
+    oracle; value_deciles went two-phase; pack_shards/corpus_build offsets
+    reformulated; top_paths NULL sentinel; jaccard guard) and the
+    exact-sum-bearing billing core for re-confirmation. The r2-green TPC-H
+    block and text/multimodal rows drop below the fold — local parity
+    coverage (tests/test_oracle_parity.py) still runs ALL of them.
     """
     return {
-        # --- never driver-checked in round 1: lead with these ---
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q2": _q_tpch_q2,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q4": _q_tpch_q4,
-        "tpch_q5": _q_tpch_q5,
-        "tpch_q6": _q_tpch_q6,
-        "tpch_q7": _q_tpch_q7,
-        "tpch_q8": _q_tpch_q8,
-        "tpch_q9": _q_tpch_q9,
-        "tpch_q10": _q_tpch_q10,
-        "tpch_q11": _q_tpch_q11,
-        "tpch_q12": _q_tpch_q12,
-        "tpch_q13": _q_tpch_q13,
-        "tpch_q14": _q_tpch_q14,
-        "tpch_q15": _q_tpch_q15,
-        "tpch_q16": _q_tpch_q16,
-        "tpch_q17": _q_tpch_q17,
-        "tpch_q18": _q_tpch_q18,
-        "tpch_q19": _q_tpch_q19,
-        "tpch_q20": _q_tpch_q20,
-        "tpch_q21": _q_tpch_q21,
-        "tpch_q22": _q_tpch_q22,
-        "tpch_price_bands": _q_price_bands,
-        "tpch_top_customers": _q_top_customers,
-        "events_funnel": _q_events_funnel,
-        "events_retention": _q_events_retention,
-        "events_salted_user_join": _q_events_salted_join,
-        "docs_quality_corpus": _q_quality_corpus,
-        "docs_top_ngrams": _q_docs_top_ngrams,
-        "docs_tfidf_top_terms": _q_docs_tfidf,
-        "multimodal_meta": _q_multimodal_meta,
-        "multimodal_frame_sample": _q_multimodal_frames,
-        "multimodal_features": _q_multimodal_features,
-        # --- new in round 2 (need first verdicts) ---
-        "docs_repetition": _q_docs_repetition,
-        "docs_decontaminate": _q_docs_decontaminate,
-        "docs_chunk": _q_docs_chunk,
-        "docs_winnow_fingerprints": _q_docs_winnow,
-        "events_top_paths": _q_events_top_paths,
-        "docs_bigram_fluency": _q_docs_fluency,
-        # --- round-1 rows worth re-confirming (fixed or most load-bearing) ---
-        "billing_dq_audit": _q_dq_audit,
-        "events_approx_stats": _q_approx_stats,
-        "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
-        "billing_flagship": _flagship(None, "detail"),
-        "billing_flagship_production": _flagship(None, "pipeline"),
-        "billing_flagship_sql": _q_flagship_sql,
-        "billing_source_agg": _q_source_agg,
-        "billing_source_agg_detail": _q_source_agg_detail,
-        "billing_rule_match": _q_rule_match,
-        "billing_pricing_modes": _q_pricing_modes,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        # --- round-1 green; driver re-checks as capacity allows ---
+        # --- last driver verdict is r1: re-verify this round ---
         "billing_credits_pivot": _q_credits_pivot,
         "billing_dim_rules": _q_dim_rules,
         "dedup_clusters": _q_dedup_clusters,
@@ -736,6 +685,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_pack_shards": _q_docs_pack_shards,
         "docs_mixture_sample": _q_docs_mixture_sample,
+        # --- changed in round 3: first hash verdict / re-verify ---
+        "multimodal_features": _q_multimodal_features,
+        "events_top_paths": _q_events_top_paths,
+        "events_approx_stats": _q_approx_stats,
+        # --- exact-sum-bearing billing core: keep regressions visible ---
+        "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
+        "billing_flagship": _flagship(None, "detail"),
+        "billing_flagship_production": _flagship(None, "pipeline"),
+        "billing_flagship_sql": _q_flagship_sql,
+        "billing_source_agg": _q_source_agg,
+        "billing_source_agg_detail": _q_source_agg_detail,
+        "billing_rule_match": _q_rule_match,
+        "billing_pricing_modes": _q_pricing_modes,
+        # --- r2-green; below the driver fold, still in local parity tests ---
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
+        "tpch_price_bands": _q_price_bands,
+        "tpch_top_customers": _q_top_customers,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "events_salted_user_join": _q_events_salted_join,
+        "docs_quality_corpus": _q_quality_corpus,
+        "docs_top_ngrams": _q_docs_top_ngrams,
+        "docs_tfidf_top_terms": _q_docs_tfidf,
+        "multimodal_meta": _q_multimodal_meta,
+        "multimodal_frame_sample": _q_multimodal_frames,
+        "docs_repetition": _q_docs_repetition,
+        "docs_decontaminate": _q_docs_decontaminate,
+        "docs_chunk": _q_docs_chunk,
+        "docs_winnow_fingerprints": _q_docs_winnow,
+        "docs_bigram_fluency": _q_docs_fluency,
+        "billing_dq_audit": _q_dq_audit,
+        "dedup_minhash_lsh": _q_dedup_minhash,
     }
 
 
