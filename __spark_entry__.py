@@ -547,6 +547,10 @@ def _q_docs_tfidf(spark, sf_dir):
     return text_ops.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_dedup_spans(spark, sf_dir):
+    return text_ops.remove_repeated_spans(load_table(spark, sf_dir, "documents"))
+
+
 def _q_multimodal_meta(spark, sf_dir):
     docs = mm_ops.attach_payload(load_table(spark, sf_dir, "documents"))
     return mm_ops.payload_metadata(docs)
@@ -685,7 +689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_pack_shards": _q_docs_pack_shards,
         "docs_mixture_sample": _q_docs_mixture_sample,
-        # --- changed in round 3: first hash verdict / re-verify ---
+        # --- new / changed in round 3: first hash verdict / re-verify ---
+        "docs_dedup_spans": _q_docs_dedup_spans,
         "multimodal_features": _q_multimodal_features,
         "events_top_paths": _q_events_top_paths,
         "events_approx_stats": _q_approx_stats,
@@ -834,6 +839,7 @@ def oracle_sql() -> dict[str, str]:
         "events_top_paths": oracle_ext.top_event_paths_sql(),
         "docs_bigram_fluency": oracle_ext.bigram_fluency_sql(),
         "docs_winnow_fingerprints": oracle_ext.winnow_fingerprints_sql(),
+        "docs_dedup_spans": oracle_ext.remove_repeated_spans_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),
         # mapInPandas query with an exact SQL twin: fixed-point byte-bucket

@@ -468,3 +468,68 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFr
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", quantize6(F.col("score")).alias("score"), "rank")
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    max_freq: int = 1,
+) -> DataFrame:
+    """Exact repeated-span removal — ExactSubstr dedup at word n-gram
+    granularity (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): the third dedup granularity next to
+    whole-document (dedup.exact_dedup) and near-dup (dedup.minhash_lsh_pairs).
+    Every word position covered by an n-gram occurring more than
+    ``max_freq`` times corpus-wide is dropped; surviving words reassemble
+    in order. Output text is whitespace-normalized (lowercased,
+    single-spaced) — the same normalization every other text operator here
+    applies before hashing.
+
+    Known caveat of the span family (shared with the suffix-array original):
+    removing a span can create a NEW adjacent n-gram that never existed;
+    one pass removes all PRE-EXISTING repeats, it is not a fixpoint.
+
+    Scale shape: one shuffle on the 60-bit gram hash (frequency count +
+    left-semi back-probe), one on (doc, pos) for the anti-join, and a
+    per-doc rebuild via collect_list + array_sort INSIDE each group
+    (bounded by document length — no Window, no global sort, no UDF).
+    """
+    toks = df.select(F.col(id_col).alias("doc"), _tokens(F.col(text_col)).alias("__t"))
+    words = toks.select("doc", F.posexplode("__t").alias("pos", "word"))
+    grams = toks.select(
+        "doc", F.posexplode(_word_grams("__t", n)).alias("gpos", "gram")
+    ).select("doc", "gpos", md5_long(F.col("gram")).alias("gh"))
+    hot = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__f"))
+        .filter(F.col("__f") > max_freq)
+        .select("gh")
+    )
+    covered = (
+        grams.join(hot, "gh", "left_semi")
+        .select(
+            "doc",
+            F.explode(F.sequence(F.col("gpos"), F.col("gpos") + (n - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = words.join(covered, ["doc", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    base = toks.select("doc", F.size("__t").alias("__n_tokens"))
+    return base.join(rebuilt, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.col("__n_tokens").cast("int").alias("n_tokens"),
+        F.coalesce(F.col("__kept"), F.lit(0)).cast("int").alias("n_tokens_kept"),
+    )

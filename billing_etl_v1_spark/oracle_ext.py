@@ -1078,6 +1078,45 @@ FROM documents
 """
 
 
+def remove_repeated_spans_sql(n: int = 5, max_freq: int = 1) -> str:
+    """Twin of operators.text.remove_repeated_spans — same tokens regex,
+    same 60-bit gram hash, same 0-based coverage arithmetic; the per-doc
+    rebuild is string_agg ORDER BY pos (Spark: array_sort(collect_list))."""
+    gram = f"array_to_string(t[i + 1 : i + {n}], ' ')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+),
+words AS (
+  SELECT doc_id, i AS pos, t[i + 1] AS word
+  FROM toks, unnest(range(0, len(t))) u(i)
+),
+grams AS (
+  SELECT doc_id, i AS gpos, {_md5int(gram)} AS gh
+  FROM toks, unnest(range(0, greatest(len(t) - {n - 1}, 0))) u(i)
+),
+hot AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) > {max_freq}),
+covered AS (
+  SELECT DISTINCT doc_id, gpos + j AS pos
+  FROM grams JOIN hot USING (gh), unnest(range(0, {n})) v(j)
+),
+kept AS (
+  SELECT w.doc_id, w.pos, w.word
+  FROM words w ANTI JOIN covered c ON w.doc_id = c.doc_id AND w.pos = c.pos
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS kept_n
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       len(t.t)::INT AS n_tokens,
+       COALESCE(r.kept_n, 0)::INT AS n_tokens_kept
+FROM toks t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
 def multimodal_features_sql(dim: int = 8) -> str:
     """Twin of operators.multimodal.extract_features(fake=True).
 

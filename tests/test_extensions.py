@@ -99,6 +99,40 @@ def test_ngram_jaccard_doc_freq_prune_only_shrinks_scores(spark, docs):
     assert same == full
 
 
+def test_remove_repeated_spans_drops_cross_doc_spans_only(spark):
+    from billing_etl_v1_spark.operators.text import remove_repeated_spans
+
+    dup = "the quick brown fox jumps"  # 5 words = one exact 5-gram
+    rows = [
+        (1, f"alpha beta {dup} gamma delta"),
+        (2, f"epsilon zeta {dup} eta theta"),
+        (3, "iota kappa lambda mu nu xi omicron pi"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_repeated_spans(df, n=5).collect()}
+    # the shared 5-gram is removed from BOTH docs, the unique words survive
+    assert out[1].clean_text == "alpha beta gamma delta"
+    assert out[2].clean_text == "epsilon zeta eta theta"
+    # a doc with no repeated span is unchanged (modulo normalization)
+    assert out[3].clean_text == "iota kappa lambda mu nu xi omicron pi"
+    for r in out.values():
+        assert r.n_tokens_kept <= r.n_tokens
+
+
+def test_remove_repeated_spans_within_doc_repeat(spark):
+    from billing_etl_v1_spark.operators.text import remove_repeated_spans
+
+    phrase = "a b c d e"
+    df = spark.createDataFrame(
+        [(1, f"{phrase} x {phrase}"), (2, "unrelated words only here now")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_repeated_spans(df, n=5).collect()}
+    # the twice-occurring 5-gram inside ONE doc is removed at both sites
+    assert out[1].clean_text == "x"
+    assert out[1].n_tokens_kept == 1
+
+
 def test_simhash_identical_docs_hamming_zero(spark, docs):
     dups = (
         exact_dedup(docs)
