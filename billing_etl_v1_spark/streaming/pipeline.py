@@ -325,3 +325,71 @@ def streaming_quality_gate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_incremental_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    docs_schema,
+    signature_store: str,
+    pairs_out: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.0,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuous corpus ingest → near-dup pairs + a growing signature store:
+    the streaming face of the scalable cross-batch dedup pattern
+    (operators.dedup.minhash_incremental_pairs).
+
+    Per micro-batch: (1) probe the PERSISTED signature store with the new
+    documents — historical text is never re-read, cost scales with the
+    batch; (2) write the batch's near-dup pairs (vs corpus + within batch);
+    (3) append the batch's own signatures to the store; (4) release the
+    memoized batch signature cache (dedup.release_signature_cache — the
+    superseded batch cache would otherwise accumulate per trigger).
+
+    Exactly-once: pairs and signatures write to a ``batch_id=N``
+    subdirectory with overwrite, so a retried micro-batch (foreachBatch is
+    at-least-once) lands idempotently; readers discover ``batch_id`` as a
+    partition column. Streaming state stores are deliberately NOT used —
+    corpus-scale dedup state is unbounded; the signature parquet IS the
+    state, ~k×8 bytes/doc, shared with any batch consumer.
+
+    Union of emitted pairs over all batches equals the full-batch
+    ``minhash_lsh_pairs`` of everything ingested (tested, orientation
+    normalized), because batch-internal pairs surface as new-vs-new and
+    cross-batch pairs as new-vs-old at the batch where the newer side lands.
+    """
+    from billing_etl_v1_spark.operators import dedup as dedup_ops
+
+    reader = spark.readStream.schema(docs_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        new_sig = dedup_ops.minhash_signatures(batch_df, id_col, text_col)
+        try:
+            old_sig = s.read.parquet(signature_store).select(*new_sig.columns)
+        except Exception:  # first batch: no store yet
+            old_sig = new_sig.limit(0)
+        pairs = dedup_ops.minhash_incremental_pairs(
+            batch_df, old_sig, id_col=id_col, text_col=text_col
+        ).filter(F.col("est_jaccard") >= threshold)
+        pairs.write.mode("overwrite").parquet(f"{pairs_out}/batch_id={batch_id}")
+        new_sig.write.mode("overwrite").parquet(
+            f"{signature_store}/batch_id={batch_id}"
+        )
+        dedup_ops.release_signature_cache(s)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

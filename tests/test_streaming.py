@@ -283,3 +283,44 @@ def test_streaming_quality_gate_matches_batch(spark, tmp_path):
     got = {r.doc_id for r in spark.read.parquet(target).select("doc_id").collect()}
     want = {r.doc_id for r in batch.select("doc_id").collect()}
     assert got == want and got
+
+
+def test_streaming_incremental_dedup_matches_full_batch(spark, tmp_path):
+    """Two micro-batches of documents must together emit EXACTLY the pairs
+    the full-batch LSH finds on the whole corpus: batch-internal pairs as
+    new-vs-new, cross-batch pairs as new-vs-old when the newer side lands.
+    Orientation differs (doc_a = batch side), so compare normalized."""
+    from billing_etl_v1_spark.operators.dedup import minhash_lsh_pairs
+    from billing_etl_v1_spark.streaming.pipeline import streaming_incremental_dedup
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    docs_dir = str(tmp_path / "docs_in")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(docs_dir)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(docs_dir)
+
+    store = str(tmp_path / "sigs")
+    pairs_out = str(tmp_path / "pairs")
+    q = streaming_incremental_dedup(
+        spark,
+        docs_dir,
+        spark.read.parquet(docs_dir).schema,
+        store,
+        pairs_out,
+        checkpoint_dir=str(tmp_path / "ckpt_inc"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    def norm(df):
+        return {
+            (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b), r.est_jaccard)
+            for r in df.collect()
+        }
+
+    got = norm(spark.read.parquet(pairs_out))
+    want = norm(minhash_lsh_pairs(docs))
+    assert got == want and len(want) > 0
+    # the signature store grew to cover the whole corpus, k ints per doc
+    sigs = spark.read.parquet(store)
+    assert sigs.select("doc").distinct().count() == docs.count()
