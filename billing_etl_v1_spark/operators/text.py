@@ -267,6 +267,84 @@ def decontaminate(
     )
 
 
+def decontaminate_fuzzy(
+    df: DataFrame,
+    text_col: str = "text",
+    eval_mod: int = 97,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate benchmark decontamination: flag training documents
+    whose MinHash-estimated Jaccard against ANY evaluation document reaches
+    ``threshold`` — the paraphrase-level companion to :func:`decontaminate`
+    (exact n-gram overlap misses reworded benchmark leakage; LSH banding
+    catches it at the same cost profile as near-dup dedup).
+
+    Same deterministic eval stand-in as :func:`decontaminate`
+    (``doc_id % eval_mod == 0``); real pipelines pass a benchmark table.
+    Output per NON-eval doc: candidate count, near-dup eval count at the
+    threshold, max estimated Jaccard, and the contamination flag.
+
+    Scale shape: benchmark signatures are tiny → their banded keys enter a
+    BROADCAST join probed map-side by the corpus signatures; the corpus
+    never self-joins and only matched candidates reach the per-doc
+    aggregate. Exactly the decontaminate plan with signatures in place of
+    raw n-grams.
+    """
+    from billing_etl_v1_spark.operators.dedup import (
+        NUM_MINHASH,
+        _banded,
+        minhash_signatures,
+    )
+
+    is_eval = F.col("doc_id") % eval_mod == 0
+    train_sig = minhash_signatures(df.filter(~is_eval), "doc_id", text_col)
+    eval_sig = minhash_signatures(df.filter(is_eval), "doc_id", text_col)
+    tb, eb = _banded(train_sig), _banded(eval_sig)
+    cand = (
+        tb.alias("t")
+        .join(
+            F.broadcast(eb.alias("e")),
+            (F.col("t.band_idx") == F.col("e.band_idx"))
+            & (F.col("t.band_key") == F.col("e.band_key")),
+        )
+        .select(F.col("t.doc").alias("doc_a"), F.col("e.doc").alias("doc_b"))
+        .distinct()
+    )
+    k = NUM_MINHASH
+    ta = train_sig.select(
+        F.col("doc").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)]
+    )
+    ebs = eval_sig.select(
+        F.col("doc").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)]
+    )
+    est = quantize6(
+        sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k))
+        / F.lit(float(k))
+    )
+    scored = (
+        cand.join(F.broadcast(ebs), "doc_b")
+        .join(ta, "doc_a")
+        .select("doc_a", "doc_b", est.alias("est"))
+    )
+    hits = scored.groupBy("doc_a").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("est") >= threshold, 1).otherwise(0)).alias("n_near_eval"),
+        quantize6(F.max("est")).alias("max_est_jaccard"),
+    )
+    base = df.filter(~is_eval).select("doc_id", "lang", "source")
+    return base.join(
+        hits.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.coalesce(F.col("n_candidates"), F.lit(0)).cast("bigint").alias("n_candidates"),
+        F.coalesce(F.col("n_near_eval"), F.lit(0)).cast("bigint").alias("n_near_eval"),
+        F.coalesce(F.col("max_est_jaccard"), F.lit(0.0)).alias("max_est_jaccard"),
+        (F.coalesce(F.col("n_near_eval"), F.lit(0)) > 0).alias("is_contaminated"),
+    )
+
+
 def bigram_fluency(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-frequency fluency scoring — the language-model-perplexity
     proxy of CCNet-style pipelines without the model: a document whose

@@ -173,6 +173,65 @@ FROM banded a JOIN banded b
 """
 
 
+def decontaminate_fuzzy_sql(
+    eval_mod: int = 97, threshold: float = 0.5, k: int = NUM_MINHASH, bands: int = BANDS
+) -> str:
+    """Twin of operators.text.decontaminate_fuzzy — the minhash_lsh_sql
+    signature/banding machinery, asymmetric train-vs-eval, aggregated per
+    training doc."""
+    from billing_etl_v1_spark.operators.dedup import (
+        CW_CONSTANTS,
+        MINHASH_IN_MOD,
+        MINHASH_PRIME,
+    )
+
+    rows = k // bands
+    hb = f"({_md5int('shingle')}) % {MINHASH_IN_MOD}"
+    mins = ",\n    ".join(
+        f"min(({a} * ({hb}) + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(CW_CONSTANTS[:k])
+    )
+    band_cols = ",\n    ".join(
+        " || '_' || ".join(f"mh{b * rows + r}::VARCHAR" for r in range(rows)) + f" AS band{b}"
+        for b in range(bands)
+    )
+    band_or = " OR ".join(f"t.band{b} = e.band{b}" for b in range(bands))
+    est_raw = " + ".join(f"(CASE WHEN t.mh{i} = e.mh{i} THEN 1 ELSE 0 END)" for i in range(k))
+    est = _r6(f"({est_raw}) / {float(k)}")
+    return f"""
+WITH {_SHINGLES},
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT *,
+    {band_cols}
+  FROM sig
+),
+scored AS (
+  SELECT t.doc_id AS doc_a, e.doc_id AS doc_b, {est} AS est
+  FROM banded t JOIN banded e
+    ON t.doc_id % {eval_mod} <> 0 AND e.doc_id % {eval_mod} = 0 AND ({band_or})
+),
+hits AS (
+  SELECT doc_a,
+         count(*) AS n_candidates,
+         sum(CASE WHEN est >= {threshold} THEN 1 ELSE 0 END) AS n_near_eval,
+         {_r6('max(est)')} AS max_est_jaccard
+  FROM scored GROUP BY doc_a
+)
+SELECT d.doc_id, d.lang, d.source,
+       COALESCE(h.n_candidates, 0)::BIGINT AS n_candidates,
+       COALESCE(h.n_near_eval, 0)::BIGINT AS n_near_eval,
+       COALESCE(h.max_est_jaccard, 0.0) AS max_est_jaccard,
+       COALESCE(h.n_near_eval, 0) > 0 AS is_contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_a
+WHERE d.doc_id % {eval_mod} <> 0
+"""
+
+
 def simhash_pairs_sql(max_hamming: int = 3) -> str:
     votes = ",\n    ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16)

@@ -119,6 +119,22 @@ def test_remove_repeated_spans_drops_cross_doc_spans_only(spark):
         assert r.n_tokens_kept <= r.n_tokens
 
 
+def test_decontaminate_fuzzy_flags_near_copy_of_eval_doc(spark):
+    from billing_etl_v1_spark.operators.text import decontaminate_fuzzy
+
+    eval_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, eval_text, "en", "bench"),          # eval doc (0 % 97 == 0)
+        (1, eval_text + " tail", "en", "web"),  # near-copy: must flag
+        (2, "completely different words about spark shuffles and joins", "en", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r.doc_id: r for r in decontaminate_fuzzy(df, threshold=0.5).collect()}
+    assert set(out) == {1, 2}  # eval docs excluded from output
+    assert out[1].is_contaminated and out[1].max_est_jaccard >= 0.5
+    assert not out[2].is_contaminated and out[2].n_candidates == 0
+
+
 def test_remove_repeated_spans_within_doc_repeat(spark):
     from billing_etl_v1_spark.operators.text import remove_repeated_spans
 
