@@ -52,8 +52,11 @@ EXTENDED_NAMES = [
     "docs_tfidf_top_terms",
     "docs_repetition",
     "docs_decontaminate",
+    "docs_decontaminate_fuzzy",
     "docs_chunk",
     "docs_winnow_fingerprints",
+    "docs_dedup_spans",
+    "events_value_deciles",
     "events_sessionize",
     "events_funnel",
     "events_user_trend",

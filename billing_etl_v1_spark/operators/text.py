@@ -293,12 +293,20 @@ def decontaminate_fuzzy(
     from billing_etl_v1_spark.operators.dedup import (
         NUM_MINHASH,
         _banded,
+        _memo_persist_sig,
         minhash_signatures,
     )
 
     is_eval = F.col("doc_id") % eval_mod == 0
-    train_sig = minhash_signatures(df.filter(~is_eval), "doc_id", text_col)
-    eval_sig = minhash_signatures(df.filter(is_eval), "doc_id", text_col)
+    # persist through the dedup memo: each signature table feeds two
+    # consumers (banding + the estimate join); without this the k-transform
+    # signature build re-runs per consumer (measured 7.8s -> ~1s at sf0.1)
+    train_sig = _memo_persist_sig(
+        minhash_signatures(df.filter(~is_eval), "doc_id", text_col)
+    )
+    eval_sig = _memo_persist_sig(
+        minhash_signatures(df.filter(is_eval), "doc_id", text_col)
+    )
     tb, eb = _banded(train_sig), _banded(eval_sig)
     cand = (
         tb.alias("t")
