@@ -555,6 +555,10 @@ def _q_docs_decontaminate_fuzzy(spark, sf_dir):
     return text_ops.decontaminate_fuzzy(load_table(spark, sf_dir, "documents"))
 
 
+def _q_embeddings_kmeans(spark, sf_dir):
+    return sim_ops.kmeans_refine(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_multimodal_meta(spark, sf_dir):
     docs = mm_ops.attach_payload(load_table(spark, sf_dir, "documents"))
     return mm_ops.payload_metadata(docs)
@@ -696,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new / changed in round 3: first hash verdict / re-verify ---
         "docs_dedup_spans": _q_docs_dedup_spans,
         "docs_decontaminate_fuzzy": _q_docs_decontaminate_fuzzy,
+        "embeddings_kmeans": _q_embeddings_kmeans,
         "multimodal_features": _q_multimodal_features,
         "events_top_paths": _q_events_top_paths,
         "events_approx_stats": _q_approx_stats,
@@ -846,6 +851,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_winnow_fingerprints": oracle_ext.winnow_fingerprints_sql(),
         "docs_dedup_spans": oracle_ext.remove_repeated_spans_sql(),
         "docs_decontaminate_fuzzy": oracle_ext.decontaminate_fuzzy_sql(),
+        "embeddings_kmeans": oracle_ext.kmeans_refine_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),
         # mapInPandas query with an exact SQL twin: fixed-point byte-bucket

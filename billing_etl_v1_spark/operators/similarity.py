@@ -19,7 +19,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from billing_etl_v1_spark.functions import quantize6
+from billing_etl_v1_spark.functions import exact_sum, quantize6
+from billing_etl_v1_spark.operators import _memo
+
+# session-scoped memo for the prepped vector table (see operators._memo):
+# kmeans consumes it iters+1 times — one cached relation per corpus plan
+_VEC_CACHE: _memo.Registry = {}
+
+
+def release_vector_cache(spark=None) -> int:
+    """Unpersist prepped vector tables cached by :func:`kmeans_refine`."""
+    return _memo.release(_VEC_CACHE, spark)
 
 
 def _as_double(col) -> Column:
@@ -125,6 +135,73 @@ def assign_clusters(
         .select("vid", F.col("cid").alias("cluster"))
     )
     return base.join(best, "vid").select("vid", "v", "norm", "cluster")
+
+
+def kmeans_refine(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 25,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd k-means refinement of the deterministic IVF seeds: ``iters``
+    rounds of (assign to max-cosine centroid → recompute centroids as
+    member means), then a final assignment. The clustering step behind a
+    real IVF index build (assign_clusters uses raw seed rows; refined
+    centroids cut the variance that costs IVF recall) and behind
+    embedding-space corpus dedup/diversity analysis.
+
+    Cross-engine exactness (the hard part of ANY iterative float op): the
+    per-dimension centroid means accumulate through ``functions.exact_sum``
+    (the (hi, lo) BIGINT-pair machinery of the billing aggregates), so the
+    means are partition-order-proof and bit-identical in DuckDB — the
+    oracle simply UNROLLS the same ``iters`` rounds as chained CTEs.
+    Cluster ids stay the seed ids; a cluster losing every member disappears
+    (both engines, deterministically).
+
+    Scale shape per round: one broadcast of the ~(n/centroid_mod) centroid
+    table against the corpus, a vid-partitioned argmax window over a
+    NARROW (vid, cid, sim) projection, and one (cluster, dim) aggregate —
+    no corpus self-join, no unpartitioned window; the prepped vector table
+    persists through the session memo (iters+1 consumers).
+    """
+    base = _memo.memo_persist(_prep(embeddings, id_col, vec_col), _VEC_CACHE)
+    cents = base.filter(F.col("vid") % centroid_mod == 0).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cn")
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        sim = quantize6(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn")))
+        w = Window.partitionBy("vid").orderBy(F.col("csim").desc(), F.col("cid").asc())
+        return (
+            base.crossJoin(F.broadcast(c))
+            .select("vid", "cid", sim.alias("csim"))
+            .withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") == 1)
+            .select("vid", "cid", "csim")
+        )
+
+    for _ in range(iters):
+        memb = base.join(assign(cents).select("vid", "cid"), "vid").select(
+            "cid", F.posexplode("v").alias("pos", "x")
+        )
+        means = (
+            memb.groupBy("cid", "pos")
+            .agg(exact_sum(F.col("x")).alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .select("cid", "pos", (F.col("__s") / F.col("__n")).alias("m"))
+        )
+        arr = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda t: t["m"]
+            ).alias("cv")
+        )
+        cents = with_norm(arr, "cv", "cn").select("cid", "cv", "cn")
+
+    return assign(cents).select(
+        F.col("vid").alias(id_col),
+        F.col("cid").alias("cluster"),
+        F.col("csim").alias("sim"),
+    )
 
 
 def cosine_topk_ivf(

@@ -350,6 +350,52 @@ FROM r WHERE rnk <= {k}
 """
 
 
+def kmeans_refine_sql(centroid_mod: int = 25, iters: int = 2) -> str:
+    """Twin of operators.similarity.kmeans_refine — the same Lloyd rounds
+    UNROLLED as chained CTEs. Centroid means go through oracle._dsum (the
+    exact_sum twin), so every float in every round is bit-identical."""
+    from billing_etl_v1_spark.oracle import _dsum
+
+    def assign(cte: str, cents: str) -> str:
+        dot = _DOT.format(a="n.v", b="c.cv")
+        return f"""{cte}0 AS (
+  SELECT n.vec_id AS vid, c.cid,
+         {_r6(f'({dot}) / (n.nrm * c.cn)')} AS csim
+  FROM n, {cents} c
+),
+{cte} AS (
+  SELECT vid, cid, csim FROM (
+    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY csim DESC, cid ASC) AS crk
+    FROM {cte}0
+  ) WHERE crk = 1
+)"""
+
+    self_dot = _DOT.format(a="cv", b="cv")
+    parts = [
+        _norms_cte().strip(),
+        f"c0 AS (SELECT vec_id AS cid, v AS cv, sqrt({_DOT.format(a='v', b='v')}) AS cn "
+        f"FROM n WHERE vec_id % {centroid_mod} = 0)",
+    ]
+    for i in range(iters):
+        parts.append(assign(f"a{i}", f"c{i}"))
+        parts.append(
+            f"""m{i} AS (
+  SELECT a.cid, u.i AS pos,
+         ({_dsum('n.v[u.i + 1]')}) / count(*) AS m
+  FROM a{i} a JOIN n ON a.vid = n.vec_id, unnest(range(0, len(n.v))) u(i)
+  GROUP BY a.cid, u.i
+),
+arr{i} AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cid),
+c{i + 1} AS (SELECT cid, cv, sqrt({self_dot}) AS cn FROM arr{i})"""
+        )
+    parts.append(assign(f"a{iters}", f"c{iters}"))
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT vid AS vec_id, cid AS cluster, csim AS sim FROM a{iters}
+"""
+
+
 def events_window_sql(width_s: int = 300) -> str:
     return f"""
 SELECT (floor(epoch(ts) / {width_s}) * {width_s})::BIGINT AS bucket_start_s,

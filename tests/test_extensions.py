@@ -119,6 +119,23 @@ def test_remove_repeated_spans_drops_cross_doc_spans_only(spark):
         assert r.n_tokens_kept <= r.n_tokens
 
 
+def test_kmeans_refine_improves_cosine_objective(spark, embeddings):
+    """Spherical-k-means monotonicity: two Lloyd rounds must not worsen the
+    mean max-cosine vs assigning straight to the raw seeds (iters=0)."""
+    from billing_etl_v1_spark.operators.similarity import kmeans_refine
+
+    def mean_sim(iters):
+        out = kmeans_refine(embeddings, iters=iters)
+        return out.agg(F.avg("sim")).first()[0]
+
+    base, refined = mean_sim(0), mean_sim(2)
+    assert refined >= base - 1e-9, (base, refined)
+    # every vector assigned exactly once
+    out = kmeans_refine(embeddings, iters=2)
+    assert out.count() == embeddings.count()
+    assert out.select("vec_id").distinct().count() == embeddings.count()
+
+
 def test_decontaminate_fuzzy_flags_near_copy_of_eval_doc(spark):
     from billing_etl_v1_spark.operators.text import decontaminate_fuzzy
 
