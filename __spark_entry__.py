@@ -43,6 +43,7 @@ from billing_etl_v1_spark.operators.rules import (
     RULE_COLUMNS,
     dedupe_dim,
     match_rules,
+    scd2_history,
 )
 from billing_etl_v1_spark.plans.pipeline import billing_pipeline, with_contract_month
 from billing_etl_v1_spark.sources import synthetic
@@ -634,6 +635,45 @@ def _q_tpch_q20(spark, sf_dir):
     )
 
 
+def _q_dedup_semantic(spark, sf_dir):
+    return dedup_ops.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_embeddings_quantize(spark, sf_dir):
+    """Int8 quantization summarized to hashable scalars: the code arrays
+    fold to exact BIGINT checksums (sum / sum of squares)."""
+    from billing_etl_v1_spark.functions import quantize6
+
+    qt = sim_ops.quantize_embeddings_int8(load_table(spark, sf_dir, "embeddings"))
+    zero = F.lit(0).cast("bigint")
+    return qt.select(
+        F.col("vid").alias("vec_id"),
+        quantize6(F.col("norm")).alias("norm"),
+        quantize6(F.col("scale")).alias("scale"),
+        F.aggregate(F.col("q"), zero, lambda a, x: a + x).alias("qsum"),
+        F.aggregate(F.col("q"), zero, lambda a, x: a + x.cast("bigint") * x).alias(
+            "qnorm2"
+        ),
+    )
+
+
+def _q_sim_topk_quantized(spark, sf_dir):
+    return sim_ops.cosine_topk_quantized(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_events_anomaly(spark, sf_dir):
+    return ts_ops.daily_anomaly_flags(load_table(spark, sf_dir, "events"))
+
+
+def _q_events_attribution(spark, sf_dir):
+    return event_ops.purchase_attribution(load_table(spark, sf_dir, "events"))
+
+
+def _q_billing_scd2(spark, sf_dir):
+    _, dim = _billing_ctx(spark, sf_dir)
+    return scd2_history(dim)
+
+
 def _q_flagship_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: the whole pipeline as ONE spark.sql statement (the reference's
     pure-SQL engine, calculate/sql_template.py) — same oracle as the
@@ -647,13 +687,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Order matters: the driver's correctness harness checks the FIRST 50
     entries only; rotation policy is "every query's latest verdict <= 2
-    rounds old". Rounds 1+2 together verified all 89 names; round 3 leads
-    with the 39 whose latest verdict is r1 (r2's window covered the rest),
-    then the queries CHANGED this round (multimodal_features gained its
-    oracle; value_deciles went two-phase; pack_shards/corpus_build offsets
-    reformulated; top_paths NULL sentinel; jaccard guard) and the
-    exact-sum-bearing billing core for re-confirmation. The r2-green TPC-H
-    block and text/multimodal rows drop below the fold — local parity
+    rounds old". Rounds 1+2 together verified all 89 then-registered names;
+    round 3's window is exactly: the 39 whose latest verdict is r1 (r2's
+    window covered the rest), the 9 queries that have never had a verdict
+    (dedup_spans / decontaminate_fuzzy / kmeans / semantic dedup / int8
+    quantization x2 / anomaly / attribution / scd2), and the 2 whose
+    OUTPUT changed this round (multimodal_features gained its oracle;
+    winnow_fingerprints switched md5 -> Karp-Rabin hashes) — 39+9+2 = 50.
+    Everything r2-green with unchanged output (the billing core, TPC-H
+    block, text/multimodal rows) sits below the fold — local parity
     coverage (tests/test_oracle_parity.py) still runs ALL of them.
     """
     return {
@@ -697,14 +739,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_pack_shards": _q_docs_pack_shards,
         "docs_mixture_sample": _q_docs_mixture_sample,
-        # --- new / changed in round 3: first hash verdict / re-verify ---
+        # --- never verified: first hash verdict this round ---
         "docs_dedup_spans": _q_docs_dedup_spans,
         "docs_decontaminate_fuzzy": _q_docs_decontaminate_fuzzy,
         "embeddings_kmeans": _q_embeddings_kmeans,
+        "dedup_semantic": _q_dedup_semantic,
+        "embeddings_quantize": _q_embeddings_quantize,
+        "sim_topk_quantized": _q_sim_topk_quantized,
+        "events_anomaly": _q_events_anomaly,
+        "events_attribution": _q_events_attribution,
+        "billing_scd2": _q_billing_scd2,
+        # --- output changed this round: r1/r2 verdicts no longer apply ---
         "multimodal_features": _q_multimodal_features,
+        "docs_winnow_fingerprints": _q_docs_winnow,
+        # --- r2-green, output unchanged; below the driver fold, still in
+        # --- local parity tests (top_paths/approx_stats internals changed
+        # --- in ways the generated data cannot distinguish)
         "events_top_paths": _q_events_top_paths,
         "events_approx_stats": _q_approx_stats,
-        # --- exact-sum-bearing billing core: keep regressions visible ---
         "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
         "billing_flagship": _flagship(None, "detail"),
         "billing_flagship_production": _flagship(None, "pipeline"),
@@ -713,7 +765,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_source_agg_detail": _q_source_agg_detail,
         "billing_rule_match": _q_rule_match,
         "billing_pricing_modes": _q_pricing_modes,
-        # --- r2-green; below the driver fold, still in local parity tests ---
         "tpch_q1": _q_tpch_q1,
         "tpch_q2": _q_tpch_q2,
         "tpch_q3": _q_tpch_q3,
@@ -749,7 +800,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": _q_docs_repetition,
         "docs_decontaminate": _q_docs_decontaminate,
         "docs_chunk": _q_docs_chunk,
-        "docs_winnow_fingerprints": _q_docs_winnow,
         "docs_bigram_fluency": _q_docs_fluency,
         "billing_dq_audit": _q_dq_audit,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -852,6 +902,12 @@ def oracle_sql() -> dict[str, str]:
         "docs_dedup_spans": oracle_ext.remove_repeated_spans_sql(),
         "docs_decontaminate_fuzzy": oracle_ext.decontaminate_fuzzy_sql(),
         "embeddings_kmeans": oracle_ext.kmeans_refine_sql(),
+        "dedup_semantic": oracle_ext.semantic_dedup_sql(),
+        "embeddings_quantize": oracle_ext.quantize_embeddings_sql(),
+        "sim_topk_quantized": oracle_ext.sim_topk_quantized_sql(),
+        "events_anomaly": oracle_ext.daily_anomaly_sql(),
+        "events_attribution": oracle_ext.purchase_attribution_sql(),
+        "billing_scd2": oracle.scd2_history_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),
         # mapInPandas query with an exact SQL twin: fixed-point byte-bucket

@@ -47,7 +47,9 @@ EXTENDED_NAMES = [
     # DataFrame-construction time (localCheckpoint per round), so the
     # write-phase timing bench measures would not include the real work
     "dedup_embedding_lsh",
+    "dedup_semantic",
     "sim_topk_ivf",
+    "sim_topk_quantized",
     "docs_quality_corpus",
     "docs_tfidf_top_terms",
     "docs_repetition",
@@ -57,6 +59,8 @@ EXTENDED_NAMES = [
     "docs_winnow_fingerprints",
     "docs_dedup_spans",
     "events_value_deciles",
+    "events_anomaly",
+    "events_attribution",
     "events_sessionize",
     "events_funnel",
     "events_user_trend",

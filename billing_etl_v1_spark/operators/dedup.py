@@ -422,6 +422,70 @@ def embedding_cosine_pairs(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 25,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then mark as duplicates the vectors that have a
+    same-cluster neighbor with cosine >= ``threshold`` and a smaller id —
+    the deterministic "keep the first" policy, so exactly one
+    representative of every near-duplicate chain inside a cluster
+    survives. Output per vector: its cluster, how many kept-side
+    near-duplicates it has, the strongest such similarity, and the keep
+    flag.
+
+    Scale shape — the reason SemDeDup exists: the quadratic pair search is
+    confined to single clusters, so the self-join is a *cluster-keyed
+    equi-join* (one shuffle on cluster id), never an all-pairs product.
+    Cost is sum over clusters of |c|² — bounded by the coarse-quantizer
+    granularity, which is the tunable: at 100 TB raise the centroid count
+    (the paper uses ~100k clusters for billions of docs) so |c| stays
+    ~10^4. Centroids here are the deterministic id-mod seeds of
+    :func:`similarity.assign_clusters` (broadcast, one pass), which keeps
+    the operator fully oracle-expressible; swap in
+    :func:`similarity.kmeans_refine` assignments for production use.
+    The argmax assignment window and the pair join both move NARROW rows
+    (id, cluster, scalars) — vectors are carried only where the dot
+    product is computed.
+    """
+    from billing_etl_v1_spark.operators.similarity import _dot, assign_clusters
+
+    assigned = assign_clusters(embeddings, id_col, vec_col, centroid_mod)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = quantize6(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    )
+    # pairs inside one cluster only; a.vid < b.vid means `b` is the
+    # candidate duplicate and `a` the kept-side witness
+    dup_edges = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("b.vid").alias("vid"), cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    hits = dup_edges.groupBy("vid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        quantize6(F.max("cosine")).alias("max_dup_sim"),
+    )
+    return (
+        assigned.join(hits, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cluster"),
+            F.coalesce(F.col("n_dups"), F.lit(0)).cast("bigint").alias("n_dups"),
+            F.coalesce(F.col("max_dup_sim"), F.lit(0.0)).alias("max_dup_sim"),
+            (F.coalesce(F.col("n_dups"), F.lit(0)) == 0).alias("is_kept"),
+        )
+    )
+
+
 SIGN_BITS = 16
 SIGN_BANDS = 4  # 4 bands x 4 sign bits
 

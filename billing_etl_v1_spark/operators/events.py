@@ -393,3 +393,67 @@ def cohort_retention(events: DataFrame, bucket: str = "week") -> DataFrame:
         .groupBy("cohort", "offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def purchase_attribution(
+    events: DataFrame,
+    lookback_s: int = 3600,
+    touch_types: tuple[str, ...] = ("click", "view"),
+) -> DataFrame:
+    """Marketing-style attribution at the purchase grain: for every
+    purchase event, count the user's touchpoints (clicks/views) in the
+    ``lookback_s`` window before it and identify the LAST touch. The
+    purchase-grain integer output (counts + cents) is deliberate: linear
+    credit fractions (value/n_touches) are one deterministic division away
+    for any consumer, while the engine-verified surface stays exact.
+
+    Shape: the touches-to-purchases range join is an equi-join on user_id
+    with the time band as a join-level filter — per-user work is bounded
+    by session activity, the shuffle key is user_id, and no window spans
+    users. The last-touch argmax is a struct MAX inside the same
+    aggregation (microsecond epoch + event_id tiebreak — total order, so
+    deterministic cross-engine), not a second window pass.
+    """
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_eid"),
+        F.col("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("purchase_cents"),
+    )
+    # the touch-side key gets its own name: after a left join built from two
+    # frames sharing a lineage, drop(t["user_id"]) can resolve to either
+    # column and silently keep the NULL-on-unmatched touch side
+    t = events.filter(F.col("event_type").isin(*touch_types)).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("t_eid"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.col("event_type").alias("t_type"),
+    )
+    joined = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - F.lit(lookback_s * 1_000_000)),
+        "left",
+    ).drop("t_user")
+    type_counts = [
+        F.sum(F.when(F.col("t_type") == tt, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"n_{tt}")
+        for tt in touch_types
+    ]
+    agg = joined.groupBy("p_eid", "user_id", "purchase_cents").agg(
+        F.count("t_eid").cast("bigint").alias("n_touches"),
+        *type_counts,
+        F.max(F.struct(F.col("t_us"), F.col("t_eid"), F.col("t_type"))).alias("__last"),
+    )
+    return agg.select(
+        F.col("p_eid").alias("event_id"),
+        "user_id",
+        "purchase_cents",
+        "n_touches",
+        *[f"n_{tt}" for tt in touch_types],
+        F.when(F.col("n_touches") > 0, F.col("__last")["t_type"]).alias(
+            "last_touch_type"
+        ),
+    )

@@ -155,3 +155,75 @@ def restrict_dim_to_fact_accounts(dim: DataFrame, fact: DataFrame) -> DataFrame:
     return dim.join(
         fact.select("billing_account_id").distinct(), on="billing_account_id", how="left_semi"
     )
+
+
+def scd2_history(dim: DataFrame) -> DataFrame:
+    """Collapse the monthly contract-dim snapshots into SCD Type-2 history:
+    one row per (rule key, version) with a [valid_from, valid_to] month
+    range, where a new version starts whenever the pricing attributes
+    (mode, discount, price, credit_fields) change OR the month sequence
+    has a gap (a contract absent for a month and back later is a NEW
+    version — e.g. the reference's March-only account,
+    sources/synthetic.py ACCT-18 / reference dim_contract month filtering,
+    billing_calculation_service.py:296-315).
+
+    The rule key includes customer_id/contract_id so the deliberately
+    duplicated dim rows (the SURVEY §2.3 dedup hazard) version
+    independently instead of colliding at the same month.
+
+    Shape: one key-partitioned window (lag month-index + lag attribute
+    fingerprint), a running change-count giving the version number, then
+    one aggregate per (key, version) — two key-clustered exchanges total,
+    no self-join. This is the standard warehouse pattern for turning
+    snapshot feeds into effective-dated dimensions at any scale; the month
+    spine never leaves the key partition.
+    """
+    key_cols = [
+        "billing_account_id",
+        "project_id",
+        "service_description",
+        "sku_id",
+        "customer_id",
+        "contract_id",
+    ]
+    attr_cols = ["mode", "discount", "price", "credit_fields"]
+    sent = "§null§"
+    midx = (
+        F.substring("month", 1, 4).cast("int") * 12
+        + F.substring("month", 6, 2).cast("int")
+    )
+    attrs = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit(sent)) for c in attr_cols]
+    )
+    w = Window.partitionBy(*key_cols).orderBy("__midx")
+    staged = dim.select(
+        *key_cols, *attr_cols, "month", midx.alias("__midx"), attrs.alias("__attrs")
+    ).withColumn(
+        "__chg",
+        F.when(
+            (F.lag("__midx").over(w) == F.col("__midx") - 1)
+            & (F.lag("__attrs").over(w) == F.col("__attrs")),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    wv = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versioned = staged.withColumn("version", F.sum("__chg").over(wv).cast("int"))
+    hist = versioned.groupBy(*key_cols, "version").agg(
+        F.min("mode").alias("mode"),
+        F.min("discount").alias("discount"),
+        F.min("price").alias("price"),
+        F.min("credit_fields").alias("credit_fields"),
+        F.min("month").alias("valid_from"),
+        F.max("month").alias("valid_to"),
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+    )
+    latest = dim.agg(F.max("month").alias("__maxm"))
+    return hist.crossJoin(F.broadcast(latest)).select(
+        *key_cols,
+        "version",
+        *attr_cols,
+        "valid_from",
+        "valid_to",
+        "n_months",
+        (F.col("valid_to") == F.col("__maxm")).alias("is_current"),
+    )

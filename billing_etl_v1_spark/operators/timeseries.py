@@ -228,3 +228,80 @@ def user_value_trend(events: DataFrame, min_points: int = 2) -> DataFrame:
             quantize6(sy / n).alias("mean_value"),
         )
     )
+
+
+def daily_anomaly_flags(
+    events: DataFrame,
+    window_days: int = 7,
+    min_days: int = 4,
+    z2: int = 9,
+) -> DataFrame:
+    """Rolling z-score spike detection on the daily event-value series,
+    computed entirely in EXACT arithmetic: per (event_type, day), flag the
+    day whose total value exceeds the trailing ``window_days`` mean by
+    more than z standard deviations (``z2`` = z², so z=3 by default).
+
+    The float-free formulation (the reason this is driver-hashable):
+    values become integer cents (``round(value*100)`` — exact in both
+    engines), and the test ``(x-mean)² > z²·var`` is cleared of divisions:
+
+        (m·x − s)² > z²·(m·ss − s²)     [m = days in window, s = Σ,
+                                         ss = Σx² over the window]
+
+    with every product in DECIMAL(38,0) (the user_value_trend pattern), so
+    the flag is bit-identical cross-engine — no sqrt, no float variance.
+    Spikes only (``dev > 0``); a day needs ``min_days`` trailing days of
+    history to be flaggable. The current day is excluded from its own
+    baseline (``rowsBetween(-window_days, -1)``).
+
+    Scale: one day-grain aggregate (the only fact-sized shuffle), then a
+    window over the tiny (type, day) grain — the same posture as
+    gap_fill_daily. The per-day cent totals must stay under ~1e18 for the
+    BIGINT window sums (at larger volumes aggregate dollars, not cents —
+    DuckDB fails loudly on overflow, Spark non-ANSI wraps, so stay well
+    inside).
+    """
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(cents).alias("v_cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-window_days, -1)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    vc = F.col("v_cents")
+    m = F.count("v_cents").over(w)
+    s = F.sum("v_cents").over(w)
+    ss = F.sum(dec(vc) * dec(vc)).over(w)
+    base = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        "v_cents",
+        m.cast("bigint").alias("base_days"),
+        s.alias("__s"),
+        ss.alias("__ss"),
+    )
+    dev = dec(F.col("base_days")) * dec(vc) - dec(F.col("__s"))
+    lhs = dev * dev
+    rhs = F.lit(z2).cast("decimal(38,0)") * (
+        dec(F.col("base_days")) * F.col("__ss")
+        - dec(F.col("__s")) * dec(F.col("__s"))
+    )
+    return base.select(
+        "event_type",
+        "day",
+        "n_events",
+        "v_cents",
+        "base_days",
+        (
+            (F.col("base_days") >= min_days) & (dev > 0) & (lhs > rhs)
+        ).alias("is_spike"),
+    )

@@ -647,3 +647,51 @@ UNION ALL SELECT 'mode_out_of_range', mode_out_of_range FROM checks
 UNION ALL SELECT 'mode4_zero_price_leak', mode4_zero_price_leak FROM checks
 UNION ALL SELECT 'duplicate_grain_rows', duplicate_grain_rows FROM dup
 """
+
+
+def scd2_history_sql() -> str:
+    """Twin of operators.rules.scd2_history — same key, same attribute
+    fingerprint, same gap-breaks-version rule, HUGE-free window math."""
+    key = (
+        "billing_account_id, project_id, service_description, sku_id, "
+        "customer_id, contract_id"
+    )
+    attrs = (
+        "concat_ws('|', coalesce(CAST(mode AS VARCHAR), '§null§'), "
+        "coalesce(discount, '§null§'), coalesce(price, '§null§'), "
+        "coalesce(credit_fields, '§null§'))"
+    )
+    return f"""{_base_ctes()},
+staged AS (
+  SELECT {key}, mode, discount, price, credit_fields, month,
+         CAST(substr(month, 1, 4) AS INT) * 12
+           + CAST(substr(month, 6, 2) AS INT) AS midx,
+         {attrs} AS attrs
+  FROM dim
+),
+chg AS (
+  SELECT *, CASE WHEN lag(midx) OVER w = midx - 1
+                  AND lag(attrs) OVER w = attrs
+                 THEN 0 ELSE 1 END AS c
+  FROM staged
+  WINDOW w AS (PARTITION BY {key} ORDER BY midx)
+),
+ver AS (
+  SELECT *, CAST(sum(c) OVER (
+    PARTITION BY {key} ORDER BY midx ROWS UNBOUNDED PRECEDING
+  ) AS INT) AS version
+  FROM chg
+),
+hist AS (
+  SELECT {key}, version,
+         min(mode) AS mode, min(discount) AS discount, min(price) AS price,
+         min(credit_fields) AS credit_fields,
+         min(month) AS valid_from, max(month) AS valid_to,
+         CAST(count(*) AS BIGINT) AS n_months
+  FROM ver GROUP BY {key}, version
+)
+SELECT {key}, version, mode, discount, price, credit_fields,
+       valid_from, valid_to, n_months,
+       valid_to = (SELECT max(month) FROM dim) AS is_current
+FROM hist
+"""

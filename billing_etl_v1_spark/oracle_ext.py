@@ -350,6 +350,100 @@ FROM r WHERE rnk <= {k}
 """
 
 
+_QUANT_CTE = """
+qt0 AS (
+  SELECT vec_id, v, nrm, list_max(list_transform(v, x -> abs(x))) AS amax FROM n
+),
+qt1 AS (
+  SELECT vec_id, v, nrm,
+         CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS scale
+  FROM qt0
+),
+qt AS (
+  SELECT vec_id, nrm, scale,
+         list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS q
+  FROM qt1
+)"""
+
+_IDOT = "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]), (x, y) -> x + y)"
+
+
+def quantize_embeddings_sql() -> str:
+    """Twin of operators.similarity.quantize_embeddings_int8, summarized to
+    hashable scalars: the codes themselves are folded to exact integer
+    checksums (sum and sum-of-squares of the int8 codes)."""
+    return f"""
+WITH {_norms_cte()},
+{_QUANT_CTE}
+SELECT vec_id, {_r6('nrm')} AS norm, {_r6('scale')} AS scale,
+       CAST(list_reduce(q, (x, y) -> x + y) AS BIGINT) AS qsum,
+       CAST({_IDOT.format(a='q', b='q')} AS BIGINT) AS qnorm2
+FROM qt
+"""
+
+
+def sim_topk_quantized_sql(query_mod: int = 50, k: int = 5) -> str:
+    """Twin of operators.similarity.cosine_topk_quantized — exact integer
+    code dot, one fixed-shape float reconstruction, same tie-breaks."""
+    idot = _IDOT.format(a="a.q", b="b.qq")
+    score = _r6(f"({idot}) * (a.scale * b.qscale) / (a.nrm * b.qnorm)")
+    return f"""
+WITH {_norms_cte()},
+{_QUANT_CTE},
+q2 AS (
+  SELECT vec_id AS qid, q AS qq, scale AS qscale, nrm AS qnorm
+  FROM qt WHERE vec_id % {query_mod} = 0
+),
+s AS (
+  SELECT b.qid, a.vec_id, {score} AS score
+  FROM qt a, q2 b WHERE a.vec_id <> b.qid
+),
+r AS (
+  SELECT qid, vec_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+  FROM s
+)
+SELECT qid AS query_id, vec_id AS neighbor_id, rnk::INT AS rank, score
+FROM r WHERE rnk <= {k}
+"""
+
+
+def semantic_dedup_sql(centroid_mod: int = 25, threshold: float = 0.35) -> str:
+    """Twin of operators.dedup.semantic_dedup — same deterministic cluster
+    assignment as sim_topk_ivf_sql, same within-cluster smaller-id
+    duplicate rule."""
+    cdot = _DOT.format(a="n.v", b="c.cv")
+    pdot = _DOT.format(a="a.v", b="b.v")
+    cos = _r6(f"({pdot}) / (a.nrm * b.nrm)")
+    return f"""
+WITH {_norms_cte()},
+cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % {centroid_mod} = 0),
+asg0 AS (
+  SELECT n.vec_id AS vid, n.v, n.nrm, c.cid,
+         row_number() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY {_r6(f'({cdot}) / (n.nrm * c.cn)')} DESC, c.cid ASC
+         ) AS crk
+  FROM n, cents c
+),
+asg AS (SELECT vid, v, nrm, cid AS cluster FROM asg0 WHERE crk = 1),
+edges AS (
+  SELECT b.vid, {cos} AS cosine
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vid < b.vid
+  WHERE {cos} >= {threshold}
+),
+hits AS (
+  SELECT vid, CAST(count(*) AS BIGINT) AS n_dups, {_r6('max(cosine)')} AS max_dup_sim
+  FROM edges GROUP BY vid
+)
+SELECT asg.vid AS vec_id, asg.cluster,
+       CAST(coalesce(h.n_dups, 0) AS BIGINT) AS n_dups,
+       coalesce(h.max_dup_sim, 0.0) AS max_dup_sim,
+       coalesce(h.n_dups, 0) = 0 AS is_kept
+FROM asg LEFT JOIN hits h USING (vid)
+"""
+
+
 def kmeans_refine_sql(centroid_mod: int = 25, iters: int = 2) -> str:
     """Twin of operators.similarity.kmeans_refine — the same Lloyd rounds
     UNROLLED as chained CTEs. Centroid means go through oracle._dsum (the
@@ -660,6 +754,73 @@ FROM f
 """
 
 
+def purchase_attribution_sql(
+    lookback_s: int = 3600, touch_types: tuple[str, ...] = ("click", "view")
+) -> str:
+    """Twin of operators.events.purchase_attribution — same range band,
+    same (epoch_us, event_id) struct-max last-touch tiebreak."""
+    in_list = ", ".join(f"'{t}'" for t in touch_types)
+    counts = ",\n  ".join(
+        f"CAST(sum(CASE WHEN t_type = '{tt}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{tt}"
+        for tt in touch_types
+    )
+    return f"""
+WITH p AS (
+  SELECT event_id AS p_eid, user_id, epoch_us(ts) AS p_us,
+         CAST(round(value * 100) AS BIGINT) AS purchase_cents
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, event_id AS t_eid, epoch_us(ts) AS t_us, event_type AS t_type
+  FROM events WHERE event_type IN ({in_list})
+),
+j AS (
+  SELECT p.p_eid, p.user_id, p.purchase_cents, t.t_eid, t.t_us, t.t_type
+  FROM p LEFT JOIN t
+    ON p.user_id = t.user_id
+   AND t.t_us < p.p_us
+   AND t.t_us >= p.p_us - {lookback_s * 1_000_000}
+)
+SELECT p_eid AS event_id, user_id, purchase_cents,
+  CAST(count(t_eid) AS BIGINT) AS n_touches,
+  {counts},
+  CASE WHEN count(t_eid) > 0
+       THEN (max(struct_pack(a := t_us, b := t_eid, c := t_type))).c
+  END AS last_touch_type
+FROM j GROUP BY p_eid, user_id, purchase_cents
+"""
+
+
+def daily_anomaly_sql(window_days: int = 7, min_days: int = 4, z2: int = 9) -> str:
+    """Twin of operators.timeseries.daily_anomaly_flags — same integer-cent
+    series, same division-free z² test; HUGEINT products here mirror
+    Spark's DECIMAL(38,0) products (both exact)."""
+    dev = "(base_days::HUGEINT * v_cents::HUGEINT - s)"
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+w AS (
+  SELECT event_type, day, n_events, v_cents,
+    CAST(count(v_cents) OVER win AS BIGINT) AS base_days,
+    CAST(sum(v_cents) OVER win AS HUGEINT) AS s,
+    CAST(sum(v_cents::HUGEINT * v_cents::HUGEINT) OVER win AS HUGEINT) AS ss
+  FROM daily
+  WINDOW win AS (
+    PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN {window_days} PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT event_type, day, n_events, v_cents, base_days,
+  (base_days >= {min_days} AND {dev} > 0
+   AND {dev} * {dev} > {z2} * (base_days::HUGEINT * ss - s * s)) AS is_spike
+FROM w
+"""
+
+
 def event_type_pivot_sql(types: tuple[str, ...] = ("click", "view", "purchase", "signup", "error")) -> str:
     """Twin of operators.events.event_type_pivot — the pivot as explicit
     CASE aggregates."""
@@ -808,17 +969,28 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 
 def winnow_fingerprints_sql(k: int = 8, window: int = 4) -> str:
     """Twin of operators.text.winnow_fingerprints — same normalization,
-    same per-position md5 60-bit hashes, same window minima."""
-    h = f"('0x' || substr(md5(substr(n, i, {k})), 1, 15))::BIGINT"
+    same Karp-Rabin polynomial k-gram hashes (Horner over codepoints mod a
+    < 2^40 prime: exact BIGINT arithmetic in both engines), same window
+    minima."""
+    from billing_etl_v1_spark.operators.text import WINNOW_BASE, WINNOW_MOD
+
+    h = f"(codes[i] % {WINNOW_MOD})"
+    for j in range(1, k):
+        h = f"(({h}) * {WINNOW_BASE} + codes[i + {j}]) % {WINNOW_MOD}"
     return f"""
 WITH norm AS (
   SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS n
   FROM documents
 ),
+coded AS (
+  SELECT doc_id, length(n) AS ln,
+         list_transform(string_split(n, ''), c -> unicode(c)) AS codes
+  FROM norm WHERE length(n) >= {k}
+),
 hashed AS (
   SELECT doc_id,
-         list_transform(range(1, length(n) - {k} + 2), i -> {h}) AS hs
-  FROM norm WHERE length(n) >= {k}
+         list_transform(range(1, ln - {k} + 2), i -> {h}) AS hs
+  FROM coded
 ),
 fps AS (
   SELECT doc_id,

@@ -543,3 +543,141 @@ def test_bigram_fluency_scores_common_vs_rare(spark):
     assert out[3].avg_bigram_freq == pytest.approx(1.0)
     assert out[3].hapax_frac == 1.0  # noise doc: all bigrams unique
     assert out[4].n_bigrams == 0 and out[4].avg_bigram_freq == 0.0
+
+
+def test_semantic_dedup_keeps_first_of_near_dup_chain(spark):
+    """Within a cluster, every vector with a smaller-id near-duplicate is
+    dropped; exactly one representative (the smallest id) survives a chain
+    of mutual near-dups. Orthogonal vectors are all kept."""
+    from billing_etl_v1_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        # near-dup chain: 0/1/2 all ~parallel -> keep only 0
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, [0.998, 0.02, 0.0, 0.0]),
+        # orthogonal to the chain -> kept
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(df, centroid_mod=4, threshold=0.95).collect()
+    }
+    assert out[0].is_kept and out[3].is_kept
+    assert not out[1].is_kept and not out[2].is_kept
+    assert out[1].n_dups >= 1 and out[2].n_dups >= 2
+
+
+def test_quantized_topk_recall_vs_float_baseline(spark):
+    """Int8 quantization must preserve neighbor structure: rank-1 neighbors
+    agree with the float brute-force baseline for nearly all queries, and
+    reconstructed scores sit within the int8 grid error of the true cosine."""
+    from billing_etl_v1_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_quantized,
+    )
+    from billing_etl_v1_spark.sources.readers import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in cosine_topk_bruteforce(emb).collect()
+    }
+    quant = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in cosine_topk_quantized(emb).collect()
+    }
+    assert set(q for q, _ in exact) == set(q for q, _ in quant)
+    r1_hits = sum(
+        1 for key in exact if key[1] == 1 and exact[key][0] == quant[key][0]
+    )
+    n_queries = len({q for q, _ in exact})
+    assert r1_hits >= n_queries - 1  # rank-1 agreement, at most one flip
+    for key in exact:
+        if key in quant and exact[key][0] == quant[key][0]:
+            assert abs(exact[key][1] - quant[key][1]) < 0.02
+
+
+def test_daily_anomaly_flags_constructed_spike(spark):
+    """A flat series with one 10x day: only that day is flagged, and only
+    once it has min_days of history."""
+    import datetime as dt
+
+    from billing_etl_v1_spark.operators.timeseries import daily_anomaly_flags
+
+    rows = []
+    eid = 0
+    for d in range(10):
+        v = 1000.0 if d == 8 else 10.0
+        rows.append(
+            (eid, dt.datetime(2024, 1, 1 + d, 12, 0, 0), 1, "click", v, "{}")
+        )
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r.day.isoformat(): r for r in daily_anomaly_flags(df).collect()}
+    assert out["2024-01-09"].is_spike
+    assert sum(r.is_spike for r in out.values()) == 1
+    # early days lack history -> never flaggable
+    assert not out["2024-01-01"].is_spike and not out["2024-01-03"].is_spike
+
+
+def test_purchase_attribution_last_touch_and_counts(spark):
+    import datetime as dt
+
+    from billing_etl_v1_spark.operators.events import purchase_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        (1, s(0), 7, "view", 1.0, "{}"),
+        (2, s(100), 7, "click", 1.0, "{}"),
+        (3, s(200), 7, "purchase", 12.34, "{}"),
+        # outside the lookback window
+        (4, s(200 - 4000), 7, "click", 1.0, "{}"),
+        # different user
+        (5, s(150), 8, "click", 1.0, "{}"),
+        # purchase with no touches
+        (6, s(300), 9, "purchase", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r.event_id: r for r in purchase_attribution(df).collect()}
+    p = out[3]
+    assert (p.n_touches, p.n_click, p.n_view) == (2, 1, 1)
+    assert p.last_touch_type == "click" and p.purchase_cents == 1234
+    q = out[6]
+    assert q.n_touches == 0 and q.last_touch_type is None
+
+
+def test_scd2_history_gap_and_change_semantics(spark):
+    from billing_etl_v1_spark.operators.rules import scd2_history
+
+    cols = (
+        "month string, billing_account_id string, project_id string, "
+        "service_description string, sku_id string, mode int, discount string, "
+        "price string, credit_fields string, customer_id string, contract_id string"
+    )
+    k = ("A", None, None, None, "C1", "T1")
+
+    def row(month, discount):
+        return (month, k[0], k[1], k[2], k[3], 1, discount, None, None, k[4], k[5])
+
+    rows = [
+        row("2024-01", "0.9"),
+        row("2024-02", "0.9"),   # unchanged, contiguous -> same version
+        row("2024-03", "0.8"),   # attribute change -> v2
+        row("2024-05", "0.8"),   # month gap -> v3 even though attrs equal
+    ]
+    df = spark.createDataFrame(rows, cols)
+    hist = sorted(scd2_history(df).collect(), key=lambda r: r.version)
+    assert [(h.valid_from, h.valid_to, h.n_months) for h in hist] == [
+        ("2024-01", "2024-02", 2),
+        ("2024-03", "2024-03", 1),
+        ("2024-05", "2024-05", 1),
+    ]
+    assert [h.is_current for h in hist] == [False, False, True]

@@ -314,14 +314,17 @@ def test_deciles_two_phase_shape(spark):
 
 
 def test_winnow_hashes_once_inside_codegen(spark):
-    """Winnowing must be the explode+window formulation: hashes computed in
-    a codegen projection (not interpreted array lambdas that recompute the
-    hash array per window — the O(n^2) trap), one doc_id-clustered window,
-    and the per-doc distinct reusing that clustering (no second exchange
-    beyond the window's)."""
+    """Winnowing must be the char-explode+window formulation: per-position
+    Karp-Rabin hashes built from lead() codepoints (not interpreted array
+    lambdas that recompute the hash array per window — the O(n^2) trap, nor
+    per-position substring() that re-scans the string per row), exactly two
+    Window nodes (the lead-hash window and the ROWS-frame MIN) sharing one
+    doc_id sort, and the per-doc distinct reusing that clustering (no
+    second exchange beyond the window's)."""
     plan = plan_of(spark, "docs_winnow_fingerprints")
-    assert len(nodes(plan, "Window")) == 1
+    assert len(nodes(plan, "Window")) == 2
     assert "transform(" not in plan  # no higher-order lambda survives
+    assert "substring(__norm" not in plan  # no per-position string re-scan
     hash_exchanges = {
         nid
         for nid, args in re.findall(
