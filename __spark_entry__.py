@@ -661,6 +661,10 @@ def _q_sim_topk_quantized(spark, sf_dir):
     return sim_ops.cosine_topk_quantized(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_sim_hard_negatives(spark, sf_dir):
+    return sim_ops.hard_negatives(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_events_anomaly(spark, sf_dir):
     return ts_ops.daily_anomaly_flags(load_table(spark, sf_dir, "events"))
 
@@ -707,7 +711,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_corpus_build": _q_docs_corpus_build,
         "events_asof_purchase": _q_events_asof,
         "billing_rollup": _q_billing_rollup,
-        "billing_cube": _q_billing_cube,
         "billing_minmax_day": _q_minmax_day,
         "billing_distinct_accounts": _q_distinct_accounts,
         "billing_running_totals": _q_running_totals,
@@ -746,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _q_dedup_semantic,
         "embeddings_quantize": _q_embeddings_quantize,
         "sim_topk_quantized": _q_sim_topk_quantized,
+        "sim_hard_negatives": _q_sim_hard_negatives,
         "events_anomaly": _q_events_anomaly,
         "events_attribution": _q_events_attribution,
         "billing_scd2": _q_billing_scd2,
@@ -754,7 +758,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_winnow_fingerprints": _q_docs_winnow,
         # --- r2-green, output unchanged; below the driver fold, still in
         # --- local parity tests (top_paths/approx_stats internals changed
-        # --- in ways the generated data cannot distinguish)
+        # --- in ways the generated data cannot distinguish; billing_cube
+        # --- is the one r1-green entry deferred to round 4 for window room)
+        "billing_cube": _q_billing_cube,
         "events_top_paths": _q_events_top_paths,
         "events_approx_stats": _q_approx_stats,
         "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
@@ -905,6 +911,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": oracle_ext.semantic_dedup_sql(),
         "embeddings_quantize": oracle_ext.quantize_embeddings_sql(),
         "sim_topk_quantized": oracle_ext.sim_topk_quantized_sql(),
+        "sim_hard_negatives": oracle_ext.hard_negatives_sql(),
         "events_anomaly": oracle_ext.daily_anomaly_sql(),
         "events_attribution": oracle_ext.purchase_attribution_sql(),
         "billing_scd2": oracle.scd2_history_sql(),

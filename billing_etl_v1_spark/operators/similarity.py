@@ -301,6 +301,71 @@ def cosine_topk_quantized(
     )
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_mod: int = 50,
+    k: int = 5,
+    max_rows: int | None = 200_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor (the
+    deterministic id-mod query set), the top-k most-similar vectors with a
+    DIFFERENT label — the negatives that sit closest to the decision
+    boundary, which is what contrastive/embedding fine-tuning pipelines
+    mine at corpus scale (the in-batch-negatives upgrade). Output adds the
+    negative's label so downstream samplers can stratify.
+
+    Same posture as :func:`cosine_topk_bruteforce` (anchors broadcast, the
+    corpus streams, pairs narrowed to scalars before the per-anchor top-k
+    window) with the label inequality applied at the join — at 100 TB
+    compose with the IVF assignment exactly like :func:`cosine_topk_ivf`
+    (probe the anchor's cluster, then label-filter) or mine within
+    LSH buckets; the ``max_rows`` guard marks this form as the exactness
+    baseline.
+    """
+    if max_rows is not None:
+        n = embeddings.count()
+        if n > max_rows:
+            raise ValueError(
+                f"hard_negatives scores all (anchor, vector) pairs; input "
+                f"has {n} rows > max_rows={max_rows}. Compose with "
+                f"cosine_topk_ivf-style cluster pruning or pass "
+                f"max_rows=None deliberately."
+            )
+    base = with_norm(
+        embeddings.select(
+            F.col(id_col).alias("vid"),
+            _as_double(F.col(vec_col)).alias("v"),
+            F.col(label_col).alias("lab"),
+        )
+    )
+    anchors = base.filter(F.col("vid") % query_mod == 0).select(
+        F.col("vid").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.col("lab").alias("qlab"),
+    )
+    score = quantize6(_dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qn")))
+    scored = (
+        base.join(F.broadcast(anchors), F.col("lab") != F.col("qlab"))
+        .select("qid", "vid", "lab", score.alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("anchor_id"),
+            F.col("vid").alias("negative_id"),
+            F.col("lab").alias("negative_label"),
+            F.col("rank").cast("int").alias("rank"),
+            "score",
+        )
+    )
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     id_col: str = "vec_id",

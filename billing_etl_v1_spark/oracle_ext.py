@@ -408,6 +408,32 @@ FROM r WHERE rnk <= {k}
 """
 
 
+def hard_negatives_sql(query_mod: int = 50, k: int = 5) -> str:
+    """Twin of operators.similarity.hard_negatives — same anchor set, same
+    label-inequality pairing, same tie-breaks."""
+    dot = _DOT.format(a="n.v", b="q.qv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+n AS (SELECT vec_id, v, label,
+             sqrt({_DOT.format(a='v', b='v')}) AS nrm FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, label AS qlab
+      FROM n WHERE vec_id % {query_mod} = 0),
+s AS (
+  SELECT q.qid, n.vec_id, n.label,
+         {_r6(f'({dot}) / (n.nrm * q.qn)')} AS score
+  FROM n, q WHERE n.label <> q.qlab
+),
+r AS (
+  SELECT qid, vec_id, label, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+  FROM s
+)
+SELECT qid AS anchor_id, vec_id AS negative_id, label AS negative_label,
+       rnk::INT AS rank, score
+FROM r WHERE rnk <= {k}
+"""
+
+
 def semantic_dedup_sql(centroid_mod: int = 25, threshold: float = 0.35) -> str:
     """Twin of operators.dedup.semantic_dedup — same deterministic cluster
     assignment as sim_topk_ivf_sql, same within-cluster smaller-id

@@ -124,3 +124,71 @@ def compact_partitions(
     # a write whose plan still scans the destination)
     compacted = df.repartition(n_files, *partition_by).localCheckpoint()
     compacted.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, ...],
+    bits: int = 12,
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-interleaved) layout: sort the data along a
+    space-filling curve over ``cols`` so that EVERY listed column has
+    narrow per-file min/max ranges — the multi-column data-skipping
+    layout (what Delta's OPTIMIZE ZORDER BY provides) that a plain sort
+    gives only to its leading column. Parquet footers then let any
+    engine prune files for predicates on ANY of the z-columns.
+
+    Mechanics: each column is scaled to a ``bits``-bit bucket between its
+    global min/max (one 1-row aggregate, broadcast), buckets are
+    bit-interleaved into one BIGINT Morton key, and the frame is
+    range-partitioned + sorted by that key. Everything is codegen
+    expression work; the only data movement is the one range exchange any
+    clustered write pays. At 100 TB raise ``num_files`` to the target
+    file-size budget; the curve quality is independent of file count.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
+        ]
+    bounds = df.agg(*aggs)
+    d = df.crossJoin(F.broadcast(bounds))  # 1-row bounds, broadcast
+    n = 1 << bits
+    k = len(cols)
+    bucket_names = []
+    for c in cols:
+        lo, hi = F.col(f"__min_{c}"), F.col(f"__max_{c}")
+        x = F.col(c).cast("double")
+        b = (
+            F.when(
+                hi > lo,
+                F.least(F.lit(n - 1), F.floor((x - lo) / (hi - lo) * n)),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+        name = f"__zb_{c}"
+        d = d.withColumn(name, b)
+        bucket_names.append(name)
+    z = None
+    for i in range(bits):
+        for j, name in enumerate(bucket_names):
+            t = F.shiftleft(
+                F.shiftright(F.col(name), i).bitwiseAND(F.lit(1)), i * k + j
+            ).cast("bigint")
+            z = t if z is None else z + t
+    helper = [f"__min_{c}" for c in cols] + [f"__max_{c}" for c in cols] + bucket_names
+    (
+        d.withColumn("__z", z)
+        .repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z", *helper)
+        .write.mode(mode)
+        .parquet(path)
+    )

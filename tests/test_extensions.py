@@ -681,3 +681,24 @@ def test_scd2_history_gap_and_change_semantics(spark):
         ("2024-05", "2024-05", 1),
     ]
     assert [h.is_current for h in hist] == [False, False, True]
+
+
+def test_hard_negatives_exclude_anchor_label(spark):
+    """Every mined negative must carry a different label than its anchor,
+    ranks are contiguous from 1, and scores are non-increasing."""
+    from billing_etl_v1_spark.operators.similarity import hard_negatives
+    from billing_etl_v1_spark.sources.readers import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    by_anchor: dict[int, list] = {}
+    for r in hard_negatives(emb).collect():
+        assert labels[r.negative_id] == r.negative_label != labels[r.anchor_id]
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    assert by_anchor
+    for rows in by_anchor.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)

@@ -316,3 +316,52 @@ def test_partitioned_sink_prunes_on_read(spark, tmp_path):
     n_pruned = filtered.select(F.input_file_name()).distinct().count()
     assert 0 < n_pruned < n_all
     assert filtered.count() == 100
+
+
+def test_write_zordered_narrows_per_file_ranges_on_both_columns(spark, tmp_path):
+    """The Morton layout's whole point: per-file min/max footers are narrow
+    on EVERY z-column (a plain sort narrows only its leading column), so
+    predicate-driven file pruning works for either column."""
+    import pyarrow.parquet as pq
+
+    from billing_etl_v1_spark.sources.readers import load_table
+    from billing_etl_v1_spark.sources.writers import write_zordered
+    from tests.conftest import SF_SMALL
+
+    events = load_table(spark, SF_SMALL, "events").select("event_id", "user_id", "value")
+    zpath, npath = str(tmp_path / "z"), str(tmp_path / "n")
+    write_zordered(events, zpath, cols=("user_id", "value"), num_files=8)
+    events.repartition(8).write.mode("overwrite").parquet(npath)
+
+    def range_sum(path, col):
+        import glob
+        import os
+
+        total = 0.0
+        files = glob.glob(os.path.join(path, "*.parquet"))
+        assert len(files) >= 4
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        los.append(c.statistics.min)
+                        his.append(c.statistics.max)
+            if los:
+                total += float(max(his) - min(los))
+        return total
+
+    for col in ("user_id", "value"):
+        z, n = range_sum(zpath, col), range_sum(npath, col)
+        # natural layout: every file spans ~the full range (sum ~ 8x range);
+        # z-order: each file covers a fraction. 0.6 is a loose, stable bound.
+        assert z < 0.6 * n, (col, z, n)
+
+    # layout change must not change content
+    zdf = spark.read.parquet(zpath)
+    assert zdf.count() == events.count()
+    assert zdf.selectExpr("sum(event_id)").first()[0] == events.selectExpr(
+        "sum(event_id)"
+    ).first()[0]
