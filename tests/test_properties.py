@@ -377,3 +377,101 @@ def test_decontaminate_agrees_with_python_model(spark, texts):
         overlap = grams(words) & eval_grams
         assert got[i].n_overlap_grams == len(overlap), (i, words)
         assert got[i].is_contaminated == (len(overlap) > 0)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=40),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_winnow_agrees_with_python_karp_rabin_model(spark, texts):
+    """Fingerprints from an independent Python re-implementation of the
+    normalize -> Karp-Rabin k-gram hash -> window-min -> distinct chain.
+    A tiny 'ab x' alphabet forces heavy hash collisions across positions,
+    exercising the window-min tie behavior."""
+    import re
+
+    from billing_etl_v1_spark.operators.text import (
+        WINNOW_BASE,
+        WINNOW_MOD,
+        winnow_fingerprints,
+    )
+
+    k, w = 4, 3
+    rows = [(i, t, "en", "s") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df, k=k, window=w).collect():
+        got.setdefault(r.doc_id, set()).add(r.fingerprint)
+
+    for i, t in enumerate(texts):
+        norm = re.sub(r"\s+", " ", t.strip().lower())
+        if len(norm) < k:
+            assert i not in got
+            continue
+        hs = []
+        for p in range(len(norm) - k + 1):
+            h = 0
+            for ch in norm[p : p + k]:
+                h = (h * WINNOW_BASE + ord(ch)) % WINNOW_MOD
+            hs.append(h)
+        if len(hs) >= w:
+            want = {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+        else:
+            want = {min(hs)}
+        assert got[i] == want, (i, norm)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),  # month index
+            st.integers(min_value=0, max_value=1),  # attribute variant
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_scd2_agrees_with_python_model(spark, snapshots):
+    """Version ranges from an independent Python pass over the sorted
+    snapshots: a new version starts on an attribute change or a month gap;
+    n_months and current flags must match exactly."""
+    from billing_etl_v1_spark.operators.rules import scd2_history
+
+    snapshots = sorted(snapshots)
+    months = [f"2024-{m + 1:02d}" for m, _ in snapshots]
+    rows = [
+        (f"2024-{m + 1:02d}", "A", None, None, None, 1, f"0.{5 + v}", None, None, "C", "T")
+        for m, v in snapshots
+    ]
+    cols = (
+        "month string, billing_account_id string, project_id string, "
+        "service_description string, sku_id string, mode int, discount string, "
+        "price string, credit_fields string, customer_id string, contract_id string"
+    )
+    hist = sorted(
+        scd2_history(spark.createDataFrame(rows, cols)).collect(),
+        key=lambda r: r.version,
+    )
+
+    runs = []
+    for idx, (m, v) in enumerate(snapshots):
+        if idx == 0 or m != snapshots[idx - 1][0] + 1 or v != snapshots[idx - 1][1]:
+            runs.append([])
+        runs[-1].append((m, v))
+    assert len(hist) == len(runs)
+    for r, run in zip(hist, runs):
+        assert r.valid_from == f"2024-{run[0][0] + 1:02d}"
+        assert r.valid_to == f"2024-{run[-1][0] + 1:02d}"
+        assert r.n_months == len(run)
+        assert r.discount == f"0.{5 + run[0][1]}"
+    assert [h.is_current for h in hist] == [
+        h.valid_to == max(months) for h in hist
+    ]
