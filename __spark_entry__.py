@@ -678,6 +678,17 @@ def _q_billing_scd2(spark, sf_dir):
     return scd2_history(dim)
 
 
+def _q_billing_profile(spark, sf_dir):
+    from billing_etl_v1_spark.operators.conform import profile_columns
+
+    fact, _ = _billing_ctx(spark, sf_dir)
+    return profile_columns(fact)
+
+
+def _q_dedup_lsh_recall(spark, sf_dir):
+    return dedup_ops.lsh_recall_report(load_table(spark, sf_dir, "documents"))
+
+
 def _q_flagship_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: the whole pipeline as ONE spark.sql statement (the reference's
     pure-SQL engine, calculate/sql_template.py) — same oracle as the
@@ -759,8 +770,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r2-green, output unchanged; below the driver fold, still in
         # --- local parity tests (top_paths/approx_stats internals changed
         # --- in ways the generated data cannot distinguish; billing_cube
-        # --- is the one r1-green entry deferred to round 4 for window room)
+        # --- is the one r1-green entry deferred to round 4 for window room;
+        # --- billing_profile / dedup_lsh_recall are new late in round 3 and
+        # --- take their first verdict in round 4)
         "billing_cube": _q_billing_cube,
+        "billing_profile": _q_billing_profile,
+        "dedup_lsh_recall": _q_dedup_lsh_recall,
         "events_top_paths": _q_events_top_paths,
         "events_approx_stats": _q_approx_stats,
         "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
@@ -915,6 +930,8 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly": oracle_ext.daily_anomaly_sql(),
         "events_attribution": oracle_ext.purchase_attribution_sql(),
         "billing_scd2": oracle.scd2_history_sql(),
+        "billing_profile": oracle.profile_columns_sql(),
+        "dedup_lsh_recall": oracle_ext.lsh_recall_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),
         # mapInPandas query with an exact SQL twin: fixed-point byte-bucket

@@ -131,3 +131,51 @@ def dq_audit(calculated: DataFrame, grain: list[str] | None = None) -> DataFrame
         F.col("duplicate_grain_rows").alias("violations"),
     )
     return melted.unionAll(dup_row)
+
+
+PROFILE_COLUMNS = [
+    "invoice_month",
+    "billing_account_id",
+    "project_id",
+    "service_id",
+    "service_description",
+    "sku_id",
+    "cost_type",
+    "currency",
+]
+
+
+def profile_columns(
+    fact: DataFrame, columns: list[str] | None = None, day_col: str = "usage_day"
+) -> DataFrame:
+    """Column profiling (the ANALYZE-style statistics sweep a warehouse
+    runs before/after a load): per column, row/null/exact-distinct counts
+    and lexicographic min/max. The inventory feeds partition design
+    (distinct counts size shuffle keys), dim conformance checks, and
+    drift monitoring between loads.
+
+    One pass: columns melt to (column, value) rows via ``stack`` — a
+    map-side expand, no per-column rescans — and the count-distinct
+    aggregate runs as Spark's standard two-level rewrite: the first level
+    keys on (column, value), so cardinality work spreads over the full
+    value space and the tiny final per-column rollup never sees a skewed
+    single-key partition. Dates profile through their ISO string form
+    (identical text in both engines); doubles are deliberately excluded —
+    float-to-string formatting is engine-specific, and numeric ranges
+    belong to the quantized numeric queries.
+    """
+    cols = list(columns or PROFILE_COLUMNS)
+    if day_col is not None:
+        fact = fact.withColumn("__day_str", F.col(day_col).cast("string"))
+        cols = [*cols, "__day_str"]
+    pairs = ", ".join(f"'{c.replace('__day_str', day_col)}', {c}" for c in cols)
+    melted = fact.select(
+        F.expr(f"stack({len(cols)}, {pairs})").alias("column_name", "value")
+    )
+    return melted.groupBy("column_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).cast("bigint").alias("n_nulls"),
+        F.countDistinct("value").cast("bigint").alias("n_distinct"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )

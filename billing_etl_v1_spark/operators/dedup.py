@@ -695,3 +695,47 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def lsh_recall_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Measured LSH quality, as a query: exact n-gram Jaccard pairs at
+    ``threshold`` (ground truth) full-outer-joined against the MinHash-LSH
+    candidates, rolled up to one row of recall/precision. "Measure, don't
+    guess" applied to the dedup stack itself — banding parameters (bands ×
+    rows, signature width) should be tuned against THIS number on a sample
+    before a 100 TB run, where the exact baseline is unaffordable but a
+    sampled recall estimate is not.
+
+    The ground-truth side inherits the quadratic guard of
+    :func:`ngram_jaccard_pairs` — at scale, run the report on a
+    hash-sampled slice (corpus.hash_sample), which preserves pair recall
+    in expectation.
+    """
+    gt = ngram_jaccard_pairs(df, id_col, text_col, threshold=threshold).select(
+        "doc_a", "doc_b", F.lit(1).alias("__gt")
+    )
+    est = minhash_lsh_pairs(df, id_col, text_col).select(
+        "doc_a", "doc_b", F.lit(1).alias("__est")
+    )
+    j = gt.join(est, ["doc_a", "doc_b"], "full_outer")
+    agg = j.agg(
+        F.sum("__gt").cast("bigint").alias("n_true"),
+        F.sum("__est").cast("bigint").alias("n_candidates"),
+        F.sum(
+            F.when(F.col("__gt").isNotNull() & F.col("__est").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_hit"),
+    )
+    return agg.select(
+        "n_true",
+        "n_candidates",
+        "n_hit",
+        quantize6(F.col("n_hit") / F.col("n_true")).alias("recall"),
+        quantize6(F.col("n_hit") / F.col("n_candidates")).alias("precision"),
+    )

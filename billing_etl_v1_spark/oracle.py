@@ -695,3 +695,29 @@ SELECT {key}, version, mode, discount, price, credit_fields,
        valid_to = (SELECT max(month) FROM dim) AS is_current
 FROM hist
 """
+
+
+def profile_columns_sql() -> str:
+    """Twin of operators.conform.profile_columns — the melt as UNION ALL."""
+    from billing_etl_v1_spark.operators.conform import PROFILE_COLUMNS
+
+    selects = [
+        f"SELECT '{c}' AS column_name, {c} AS value FROM fact"
+        for c in PROFILE_COLUMNS
+    ]
+    selects.append(
+        "SELECT 'usage_day' AS column_name, CAST(usage_day AS VARCHAR) AS value FROM fact"
+    )
+    union = "\n  UNION ALL ".join(selects)
+    return f"""{_base_ctes()},
+melted AS (
+  {union}
+)
+SELECT column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum((value IS NULL)::BIGINT) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM melted GROUP BY column_name
+"""

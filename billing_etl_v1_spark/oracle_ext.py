@@ -408,6 +408,26 @@ FROM r WHERE rnk <= {k}
 """
 
 
+def lsh_recall_sql(threshold: float = 0.5) -> str:
+    """Twin of operators.dedup.lsh_recall_report — composes the jaccard
+    ground-truth and LSH candidate twins, same full-outer rollup."""
+    return f"""
+WITH gt AS (SELECT doc_a, doc_b, 1 AS g FROM ({ngram_jaccard_sql(threshold=threshold)})),
+est AS (SELECT doc_a, doc_b, 1 AS e FROM ({minhash_lsh_sql()})),
+j AS (SELECT * FROM gt FULL OUTER JOIN est USING (doc_a, doc_b)),
+a AS (
+  SELECT CAST(sum(g) AS BIGINT) AS n_true,
+         CAST(sum(e) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN g IS NOT NULL AND e IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM j
+)
+SELECT n_true, n_candidates, n_hit,
+       {_r6('n_hit / n_true')} AS recall,
+       {_r6('n_hit / n_candidates')} AS precision
+FROM a
+"""
+
+
 def hard_negatives_sql(query_mod: int = 50, k: int = 5) -> str:
     """Twin of operators.similarity.hard_negatives — same anchor set, same
     label-inequality pairing, same tie-breaks."""
