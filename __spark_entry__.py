@@ -689,6 +689,10 @@ def _q_dedup_lsh_recall(spark, sf_dir):
     return dedup_ops.lsh_recall_report(load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_pagerank(spark, sf_dir):
+    return dedup_ops.similarity_pagerank(load_table(spark, sf_dir, "documents"))
+
+
 def _q_flagship_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: the whole pipeline as ONE spark.sql statement (the reference's
     pure-SQL engine, calculate/sql_template.py) — same oracle as the
@@ -776,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_cube": _q_billing_cube,
         "billing_profile": _q_billing_profile,
         "dedup_lsh_recall": _q_dedup_lsh_recall,
+        "docs_pagerank": _q_docs_pagerank,
         "events_top_paths": _q_events_top_paths,
         "events_approx_stats": _q_approx_stats,
         "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
@@ -932,6 +937,7 @@ def oracle_sql() -> dict[str, str]:
         "billing_scd2": oracle.scd2_history_sql(),
         "billing_profile": oracle.profile_columns_sql(),
         "dedup_lsh_recall": oracle_ext.lsh_recall_sql(),
+        "docs_pagerank": oracle_ext.similarity_pagerank_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),
         # mapInPandas query with an exact SQL twin: fixed-point byte-bucket

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from billing_etl_v1_spark.functions import quantize6
+from billing_etl_v1_spark.functions import exact_sum, quantize6
 from billing_etl_v1_spark.operators import _memo
 from billing_etl_v1_spark.operators.text import md5_long
 
@@ -738,4 +738,82 @@ def lsh_recall_report(
         "n_hit",
         quantize6(F.col("n_hit") / F.col("n_true")).alias("recall"),
         quantize6(F.col("n_hit") / F.col("n_candidates")).alias("precision"),
+    )
+
+
+def similarity_pagerank(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    iters: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the MinHash-LSH similarity graph: documents central to
+    dense near-duplicate neighborhoods score high — a redundancy signal
+    corpus curation uses to pick canonical docs (complementing
+    :func:`near_dup_clusters`' hard assignment with a soft centrality).
+    Standard damped PageRank with uniform dangling-mass redistribution,
+    run a fixed ``iters`` rounds.
+
+    Cross-engine exactness for an ITERATIVE float algorithm (the kmeans
+    playbook): the only order-dependent operations — the per-target
+    contribution sums and the dangling-mass total — run through
+    ``functions.exact_sum`` (order-proof (hi, lo) BIGINT pairs), and every
+    remaining expression is a fixed-shape scalar tree, so all ``iters``
+    rounds produce bit-identical doubles in DuckDB (the oracle unrolls the
+    rounds as chained CTEs).
+
+    Scale shape per round: one edge-keyed equi-join (contributions to
+    edges), one dst-keyed aggregate, one broadcast of the 1-row dangling
+    mass — the vertex-program shape, no all-pairs anything. Edge count is
+    bounded by LSH banding, the same knob that bounds the dedup pass.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    nodes = df.select(F.col(id_col).alias("node"))
+    n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    deg = edges.groupBy(F.col("doc_a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    pr = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", (F.lit(1.0) / F.col("__n")).alias("pr")
+    )
+    base = F.lit(1.0 - damping)
+    d = F.lit(damping)
+    for _ in range(iters):
+        state = pr.join(deg, "node", "left")
+        contrib = state.filter(F.col("deg").isNotNull()).select(
+            F.col("node").alias("doc_a"), (F.col("pr") / F.col("deg")).alias("c")
+        )
+        inmass = (
+            edges.join(contrib, "doc_a")
+            .groupBy(F.col("doc_b").alias("node"))
+            .agg(exact_sum(F.col("c")).alias("m"))
+        )
+        dangling = state.filter(F.col("deg").isNull()).agg(
+            exact_sum(F.col("pr")).alias("dm")
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(n_row))
+            .crossJoin(F.broadcast(dangling))
+            .join(inmass, "node", "left")
+            .select(
+                "node",
+                (
+                    base / F.col("__n")
+                    + d
+                    * (
+                        F.coalesce(F.col("m"), F.lit(0.0))
+                        + F.coalesce(F.col("dm"), F.lit(0.0)) / F.col("__n")
+                    )
+                ).alias("pr"),
+            )
+        )
+    out = pr.join(deg, "node", "left")
+    return out.select(
+        F.col("node").alias(id_col),
+        F.coalesce(F.col("deg"), F.lit(0)).cast("bigint").alias("degree"),
+        quantize6(F.col("pr")).alias("pagerank"),
     )

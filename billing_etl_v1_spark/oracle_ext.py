@@ -408,6 +408,58 @@ FROM r WHERE rnk <= {k}
 """
 
 
+def similarity_pagerank_sql(iters: int = 2, damping: float = 0.85) -> str:
+    """Twin of operators.dedup.similarity_pagerank — the same fixed rounds
+    UNROLLED as chained CTEs, contribution/dangling sums via oracle._dsum
+    (the exact_sum twin) so every round's doubles are bit-identical."""
+    from billing_etl_v1_spark.oracle import _dsum
+
+    base = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [
+        f"pairs AS (SELECT doc_a, doc_b FROM ({minhash_lsh_sql()}))",
+        "edges AS (SELECT doc_a, doc_b FROM pairs"
+        " UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs)",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "deg AS (SELECT doc_a AS node, count(*) AS deg FROM edges GROUP BY doc_a)",
+        "pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM nodes, nn)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""c{i} AS (
+  SELECT p.node AS doc_a, p.pr / d.deg AS c
+  FROM pr{i} p JOIN deg d USING (node)
+),
+m{i} AS (
+  SELECT e.doc_b AS node, {_dsum('c.c')} AS m
+  FROM edges e JOIN c{i} c USING (doc_a) GROUP BY e.doc_b
+),
+dm{i} AS (
+  SELECT {_dsum('p.pr')} AS dm
+  FROM pr{i} p LEFT JOIN deg d USING (node) WHERE d.deg IS NULL
+),
+pr{i + 1} AS (
+  SELECT n.node,
+         CAST({base} AS DOUBLE) / nn.n
+           + CAST({d} AS DOUBLE)
+             * (coalesce(m.m, 0.0) + coalesce(dm.dm, 0.0) / nn.n) AS pr
+  FROM nodes n
+  CROSS JOIN nn
+  CROSS JOIN dm{i} dm
+  LEFT JOIN m{i} m ON m.node = n.node
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT p.node AS doc_id,
+       CAST(coalesce(d.deg, 0) AS BIGINT) AS degree,
+       {_r6('p.pr')} AS pagerank
+FROM pr{iters} p LEFT JOIN deg d USING (node)
+"""
+
+
 def lsh_recall_sql(threshold: float = 0.5) -> str:
     """Twin of operators.dedup.lsh_recall_report — composes the jaccard
     ground-truth and LSH candidate twins, same full-outer rollup."""

@@ -702,3 +702,28 @@ def test_hard_negatives_exclude_anchor_label(spark):
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
         scores = [r.score for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_similarity_pagerank_mass_and_centrality(spark):
+    """PageRank invariants on a constructed star graph: total mass ~= 1,
+    the hub outranks the leaves, and isolated docs share the dangling
+    baseline below every connected node."""
+    from billing_etl_v1_spark.operators.dedup import similarity_pagerank
+
+    hub = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, hub, "en", "s"),
+        (1, hub + " one", "en", "s"),
+        (2, hub + " two", "en", "s"),
+        (3, hub + " three", "en", "s"),
+        (4, "completely different words nothing shared here at all", "en", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r.doc_id: r for r in similarity_pagerank(df).collect()}
+    total = sum(r.pagerank for r in out.values())
+    assert abs(total - 1.0) < 1e-3
+    connected = [r for r in out.values() if r.degree > 0]
+    assert out[0].doc_id in {r.doc_id for r in connected} and len(connected) >= 3
+    assert out[0].pagerank == max(r.pagerank for r in out.values())
+    assert out[4].degree == 0
+    assert out[4].pagerank < min(r.pagerank for r in connected)
