@@ -768,7 +768,12 @@ def similarity_pagerank(
     mass — the vertex-program shape, no all-pairs anything. Edge count is
     bounded by LSH banding, the same knob that bounds the dedup pass.
     """
-    pairs = minhash_lsh_pairs(df, id_col, text_col).select("doc_a", "doc_b")
+    # every unrolled round references the edge set (and deg derives from
+    # it); without the memo-persist the whole LSH banding lineage re-plans
+    # per reference — 60+ joins in the executed plan at 2 iterations
+    pairs = _memo_persist_sig(
+        minhash_lsh_pairs(df, id_col, text_col).select("doc_a", "doc_b")
+    )
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
