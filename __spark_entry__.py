@@ -693,6 +693,14 @@ def _q_docs_pagerank(spark, sf_dir):
     return dedup_ops.similarity_pagerank(load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_train_split(spark, sf_dir):
+    return corpus_ops.train_split(load_table(spark, sf_dir, "documents"))
+
+
+def _q_docs_shard_manifest(spark, sf_dir):
+    return corpus_ops.shard_manifest(load_table(spark, sf_dir, "documents"))
+
+
 def _q_flagship_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: the whole pipeline as ONE spark.sql statement (the reference's
     pure-SQL engine, calculate/sql_template.py) — same oracle as the
@@ -781,6 +789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_profile": _q_billing_profile,
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "docs_pagerank": _q_docs_pagerank,
+        "docs_train_split": _q_docs_train_split,
+        "docs_shard_manifest": _q_docs_shard_manifest,
         "events_top_paths": _q_events_top_paths,
         "events_approx_stats": _q_approx_stats,
         "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
@@ -938,6 +948,8 @@ def oracle_sql() -> dict[str, str]:
         "billing_profile": oracle.profile_columns_sql(),
         "dedup_lsh_recall": oracle_ext.lsh_recall_sql(),
         "docs_pagerank": oracle_ext.similarity_pagerank_sql(),
+        "docs_train_split": oracle_ext.train_split_sql(),
+        "docs_shard_manifest": oracle_ext.shard_manifest_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),
         # mapInPandas query with an exact SQL twin: fixed-point byte-bucket

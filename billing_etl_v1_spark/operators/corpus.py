@@ -252,3 +252,57 @@ def corpus_build(
     return packed.join(
         kept.select("doc_id", "lang_pred", "quality_score"), "doc_id"
     )
+
+
+def train_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    val_pct: int = 1,
+    test_pct: int = 1,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic, disjoint, exhaustive train/val/test assignment: the
+    salted key hash lands each row in exactly one split (val takes the
+    first ``val_pct``% of bucket space, test the next ``test_pct``%, train
+    the rest). Hash-based (not random): the assignment is reproducible on
+    any cluster layout, stable under re-runs and corpus growth (existing
+    docs never migrate), and the salt versions the whole split — the
+    properties a training pipeline needs from its holdout boundary.
+    Zero-shuffle: one hash + two comparisons per row.
+    """
+    bucket = md5_long(F.col(key_col).cast("string"), salt=salt) % SAMPLE_BUCKETS
+    val_hi = val_pct * SAMPLE_BUCKETS // 100
+    test_hi = (val_pct + test_pct) * SAMPLE_BUCKETS // 100
+    return df.withColumn(
+        "split",
+        F.when(bucket < val_hi, F.lit("val"))
+        .when(bucket < test_hi, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    shard_tokens: int = 4000,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Manifest of a packed corpus (the index file a training loader reads
+    before touching any shard): per shard, document count, total tokens,
+    total bytes, and the covered doc_id range. Composes
+    :func:`pack_shards`, joins the byte sizes back on the key, and rolls
+    up at shard grain — one key-partitioned join plus one tiny aggregate
+    on top of the packing DAG."""
+    packed = pack_shards(df, shard_tokens=shard_tokens, key_col=key_col, text_col=text_col)
+    sizes = df.select(F.col(key_col), F.length(F.col(text_col)).alias("__bytes"))
+    return (
+        packed.join(sizes, key_col)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("__bytes").cast("bigint").alias("total_bytes"),
+            F.min(key_col).alias("min_doc_id"),
+            F.max(key_col).alias("max_doc_id"),
+        )
+    )

@@ -1854,6 +1854,38 @@ FROM cum
 """
 
 
+def train_split_sql(val_pct: int = 1, test_pct: int = 1, salt: str = "split") -> str:
+    """Twin of operators.corpus.train_split — same salted buckets, same
+    split boundaries."""
+    bucket = f"({_md5int('doc_id::VARCHAR', salt=salt)}) % 1000000"
+    val_hi = val_pct * 1_000_000 // 100
+    test_hi = (val_pct + test_pct) * 1_000_000 // 100
+    return f"""
+SELECT doc_id, text, lang, source, n_chars,
+       CASE WHEN {bucket} < {val_hi} THEN 'val'
+            WHEN {bucket} < {test_hi} THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def shard_manifest_sql(shard_tokens: int = 4000) -> str:
+    """Twin of operators.corpus.shard_manifest — the packing twin rolled
+    up at shard grain with byte sizes joined back."""
+    return f"""
+WITH packed AS ({pack_shards_sql(shard_tokens=shard_tokens)}),
+sizes AS (SELECT doc_id, length(text) AS b FROM documents)
+SELECT p.shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(s.b) AS BIGINT) AS total_bytes,
+       min(p.doc_id) AS min_doc_id,
+       max(p.doc_id) AS max_doc_id
+FROM packed p JOIN sizes s USING (doc_id)
+GROUP BY p.shard_id
+"""
+
+
 def mixture_sample_sql(weights: dict[str, float], salt: str = "mix") -> str:
     """Twin of operators.corpus.mixture_sample."""
     h = _md5int("doc_id::VARCHAR", salt=salt)

@@ -727,3 +727,20 @@ def test_similarity_pagerank_mass_and_centrality(spark):
     assert out[0].pagerank == max(r.pagerank for r in out.values())
     assert out[4].degree == 0
     assert out[4].pagerank < min(r.pagerank for r in connected)
+
+
+def test_train_split_is_disjoint_exhaustive_and_growth_stable(spark):
+    """Every doc lands in exactly one split; adding new docs never migrates
+    an existing assignment (the hash-based holdout-boundary property)."""
+    from billing_etl_v1_spark.operators.corpus import train_split
+    from billing_etl_v1_spark.sources.readers import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    full = {r.doc_id: r.split for r in train_split(docs).collect()}
+    assert set(full.values()) <= {"train", "val", "test"}
+    assert len(full) == docs.count()
+    assert list(full.values()).count("train") > len(full) * 0.9
+    # "smaller corpus earlier in time": assignments must be identical
+    subset = {r.doc_id: r.split for r in train_split(docs.filter("doc_id < 25")).collect()}
+    assert all(full[k] == v for k, v in subset.items())
