@@ -189,29 +189,42 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     against degenerate loops): duplicate fraction of words, bigrams, and
     trigrams — dup_frac = 1 − distinct/total — plus a boolean gate.
 
-    Entirely map-side: the n-grams are built with array transforms and
-    deduped with ``array_distinct`` INSIDE each row, so there is no explode,
-    no shuffle, and no state — the ideal 100 TB shape (embarrassingly
-    parallel over a documents scan, whole-stage codegen throughout).
+    Entirely map-side: no explode, no shuffle, no state — the ideal 100 TB
+    shape (embarrassingly parallel over a documents scan). The n-grams are
+    represented as STRUCTS of shifted slices (``arrays_zip(toks[0:n-1],
+    toks[1:n], ...)``), not concatenated strings: the string form costs an
+    interpreted higher-order transform + one slice/concat allocation PER
+    GRAM (~500 per doc), while the zip form is 2-3 O(len) slices per row
+    with ``array_distinct`` comparing token references. Tokens contain no
+    whitespace, so struct-distinct counts equal string-gram distinct
+    counts exactly — the DuckDB oracle keeps the string formulation and
+    the hash still matches (measured ~2x on the sf0.1 corpus).
     """
     toks = _tokens(F.col(text_col))
     d = df.withColumn("__toks", toks)
+    sz = F.size("__toks")
 
-    def dup_frac(grams: Column) -> Column:
-        total = F.size(grams)
+    def dup_frac_zip(n: int) -> Column:
+        total = sz - (n - 1)
+        grams = F.arrays_zip(
+            *[F.slice("__toks", i + 1, total) for i in range(n)]
+        )
         return F.when(total <= 0, F.lit(0.0)).otherwise(
             F.lit(1.0)
             - F.size(F.array_distinct(grams)).cast("double") / total.cast("double")
         )
 
+    dup_word = F.when(sz <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct("__toks")).cast("double") / sz.cast("double")
+    )
     out = d.select(
         "doc_id",
         "lang",
         "source",
         token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
-        quantize6(dup_frac(F.col("__toks"))).alias("dup_word_frac"),
-        quantize6(dup_frac(_word_grams("__toks", 2))).alias("dup_2gram_frac"),
-        quantize6(dup_frac(_word_grams("__toks", 3))).alias("dup_3gram_frac"),
+        quantize6(dup_word).alias("dup_word_frac"),
+        quantize6(dup_frac_zip(2)).alias("dup_2gram_frac"),
+        quantize6(dup_frac_zip(3)).alias("dup_3gram_frac"),
     )
     return out.withColumn(
         "is_repetitive",
