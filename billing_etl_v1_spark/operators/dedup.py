@@ -454,7 +454,12 @@ def semantic_dedup(
     """
     from billing_etl_v1_spark.operators.similarity import _dot, assign_clusters
 
-    assigned = assign_clusters(embeddings, id_col, vec_col, centroid_mod)
+    # both sides of the pair self-join reference the assignment; without
+    # the memo-persist the centroid-argmax (the corpus x centroids dot
+    # sweep) runs twice per query
+    assigned = _memo_persist_sig(
+        assign_clusters(embeddings, id_col, vec_col, centroid_mod)
+    )
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = quantize6(
         _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))

@@ -376,8 +376,12 @@ def cosine_topk_ivf(
 ) -> DataFrame:
     """Cluster-pruned ANN: each query searches only vectors assigned to its
     own cluster. Same output shape as the brute-force baseline, so recall is
-    directly measurable."""
-    assigned = assign_clusters(embeddings, id_col, vec_col, centroid_mod)
+    directly measurable. The assignment is memo-persisted: the query set
+    and the candidate side both read it, and the centroid-argmax sweep is
+    the expensive part."""
+    assigned = _memo.memo_persist(
+        assign_clusters(embeddings, id_col, vec_col, centroid_mod), _VEC_CACHE
+    )
     queries = assigned.filter(F.col("vid") % query_mod == 0).select(
         F.col("vid").alias("qid"),
         F.col("v").alias("qv"),
