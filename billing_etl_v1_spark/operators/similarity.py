@@ -267,7 +267,11 @@ def cosine_topk_quantized(
                 f"quantization with cosine_topk_ivf or pass max_rows=None "
                 f"deliberately."
             )
-    qt = quantize_embeddings_int8(embeddings, id_col, vec_col)
+    # the code table feeds the broadcast query set AND the streamed corpus
+    # side; memo-persist so quantization runs once per input plan
+    qt = _memo.memo_persist(
+        quantize_embeddings_int8(embeddings, id_col, vec_col), _VEC_CACHE
+    )
     queries = qt.filter(F.col("vid") % query_mod == 0).select(
         F.col("vid").alias("qid"),
         F.col("q").alias("qq"),
