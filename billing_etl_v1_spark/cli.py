@@ -81,6 +81,16 @@ def build_parser() -> argparse.ArgumentParser:
     sql.add_argument(
         "--max-rows", type=int, default=100, help="max rows to print (default 100)"
     )
+
+    # developer surface: the physical plan of any registered query — scale
+    # review means reading plans, so make them one command away
+    explain = sub.add_parser(
+        "explain", help="print the formatted physical plan of a registered query"
+    )
+    explain.add_argument("name", nargs="?", help="queries() entry (omit to list names)")
+    explain.add_argument(
+        "--tables", default="/root/testdata/sf0.001", help="parquet tables directory"
+    )
     return p
 
 
@@ -107,6 +117,22 @@ def main(argv: list[str] | None = None) -> int:
                 print(t)
         else:
             spark.sql(args.query).show(n=args.max_rows, truncate=False)
+        spark.stop()
+        return 0
+    if args.command == "explain":
+        import __spark_entry__ as entrymod
+
+        queries = entrymod.queries()
+        if not args.name:
+            for name in queries:
+                print(name)
+        elif args.name not in queries:
+            print(f"unknown query {args.name!r}; run `explain` with no name to list",
+                  file=sys.stderr)
+            spark.stop()
+            return 2
+        else:
+            queries[args.name](spark, args.tables).explain("formatted")
         spark.stop()
         return 0
     if args.command == "schema":

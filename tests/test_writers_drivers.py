@@ -292,6 +292,30 @@ def test_cli_sql_subcommand_query_and_list_tables(spark, monkeypatch, capsys):
     assert "r_name" in out and "AFRICA" in out
 
 
+def test_cli_explain_subcommand(spark, monkeypatch, capsys):
+    """`explain` prints the formatted physical plan of any registered query
+    (and lists names when none given) — the one-command plan review the
+    scale posture workflow leans on."""
+    from billing_etl_v1_spark import cli
+    from tests.conftest import SF_SMALL
+
+    monkeypatch.setattr("billing_etl_v1_spark.session.get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    rc = cli.main(["explain"])
+    assert rc == 0
+    names = capsys.readouterr().out.split()
+    assert "tpch_q6" in names and "billing_flagship" in names
+
+    rc = cli.main(["explain", "tpch_q6", "--tables", SF_SMALL])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "PushedFilters" in out
+
+    rc = cli.main(["explain", "no_such_query"])
+    assert rc == 2
+
+
 def test_partitioned_sink_prunes_on_read(spark, tmp_path):
     """The (invoice_month, usage_day) layout must make month/day-filtered
     reads prune partitions at PLAN time — the property that lets a daily
