@@ -693,6 +693,14 @@ def _q_docs_pagerank(spark, sf_dir):
     return dedup_ops.similarity_pagerank(load_table(spark, sf_dir, "documents"))
 
 
+def _q_events_transitions(spark, sf_dir):
+    return event_ops.event_transitions(load_table(spark, sf_dir, "events"))
+
+
+def _q_docs_quality_percentiles(spark, sf_dir):
+    return text_ops.quality_percentiles(load_table(spark, sf_dir, "documents"))
+
+
 def _q_docs_train_split(spark, sf_dir):
     return corpus_ops.train_split(load_table(spark, sf_dir, "documents"))
 
@@ -791,6 +799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pagerank": _q_docs_pagerank,
         "docs_train_split": _q_docs_train_split,
         "docs_shard_manifest": _q_docs_shard_manifest,
+        "docs_quality_percentiles": _q_docs_quality_percentiles,
+        "events_transitions": _q_events_transitions,
         "events_top_paths": _q_events_top_paths,
         "events_approx_stats": _q_approx_stats,
         "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
@@ -950,6 +960,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_pagerank": oracle_ext.similarity_pagerank_sql(),
         "docs_train_split": oracle_ext.train_split_sql(),
         "docs_shard_manifest": oracle_ext.shard_manifest_sql(),
+        "docs_quality_percentiles": oracle_ext.quality_percentiles_sql(),
+        "events_transitions": oracle_ext.event_transitions_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),
         # mapInPandas query with an exact SQL twin: fixed-point byte-bucket

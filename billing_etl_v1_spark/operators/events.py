@@ -457,3 +457,36 @@ def purchase_attribution(
             "last_touch_type"
         ),
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition estimate over per-user event streams:
+    counts and row-normalized probabilities of consecutive (type -> type)
+    steps — the statistic behind next-event prediction baselines and the
+    sanity check sequence-model training data gets before a model sees it.
+
+    One user-keyed lead window over the (ts, event_id) total order (the
+    same single keyed shuffle every sequence operator here pays), one
+    aggregate at the tiny (from, to) grain, and a broadcast join of the
+    per-from totals. The probability is a single division of exact counts
+    (quantized) — deterministic cross-engine.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_type").over(w)
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", nxt)
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("bigint").alias("__tot")
+    )
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        quantize6(F.col("n_transitions") / F.col("__tot")).alias("prob"),
+    )

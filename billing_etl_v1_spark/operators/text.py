@@ -668,3 +668,30 @@ def remove_repeated_spans(
         F.size("__t").cast("int").alias("n_tokens"),
         F.size("__keep").cast("int").alias("n_tokens_kept"),
     )
+
+
+def quality_percentiles(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rank-normalized document quality: every doc's exact global rank and
+    percentile bucket (1-100) over the (quality_score, doc_id) total
+    order. Absolute quality scores drift with corpus mix; percentile
+    position is what curriculum schedulers and "keep the top X%" gates
+    actually consume.
+
+    Reuses :func:`events.distributed_total_rank` — the two-phase
+    range-partitioned ranking (parallel local sorts + broadcast prefix
+    join) that replaced the unpartitioned-window deciles — proving the
+    machinery is generic: NO single-task global sort here either. The
+    bucket is pure integer arithmetic off (rank, n), so the oracle's
+    plain-window formulation is value-identical.
+    """
+    from billing_etl_v1_spark.operators.events import distributed_total_rank
+
+    scored = text_stats(df, text_col).select("doc_id", "quality_score")
+    ranked = distributed_total_rank(scored, ["quality_score", "doc_id"])
+    return ranked.select(
+        "doc_id",
+        "quality_score",
+        F.col("__rank").alias("rank"),
+        # integer DIV keeps the bucket exact at any n (no double floor)
+        F.expr("CAST((__rank - 1) * 100 div __total + 1 AS INT)").alias("percentile"),
+    )

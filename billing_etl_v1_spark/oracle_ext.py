@@ -889,6 +889,31 @@ FROM j GROUP BY p_eid, user_id, purchase_cents
 """
 
 
+def event_transitions_sql() -> str:
+    """Twin of operators.events.event_transitions — same lead window over
+    the (ts, event_id) total order, same count/total division."""
+    return f"""
+WITH nxt AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n_transitions
+  FROM nxt WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+t AS (
+  SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS tot
+  FROM c GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n_transitions,
+       {_r6('c.n_transitions / t.tot')} AS prob
+FROM c JOIN t USING (from_type)
+"""
+
+
 def daily_anomaly_sql(window_days: int = 7, min_days: int = 4, z2: int = 9) -> str:
     """Twin of operators.timeseries.daily_anomaly_flags — same integer-cent
     series, same division-free z² test; HUGEINT products here mirror
@@ -1851,6 +1876,24 @@ cum AS (
 SELECT doc_id, n_tokens,
        floor((c - n_tokens) / {shard_tokens})::BIGINT AS shard_id
 FROM cum
+"""
+
+
+def quality_percentiles_sql() -> str:
+    """Twin of operators.text.quality_percentiles — plain-window rank
+    formulation (equivalent to the Spark side's two-phase distributed
+    rank), same integer bucket arithmetic."""
+    return f"""
+WITH s AS (SELECT doc_id, quality_score FROM ({text_stats_sql()})),
+r AS (
+  SELECT doc_id, quality_score,
+         row_number() OVER (ORDER BY quality_score, doc_id) AS rnk,
+         count(*) OVER () AS n
+  FROM s
+)
+SELECT doc_id, quality_score, CAST(rnk AS BIGINT) AS rank,
+       CAST((rnk - 1) * 100 // n + 1 AS INT) AS percentile
+FROM r
 """
 
 

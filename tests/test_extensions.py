@@ -744,3 +744,22 @@ def test_train_split_is_disjoint_exhaustive_and_growth_stable(spark):
     # "smaller corpus earlier in time": assignments must be identical
     subset = {r.doc_id: r.split for r in train_split(docs.filter("doc_id < 25")).collect()}
     assert all(full[k] == v for k, v in subset.items())
+
+
+def test_quadratic_baseline_guards_refuse_large_inputs(spark):
+    """Every all-pairs baseline must refuse loudly past max_rows rather
+    than silently launching an O(n^2) job."""
+    import pytest
+
+    from billing_etl_v1_spark.operators.similarity import (
+        cosine_topk_quantized,
+        hard_negatives,
+    )
+    from billing_etl_v1_spark.sources.readers import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    with pytest.raises(ValueError, match="max_rows"):
+        cosine_topk_quantized(emb, max_rows=10)
+    with pytest.raises(ValueError, match="max_rows"):
+        hard_negatives(emb, max_rows=10)
