@@ -580,6 +580,22 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+def _q_multimodal_resize(spark, sf_dir):
+    """mapInPandas resize plumbing, hash-verified like multimodal_features:
+    the deterministic stride downsample over ASCII payloads is exactly
+    reproducible in SQL (floor-indexed character gather), so the Python
+    stage's output — not just its row count — is driver-checked."""
+    docs = mm_ops.attach_payload(load_table(spark, sf_dir, "documents"))
+    r = mm_ops.resize_payload(docs, target_len=64)
+    return r.select(
+        "doc_id",
+        "media_type",
+        "orig_len",
+        "resized_len",
+        F.decode("resized", "UTF-8").alias("resized_text"),
+    )
+
+
 def _q_multimodal_frames(spark, sf_dir):
     docs = mm_ops.attach_payload(load_table(spark, sf_dir, "documents"))
     # 64-byte frames so test docs (~150-400 bytes) genuinely expand 1-to-N
@@ -801,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_shard_manifest": _q_docs_shard_manifest,
         "docs_quality_percentiles": _q_docs_quality_percentiles,
         "events_transitions": _q_events_transitions,
+        "multimodal_resize": _q_multimodal_resize,
         "events_top_paths": _q_events_top_paths,
         "events_approx_stats": _q_approx_stats,
         "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
@@ -962,6 +979,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_shard_manifest": oracle_ext.shard_manifest_sql(),
         "docs_quality_percentiles": oracle_ext.quality_percentiles_sql(),
         "events_transitions": oracle_ext.event_transitions_sql(),
+        "multimodal_resize": oracle_ext.multimodal_resize_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),
         # mapInPandas query with an exact SQL twin: fixed-point byte-bucket

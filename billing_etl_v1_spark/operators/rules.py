@@ -157,7 +157,7 @@ def restrict_dim_to_fact_accounts(dim: DataFrame, fact: DataFrame) -> DataFrame:
     )
 
 
-def scd2_history(dim: DataFrame) -> DataFrame:
+def scd2_history(dim: DataFrame, include_current: bool = True) -> DataFrame:
     """Collapse the monthly contract-dim snapshots into SCD Type-2 history:
     one row per (rule key, version) with a [valid_from, valid_to] month
     range, where a new version starts whenever the pricing attributes
@@ -217,6 +217,15 @@ def scd2_history(dim: DataFrame) -> DataFrame:
         F.max("month").alias("valid_to"),
         F.count(F.lit(1)).cast("bigint").alias("n_months"),
     )
+    hist = hist.select(
+        *key_cols, "version", *attr_cols, "valid_from", "valid_to", "n_months"
+    )
+    if not include_current:
+        # incremental maintainers persist the version FACTS only and derive
+        # "current" at read time against the store-wide max month — a flag
+        # baked at write time goes stale the moment a later month arrives
+        # for any OTHER key (see streaming.streaming_scd2_maintenance)
+        return hist
     latest = dim.agg(F.max("month").alias("__maxm"))
     return hist.crossJoin(F.broadcast(latest)).select(
         *key_cols,

@@ -1478,6 +1478,30 @@ FROM documents
 """
 
 
+def multimodal_resize_sql(target_len: int = 64) -> str:
+    """Twin of operators.multimodal.resize_payload over the ASCII test
+    payloads — the stride downsample as a floor-indexed character gather
+    (floor, not round: Python's int() truncates; DuckDB's double->INT cast
+    rounds)."""
+    idx = f"CAST(floor(i * (n / {target_len}.0)) AS INT) + 1"
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       n::INT AS orig_len,
+       CAST(CASE WHEN n <= {target_len} THEN n ELSE {target_len} END AS INT) AS resized_len,
+       CASE WHEN n <= {target_len} THEN text
+            ELSE array_to_string(
+              list_transform(range(0, {target_len}), i -> substr(text, {idx}, 1)), '')
+       END AS resized_text
+FROM d
+"""
+
+
 def remove_repeated_spans_sql(n: int = 5, max_freq: int = 1) -> str:
     """Twin of operators.text.remove_repeated_spans — same tokens regex,
     same 60-bit gram hash, same 0-based coverage arithmetic; the per-doc

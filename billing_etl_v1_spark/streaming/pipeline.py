@@ -393,3 +393,75 @@ def streaming_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+SCD2_KEY = "billing_account_id"
+
+
+def streaming_scd2_maintenance(
+    spark: SparkSession,
+    dim_dir: str,
+    dim_schema,
+    snapshot_store: str,
+    history_store: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuous dim-snapshot ingest → maintained SCD Type-2 history: the
+    streaming face of operators.rules.scd2_history (CDC-style dimension
+    maintenance).
+
+    Per micro-batch: (1) land the raw snapshots idempotently
+    (``batch_id=N`` overwrite — foreachBatch is at-least-once); (2)
+    re-derive the effective-dated history ONLY for the accounts present in
+    the batch, reading their full snapshot trail from the store (cost
+    scales with touched keys, never the dimension); (3) dynamic-partition-
+    overwrite those accounts' partitions in the history store.
+
+    The store persists the version FACTS only (``include_current=False``):
+    an is_current flag baked at write time goes stale the moment a later
+    month arrives for any OTHER key. Readers derive it against the
+    store-wide max month (:func:`read_scd2_history`) — after any batch,
+    the store equals a full batch ``scd2_history`` recompute (tested).
+    """
+    from billing_etl_v1_spark.operators.rules import scd2_history
+
+    reader = spark.readStream.schema(dim_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(dim_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        batch_df.write.mode("overwrite").parquet(
+            f"{snapshot_store}/batch_id={batch_id}"
+        )
+        snapshots = s.read.parquet(snapshot_store).drop("batch_id")
+        touched = batch_df.select(SCD2_KEY).distinct()
+        affected = snapshots.join(F.broadcast(touched), SCD2_KEY, "left_semi")
+        hist = scd2_history(affected, include_current=False)
+        (
+            hist.write.mode("overwrite")
+            .partitionBy(SCD2_KEY)
+            .parquet(history_store)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_scd2_history(spark: SparkSession, history_store: str) -> DataFrame:
+    """Read the maintained history with ``is_current`` derived against the
+    store-wide max month — the read-time view that stays correct under
+    late-arriving snapshots."""
+    hist = spark.read.parquet(history_store)
+    latest = hist.agg(F.max("valid_to").alias("__maxm"))
+    return hist.crossJoin(F.broadcast(latest)).withColumn(
+        "is_current", F.col("valid_to") == F.col("__maxm")
+    ).drop("__maxm")

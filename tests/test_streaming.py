@@ -324,3 +324,64 @@ def test_streaming_incremental_dedup_matches_full_batch(spark, tmp_path):
     # the signature store grew to cover the whole corpus, k ints per doc
     sigs = spark.read.parquet(store)
     assert sigs.select("doc").distinct().count() == docs.count()
+
+
+def test_streaming_scd2_maintenance_matches_batch_recompute(spark, tmp_path):
+    """Two micro-batches of dim snapshots must leave the history store
+    equal to a full batch scd2_history recompute over every snapshot —
+    including a batch-2 month extending a batch-1 key (version extension
+    recomputed, not duplicated) and an untouched batch-1 key surviving the
+    partition overwrite. is_current derives correctly at read time even
+    though batch 1's write happened before batch 2's months existed."""
+    from billing_etl_v1_spark.operators.rules import scd2_history
+    from billing_etl_v1_spark.streaming.pipeline import (
+        read_scd2_history,
+        streaming_scd2_maintenance,
+    )
+
+    cols = (
+        "month string, billing_account_id string, project_id string, "
+        "service_description string, sku_id string, mode int, discount string, "
+        "price string, credit_fields string, customer_id string, contract_id string"
+    )
+
+    def row(month, acct, discount):
+        return (month, acct, None, None, None, 1, discount, None, None, "C", "T")
+
+    batch1 = [
+        row("2024-01", "A", "0.9"),
+        row("2024-02", "A", "0.9"),
+        row("2024-01", "B", "0.8"),
+    ]
+    batch2 = [
+        row("2024-03", "A", "0.7"),   # attribute change -> new version for A
+        row("2024-04", "CC", "0.5"),  # brand-new key
+    ]
+    dim_dir = str(tmp_path / "dim_in")
+    import os
+
+    os.makedirs(dim_dir, exist_ok=True)
+    df1 = spark.createDataFrame(batch1, cols)
+    df2 = spark.createDataFrame(batch2, cols)
+    schema = df1.schema
+
+    stores = {
+        "snapshot_store": str(tmp_path / "snap"),
+        "history_store": str(tmp_path / "hist"),
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+    }
+    df1.coalesce(1).write.mode("append").parquet(dim_dir)
+    q = streaming_scd2_maintenance(spark, dim_dir, schema, **stores)
+    q.awaitTermination(120)
+    df2.coalesce(1).write.mode("append").parquet(dim_dir)
+    q = streaming_scd2_maintenance(spark, dim_dir, schema, **stores)
+    q.awaitTermination(120)
+
+    got = read_scd2_history(spark, stores["history_store"])
+    want = scd2_history(df1.unionByName(df2))
+    key = lambda r: (r["billing_account_id"], r["version"])  # noqa: E731
+    g = {key(r): r.asDict() for r in got.select(*want.columns).collect()}
+    w = {key(r): r.asDict() for r in want.collect()}
+    assert g == w
+    # the extended key has exactly 2 versions, the untouched key survived
+    assert ("A", 2) in g and ("B", 1) in g and ("CC", 1) in g
