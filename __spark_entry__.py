@@ -709,6 +709,10 @@ def _q_docs_pagerank(spark, sf_dir):
     return dedup_ops.similarity_pagerank(load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_training_corpus(spark, sf_dir):
+    return corpus_ops.training_corpus(load_table(spark, sf_dir, "documents"))
+
+
 def _q_events_transitions(spark, sf_dir):
     return event_ops.event_transitions(load_table(spark, sf_dir, "events"))
 
@@ -818,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_percentiles": _q_docs_quality_percentiles,
         "events_transitions": _q_events_transitions,
         "multimodal_resize": _q_multimodal_resize,
+        "docs_training_corpus": _q_docs_training_corpus,
         "events_top_paths": _q_events_top_paths,
         "events_approx_stats": _q_approx_stats,
         "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
@@ -980,6 +985,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality_percentiles": oracle_ext.quality_percentiles_sql(),
         "events_transitions": oracle_ext.event_transitions_sql(),
         "multimodal_resize": oracle_ext.multimodal_resize_sql(),
+        "docs_training_corpus": oracle_ext.training_corpus_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),
         # mapInPandas query with an exact SQL twin: fixed-point byte-bucket

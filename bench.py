@@ -51,6 +51,7 @@ EXTENDED_NAMES = [
     "sim_topk_ivf",
     "sim_topk_quantized",
     "docs_quality_corpus",
+    "docs_training_corpus",
     "docs_tfidf_top_terms",
     "docs_repetition",
     "docs_decontaminate",

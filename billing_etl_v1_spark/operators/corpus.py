@@ -306,3 +306,59 @@ def shard_manifest(
             F.max(key_col).alias("max_doc_id"),
         )
     )
+
+
+def training_corpus(
+    docs: DataFrame,
+    shard_tokens: int = 4000,
+    min_tokens: int = 30,
+    min_quality: float = 0.5,
+    eval_mod: int = 97,
+    val_pct: int = 1,
+    test_pct: int = 1,
+) -> DataFrame:
+    """The WHOLE pre-tokenization path as one composed DAG: quality/lang
+    gate + exact near-dup removal (quality_corpus) → benchmark
+    decontamination (drop contaminated docs AND the eval slice itself) →
+    deterministic train/val/test split → per-split fixed-token-budget
+    shard packing. Raw documents in; (doc_id, split, shard_id, n_tokens,
+    lang_pred, quality_score) out — the manifest a tokenizer job consumes.
+
+    Packing runs WITHIN each split (shards never straddle the holdout
+    boundary — a shard is the unit a loader streams, so a mixed shard
+    would leak val/test text into training). Each split's prefix sum is
+    the same distributed two-phase machinery as pack_shards; the gated
+    corpus is memo-persisted because every split branch reads it multiple
+    times (pack's base + the attribute rejoin). Scale shape: everything
+    before packing is map-side expression work plus the fingerprint
+    shuffle; packing adds one bucketed window per split.
+    """
+    from billing_etl_v1_spark.operators import _memo
+    from billing_etl_v1_spark.operators.dedup import _SIG_CACHE
+    from billing_etl_v1_spark.operators.text import decontaminate
+
+    clean_ids = (
+        decontaminate(docs, eval_mod=eval_mod)
+        .filter(~F.col("is_contaminated"))
+        .select("doc_id")
+    )
+    kept = quality_corpus(docs, min_tokens=min_tokens, min_quality=min_quality).join(
+        clean_ids, "doc_id", "left_semi"
+    )
+    split_df = _memo.memo_persist(
+        train_split(kept, val_pct=val_pct, test_pct=test_pct), _SIG_CACHE
+    )
+    parts = []
+    for s in ("train", "val", "test"):
+        sub = split_df.filter(F.col("split") == s)
+        packed = pack_shards(sub, shard_tokens=shard_tokens)
+        parts.append(
+            packed.join(
+                sub.select("doc_id", "split", "lang_pred", "quality_score"),
+                "doc_id",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1921,6 +1921,53 @@ FROM r
 """
 
 
+def training_corpus_sql(
+    shard_tokens: int = 4000,
+    min_tokens: int = 30,
+    min_quality: float = 0.5,
+    eval_mod: int = 97,
+    val_pct: int = 1,
+    test_pct: int = 1,
+) -> str:
+    """Twin of operators.corpus.training_corpus — the full composed DAG as
+    chained CTEs; per-split packing as ONE split-partitioned window
+    (equivalent to the Spark side's per-split two-phase prefix sums)."""
+    bucket = f"({_md5int('doc_id::VARCHAR', salt='split')}) % 1000000"
+    val_hi = val_pct * 1_000_000 // 100
+    test_hi = (val_pct + test_pct) * 1_000_000 // 100
+    h = _md5int("doc_id::VARCHAR", salt="pack")
+    nt = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS}) END"
+    return f"""
+WITH decon AS ({decontaminate_sql(eval_mod=eval_mod)}),
+clean AS (SELECT doc_id FROM decon WHERE NOT is_contaminated),
+kept AS (
+  SELECT k.* FROM ({quality_corpus_sql(min_tokens=min_tokens, min_quality=min_quality)}) k
+  JOIN clean USING (doc_id)
+),
+sp AS (
+  SELECT *, CASE WHEN {bucket} < {val_hi} THEN 'val'
+                 WHEN {bucket} < {test_hi} THEN 'test'
+                 ELSE 'train' END AS split
+  FROM kept
+),
+base AS (
+  SELECT doc_id, split, lang_pred, quality_score,
+         CAST({nt} AS BIGINT) AS n_tokens, {h} AS hh
+  FROM sp
+),
+cum AS (
+  SELECT *, sum(n_tokens) OVER (
+    PARTITION BY split ORDER BY hh, doc_id ROWS UNBOUNDED PRECEDING
+  ) AS c
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       floor((c - n_tokens) / {shard_tokens})::BIGINT AS shard_id,
+       split, lang_pred, quality_score
+FROM cum
+"""
+
+
 def train_split_sql(val_pct: int = 1, test_pct: int = 1, salt: str = "split") -> str:
     """Twin of operators.corpus.train_split — same salted buckets, same
     split boundaries."""
