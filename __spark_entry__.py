@@ -717,6 +717,10 @@ def _q_events_transitions(spark, sf_dir):
     return event_ops.event_transitions(load_table(spark, sf_dir, "events"))
 
 
+def _q_docs_vocabulary(spark, sf_dir):
+    return text_ops.vocabulary_coverage(load_table(spark, sf_dir, "documents"))
+
+
 def _q_docs_quality_percentiles(spark, sf_dir):
     return text_ops.quality_percentiles(load_table(spark, sf_dir, "documents"))
 
@@ -823,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": _q_events_transitions,
         "multimodal_resize": _q_multimodal_resize,
         "docs_training_corpus": _q_docs_training_corpus,
+        "docs_vocabulary": _q_docs_vocabulary,
         "events_top_paths": _q_events_top_paths,
         "events_approx_stats": _q_approx_stats,
         "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
@@ -986,6 +991,7 @@ def oracle_sql() -> dict[str, str]:
         "events_transitions": oracle_ext.event_transitions_sql(),
         "multimodal_resize": oracle_ext.multimodal_resize_sql(),
         "docs_training_corpus": oracle_ext.training_corpus_sql(),
+        "docs_vocabulary": oracle_ext.vocabulary_coverage_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),
         # mapInPandas query with an exact SQL twin: fixed-point byte-bucket

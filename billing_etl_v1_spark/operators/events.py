@@ -223,7 +223,11 @@ def event_type_pivot(events: DataFrame, types: list[str] | None = None) -> DataF
 
 
 def distributed_total_rank(
-    df: DataFrame, order_cols: list[str], rank_col: str = "__rank"
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "__rank",
+    sum_col: str | None = None,
+    cum_col: str = "__cum",
 ) -> DataFrame:
     """Exact global row_number() over a total order WITHOUT a single-task
     sort: range-repartition on the order columns (partitions are globally
@@ -241,34 +245,57 @@ def distributed_total_rank(
     """
     order = [F.col(c).asc() for c in order_cols]
     wp = Window.partitionBy("__pid")
+    wrun = wp.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = (
         df.repartitionByRange(*order)
         .withColumn("__pid", F.spark_partition_id())
         .withColumn("__lrank", F.row_number().over(wp.orderBy(*order)))
         .withColumn("__cnt", F.count(F.lit(1)).over(wp))
     )
+    meta_cols = ["__pid", "__cnt"]
+    if sum_col is not None:
+        # optional exact prefix sum of a value column over the SAME total
+        # order (vocabulary coverage curves, byte offsets, ...): the local
+        # running sum and the per-partition total ride the same windowed
+        # pass; the cross-partition offset joins the same tiny metadata
+        local = local.withColumn("__lsum", F.sum(sum_col).over(wrun)).withColumn(
+            "__psum", F.sum(sum_col).over(wp)
+        )
+        meta_cols.append("__psum")
     # per-partition counts fall out of the SAME windowed pass (distinct over
     # P rows after map-side partial), so the big relation is scanned exactly
     # twice — once for this metadata branch, once for the ranked output —
     # instead of once per downstream consumer. The grand total rides along
     # in the offsets aggregate so callers needing n don't add a third scan.
-    counts = local.select("__pid", "__cnt").distinct()
+    counts = local.select(*meta_cols).distinct()
+    aggs = [
+        F.sum(
+            F.when(F.col("b.__pid") < F.col("a.__pid"), F.col("b.__cnt")).otherwise(0)
+        ).alias("__offset"),
+        F.sum("b.__cnt").alias("__total"),
+    ]
+    if sum_col is not None:
+        aggs.append(
+            F.sum(
+                F.when(F.col("b.__pid") < F.col("a.__pid"), F.col("b.__psum")).otherwise(0)
+            ).alias("__sumoff")
+        )
+        aggs.append(F.sum("b.__psum").alias("__sumtotal"))
     offsets = (
         counts.alias("a")
         .crossJoin(F.broadcast(counts.alias("b")))
         .groupBy(F.col("a.__pid").alias("__pid"))
-        .agg(
-            F.sum(
-                F.when(F.col("b.__pid") < F.col("a.__pid"), F.col("b.__cnt")).otherwise(0)
-            ).alias("__offset"),
-            F.sum("b.__cnt").alias("__total"),
-        )
+        .agg(*aggs)
     )
-    return (
+    out = (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(rank_col, (F.col("__offset") + F.col("__lrank")).cast("bigint"))
-        .drop("__pid", "__lrank", "__cnt", "__offset")
     )
+    drop = ["__pid", "__lrank", "__cnt", "__offset"]
+    if sum_col is not None:
+        out = out.withColumn(cum_col, (F.col("__sumoff") + F.col("__lsum")).cast("bigint"))
+        drop += ["__lsum", "__psum", "__sumoff"]
+    return out.drop(*drop)
 
 
 def value_deciles(events: DataFrame, n_tiles: int = 10) -> DataFrame:

@@ -695,3 +695,39 @@ def quality_percentiles(df: DataFrame, text_col: str = "text") -> DataFrame:
         # integer DIV keeps the bucket exact at any n (no double floor)
         F.expr("CAST((__rank - 1) * 100 div __total + 1 AS INT)").alias("percentile"),
     )
+
+
+def vocabulary_coverage(
+    df: DataFrame, text_col: str = "text", min_freq: int = 1
+) -> DataFrame:
+    """Corpus vocabulary with coverage curve: every distinct token's
+    frequency, global frequency rank, and the cumulative fraction of all
+    token occurrences the vocabulary up to that rank covers — the
+    statistic BPE/unigram tokenizer training reads first ("how many types
+    cover 99% of the corpus" sets the vocab size).
+
+    Rank AND cumulative frequency come from ONE pass of the two-phase
+    distributed rank (``events.distributed_total_rank`` with its prefix-sum
+    extension) over the (-freq, token) total order — exact integers, no
+    unpartitioned window, no second sort. The coverage fraction is a
+    single division of exact BIGINTs (quantized).
+    """
+    from billing_etl_v1_spark.operators.events import distributed_total_rank
+
+    counts = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+        .withColumn("__negfreq", -F.col("freq"))
+    )
+    ranked = distributed_total_rank(
+        counts, ["__negfreq", "token"], rank_col="rank", sum_col="freq"
+    )
+    return ranked.select(
+        "token",
+        "freq",
+        "rank",
+        F.col("__cum").alias("cum_freq"),
+        quantize6(F.col("__cum") / F.col("__sumtotal")).alias("cum_fraction"),
+    )

@@ -1903,6 +1903,29 @@ FROM cum
 """
 
 
+def vocabulary_coverage_sql(min_freq: int = 1) -> str:
+    """Twin of operators.text.vocabulary_coverage — plain-window rank +
+    running sum over the (freq DESC, token) total order (equivalent to the
+    two-phase distributed form)."""
+    return f"""
+WITH toks AS (SELECT unnest({_TOKENS}) AS token FROM documents),
+c AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq
+  FROM toks GROUP BY token HAVING count(*) >= {min_freq}
+),
+r AS (
+  SELECT token, freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank,
+         CAST(sum(freq) OVER (ORDER BY freq DESC, token
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_freq,
+         CAST(sum(freq) OVER () AS BIGINT) AS tot
+  FROM c
+)
+SELECT token, freq, rank, cum_freq, {_r6('cum_freq / tot')} AS cum_fraction
+FROM r
+"""
+
+
 def quality_percentiles_sql() -> str:
     """Twin of operators.text.quality_percentiles — plain-window rank
     formulation (equivalent to the Spark side's two-phase distributed
