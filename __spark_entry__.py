@@ -811,12 +811,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- output changed this round: r1/r2 verdicts no longer apply ---
         "multimodal_features": _q_multimodal_features,
         "docs_winnow_fingerprints": _q_docs_winnow,
-        # --- r2-green, output unchanged; below the driver fold, still in
-        # --- local parity tests (top_paths/approx_stats internals changed
-        # --- in ways the generated data cannot distinguish; billing_cube
-        # --- is the one r1-green entry deferred to round 4 for window room;
-        # --- billing_profile / dedup_lsh_recall are new late in round 3 and
-        # --- take their first verdict in round 4)
+        # --- below the driver fold. Round-4 rotation should lead with the
+        # --- 10 late-round-3 queries that have never had a verdict
+        # --- (billing_profile, dedup_lsh_recall, docs_pagerank,
+        # --- docs_train_split, docs_shard_manifest, docs_quality_percentiles,
+        # --- events_transitions, multimodal_resize, docs_training_corpus,
+        # --- docs_vocabulary) plus deferred billing_cube, then the r2-green
+        # --- block (top_paths/approx_stats internals changed in ways the
+        # --- generated data cannot distinguish; all still in local parity)
         "billing_cube": _q_billing_cube,
         "billing_profile": _q_billing_profile,
         "dedup_lsh_recall": _q_dedup_lsh_recall,

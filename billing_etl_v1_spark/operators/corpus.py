@@ -19,9 +19,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from billing_etl_v1_spark.operators import _memo
 from billing_etl_v1_spark.operators.text import lang_id, md5_long, text_stats
 
 SAMPLE_BUCKETS = 1_000_000
+
+# session-scoped memo for multi-consumer intermediates (the gated corpus in
+# training_corpus feeds three split branches twice each); same pattern and
+# lifetime rules as dedup._SIG_CACHE
+_CORPUS_CACHE: _memo.Registry = {}
+
+
+def release_corpus_cache(spark=None) -> int:
+    """Unpersist intermediates cached by :func:`training_corpus` (for
+    ``spark`` only, or all sessions); returns how many were released."""
+    return _memo.release(_CORPUS_CACHE, spark)
 
 
 def hash_sample(
@@ -333,8 +345,6 @@ def training_corpus(
     before packing is map-side expression work plus the fingerprint
     shuffle; packing adds one bucketed window per split.
     """
-    from billing_etl_v1_spark.operators import _memo
-    from billing_etl_v1_spark.operators.dedup import _SIG_CACHE
     from billing_etl_v1_spark.operators.text import decontaminate
 
     clean_ids = (
@@ -346,7 +356,7 @@ def training_corpus(
         clean_ids, "doc_id", "left_semi"
     )
     split_df = _memo.memo_persist(
-        train_split(kept, val_pct=val_pct, test_pct=test_pct), _SIG_CACHE
+        train_split(kept, val_pct=val_pct, test_pct=test_pct), _CORPUS_CACHE
     )
     parts = []
     for s in ("train", "val", "test"):

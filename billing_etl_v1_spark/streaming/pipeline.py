@@ -414,9 +414,10 @@ def streaming_scd2_maintenance(
     Per micro-batch: (1) land the raw snapshots idempotently
     (``batch_id=N`` overwrite — foreachBatch is at-least-once); (2)
     re-derive the effective-dated history ONLY for the accounts present in
-    the batch, reading their full snapshot trail from the store (cost
-    scales with touched keys, never the dimension); (3) dynamic-partition-
-    overwrite those accounts' partitions in the history store.
+    the batch — the snapshot store is scanned (column-pruned, dim-sized,
+    never corpus-sized) but all window/aggregate work is confined to the
+    touched keys by the semi-join; (3) dynamic-partition-overwrite those
+    accounts' partitions in the history store.
 
     The store persists the version FACTS only (``include_current=False``):
     an is_current flag baked at write time goes stale the moment a later
