@@ -62,9 +62,13 @@ def quality_corpus(
 
     One pass of narrow expression work, then a single shuffle on the
     fingerprint for the keep-first window — the same shape at 500 rows and
-    at 100 TB.
+    at 100 TB. Stats and language-ID share ONE staged token array
+    (text_stats keep_tokens_col -> lang_id tokens_col), so each document
+    is tokenized once for the whole gate.
     """
-    scored = lang_id(text_stats(docs))
+    scored = lang_id(
+        text_stats(docs, keep_tokens_col="__gate_toks"), tokens_col="__gate_toks"
+    ).drop("__gate_toks")
     kept = scored.filter(
         (F.col("token_count") >= min_tokens)
         & (F.col("quality_score") >= min_quality)

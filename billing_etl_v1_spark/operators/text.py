@@ -70,7 +70,9 @@ def _hits_in(toks: Column, stopwords: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
-def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def text_stats(
+    df: DataFrame, text_col: str = "text", keep_tokens_col: str | None = None
+) -> DataFrame:
     """Per-document stats + a deterministic quality score.
 
     The token array is STAGED as a real column and every metric references
@@ -79,11 +81,13 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     re-tokenizes the text once per metric per evaluation site (measured
     ~2.3 s -> ~0.9 s on the 5k-doc corpus pass). CollapseProject keeps a
     non-cheap multiply-referenced alias in its own projection, so the stage
-    survives optimization.
+    survives optimization. ``keep_tokens_col`` exposes the staged array to
+    downstream operators (``lang_id`` accepts it) so a composed pipeline
+    tokenizes each document once, not once per stage.
     """
     c = F.col(text_col)
-    staged = df.withColumn("__toks", _tokens(c))
-    toks = F.col("__toks")
+    staged = df.withColumn(keep_tokens_col or "__toks", _tokens(c))
+    toks = F.col(keep_tokens_col or "__toks")
     tc = F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(toks))
     punct = _class_ratio(c, PUNCT_CLASS)
     digit = _class_ratio(c, DIGIT_CLASS)
@@ -95,7 +99,7 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         * (F.lit(1.0) - F.least(F.lit(1.0), F.lit(4.0) * punct))
         * (F.lit(1.0) - F.least(F.lit(1.0), F.lit(4.0) * digit))
     )
-    return staged.withColumns(
+    out = staged.withColumns(
         {
             "char_count": F.length(c).cast("int"),
             "token_count": tc.cast("int"),
@@ -105,21 +109,33 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "stopword_ratio": quantize6(stop_ratio),
             "quality_score": quantize6(quality),
         }
-    ).drop("__toks")
+    )
+    return out if keep_tokens_col else out.drop("__toks")
 
 
-def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+    tokens_col: str | None = None,
+) -> DataFrame:
     """Stopword-voting language heuristic; 'und' when no language scores.
 
     Ties break by language code ascending — mirrored in the oracle.
 
     Tokenization and the per-language hit counts are staged as columns
     (same rationale as text_stats): the vote CASE then compares cheap int
-    attributes instead of re-running 4 lambda filters per branch.
+    attributes instead of re-running 4 lambda filters per branch. Pass
+    ``tokens_col`` to reuse an already-staged token array (e.g. from
+    ``text_stats(keep_tokens_col=...)``) instead of re-splitting the text.
     """
     c = F.col(text_col)
-    staged = df.withColumn(f"__toks_{out_col}", _tokens(c))
-    toks = F.col(f"__toks_{out_col}")
+    if tokens_col is None:
+        staged = df.withColumn(f"__toks_{out_col}", _tokens(c))
+        toks = F.col(f"__toks_{out_col}")
+    else:
+        staged = df
+        toks = F.col(tokens_col)
     hit_cols = {lang: f"__hits_{out_col}_{lang}" for lang in LANG_STOPWORDS}
     staged = staged.withColumns(
         {hit_cols[lang]: _hits_in(toks, sw) for lang, sw in LANG_STOPWORDS.items()}
