@@ -305,3 +305,42 @@ def daily_anomaly_flags(
             (F.col("base_days") >= min_days) & (dev > 0) & (lhs > rhs)
         ).alias("is_spike"),
     )
+
+
+def hll_daily_merge(events: DataFrame, rel_tol: float = 0.05) -> DataFrame:
+    """Sketch MERGEABILITY as a verified query — the property that makes
+    sketches the 100 TB answer: per-(type, day) HLL sketches unioned up to
+    the month must estimate exactly what one direct monthly sketch
+    estimates (DataSketches HLL union is register-wise lossless), so daily
+    jobs can persist tiny sketch columns and any rollup grain is a cheap
+    union away — no re-scan of raw events, ever.
+
+    Output per event_type: the exact distinct-user count (the
+    oracle-computable truth), ``merged_equals_direct`` (structural
+    equality of the two estimates — lossless union), and
+    ``within_tol`` (estimate within ``rel_tol`` of exact, with the
+    small-cardinality bypass of the approx_stats_checked contract: below
+    1/rel_tol the comparison is trivially TRUE since HLL's sparse mode is
+    exact there).
+    """
+    daily = events.groupBy("event_type", F.to_date("ts").alias("__d")).agg(
+        F.hll_sketch_agg("user_id").alias("__sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__est_merged")
+    )
+    direct = events.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("__est_direct"),
+        F.countDistinct("user_id").cast("bigint").alias("n_exact"),
+    )
+    n = F.col("n_exact")
+    within = (
+        (F.abs(F.col("__est_direct") - n) <= F.lit(rel_tol) * n)
+        | (n < F.lit(int(1 / rel_tol)))
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type",
+        "n_exact",
+        (F.col("__est_merged") == F.col("__est_direct")).alias("merged_equals_direct"),
+        within.alias("within_tol"),
+    )

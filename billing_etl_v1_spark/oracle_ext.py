@@ -889,6 +889,20 @@ FROM j GROUP BY p_eid, user_id, purchase_cents
 """
 
 
+def hll_daily_merge_sql() -> str:
+    """Twin of operators.timeseries.hll_daily_merge: exact distinct counts
+    plus literal TRUE flags — the bounds-checked contract of
+    approx_stats_checked (DuckDB cannot reproduce DataSketches registers;
+    it CAN verify the exact truth and the documented invariants)."""
+    return """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS merged_equals_direct,
+       TRUE AS within_tol
+FROM events GROUP BY event_type
+"""
+
+
 def event_transitions_sql() -> str:
     """Twin of operators.events.event_transitions — same lead window over
     the (ts, event_id) total order, same count/total division."""
