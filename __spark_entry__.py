@@ -816,11 +816,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "docs_winnow_fingerprints": _q_docs_winnow,
         # --- below the driver fold. Round-4 rotation should lead with the
-        # --- 10 late-round-3 queries that have never had a verdict
+        # --- late-round-3 queries that have never had a verdict
         # --- (billing_profile, dedup_lsh_recall, docs_pagerank,
         # --- docs_train_split, docs_shard_manifest, docs_quality_percentiles,
         # --- events_transitions, multimodal_resize, docs_training_corpus,
-        # --- docs_vocabulary) plus deferred billing_cube, then the r2-green
+        # --- docs_vocabulary, events_hll_merge) plus deferred billing_cube,
+        # --- then the r2-green
         # --- block (top_paths/approx_stats internals changed in ways the
         # --- generated data cannot distinguish; all still in local parity)
         "billing_cube": _q_billing_cube,
