@@ -195,7 +195,10 @@ def scd2_history(dim: DataFrame, include_current: bool = True) -> DataFrame:
     attrs = F.concat_ws(
         "|", *[F.coalesce(F.col(c).cast("string"), F.lit(sent)) for c in attr_cols]
     )
-    w = Window.partitionBy(*key_cols).orderBy("__midx")
+    # __attrs tiebreak: duplicate (key, month) rows never occur in the
+    # synthetic dim, but a library operator must not let window-order ties
+    # pick versions nondeterministically if a caller feeds them
+    w = Window.partitionBy(*key_cols).orderBy("__midx", "__attrs")
     staged = dim.select(
         *key_cols, *attr_cols, "month", midx.alias("__midx"), attrs.alias("__attrs")
     ).withColumn(

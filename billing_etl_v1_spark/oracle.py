@@ -674,11 +674,11 @@ chg AS (
                   AND lag(attrs) OVER w = attrs
                  THEN 0 ELSE 1 END AS c
   FROM staged
-  WINDOW w AS (PARTITION BY {key} ORDER BY midx)
+  WINDOW w AS (PARTITION BY {key} ORDER BY midx, attrs)
 ),
 ver AS (
   SELECT *, CAST(sum(c) OVER (
-    PARTITION BY {key} ORDER BY midx ROWS UNBOUNDED PRECEDING
+    PARTITION BY {key} ORDER BY midx, attrs ROWS UNBOUNDED PRECEDING
   ) AS INT) AS version
   FROM chg
 ),

@@ -150,7 +150,18 @@ def write_zordered(
     file-size budget; the curve quality is independent of file count.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import DateType, NumericType, TimestampNTZType, TimestampType
 
+    # refuse non-orderable-as-number columns loudly: a string column casts
+    # to NULL doubles, the bounds come back NULL, every bucket collapses to
+    # 0 and the "z-ordered" layout silently degrades to unclustered
+    for c in cols:
+        dt = df.schema[c].dataType
+        if not isinstance(dt, (NumericType, DateType, TimestampType, TimestampNTZType)):
+            raise ValueError(
+                f"write_zordered requires numeric/date/timestamp z-columns; "
+                f"{c!r} is {dt.simpleString()} — hash it to a number first"
+            )
     aggs = []
     for c in cols:
         aggs += [

@@ -389,3 +389,15 @@ def test_write_zordered_narrows_per_file_ranges_on_both_columns(spark, tmp_path)
     assert zdf.selectExpr("sum(event_id)").first()[0] == events.selectExpr(
         "sum(event_id)"
     ).first()[0]
+
+
+def test_write_zordered_refuses_string_columns(spark, tmp_path):
+    from billing_etl_v1_spark.sources.readers import load_table
+    from billing_etl_v1_spark.sources.writers import write_zordered
+    from tests.conftest import SF_SMALL
+
+    import pytest
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    with pytest.raises(ValueError, match="numeric"):
+        write_zordered(docs, str(tmp_path / "z"), cols=("doc_id", "text"))
