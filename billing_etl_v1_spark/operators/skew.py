@@ -83,3 +83,48 @@ def user_activity_enriched(events: DataFrame, buckets: int = 8) -> DataFrame:
         "user_events",
         quantize6(F.col("__tv").cast("double")).alias("user_total_value"),
     )
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str = "user_id", top_k: int = 10
+) -> DataFrame:
+    """Join-key skew diagnostic: the ``top_k`` heaviest keys with their row
+    share, plus the global skew factor (max key count over mean key count)
+    — the measurement that decides between AQE alone, explicit salting
+    (:func:`salted_join`), or broadcasting before a big join melts one
+    reducer. The reference hard-coded its 14 known-heavy accounts
+    (reference main.py:86-104); this is how that list gets DISCOVERED.
+
+    One key aggregate, a TakeOrdered top-k (distributed partial top-k —
+    NOT a global rank window, which would sort every key through one
+    task), and a 1-row stats broadcast — run it on a sample or the full
+    table, the plan is the same shape. Ranks are recovered from the
+    k-row result by a trivial self-join count.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    stats = counts.agg(
+        F.max("n_rows").alias("__max"),
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    top = counts.orderBy(F.col("n_rows").desc(), F.col("key").asc()).limit(top_k)
+    a, b = top.alias("a"), top.alias("b")
+    better = (F.col("b.n_rows") > F.col("a.n_rows")) | (
+        (F.col("b.n_rows") == F.col("a.n_rows")) & (F.col("b.key") < F.col("a.key"))
+    )
+    ranked = (
+        a.join(F.broadcast(b), better, "left")
+        .groupBy(F.col("a.key").alias("key"), F.col("a.n_rows").alias("n_rows"))
+        .agg((F.count(F.col("b.key")) + 1).cast("int").alias("rank"))
+    )
+    return ranked.crossJoin(F.broadcast(stats)).select(
+        "key",
+        "n_rows",
+        "rank",
+        quantize6(F.col("n_rows") / F.col("__total")).alias("share"),
+        quantize6(
+            F.col("__max") * F.col("__n_keys") / F.col("__total")
+        ).alias("skew_factor"),
+    )

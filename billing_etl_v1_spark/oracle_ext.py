@@ -889,6 +889,27 @@ FROM j GROUP BY p_eid, user_id, purchase_cents
 """
 
 
+def key_skew_report_sql(top_k: int = 10) -> str:
+    """Twin of operators.skew.key_skew_report — plain-window rank (oracle
+    scale), same integer-exact share/skew arithmetic."""
+    return f"""
+WITH c AS (
+  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY user_id
+),
+s AS (SELECT max(n_rows) AS mx, sum(n_rows) AS tot, count(*) AS nk FROM c),
+r AS (
+  SELECT key, n_rows,
+         CAST(row_number() OVER (ORDER BY n_rows DESC, key) AS INT) AS rank
+  FROM c
+)
+SELECT key, n_rows, rank,
+       {_r6('n_rows / tot')} AS share,
+       {_r6('mx * nk / tot')} AS skew_factor
+FROM r, s WHERE rank <= {top_k}
+"""
+
+
 def hll_daily_merge_sql() -> str:
     """Twin of operators.timeseries.hll_daily_merge: exact distinct counts
     plus literal TRUE flags — the bounds-checked contract of
