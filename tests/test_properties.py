@@ -475,3 +475,89 @@ def test_scd2_agrees_with_python_model(spark, snapshots):
     assert [h.is_current for h in hist] == [
         h.valid_to == max(months) for h in hist
     ]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),       # user
+            st.integers(min_value=0, max_value=7200),    # seconds offset
+            st.sampled_from(["click", "view", "purchase"]),
+            st.integers(min_value=0, max_value=9999),    # cents
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_purchase_attribution_agrees_with_python_model(spark, raw):
+    """Touch counts and last-touch selection from an independent Python
+    pass with the same (ts, event_id) tiebreak and [t-3600s, t) band."""
+    import datetime as dt
+
+    from billing_etl_v1_spark.operators.events import purchase_attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=s), u, ty, c / 100.0, "{}")
+        for i, (u, s, ty, c) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {r.event_id: r for r in purchase_attribution(df).collect()}
+
+    events = [(i, u, s, ty, c) for i, (u, s, ty, c) in enumerate(raw)]
+    purchases = [e for e in events if e[3] == "purchase"]
+    assert set(got) == {e[0] for e in purchases}
+    for pid, pu, ps, _, pc in purchases:
+        touches = [
+            e
+            for e in events
+            if e[3] in ("click", "view")
+            and e[1] == pu
+            and ps - 3600 <= e[2] < ps
+        ]
+        r = got[pid]
+        assert r.purchase_cents == pc and r.n_touches == len(touches)
+        assert r.n_click == sum(1 for e in touches if e[3] == "click")
+        assert r.n_view == sum(1 for e in touches if e[3] == "view")
+        if touches:
+            last = max(touches, key=lambda e: (e[2], e[0]))
+            assert r.last_touch_type == last[3]
+        else:
+            assert r.last_touch_type is None
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2000),  # daily cents
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_daily_anomaly_agrees_with_python_model(spark, daily_cents):
+    """Spike flags from an independent exact-integer Python model of the
+    (m*x - s)^2 > z^2*(m*ss - s^2) test over the trailing window."""
+    import datetime as dt
+
+    from billing_etl_v1_spark.operators.timeseries import daily_anomaly_flags
+
+    rows = [
+        (d, dt.datetime(2024, 1, 1 + d, 9), 1, "click", c / 100.0, "{}")
+        for d, c in enumerate(daily_cents)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {r.day.day: r.is_spike for r in daily_anomaly_flags(df).collect()}
+
+    for d, x in enumerate(daily_cents):
+        window = daily_cents[max(0, d - 7) : d]
+        m, s, ss = len(window), sum(window), sum(v * v for v in window)
+        dev = m * x - s
+        want = m >= 4 and dev > 0 and dev * dev > 9 * (m * ss - s * s)
+        assert got[d + 1] == want, (d, daily_cents)
