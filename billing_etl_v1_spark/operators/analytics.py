@@ -198,3 +198,55 @@ def month_reconciliation(
         ),
         status.alias("status"),
     )
+
+
+def monthly_cost_forecast(fact: DataFrame, min_months: int = 2) -> DataFrame:
+    """Per-account next-month cost projection: least-squares trend over the
+    account's monthly cost totals, evaluated one month past its latest —
+    the naive-but-honest baseline a billing close puts next to actuals
+    (and the shape any fancier model slots into).
+
+    Cross-engine exactness (the user_value_trend playbook): monthly totals
+    accumulate in DECIMAL(38,10) (exact), quantize to 1e-6 integer units
+    via exact decimal floor, and all regression sums are BIGINT — so the
+    closed-form doubles are bit-identical in DuckDB. One month-grain
+    aggregate, one account-grain aggregate; no windows at all.
+    """
+    month = fact.groupBy("billing_account_id", "invoice_month").agg(
+        F.sum(_dec("cost")).alias("__c")
+    )
+    midx = (
+        F.substring("invoice_month", 1, 4).cast("int") * 12
+        + F.substring("invoice_month", 5, 2).cast("int")
+    ).cast("bigint")
+    yk = F.floor(F.col("__c") * F.lit(1_000_000)).cast("bigint")
+    staged = month.select(
+        "billing_account_id", midx.alias("__x"), yk.alias("__yk")
+    )
+    x, y = F.col("__x"), F.col("__yk")
+    agg = staged.groupBy("billing_account_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.max("__x").alias("__maxx"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__syk"),
+        F.sum(x * y).alias("__sxyk"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    n = F.col("n_months").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__syk").cast("double") / F.lit(1_000_000.0)
+    sxy = F.col("__sxyk").cast("double") / F.lit(1_000_000.0)
+    sxx = F.col("__sxx").cast("double")
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
+    intercept = (sy - slope * sx) / n
+    nxt = (F.col("__maxx") + 1).cast("double")
+    return (
+        agg.filter((F.col("n_months") >= min_months) & (denom != 0))
+        .select(
+            "billing_account_id",
+            "n_months",
+            quantize6(slope).alias("slope_per_month"),
+            quantize6(intercept + slope * nxt).alias("forecast_next_cost"),
+        )
+    )

@@ -721,3 +721,50 @@ SELECT column_name,
        max(value) AS max_value
 FROM melted GROUP BY column_name
 """
+
+
+def monthly_cost_forecast_sql(min_months: int = 2) -> str:
+    """Twin of operators.analytics.monthly_cost_forecast — same exact
+    decimal monthly totals, integer regression sums, and double closed
+    form."""
+    return f"""
+WITH fact AS ({FACT_SQL}),
+m AS (
+  SELECT billing_account_id, invoice_month,
+         sum(CAST(cost AS DECIMAL(38,10))) AS c
+  FROM fact GROUP BY billing_account_id, invoice_month
+),
+staged AS (
+  SELECT billing_account_id,
+         CAST(CAST(substr(invoice_month, 1, 4) AS INT) * 12
+              + CAST(substr(invoice_month, 5, 2) AS INT) AS BIGINT) AS x,
+         CAST(floor(c * 1000000) AS BIGINT) AS yk
+  FROM m
+),
+a AS (
+  SELECT billing_account_id,
+         CAST(count(*) AS BIGINT) AS n_months,
+         max(x) AS maxx,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(yk) AS BIGINT) AS syk,
+         CAST(sum(x * yk) AS BIGINT) AS sxyk,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM staged GROUP BY billing_account_id
+),
+d AS (
+  SELECT billing_account_id, n_months,
+         n_months::DOUBLE AS n, sx::DOUBLE AS sxd,
+         syk::DOUBLE / 1000000.0 AS syd,
+         sxyk::DOUBLE / 1000000.0 AS sxyd, sxx::DOUBLE AS sxxd,
+         (maxx + 1)::DOUBLE AS nxt
+  FROM a
+),
+f AS (
+  SELECT *, (n * sxyd - sxd * syd) / (n * sxxd - sxd * sxd) AS slope
+  FROM d WHERE n_months >= {min_months} AND n * sxxd - sxd * sxd <> 0
+)
+SELECT billing_account_id, n_months,
+  {_r6('slope')} AS slope_per_month,
+  {_r6('(syd - slope * sxd) / n + slope * nxt')} AS forecast_next_cost
+FROM f
+"""
