@@ -517,3 +517,56 @@ def event_transitions(events: DataFrame) -> DataFrame:
         "n_transitions",
         quantize6(F.col("n_transitions") / F.col("__tot")).alias("prob"),
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    recent_days: int = 10,
+    frequent_n: int = 5,
+) -> DataFrame:
+    """RFM segmentation: per user, recency (days since last purchase,
+    against the corpus max timestamp so the report is reproducible —
+    never wall-clock), frequency (purchase count), monetary (integer
+    cents), and a deterministic segment label from fixed documented
+    thresholds. Users who never purchased segment as 'none' with NULL
+    recency. One user-grain aggregate + a 1-row broadcast reference
+    date; integer cents keep the hash exact.
+    """
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ref = events.agg(F.max(us).alias("__ref_us"))
+    per_user = events.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", us)).alias("__last_us"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("bigint")
+        .alias("frequency"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    recency = F.floor(
+        (F.col("__ref_us") - F.col("__last_us")) / F.lit(86_400_000_000)
+    ).cast("int")
+    seg = (
+        F.when(F.col("frequency") == 0, "none")
+        .when(
+            (recency <= recent_days) & (F.col("frequency") >= frequent_n), "champion"
+        )
+        .when(recency <= recent_days, "recent")
+        .when(F.col("frequency") >= frequent_n, "frequent")
+        .otherwise("lapsed")
+    )
+    return per_user.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.when(F.col("frequency") > 0, recency).alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+        seg.alias("segment"),
+    )

@@ -889,6 +889,34 @@ FROM j GROUP BY p_eid, user_id, purchase_cents
 """
 
 
+def rfm_segments_sql(recent_days: int = 10, frequent_n: int = 5) -> str:
+    """Twin of operators.events.rfm_segments — same corpus-max reference
+    date, integer cents, and fixed segment thresholds."""
+    rec = "CAST(floor((ref_us - last_us) / 86400000000.0) AS INT)"
+    return f"""
+WITH ref AS (SELECT max(epoch_us(ts)) AS ref_us FROM events),
+u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS last_us,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS frequency,
+         CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                THEN CAST(round(value * 100) AS BIGINT) END), 0)
+              AS BIGINT) AS monetary_cents
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+  CASE WHEN frequency > 0 THEN {rec} END AS recency_days,
+  frequency, monetary_cents,
+  CASE WHEN frequency = 0 THEN 'none'
+       WHEN {rec} <= {recent_days} AND frequency >= {frequent_n} THEN 'champion'
+       WHEN {rec} <= {recent_days} THEN 'recent'
+       WHEN frequency >= {frequent_n} THEN 'frequent'
+       ELSE 'lapsed' END AS segment
+FROM u, ref
+"""
+
+
 def key_skew_report_sql(top_k: int = 10) -> str:
     """Twin of operators.skew.key_skew_report — plain-window rank (oracle
     scale), same integer-exact share/skew arithmetic."""
