@@ -521,8 +521,8 @@ def event_transitions(events: DataFrame) -> DataFrame:
 
 def rfm_segments(
     events: DataFrame,
-    recent_days: int = 10,
-    frequent_n: int = 5,
+    recent_days: int = 1,
+    frequent_n: int = 14,
 ) -> DataFrame:
     """RFM segmentation: per user, recency (days since last purchase,
     against the corpus max timestamp so the report is reproducible —

@@ -889,7 +889,7 @@ FROM j GROUP BY p_eid, user_id, purchase_cents
 """
 
 
-def rfm_segments_sql(recent_days: int = 10, frequent_n: int = 5) -> str:
+def rfm_segments_sql(recent_days: int = 1, frequent_n: int = 14) -> str:
     """Twin of operators.events.rfm_segments — same corpus-max reference
     date, integer cents, and fixed segment thresholds."""
     rec = "CAST(floor((ref_us - last_us) / 86400000000.0) AS INT)"
