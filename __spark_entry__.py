@@ -828,14 +828,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- output changed this round: r1/r2 verdicts no longer apply ---
         "multimodal_features": _q_multimodal_features,
         "docs_winnow_fingerprints": _q_docs_winnow,
-        # --- below the driver fold. Round-4 rotation should lead with the
-        # --- late-round-3 queries that have never had a verdict
-        # --- (billing_profile, dedup_lsh_recall, docs_pagerank,
-        # --- docs_train_split, docs_shard_manifest, docs_quality_percentiles,
-        # --- events_transitions, multimodal_resize, docs_training_corpus,
-        # --- docs_vocabulary, events_hll_merge) plus deferred billing_cube,
-        # --- then the r2-green
-        # --- block (top_paths/approx_stats internals changed in ways the
+        # --- below the driver fold. Round-4 rotation: lead with every
+        # --- below-fold entry that has NO verdict in any CORRECTNESS_r0N
+        # --- (the late-round-3 additions from billing_cube/billing_profile
+        # --- down through events_rfm), then the oldest-verdict r2 block
+        # --- (top_paths/approx_stats internals changed in ways the
         # --- generated data cannot distinguish; all still in local parity)
         "billing_cube": _q_billing_cube,
         "billing_profile": _q_billing_profile,
