@@ -713,6 +713,13 @@ def _q_docs_training_corpus(spark, sf_dir):
     return corpus_ops.training_corpus(load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_cluster_quality(spark, sf_dir):
+    return corpus_ops.cluster_quality_report(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+
+
 def _q_events_rfm(spark, sf_dir):
     return event_ops.rfm_segments(load_table(spark, sf_dir, "events"))
 
@@ -849,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_key_skew": _q_events_key_skew,
         "billing_forecast": _q_billing_forecast,
         "events_rfm": _q_events_rfm,
+        "docs_cluster_quality": _q_docs_cluster_quality,
         "events_top_paths": _q_events_top_paths,
         "events_approx_stats": _q_approx_stats,
         "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
@@ -1017,6 +1025,7 @@ def oracle_sql() -> dict[str, str]:
         "events_key_skew": oracle_ext.key_skew_report_sql(),
         "billing_forecast": oracle.monthly_cost_forecast_sql(),
         "events_rfm": oracle_ext.rfm_segments_sql(),
+        "docs_cluster_quality": oracle_ext.cluster_quality_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),
         # mapInPandas query with an exact SQL twin: fixed-point byte-bucket

@@ -376,3 +376,39 @@ def training_corpus(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def cluster_quality_report(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    centroid_mod: int = 25,
+) -> DataFrame:
+    """Cross-modal curation report: text-quality statistics per EMBEDDING
+    cluster — the query that finds semantic neighborhoods full of
+    low-quality text (boilerplate clusters, spam clusters) so whole
+    regions of embedding space can be gated at once instead of doc by
+    doc. Joins the documents and embeddings tables on their shared id.
+
+    Means accumulate through exact_sum (order-proof), so the per-cluster
+    doubles hash-verify; the cluster assignment is the broadcast-centroid
+    argmax of similarity.assign_clusters. One id-keyed join, one
+    cluster-grain aggregate.
+    """
+    from billing_etl_v1_spark.functions import exact_sum, quantize6
+    from billing_etl_v1_spark.operators.similarity import assign_clusters
+
+    scored = text_stats(docs).select("doc_id", "quality_score", "token_count")
+    assigned = assign_clusters(embeddings, "vec_id", "embedding", centroid_mod).select(
+        F.col("vid").alias("doc_id"), "cluster"
+    )
+    joined = scored.join(assigned, "doc_id")
+    return joined.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        quantize6(
+            exact_sum(F.col("quality_score")) / F.count(F.lit(1))
+        ).alias("mean_quality"),
+        quantize6(
+            F.sum("token_count").cast("double") / F.count(F.lit(1))
+        ).alias("mean_tokens"),
+        quantize6(F.min("quality_score")).alias("min_quality"),
+    )

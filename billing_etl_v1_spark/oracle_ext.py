@@ -506,6 +506,40 @@ FROM r WHERE rnk <= {k}
 """
 
 
+def cluster_quality_sql(centroid_mod: int = 25) -> str:
+    """Twin of operators.corpus.cluster_quality_report — text stats joined
+    to the deterministic cluster assignment; means via oracle._dsum."""
+    from billing_etl_v1_spark.oracle import _dsum
+
+    cdot = _DOT.format(a="n.v", b="c.cv")
+    return f"""
+WITH s AS (
+  SELECT doc_id, quality_score, token_count FROM ({text_stats_sql()})
+),
+{_norms_cte()},
+cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % {centroid_mod} = 0),
+asg0 AS (
+  SELECT n.vec_id AS vid, c.cid,
+         row_number() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY {_r6(f'({cdot}) / (n.nrm * c.cn)')} DESC, c.cid ASC
+         ) AS crk
+  FROM n, cents c
+),
+asg AS (SELECT vid, cid AS cluster FROM asg0 WHERE crk = 1),
+j AS (
+  SELECT s.quality_score, s.token_count, a.cluster
+  FROM s JOIN asg a ON s.doc_id = a.vid
+)
+SELECT cluster,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  {_r6(f'({_dsum("quality_score")}) / count(*)')} AS mean_quality,
+  {_r6('CAST(sum(token_count) AS DOUBLE) / count(*)')} AS mean_tokens,
+  {_r6('min(quality_score)')} AS min_quality
+FROM j GROUP BY cluster
+"""
+
+
 def semantic_dedup_sql(centroid_mod: int = 25, threshold: float = 0.35) -> str:
     """Twin of operators.dedup.semantic_dedup — same deterministic cluster
     assignment as sim_topk_ivf_sql, same within-cluster smaller-id
