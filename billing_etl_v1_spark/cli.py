@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
     corpus.add_argument("--shard-tokens", type=int, default=4000)
     corpus.add_argument("--min-tokens", type=int, default=30)
     corpus.add_argument("--min-quality", type=float, default=0.5)
+    corpus.add_argument(
+        "--full",
+        action="store_true",
+        help="run the full training-corpus DAG (adds benchmark "
+        "decontamination, train/val/test split, per-split packing)",
+    )
 
     # ad-hoc SQL over tables-at-rest (reference README.md:38-45's documented
     # --query/--list-tables surface, dead in its main.py — real here)
@@ -142,9 +148,10 @@ def main(argv: list[str] | None = None) -> int:
         spark.stop()
         return 0
     if args.command == "corpus":
-        from billing_etl_v1_spark.operators.corpus import corpus_build
+        from billing_etl_v1_spark.operators.corpus import corpus_build, training_corpus
 
-        out = corpus_build(
+        build = training_corpus if args.full else corpus_build
+        out = build(
             spark.read.parquet(args.docs),
             shard_tokens=args.shard_tokens,
             min_tokens=args.min_tokens,

@@ -264,6 +264,28 @@ def test_cli_corpus_build_end_to_end(spark, tmp_path, monkeypatch):
     assert out.count() < load_table(spark, SF_SMALL, "documents").count()
 
 
+def test_cli_corpus_full_flag_runs_training_dag(spark, tmp_path, monkeypatch, capsys):
+    """--full routes the corpus subcommand through the complete
+    training-corpus DAG: output gains split/shard columns, splits are
+    disjoint, and the eval slice is absent."""
+    from billing_etl_v1_spark import cli
+    from tests.conftest import SF_SMALL
+
+    monkeypatch.setattr("billing_etl_v1_spark.session.get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    target = str(tmp_path / "shards")
+    rc = cli.main(
+        ["corpus", "--docs", f"{SF_SMALL}/documents.parquet", "--target", target, "--full"]
+    )
+    assert rc == 0
+    out = spark.read.parquet(target)
+    assert {"doc_id", "split", "shard_id", "n_tokens"} <= set(out.columns)
+    rows = out.collect()
+    assert rows and all(r.split in ("train", "val", "test") for r in rows)
+    assert all(r.doc_id % 97 != 0 for r in rows)  # eval slice excluded
+
+
 def test_cli_sql_subcommand_query_and_list_tables(spark, monkeypatch, capsys):
     """The reference README documents --query/--list-tables but its main.py
     never wires them (README.md:38-45, SURVEY §3.3) — our `sql` subcommand
