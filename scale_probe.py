@@ -83,7 +83,12 @@ def main() -> None:
     print(f"# {label}: {n} rows in {dt:.2f}s ({int(n/dt)} rows/s)", file=sys.stderr)
 
     text_ops = {}
-    for qname in ("docs_winnow_fingerprints", "docs_repetition"):
+    for qname in (
+        "docs_winnow_fingerprints",
+        "docs_repetition",
+        "dedup_minhash_lsh",
+        "docs_training_corpus",
+    ):
         runs = {}
         for label, sf_dir in [
             ("sf0.01", "/root/testdata/sf0.01"),
