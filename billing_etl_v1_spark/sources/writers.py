@@ -203,3 +203,91 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any supported scheme — driver-side metadata
+    ops go through Hadoop's FS API so versioning works on HDFS/object
+    stores, not just local paths."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def list_versions(spark: SparkSession, table_dir: str) -> list[int]:
+    """Snapshot versions present under ``table_dir`` (ascending)."""
+    fs, hpath = _hadoop_fs(spark, table_dir)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("v=") and name[2:].isdigit():
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def current_version(spark: SparkSession, table_dir: str) -> int | None:
+    fs, _ = _hadoop_fs(spark, table_dir)
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_LATEST")
+    if not fs.exists(marker):
+        return None
+    stream = fs.open(marker)
+    try:
+        return int(bytes(stream.readAllBytes()).decode().strip())
+    finally:
+        stream.close()
+
+
+def _point_latest(spark: SparkSession, table_dir: str, version: int) -> None:
+    fs, _ = _hadoop_fs(spark, table_dir)
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_LATEST.tmp")
+    marker = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_LATEST")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(str(version).encode())
+    finally:
+        stream.close()
+    if fs.exists(marker):
+        fs.delete(marker, False)
+    fs.rename(tmp, marker)
+
+
+def write_versioned(df: DataFrame, table_dir: str) -> int:
+    """Snapshot-versioned sink: every call lands a COMPLETE snapshot under
+    ``v=<N+1>`` and then repoints the ``_LATEST`` marker — cheap time
+    travel and instant rollback for dimensions and marts without adopting
+    a table format. Readers either follow latest (:func:`read_versioned`)
+    or pin a version for reproducible reruns; old snapshots stay
+    byte-stable forever (the property training-data lineage audits need).
+
+    The marker flips via write-temp + rename (atomic on HDFS, best-effort
+    on object stores) and data lands BEFORE the marker moves, so a reader
+    never sees a half-written latest. Single-writer by design — real
+    multi-writer commit protocols are what Delta/Iceberg are for; this is
+    the honest 90% for dim-sized tables. Returns the new version number.
+    """
+    versions = list_versions(df.sparkSession, table_dir)
+    nxt = (versions[-1] + 1) if versions else 1
+    df.write.mode("errorifexists").parquet(f"{table_dir}/v={nxt}")
+    _point_latest(df.sparkSession, table_dir, nxt)
+    return nxt
+
+
+def read_versioned(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read a pinned snapshot, or the one ``_LATEST`` points at."""
+    v = version if version is not None else current_version(spark, table_dir)
+    if v is None:
+        raise ValueError(f"no versions written at {table_dir}")
+    return spark.read.parquet(f"{table_dir}/v={v}")
+
+
+def rollback_version(spark: SparkSession, table_dir: str, version: int) -> None:
+    """Repoint ``_LATEST`` to an existing older snapshot (no data moves)."""
+    if version not in list_versions(spark, table_dir):
+        raise ValueError(f"version {version} does not exist at {table_dir}")
+    _point_latest(spark, table_dir, version)

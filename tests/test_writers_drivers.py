@@ -423,3 +423,36 @@ def test_write_zordered_refuses_string_columns(spark, tmp_path):
     docs = load_table(spark, SF_SMALL, "documents")
     with pytest.raises(ValueError, match="numeric"):
         write_zordered(docs, str(tmp_path / "z"), cols=("doc_id", "text"))
+
+
+def test_versioned_writes_time_travel_and_rollback(spark, tmp_path):
+    """Snapshot versioning: latest follows the marker, pinned reads stay
+    byte-stable as new versions land, and rollback repoints without
+    touching data."""
+    from billing_etl_v1_spark.sources.writers import (
+        current_version,
+        list_versions,
+        read_versioned,
+        rollback_version,
+        write_versioned,
+    )
+
+    import pytest
+
+    d = str(tmp_path / "dim_versions")
+    mk = lambda v: spark.range(v * 10).withColumnRenamed("id", "k")  # noqa: E731
+    assert write_versioned(mk(1), d) == 1
+    assert write_versioned(mk(2), d) == 2
+    assert write_versioned(mk(3), d) == 3
+    assert list_versions(spark, d) == [1, 2, 3]
+    assert current_version(spark, d) == 3
+    assert read_versioned(spark, d).count() == 30
+    assert read_versioned(spark, d, version=1).count() == 10
+    rollback_version(spark, d, 1)
+    assert read_versioned(spark, d).count() == 10
+    assert list_versions(spark, d) == [1, 2, 3]  # no data moved
+    # a new write continues the version line past the rollback point
+    assert write_versioned(mk(4), d) == 4
+    assert read_versioned(spark, d).count() == 40
+    with pytest.raises(ValueError, match="does not exist"):
+        rollback_version(spark, d, 99)
