@@ -249,15 +249,20 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decontaminate(
-    df: DataFrame, text_col: str = "text", n: int = 5, eval_mod: int = 97
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    eval_mod: int = 97,
+    eval_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any word
-    ``n``-gram with an evaluation/benchmark slice — the overlap check every
+    ``n``-gram with an evaluation/benchmark set — the overlap check every
     serious training-data pipeline runs before a model sees the corpus.
 
-    The eval slice here is ``doc_id % eval_mod == 0`` (a deterministic
-    stand-in for an external benchmark table; real pipelines pass one in).
-    Output: one row per NON-eval doc with the count of distinct benchmark
+    Pass the real benchmark table as ``eval_docs`` (any frame with
+    ``text_col``); without one, the deterministic ``doc_id % eval_mod``
+    slice of the corpus stands in (the driver-verifiable form). Output:
+    one row per NON-eval doc with the count of distinct benchmark
     n-grams it contains and a contamination flag.
 
     Scale shape: the benchmark n-gram set is broadcast (benchmarks are
@@ -271,18 +276,26 @@ def decontaminate(
     grams = toks.select(
         "doc_id", F.explode(_word_grams("__toks", n)).alias("gram")
     )
-    eval_grams = (
-        grams.filter(F.col("doc_id") % eval_mod == 0).select("gram").distinct()
-    )
+    if eval_docs is not None:
+        eval_grams = (
+            eval_docs.select(_tokens(F.col(text_col)).alias("__toks"))
+            .select(F.explode(_word_grams("__toks", n)).alias("gram"))
+            .distinct()
+        )
+        train_grams = grams
+        train_base = df
+    else:
+        eval_grams = (
+            grams.filter(F.col("doc_id") % eval_mod == 0).select("gram").distinct()
+        )
+        train_grams = grams.filter(F.col("doc_id") % eval_mod != 0)
+        train_base = df.filter(F.col("doc_id") % eval_mod != 0)
     train_hits = (
-        grams.filter(F.col("doc_id") % eval_mod != 0)
-        .join(F.broadcast(eval_grams), "gram")
+        train_grams.join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id")
         .agg(F.count_distinct("gram").alias("n_overlap_grams"))
     )
-    base = df.filter(F.col("doc_id") % eval_mod != 0).select(
-        "doc_id", "lang", "source"
-    )
+    base = train_base.select("doc_id", "lang", "source")
     return base.join(train_hits, "doc_id", "left").select(
         "doc_id",
         "lang",

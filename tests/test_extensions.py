@@ -763,3 +763,26 @@ def test_quadratic_baseline_guards_refuse_large_inputs(spark):
         cosine_topk_quantized(emb, max_rows=10)
     with pytest.raises(ValueError, match="max_rows"):
         hard_negatives(emb, max_rows=10)
+
+
+def test_decontaminate_against_external_benchmark(spark):
+    """The production path: a separate benchmark frame drives the gram
+    set; every corpus doc (including ones that would have been the
+    eval slice) gets a verdict, and only true overlaps flag."""
+    from billing_etl_v1_spark.operators.text import decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon", "en", "b")],
+        "doc_id long, text string, lang string, source string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "prefix alpha beta gamma delta epsilon suffix", "en", "s"),
+            (1, "totally unrelated words that never match anything here", "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r.doc_id: r for r in decontaminate(corpus, eval_docs=bench).collect()}
+    assert set(out) == {0, 1}  # doc_id 0 is NOT dropped as an eval slice
+    assert out[0].is_contaminated and out[0].n_overlap_grams >= 1
+    assert not out[1].is_contaminated and out[1].n_overlap_grams == 0
