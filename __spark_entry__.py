@@ -713,6 +713,10 @@ def _q_docs_training_corpus(spark, sf_dir):
     return corpus_ops.training_corpus(load_table(spark, sf_dir, "documents"))
 
 
+def _q_events_session_funnel(spark, sf_dir):
+    return event_ops.session_funnel(load_table(spark, sf_dir, "events"))
+
+
 def _q_docs_cluster_quality(spark, sf_dir):
     return corpus_ops.cluster_quality_report(
         load_table(spark, sf_dir, "documents"),
@@ -857,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_forecast": _q_billing_forecast,
         "events_rfm": _q_events_rfm,
         "docs_cluster_quality": _q_docs_cluster_quality,
+        "events_session_funnel": _q_events_session_funnel,
         "events_top_paths": _q_events_top_paths,
         "events_approx_stats": _q_approx_stats,
         "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
@@ -1026,6 +1031,7 @@ def oracle_sql() -> dict[str, str]:
         "billing_forecast": oracle.monthly_cost_forecast_sql(),
         "events_rfm": oracle_ext.rfm_segments_sql(),
         "docs_cluster_quality": oracle_ext.cluster_quality_sql(),
+        "events_session_funnel": oracle_ext.session_funnel_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),
         # mapInPandas query with an exact SQL twin: fixed-point byte-bucket

@@ -36,12 +36,10 @@ def tumbling_window_agg(events: DataFrame, width_s: int = 300) -> DataFrame:
     )
 
 
-def sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
-    """Gap-based sessionization: a new session starts after gap_s of
-    inactivity per user. Output: one row per session with bounds and counts.
-
-    Ordering ties on ts are broken by event_id in both engines.
-    """
+def with_session_idx(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Per-event session assignment (the gap rule of :func:`sessionize`
+    without the rollup) — shared by session-grain consumers like
+    :func:`session_funnel`. Ordering ties on ts break by event_id."""
     order = [F.col("ts").asc(), F.col("event_id").asc()]
     w = Window.partitionBy("user_id").orderBy(*order)
     ep = _epoch(F.col("ts"))
@@ -53,8 +51,17 @@ def sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    return events.withColumn("session_idx", F.sum(new_session).over(wsum))
+
+
+def sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Gap-based sessionization: a new session starts after gap_s of
+    inactivity per user. Output: one row per session with bounds and counts.
+
+    Ordering ties on ts are broken by event_id in both engines.
+    """
     return (
-        events.withColumn("session_idx", F.sum(new_session).over(wsum))
+        with_session_idx(events, gap_s)
         .groupBy("user_id", "session_idx")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -570,3 +577,51 @@ def rfm_segments(
         "monetary_cents",
         seg.alias("segment"),
     )
+
+
+def session_funnel(
+    events: DataFrame,
+    steps: list[str] | None = None,
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Funnel at SESSION grain: how many sessions contain the ordered step
+    sequence — the intent-level conversion metric (a user who viewed on
+    Monday and bought on Friday converts in the user funnel but not
+    here). Same chained min-over-qualifying formulation as
+    :func:`funnel`, keyed on (user_id, session_idx) from
+    :func:`with_session_idx`; session counts per step come out as one
+    tiny row per step.
+
+    Scale shape: the session assignment is the one user-keyed window
+    every session operator pays; each step refinement is a key-partitioned
+    aggregate + co-partitioned join (no new shuffle keys).
+    """
+    steps = steps or FUNNEL_STEPS
+    tagged = with_session_idx(events, gap_s).select(
+        "user_id", "session_idx", "ts", "event_type"
+    )
+    key = ["user_id", "session_idx"]
+    cur = (
+        tagged.filter(F.col("event_type") == steps[0])
+        .groupBy(*key)
+        .agg(F.min("ts").alias("t0"))
+    )
+    counts = [(steps[0], cur)]
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            tagged.filter(F.col("event_type") == step)
+            .join(counts[-1][1], key)
+            .filter(F.col("ts") > F.col(f"t{i-1}"))
+            .groupBy(*key)
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        counts.append((step, nxt))
+    rows = None
+    for i, (step, df) in enumerate(counts):
+        one = df.agg(F.count(F.lit(1)).alias("sessions")).select(
+            F.lit(i + 1).cast("int").alias("step"),
+            F.lit(step).alias("event_type"),
+            "sessions",
+        )
+        rows = one if rows is None else rows.unionAll(one)
+    return rows

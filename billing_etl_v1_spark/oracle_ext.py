@@ -1917,6 +1917,44 @@ def funnel_sql(steps: tuple[str, ...] = ("view", "click", "purchase")) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def session_funnel_sql(
+    steps: tuple[str, ...] = ("view", "click", "purchase"), gap_s: int = 1800
+) -> str:
+    """Twin of operators.events.session_funnel — the sessionize assignment
+    CTE feeding the chained min-over-qualifying steps at session grain."""
+    ctes = [
+        f"""e AS (SELECT event_id, user_id, ts, event_type,
+         floor(epoch(ts))::BIGINT AS ep FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > {gap_s}
+                 THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+t AS (
+  SELECT user_id, ts, event_type,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM m
+)""",
+        f"s0 AS (SELECT user_id, session_idx, min(ts) AS t0 FROM t"
+        f" WHERE event_type = '{steps[0]}' GROUP BY user_id, session_idx)",
+    ]
+    for i, step in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, e.session_idx, min(e.ts) AS t{i}"
+            f" FROM t e JOIN s{i-1} p"
+            f" ON e.user_id = p.user_id AND e.session_idx = p.session_idx"
+            f" WHERE e.event_type = '{step}' AND e.ts > p.t{i-1}"
+            f" GROUP BY e.user_id, e.session_idx)"
+        )
+    selects = [
+        f"SELECT {i + 1}::INT AS step, '{step}' AS event_type,"
+        f" (SELECT count(*) FROM s{i}) AS sessions"
+        for i, step in enumerate(steps)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def cohort_retention_sql(bucket: str = "week") -> str:
     """Twin of operators.events.cohort_retention."""
     days = {"week": 7, "day": 1}[bucket]
