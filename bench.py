@@ -62,6 +62,9 @@ EXTENDED_NAMES = [
     "events_value_deciles",
     "events_anomaly",
     "events_attribution",
+    "events_transitions",
+    "events_rfm",
+    "events_session_funnel",
     "events_sessionize",
     "events_funnel",
     "events_user_trend",

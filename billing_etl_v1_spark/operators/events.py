@@ -625,3 +625,44 @@ def session_funnel(
         )
         rows = one if rows is None else rows.unionAll(one)
     return rows
+
+
+def gap_regularity_flags(
+    events: DataFrame,
+    min_gaps: int = 10,
+    rel_var_num: int = 7,
+    rel_var_den: int = 10,
+) -> DataFrame:
+    """Bot/automation heuristic: flag users whose inter-event gaps are
+    suspiciously REGULAR. Human arrivals look Poisson (relative gap
+    variance (m·ss − s²)/s² near 1); schedulers and scripts produce
+    near-constant gaps (near 0). A user flags when the relative variance
+    falls below ``rel_var_num/rel_var_den``, tested division-free as
+
+        (m·ss − s²) · den  <  s² · num
+
+    with gaps in integer SECONDS — all BIGINT, so the flag hash-verifies
+    exactly (the daily_anomaly_flags playbook). One user-keyed lag window
+    and one user-grain aggregate.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = _epoch(F.col("ts"))
+    gap = (ep - F.lag(ep).over(w)).alias("gap")
+    gaps = events.select("user_id", gap).filter(F.col("gap").isNotNull())
+    a = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("gap").alias("__s"),
+        F.sum(F.col("gap") * F.col("gap")).alias("__ss"),
+    )
+    m, s, ss = F.col("n_gaps"), F.col("__s"), F.col("__ss")
+    regular = (
+        (m >= min_gaps)
+        & (s > 0)
+        & ((m * ss - s * s) * rel_var_den < s * s * rel_var_num)
+    )
+    return a.select(
+        "user_id",
+        "n_gaps",
+        quantize6(s / m).alias("mean_gap_s"),
+        regular.alias("is_regular"),
+    )

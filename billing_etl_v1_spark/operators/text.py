@@ -760,3 +760,40 @@ def vocabulary_coverage(
         F.col("__cum").alias("cum_freq"),
         quantize6(F.col("__cum") / F.col("__sumtotal")).alias("cum_fraction"),
     )
+
+
+def ccnet_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet's head/middle/tail partition, model-free: rank every document
+    by corpus-frequency fluency (the perplexity proxy of
+    :func:`bigram_fluency` — higher mean bigram frequency reads as lower
+    perplexity) and cut the corpus into thirds. Head feeds training
+    as-is, middle gets extra filtering, tail is typically dropped — the
+    canonical quality partition of the CCNet pipeline (Wenzek et al.
+    2020), here as one verified query.
+
+    The global ordering uses the two-phase distributed rank (no
+    single-task sort); the third-assignment is exact integer arithmetic
+    off (rank, n).
+    """
+    from billing_etl_v1_spark.operators.events import distributed_total_rank
+
+    scored = bigram_fluency(df, text_col).select(
+        "doc_id", "lang", "source", "avg_bigram_freq"
+    )
+    ranked = distributed_total_rank(
+        scored.withColumn("__negf", -F.col("avg_bigram_freq")),
+        ["__negf", "doc_id"],
+        rank_col="rank",
+    )
+    bucket = F.expr("CAST((rank - 1) * 3 div __total + 1 AS INT)")
+    label = (
+        F.when(bucket == 1, "head").when(bucket == 2, "middle").otherwise("tail")
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "source",
+        "avg_bigram_freq",
+        "rank",
+        label.alias("bucket"),
+    )

@@ -923,6 +923,35 @@ FROM j GROUP BY p_eid, user_id, purchase_cents
 """
 
 
+def gap_regularity_sql(
+    min_gaps: int = 10, rel_var_num: int = 7, rel_var_den: int = 10
+) -> str:
+    """Twin of operators.events.gap_regularity_flags — same integer-second
+    gaps and division-free relative-variance test."""
+    return f"""
+WITH g AS (
+  SELECT user_id,
+         floor(epoch(ts))::BIGINT
+           - lag(floor(epoch(ts))::BIGINT)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+a AS (
+  SELECT user_id,
+         CAST(count(gap) AS BIGINT) AS n_gaps,
+         CAST(sum(gap) AS BIGINT) AS s,
+         CAST(sum(gap * gap) AS BIGINT) AS ss
+  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_gaps,
+       {_r6('s / n_gaps')} AS mean_gap_s,
+       (n_gaps >= {min_gaps} AND s > 0
+        AND (n_gaps * ss - s * s) * {rel_var_den} < s * s * {rel_var_num})
+         AS is_regular
+FROM a
+"""
+
+
 def rfm_segments_sql(recent_days: int = 1, frequent_n: int = 14) -> str:
     """Twin of operators.events.rfm_segments — same corpus-max reference
     date, integer cents, and fixed segment thresholds."""
@@ -2035,6 +2064,28 @@ cum AS (
 SELECT doc_id, n_tokens,
        floor((c - n_tokens) / {shard_tokens})::BIGINT AS shard_id
 FROM cum
+"""
+
+
+def ccnet_buckets_sql() -> str:
+    """Twin of operators.text.ccnet_buckets — the fluency twin ranked by a
+    plain window (equivalent to the two-phase distributed rank), same
+    integer third-assignment."""
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang, source, avg_bigram_freq FROM ({bigram_fluency_sql()})
+),
+r AS (
+  SELECT doc_id, lang, source, avg_bigram_freq,
+         CAST(row_number() OVER (ORDER BY avg_bigram_freq DESC, doc_id)
+              AS BIGINT) AS rank,
+         count(*) OVER () AS n
+  FROM s
+)
+SELECT doc_id, lang, source, avg_bigram_freq, rank,
+       CASE (rank - 1) * 3 // n + 1
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM r
 """
 
 
