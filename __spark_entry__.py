@@ -713,6 +713,10 @@ def _q_docs_training_corpus(spark, sf_dir):
     return corpus_ops.training_corpus(load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_pack_blocks(spark, sf_dir):
+    return corpus_ops.pack_blocks(load_table(spark, sf_dir, "documents"))
+
+
 def _q_events_gap_regularity(spark, sf_dir):
     return event_ops.gap_regularity_flags(load_table(spark, sf_dir, "events"))
 
@@ -872,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_funnel": _q_events_session_funnel,
         "docs_ccnet_buckets": _q_docs_ccnet_buckets,
         "events_gap_regularity": _q_events_gap_regularity,
+        "docs_pack_blocks": _q_docs_pack_blocks,
         "events_top_paths": _q_events_top_paths,
         "events_approx_stats": _q_approx_stats,
         "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
@@ -1044,6 +1049,7 @@ def oracle_sql() -> dict[str, str]:
         "events_session_funnel": oracle_ext.session_funnel_sql(),
         "docs_ccnet_buckets": oracle_ext.ccnet_buckets_sql(),
         "events_gap_regularity": oracle_ext.gap_regularity_sql(),
+        "docs_pack_blocks": oracle_ext.pack_blocks_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),
         # mapInPandas query with an exact SQL twin: fixed-point byte-bucket

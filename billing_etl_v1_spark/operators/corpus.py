@@ -182,6 +182,21 @@ def pack_shards(
     partitioning, cluster size, or engine (the oracle uses the
     single-window formulation, which is equivalent and fine at test scale).
     """
+    offs = _global_token_offsets(df, key_col, text_col, salt)
+    return offs.select(
+        key_col,
+        "n_tokens",
+        F.floor(F.col("__start") / shard_tokens).alias("shard_id"),
+    )
+
+
+def _global_token_offsets(
+    df: DataFrame, key_col: str, text_col: str, salt: str
+) -> DataFrame:
+    """Each document's EXCLUSIVE start offset on the deterministic
+    hash-ordered token line — the distributed two-phase prefix sum shared
+    by pack_shards (shard = start div budget) and pack_blocks (blocks may
+    split a document). Output: key, n_tokens, __start."""
     from billing_etl_v1_spark.operators.text import md5_long, token_count
 
     h = md5_long(F.col(key_col).cast("string"), salt=salt)
@@ -210,14 +225,10 @@ def pack_shards(
             ).alias("__off")
         )
     )
-    return (
-        local.join(F.broadcast(offsets), "__b")
-        .select(
-            key_col,
-            "n_tokens",
-            F.floor((F.col("__cum") + F.col("__off") - F.col("n_tokens")) / shard_tokens)
-            .alias("shard_id"),
-        )
+    return local.join(F.broadcast(offsets), "__b").select(
+        key_col,
+        "n_tokens",
+        (F.col("__cum") + F.col("__off") - F.col("n_tokens")).alias("__start"),
     )
 
 
@@ -411,4 +422,72 @@ def cluster_quality_report(
             F.sum("token_count").cast("double") / F.count(F.lit(1))
         ).alias("mean_tokens"),
         quantize6(F.min("quality_score")).alias("min_quality"),
+    )
+
+
+def pack_blocks(
+    df: DataFrame,
+    block_tokens: int = 256,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate the whole corpus along the
+    deterministic hash-ordered token line and cut fixed ``block_tokens``
+    blocks, documents CROSSING block boundaries — the third packing
+    flavor next to per-document chunking (text.chunk_documents, windows
+    within one doc) and document-grain sharding (pack_shards, docs never
+    split). This is how decoder pretraining actually consumes a corpus:
+    every block except the last is exactly full, zero padding waste.
+
+    Shape: each doc gets its global start offset from the shared
+    distributed prefix sum, computes ARITHMETICALLY which blocks it spans,
+    and explodes into per-block slices (map-side, 1-to-few); blocks then
+    reassemble with one block-keyed aggregate whose per-group work is
+    bounded by ``block_tokens``. No global sort, no unpartitioned window.
+    Output per block: doc count, token count (== block_tokens except the
+    tail), and the block text.
+    """
+    from billing_etl_v1_spark.operators.text import _tokens
+
+    offs = _global_token_offsets(df, key_col, text_col, salt)
+    toks = df.select(F.col(key_col), _tokens(F.col(text_col)).alias("__t"))
+    j = toks.join(offs, key_col).filter(F.col("n_tokens") > 0)
+    # integer div, not floor(double /): exact past 2^53 total tokens
+    first_b = F.expr(f"__start div {block_tokens}")
+    last_b = F.expr(f"(__start + n_tokens - 1) div {block_tokens}")
+    pieces = j.select(
+        F.col(key_col),
+        "__t",
+        "__start",
+        "n_tokens",
+        F.explode(F.sequence(first_b, last_b)).alias("block_id"),
+    )
+    p_from = F.greatest(F.col("__start"), F.col("block_id") * block_tokens)
+    p_to = F.least(
+        F.col("__start") + F.col("n_tokens"), (F.col("block_id") + 1) * block_tokens
+    )  # exclusive
+    piece = pieces.select(
+        "block_id",
+        p_from.alias("__abs"),
+        (p_to - p_from).alias("__len"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                "__t",
+                (p_from - F.col("__start") + 1).cast("int"),
+                (p_to - p_from).cast("int"),
+            ),
+        ).alias("__text"),
+    )
+    return piece.groupBy("block_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__len").cast("bigint").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__abs", "__text"))),
+                lambda s: s["__text"],
+            ),
+            " ",
+        ).alias("block_text"),
     )

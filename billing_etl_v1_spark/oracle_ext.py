@@ -2257,3 +2257,43 @@ SELECT doc_id, n_tokens,
        lang_pred, quality_score
 FROM cum
 """
+
+
+def pack_blocks_sql(block_tokens: int = 256, salt: str = "pack") -> str:
+    """Twin of operators.corpus.pack_blocks — single-window offsets, the
+    same arithmetic block spans and 1-based inclusive slices."""
+    h = _md5int("doc_id::VARCHAR", salt=salt)
+    nt = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS}) END"
+    B = block_tokens
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS} AS t,
+         CAST({nt} AS BIGINT) AS n_tokens, {h} AS hh
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, t, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY hh, doc_id ROWS UNBOUNDED PRECEDING)
+              - n_tokens AS BIGINT) AS s
+  FROM base
+),
+pieces AS (
+  SELECT doc_id, t, s, n_tokens,
+         unnest(range(s // {B}, (s + n_tokens - 1) // {B} + 1)) AS block_id
+  FROM cum WHERE n_tokens > 0
+),
+cut AS (
+  SELECT block_id,
+         greatest(s, block_id * {B}) AS abs_from,
+         least(s + n_tokens, (block_id + 1) * {B}) AS abs_to,
+         array_to_string(
+           t[(greatest(s, block_id * {B}) - s + 1):(least(s + n_tokens, (block_id + 1) * {B}) - s)],
+           ' ') AS ptext
+  FROM pieces
+)
+SELECT block_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(abs_to - abs_from) AS BIGINT) AS n_tokens,
+       string_agg(ptext, ' ' ORDER BY abs_from) AS block_text
+FROM cut GROUP BY block_id
+"""

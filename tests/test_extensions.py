@@ -786,3 +786,34 @@ def test_decontaminate_against_external_benchmark(spark):
     assert set(out) == {0, 1}  # doc_id 0 is NOT dropped as an eval slice
     assert out[0].is_contaminated and out[0].n_overlap_grams >= 1
     assert not out[1].is_contaminated and out[1].n_overlap_grams == 0
+
+
+def test_pack_blocks_cuts_exact_blocks_across_doc_boundaries(spark):
+    """GPT-style packing invariants: every block but the last holds exactly
+    block_tokens tokens, the concatenation of blocks equals the
+    concatenation of documents along the deterministic order, and at
+    least one document is split across a boundary."""
+    from billing_etl_v1_spark.operators.corpus import (
+        _global_token_offsets,
+        pack_blocks,
+    )
+
+    rows = [(i, " ".join(f"d{i}w{j}" for j in range(n)), "en", "s")
+            for i, n in enumerate([3, 7, 2, 6, 4])]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    B = 5
+    blocks = sorted(pack_blocks(df, block_tokens=B).collect(), key=lambda r: r.block_id)
+    total = sum(r.n_tokens for r in blocks)
+    assert total == 22
+    assert [r.n_tokens for r in blocks[:-1]] == [B] * (len(blocks) - 1)
+    assert blocks[-1].n_tokens == total - B * (len(blocks) - 1)
+    # stream equality against the offset order
+    offs = sorted(
+        _global_token_offsets(df, "doc_id", "text", "pack").collect(),
+        key=lambda r: r["__start"],
+    )
+    texts = {r.doc_id: r.text for r in df.collect()}
+    want = " ".join(texts[r.doc_id].lower() for r in offs)
+    got = " ".join(r.block_text for r in blocks)
+    assert got == want
+    assert any(r.n_docs >= 2 for r in blocks)  # boundaries crossed
