@@ -713,6 +713,15 @@ def _q_docs_training_corpus(spark, sf_dir):
     return corpus_ops.training_corpus(load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_lang_confusion(spark, sf_dir):
+    return text_ops.lang_confusion(load_table(spark, sf_dir, "documents"))
+
+
+def _q_billing_unit_price(spark, sf_dir):
+    fact, _ = _billing_ctx(spark, sf_dir)
+    return analytics_ops.effective_unit_price(fact)
+
+
 def _q_docs_pack_blocks(spark, sf_dir):
     return corpus_ops.pack_blocks(load_table(spark, sf_dir, "documents"))
 
@@ -877,6 +886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ccnet_buckets": _q_docs_ccnet_buckets,
         "events_gap_regularity": _q_events_gap_regularity,
         "docs_pack_blocks": _q_docs_pack_blocks,
+        "docs_lang_confusion": _q_docs_lang_confusion,
+        "billing_unit_price": _q_billing_unit_price,
         "events_top_paths": _q_events_top_paths,
         "events_approx_stats": _q_approx_stats,
         "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
@@ -1050,6 +1061,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_ccnet_buckets": oracle_ext.ccnet_buckets_sql(),
         "events_gap_regularity": oracle_ext.gap_regularity_sql(),
         "docs_pack_blocks": oracle_ext.pack_blocks_sql(),
+        "docs_lang_confusion": oracle_ext.lang_confusion_sql(),
+        "billing_unit_price": oracle.effective_unit_price_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),
         # mapInPandas query with an exact SQL twin: fixed-point byte-bucket

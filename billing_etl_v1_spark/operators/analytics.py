@@ -250,3 +250,29 @@ def monthly_cost_forecast(fact: DataFrame, min_months: int = 2) -> DataFrame:
             quantize6(intercept + slope * nxt).alias("forecast_next_cost"),
         )
     )
+
+
+def effective_unit_price(fact: DataFrame) -> DataFrame:
+    """Per (sku, month) effective unit price: exact cost and usage sums,
+    one division — the pricing-drift report a billing analyst reads next
+    to the contract dim (a moving effective price on a fixed-price SKU
+    means mix shift or misconfigured rules). Rows with zero usage are
+    excluded (no price is defined there)."""
+    agg = fact.groupBy("sku_id", "invoice_month").agg(
+        F.sum(_dec("cost")).alias("__c"),
+        F.sum(_dec("usage_amount_in_pricing_units")).alias("__u"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+    return agg.filter(F.col("__u") != 0).select(
+        "sku_id",
+        "invoice_month",
+        "n_lines",
+        quantize6(F.col("__c").cast("double")).alias("total_cost"),
+        quantize6(F.col("__u").cast("double")).alias("total_usage"),
+        # divide as DOUBLES of the exact decimal sums: decimal division
+        # derives engine-specific result scales (rounding), double division
+        # of identical inputs is IEEE-identical everywhere
+        quantize6(
+            F.col("__c").cast("double") / F.col("__u").cast("double")
+        ).alias("effective_unit_price"),
+    )

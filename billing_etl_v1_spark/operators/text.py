@@ -797,3 +797,24 @@ def ccnet_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
         "rank",
         label.alias("bucket"),
     )
+
+
+def lang_confusion(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Confusion matrix for the language-ID heuristic against the table's
+    labeled ``lang`` column — "measure, don't guess" applied to the
+    engine's own classifier: per (true, predicted) pair, the count and
+    the row-share within the true language (exact counts, one division).
+    The diagonal shares ARE the per-language recall; reading this before
+    trusting lang-gates at 100 TB is the whole point.
+    """
+    pred = lang_id(df, text_col)
+    counts = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    totals = counts.groupBy("lang").agg(F.sum("n_docs").cast("bigint").alias("__t"))
+    return counts.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        quantize6(F.col("n_docs") / F.col("__t")).alias("share_of_true"),
+    )

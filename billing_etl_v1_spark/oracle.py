@@ -768,3 +768,23 @@ SELECT billing_account_id, n_months,
   {_r6('(syd - slope * sxd) / n + slope * nxt')} AS forecast_next_cost
 FROM f
 """
+
+
+def effective_unit_price_sql() -> str:
+    """Twin of operators.analytics.effective_unit_price — exact decimal
+    sums, double division of the cast sums."""
+    return f"""
+WITH fact AS ({FACT_SQL}),
+a AS (
+  SELECT sku_id, invoice_month,
+         sum(CAST(cost AS DECIMAL(38,10))) AS c,
+         sum(CAST(usage_amount_in_pricing_units AS DECIMAL(38,10))) AS u,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM fact GROUP BY sku_id, invoice_month
+)
+SELECT sku_id, invoice_month, n_lines,
+  {_r6('CAST(c AS DOUBLE)')} AS total_cost,
+  {_r6('CAST(u AS DOUBLE)')} AS total_usage,
+  {_r6('CAST(c AS DOUBLE) / CAST(u AS DOUBLE)')} AS effective_unit_price
+FROM a WHERE u <> 0
+"""

@@ -2297,3 +2297,18 @@ SELECT block_id,
        string_agg(ptext, ' ' ORDER BY abs_from) AS block_text
 FROM cut GROUP BY block_id
 """
+
+
+def lang_confusion_sql() -> str:
+    """Twin of operators.text.lang_confusion — the lang_id twin crosstabbed
+    against the labeled column."""
+    return f"""
+WITH p AS (SELECT lang, lang_pred FROM ({lang_id_sql()})),
+c AS (
+  SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+  FROM p GROUP BY lang, lang_pred
+),
+t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS tt FROM c GROUP BY lang)
+SELECT c.lang, c.lang_pred, c.n_docs, {_r6('c.n_docs / t.tt')} AS share_of_true
+FROM c JOIN t USING (lang)
+"""
