@@ -713,6 +713,14 @@ def _q_docs_training_corpus(spark, sf_dir):
     return corpus_ops.training_corpus(load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_source_mix(spark, sf_dir):
+    return corpus_ops.source_mix_report(load_table(spark, sf_dir, "documents"))
+
+
+def _q_events_dau_wau(spark, sf_dir):
+    return event_ops.dau_wau(load_table(spark, sf_dir, "events"))
+
+
 def _q_docs_lang_confusion(spark, sf_dir):
     return text_ops.lang_confusion(load_table(spark, sf_dir, "documents"))
 
@@ -888,6 +896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_blocks": _q_docs_pack_blocks,
         "docs_lang_confusion": _q_docs_lang_confusion,
         "billing_unit_price": _q_billing_unit_price,
+        "docs_source_mix": _q_docs_source_mix,
+        "events_dau_wau": _q_events_dau_wau,
         "events_top_paths": _q_events_top_paths,
         "events_approx_stats": _q_approx_stats,
         "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
@@ -1063,6 +1073,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack_blocks": oracle_ext.pack_blocks_sql(),
         "docs_lang_confusion": oracle_ext.lang_confusion_sql(),
         "billing_unit_price": oracle.effective_unit_price_sql(),
+        "docs_source_mix": oracle_ext.source_mix_sql(),
+        "events_dau_wau": oracle_ext.dau_wau_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),
         # mapInPandas query with an exact SQL twin: fixed-point byte-bucket

@@ -491,3 +491,31 @@ def pack_blocks(
             " ",
         ).alias("block_text"),
     )
+
+
+def source_mix_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus composition at source grain — the report read before setting
+    mixture_sample weights: per source, document and token counts with
+    corpus shares (exact counts, single divisions). One tiny aggregate +
+    a 1-row broadcast total."""
+    from billing_etl_v1_spark.operators.text import token_count
+
+    per = df.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count(F.col(text_col)).cast("bigint"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("bigint").alias("__td"),
+        F.sum("n_tokens").cast("bigint").alias("__tt"),
+    )
+    from billing_etl_v1_spark.functions import quantize6
+
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        quantize6(F.col("n_docs") / F.col("__td")).alias("doc_share"),
+        quantize6(F.col("n_tokens") / F.col("__tt")).alias("token_share"),
+    )

@@ -666,3 +666,39 @@ def gap_regularity_flags(
         quantize6(s / m).alias("mean_gap_s"),
         regular.alias("is_regular"),
     )
+
+
+def dau_wau(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Daily/weekly active users and stickiness: per day, the EXACT count
+    of distinct users active that day (DAU) and in the trailing
+    ``window_days`` window (WAU), plus DAU/WAU. Exact rolling distincts
+    don't window (COUNT DISTINCT OVER a frame isn't a thing); the scalable
+    form is the day-grain range join: distinct (user, day) activity
+    (user-keyed aggregate) joined to the tiny day spine with a band
+    predicate — per-day work is bounded by window x daily actives, and
+    nothing re-scans raw events. (For approximate rolling distincts at
+    extreme cardinality, merge daily HLL sketches instead —
+    events_hll_merge proves that path.)
+    """
+    activity = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    days = activity.select("day").distinct()
+    dau = activity.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    a = activity.select(F.col("user_id"), F.col("day").alias("aday"))
+    wau = (
+        days.join(
+            a,
+            (F.col("aday") <= F.col("day"))
+            & (F.col("aday") >= F.date_sub(F.col("day"), window_days - 1)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    from billing_etl_v1_spark.functions import quantize6
+
+    return dau.join(wau, "day").select(
+        "day", "dau", "wau", quantize6(F.col("dau") / F.col("wau")).alias("stickiness")
+    )

@@ -2312,3 +2312,43 @@ t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS tt FROM c GROUP BY lang)
 SELECT c.lang, c.lang_pred, c.n_docs, {_r6('c.n_docs / t.tt')} AS share_of_true
 FROM c JOIN t USING (lang)
 """
+
+
+def source_mix_sql() -> str:
+    """Twin of operators.corpus.source_mix_report."""
+    nt = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS}) END"
+    return f"""
+WITH p AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({nt}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+             CAST(sum(n_tokens) AS BIGINT) AS tt FROM p)
+SELECT source, n_docs, n_tokens,
+       {_r6('n_docs / td')} AS doc_share,
+       {_r6('n_tokens / tt')} AS token_share
+FROM p, t
+"""
+
+
+def dau_wau_sql(window_days: int = 7) -> str:
+    """Twin of operators.events.dau_wau — same day-spine band join."""
+    return f"""
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM activity),
+dau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM activity GROUP BY day
+),
+wau AS (
+  SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+  FROM days d JOIN activity a
+    ON a.day <= d.day AND a.day >= d.day - {window_days - 1}
+  GROUP BY d.day
+)
+SELECT day, dau, wau, {_r6('dau / wau')} AS stickiness
+FROM dau JOIN wau USING (day)
+"""
