@@ -713,6 +713,11 @@ def _q_docs_training_corpus(spark, sf_dir):
     return corpus_ops.training_corpus(load_table(spark, sf_dir, "documents"))
 
 
+def _q_billing_statement(spark, sf_dir):
+    fact, _ = _billing_ctx(spark, sf_dir)
+    return analytics_ops.account_statement(fact)
+
+
 def _q_docs_source_mix(spark, sf_dir):
     return corpus_ops.source_mix_report(load_table(spark, sf_dir, "documents"))
 
@@ -898,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_unit_price": _q_billing_unit_price,
         "docs_source_mix": _q_docs_source_mix,
         "events_dau_wau": _q_events_dau_wau,
+        "billing_statement": _q_billing_statement,
         "events_top_paths": _q_events_top_paths,
         "events_approx_stats": _q_approx_stats,
         "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
@@ -1075,6 +1081,7 @@ def oracle_sql() -> dict[str, str]:
         "billing_unit_price": oracle.effective_unit_price_sql(),
         "docs_source_mix": oracle_ext.source_mix_sql(),
         "events_dau_wau": oracle_ext.dau_wau_sql(),
+        "billing_statement": oracle.account_statement_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),
         # mapInPandas query with an exact SQL twin: fixed-point byte-bucket

@@ -276,3 +276,33 @@ def effective_unit_price(fact: DataFrame) -> DataFrame:
             F.col("__c").cast("double") / F.col("__u").cast("double")
         ).alias("effective_unit_price"),
     )
+
+
+def account_statement(fact: DataFrame) -> DataFrame:
+    """Per-(account, month) statement rollup — the numbers at the top of
+    an invoice: line count, exact cost/credit/consumption totals, and the
+    account's top service by cost that month (struct-max argmax with a
+    service_id tiebreak — no window). Exact DECIMAL accumulation; one
+    two-level aggregate."""
+    svc = fact.groupBy("billing_account_id", "invoice_month", "service_id").agg(
+        F.sum(_dec("cost")).alias("__svc_cost")
+    )
+    top_svc = svc.groupBy("billing_account_id", "invoice_month").agg(
+        F.max(
+            F.struct(
+                F.col("__svc_cost").alias("c"),
+                F.col("service_id").alias("s"),
+            )
+        )["s"].alias("top_service_id")
+    )
+    totals = fact.groupBy("billing_account_id", "invoice_month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        quantize6(F.sum(_dec("cost")).cast("double")).alias("total_cost"),
+        quantize6(F.sum(_dec("internal_credits_cost")).cast("double")).alias(
+            "total_credits"
+        ),
+        quantize6(
+            F.sum(_dec("internal_credits_consumption")).cast("double")
+        ).alias("total_consumption"),
+    )
+    return totals.join(top_svc, ["billing_account_id", "invoice_month"])

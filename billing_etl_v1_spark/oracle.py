@@ -788,3 +788,32 @@ SELECT sku_id, invoice_month, n_lines,
   {_r6('CAST(c AS DOUBLE) / CAST(u AS DOUBLE)')} AS effective_unit_price
 FROM a WHERE u <> 0
 """
+
+
+def account_statement_sql() -> str:
+    """Twin of operators.analytics.account_statement — struct-max argmax
+    with the same (cost, service_id) ordering."""
+    return f"""
+WITH fact AS ({FACT_SQL}),
+svc AS (
+  SELECT billing_account_id, invoice_month, service_id,
+         sum(CAST(cost AS DECIMAL(38,10))) AS c
+  FROM fact GROUP BY billing_account_id, invoice_month, service_id
+),
+top_svc AS (
+  SELECT billing_account_id, invoice_month,
+         (max(struct_pack(c := c, s := service_id))).s AS top_service_id
+  FROM svc GROUP BY billing_account_id, invoice_month
+),
+t AS (
+  SELECT billing_account_id, invoice_month,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         {_r6('CAST(sum(CAST(cost AS DECIMAL(38,10))) AS DOUBLE)')} AS total_cost,
+         {_r6('CAST(sum(CAST(internal_credits_cost AS DECIMAL(38,10))) AS DOUBLE)')} AS total_credits,
+         {_r6('CAST(sum(CAST(internal_credits_consumption AS DECIMAL(38,10))) AS DOUBLE)')} AS total_consumption
+  FROM fact GROUP BY billing_account_id, invoice_month
+)
+SELECT t.billing_account_id, t.invoice_month, t.n_lines,
+       t.total_cost, t.total_credits, t.total_consumption, s.top_service_id
+FROM t JOIN top_svc s USING (billing_account_id, invoice_month)
+"""
