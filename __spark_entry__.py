@@ -713,6 +713,15 @@ def _q_docs_training_corpus(spark, sf_dir):
     return corpus_ops.training_corpus(load_table(spark, sf_dir, "documents"))
 
 
+def _q_events_hourly_profile(spark, sf_dir):
+    return event_ops.hourly_profile(load_table(spark, sf_dir, "events"))
+
+
+def _q_billing_weekday_profile(spark, sf_dir):
+    fact, _ = _billing_ctx(spark, sf_dir)
+    return analytics_ops.weekday_profile(fact)
+
+
 def _q_billing_statement(spark, sf_dir):
     fact, _ = _billing_ctx(spark, sf_dir)
     return analytics_ops.account_statement(fact)
@@ -904,6 +913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_mix": _q_docs_source_mix,
         "events_dau_wau": _q_events_dau_wau,
         "billing_statement": _q_billing_statement,
+        "events_hourly_profile": _q_events_hourly_profile,
+        "billing_weekday_profile": _q_billing_weekday_profile,
         "events_top_paths": _q_events_top_paths,
         "events_approx_stats": _q_approx_stats,
         "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
@@ -1082,6 +1093,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_source_mix": oracle_ext.source_mix_sql(),
         "events_dau_wau": oracle_ext.dau_wau_sql(),
         "billing_statement": oracle.account_statement_sql(),
+        "events_hourly_profile": oracle_ext.hourly_profile_sql(),
+        "billing_weekday_profile": oracle.weekday_profile_sql(),
         "multimodal_meta": oracle_ext.multimodal_meta_sql(),
         "multimodal_frame_sample": oracle_ext.multimodal_frames_sql(frame_size=64, every_n=2),
         # mapInPandas query with an exact SQL twin: fixed-point byte-bucket

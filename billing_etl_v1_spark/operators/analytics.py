@@ -306,3 +306,23 @@ def account_statement(fact: DataFrame) -> DataFrame:
         ).alias("total_consumption"),
     )
     return totals.join(top_svc, ["billing_account_id", "invoice_month"])
+
+
+def weekday_profile(fact: DataFrame) -> DataFrame:
+    """Cost by day-of-week — the weekly seasonality fingerprint. Weekday
+    comes from epoch-day arithmetic against a known Monday
+    (``datediff(day, 1970-01-05) % 7``), NOT the engines' dayofweek()
+    functions, whose 0/1-based and Sunday/Monday-first conventions
+    differ; integer math is convention-free. 0 = Monday."""
+    wd = (
+        F.pmod(
+            F.datediff(F.col("usage_day"), F.lit("1970-01-05").cast("date")), F.lit(7)
+        )
+    ).cast("int")
+    return (
+        fact.groupBy(wd.alias("weekday"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            quantize6(F.sum(_dec("cost")).cast("double")).alias("total_cost"),
+        )
+    )

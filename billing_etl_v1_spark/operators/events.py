@@ -702,3 +702,25 @@ def dau_wau(events: DataFrame, window_days: int = 7) -> DataFrame:
     return dau.join(wau, "day").select(
         "day", "dau", "wau", quantize6(F.col("dau") / F.col("wau")).alias("stickiness")
     )
+
+
+def hourly_profile(events: DataFrame) -> DataFrame:
+    """Hour-of-day activity profile per event type (UTC): counts and the
+    share of the type's events in each hour — the load-shape fingerprint
+    capacity planning and anomaly baselines read. Exact counts, one
+    division; a tiny (type, hour) aggregate."""
+    h = (
+        F.floor((F.unix_timestamp(F.col("ts").cast("timestamp")) % 86400) / 3600)
+    ).cast("int")
+    per = events.groupBy("event_type", h.alias("hour")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    tot = per.groupBy("event_type").agg(
+        F.sum("n_events").cast("bigint").alias("__t")
+    )
+    return per.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hour",
+        "n_events",
+        quantize6(F.col("n_events") / F.col("__t")).alias("share"),
+    )

@@ -817,3 +817,15 @@ SELECT t.billing_account_id, t.invoice_month, t.n_lines,
        t.total_cost, t.total_credits, t.total_consumption, s.top_service_id
 FROM t JOIN top_svc s USING (billing_account_id, invoice_month)
 """
+
+
+def weekday_profile_sql() -> str:
+    """Twin of operators.analytics.weekday_profile — epoch-day arithmetic
+    weekday (0 = Monday), convention-free across engines."""
+    return f"""
+WITH fact AS ({FACT_SQL})
+SELECT CAST(((usage_day - DATE '1970-01-05') % 7 + 7) % 7 AS INT) AS weekday,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       {_r6('CAST(sum(CAST(cost AS DECIMAL(38,10))) AS DOUBLE)')} AS total_cost
+FROM fact GROUP BY 1
+"""

@@ -2352,3 +2352,18 @@ wau AS (
 SELECT day, dau, wau, {_r6('dau / wau')} AS stickiness
 FROM dau JOIN wau USING (day)
 """
+
+
+def hourly_profile_sql() -> str:
+    """Twin of operators.events.hourly_profile."""
+    return f"""
+WITH p AS (
+  SELECT event_type,
+         CAST(floor((floor(epoch(ts))::BIGINT % 86400) / 3600) AS INT) AS hour,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS tt FROM p GROUP BY event_type)
+SELECT p.event_type, p.hour, p.n_events, {_r6('p.n_events / t.tt')} AS share
+FROM p JOIN t USING (event_type)
+"""
