@@ -113,16 +113,23 @@ sh AS (
 )"""
 
 
-def ngram_jaccard_sql(threshold: float = 0.1) -> str:
-    # join on the 60-bit shingle hash exactly like the Spark side
+def ngram_jaccard_sql(threshold: float = 0.1, max_doc_freq: int = 256) -> str:
+    # join on the 60-bit shingle hash exactly like the Spark side; the
+    # stop-shingle prune (doc_freq > max_doc_freq dropped before pairing,
+    # sizes keep FULL counts) mirrors ngram_jaccard_pairs' default
     jac = _r6("inter::DOUBLE / (sa.sz + sb.sz - inter)")
     return f"""
 WITH {_SHINGLES},
 shh AS (SELECT doc_id, {_md5int('shingle')} AS sh_h FROM sh),
 sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+keep AS (
+  SELECT sh_h FROM (SELECT sh_h, count(*) AS d FROM shh GROUP BY sh_h)
+  WHERE d <= {max_doc_freq}
+),
+p AS (SELECT doc_id, sh_h FROM shh SEMI JOIN keep USING (sh_h)),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM shh a JOIN shh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+  FROM p a JOIN p b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 j AS (
