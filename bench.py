@@ -3,11 +3,20 @@ on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
 Each query is executed to completion with the no-op sink (full pipeline runs,
 nothing materializes on the driver — no collect bottleneck, mirrors a real
-distributed write). Every query runs twice and the second (steady-state)
+distributed write). Extension queries run twice and the second (steady-state)
 timing is reported: the first execution pays one-time JVM costs — class
 loading, codegen JIT, parquet footer caches — that a long-lived cluster
 amortizes across thousands of queries and that would otherwise dominate
-sub-10s measurements at test scale. Both timings go to stderr.
+sub-10s measurements at test scale.
+
+The HEADLINE billing block reports the MEDIAN of 5 warm runs (after one
+untimed cold run): round-3's recorded single-warm-shot numbers swung
+±0.3-0.4s run-to-run on sub-2s queries (billing_rule_match was recorded
+0.992s in r2 and 1.306s in r3, yet a 10-warm-run probe measured
+min/median/max 0.46/0.63/0.85s on the same code — the first warm run is
+systematically slowest because codegen JIT is still compiling). A median
+of 5 makes the headline stable enough to compare across rounds. All raw
+timings go to stderr.
 """
 
 from __future__ import annotations
@@ -89,10 +98,13 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         cold = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s (cold {cold}s)", file=sys.stderr)
+        warm = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            warm.append(round(time.perf_counter() - t0, 3))
+        timings[name] = sorted(warm)[len(warm) // 2]
+        print(f"# {name}: {timings[name]}s (cold {cold}s, warm {warm})", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     total = round(sum(timings.values()), 3)

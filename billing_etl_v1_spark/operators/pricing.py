@@ -20,49 +20,17 @@ from pyspark.sql import functions as F
 
 from billing_etl_v1_spark.schemas import CREDIT_BUCKET_COLUMNS
 
-# The reference's hardcoded account -> factor overlay
-# (calculate/service.py:189-199; same literals in sql_template.py:105-112).
-DEFAULT_EXTRA_DISCOUNTS: dict[str, float] = {
-    **{
-        a: 0.975
-        for a in [
-            "01F0DC-F91DC5-0F0CAB",
-            "0143DC-442DB6-FDE892",
-            "01FEE2-46994F-B32CB9",
-            "01D111-877AA6-FC9006",
-            "01368B-077E67-C11E2D",
-            "01EB13-0127DF-324A48",
-            "013EEC-7ED413-0F0733",
-            "018D1D-AEDA58-9E382C",
-        ]
-    },
-    "01ACBD-4B4CE4-2D688D": 0.965,
-    **{
-        a: 0.95
-        for a in [
-            "01281B-3D24E6-B4D363",
-            "01587C-263C61-84FBDB",
-            "015C37-EF4FBF-AE3E2C",
-            "015336-4C0FAA-732523",
-        ]
-    },
-    **{
-        a: 0.88
-        for a in [
-            "01BE65-4D6A90-81C9C9",
-            "01AEFA-0E57C7-5D22AF",
-            "012980-39DCA3-6B08CF",
-            "01D80B-3126BB-D0C7C1",
-            "01D977-BDDE3C-14BE03",
-            "01EFBF-FE25D9-1F8A1C",
-            "01B528-640F36-FF1F84",
-            "013A21-83F145-1DE13D",
-            "0134F7-148D6A-A3E367",
-            "016577-4C47C6-43BEE5",
-        ]
-    },
-    "010EDC-72FE2A-79D4CC": 28.5 / 27.2,
-}
+# The account -> factor overlay is pure configuration, not a code path. The
+# reference hardcodes its ~24 production billing-account IDs at four factor
+# tiers (0.975 / 0.965 / 0.95 / 0.88 plus one 28.5/27.2 outlier) directly in
+# source (calculate/service.py:189-199; same literals in
+# sql_template.py:105-112). A reusable engine must not ship somebody's
+# customer list as its default, so here the default overlay is EMPTY (the
+# identity factor 1.0 for every account) and deployments pass their own
+# mapping to apply_extra_discount / billing_pipeline(extra_discounts=...);
+# the synthetic-fixture tests use oracle.TEST_EXTRA_DISCOUNTS, which
+# exercises all four tiers plus the ratio outlier.
+DEFAULT_EXTRA_DISCOUNTS: dict[str, float] = {}
 
 
 def with_internal_measures(df: DataFrame) -> DataFrame:
@@ -77,7 +45,8 @@ def with_internal_measures(df: DataFrame) -> DataFrame:
 
 def extra_discount_factor(mapping: dict[str, float] | None = None) -> Column:
     """J3: map-side literal lookup — a when-chain stays inside whole-stage
-    codegen (no shuffle, no broadcast needed for ~24 literals)."""
+    codegen (no shuffle, no broadcast needed for a few dozen literals;
+    the reference's overlay is ~24 accounts)."""
     mapping = DEFAULT_EXTRA_DISCOUNTS if mapping is None else mapping
     expr = F.lit(1.0)
     # group accounts by factor to keep the when-chain short, like the

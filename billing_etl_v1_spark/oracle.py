@@ -12,13 +12,14 @@ All double outputs are ROUND(x, 6) in both engines (SURVEY §7.4).
 
 from __future__ import annotations
 
-from billing_etl_v1_spark.operators.pricing import DEFAULT_EXTRA_DISCOUNTS
 from billing_etl_v1_spark.operators.rules import PRIORITY, RULE_PATTERNS, RULE_COLUMNS
 from billing_etl_v1_spark.schemas import CREDIT_BUCKET_COLUMNS
 from billing_etl_v1_spark.sources.synthetic import DIM_SQL, FACT_SQL
 
-# extra-discount overlay used by all synthetic-fixture queries (the reference's
-# DEFAULT_EXTRA_DISCOUNTS literals never occur in the synthetic accounts)
+# extra-discount overlay used by all synthetic-fixture queries: synthetic
+# accounts at the reference's four factor tiers plus its ratio outlier
+# (calculate/service.py:189-199; DEFAULT_EXTRA_DISCOUNTS itself defaults
+# empty — the overlay is deployment config, not engine code)
 TEST_EXTRA_DISCOUNTS: dict[str, float] = {
     "ACCT-0": 0.975,
     "ACCT-5": 0.965,

@@ -817,3 +817,59 @@ def test_pack_blocks_cuts_exact_blocks_across_doc_boundaries(spark):
     got = " ".join(r.block_text for r in blocks)
     assert got == want
     assert any(r.n_docs >= 2 for r in blocks)  # boundaries crossed
+
+
+# --- memo layer posture (VERDICT r3 item 7) --------------------------------
+
+
+def test_memo_semantic_hash_collision_cannot_cross_serve(spark):
+    """A registry entry whose 32-bit semanticHash collides with a DIFFERENT
+    plan must not be served: the sameResult confirmation has to reject it,
+    evict the colliding entry, and persist the requested plan. Simulated by
+    injecting dfA's cached relation under dfB's key."""
+    from billing_etl_v1_spark.operators import _memo
+
+    registry: _memo.Registry = {}
+    df_a = spark.range(10).withColumn("v", F.lit("a"))
+    df_b = spark.range(20).withColumn("v", F.lit("b"))
+    cached_a = _memo.memo_persist(df_a, registry)
+    assert cached_a.count() == 10
+
+    key_b = (id(spark), df_b._jdf.queryExecution().analyzed().semanticHash())
+    plan_a = df_a._jdf.queryExecution().analyzed()
+    registry[key_b] = (plan_a, cached_a)  # forged collision
+
+    served = _memo.memo_persist(df_b, registry)
+    assert served is not cached_a
+    assert served.count() == 20
+    assert [r.v for r in served.take(1)] == ["b"]
+    # the forged entry was replaced by the genuine one
+    plan, stored = registry[key_b]
+    assert stored is served and plan.sameResult(df_b._jdf.queryExecution().analyzed())
+    _memo.release(registry)
+
+
+def test_memo_release_leaves_no_cached_relations(spark):
+    """release() must drop every materialized block the registry pinned:
+    the executor-storage listing returns to its pre-memo baseline (other
+    fixtures' caches excluded by counting relative to it)."""
+    from billing_etl_v1_spark.operators import _memo
+
+    def n_cached_rdds():
+        return len(
+            [
+                i
+                for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+                if i.numCachedPartitions() > 0
+            ]
+        )
+
+    baseline = n_cached_rdds()
+    registry: _memo.Registry = {}
+    a = _memo.memo_persist(spark.range(100).withColumn("x", F.col("id") * 2), registry)
+    b = _memo.memo_persist(spark.range(200).withColumn("y", F.col("id") + 1), registry)
+    a.count(), b.count()  # materialize the cached blocks
+    assert n_cached_rdds() >= baseline + 2
+    assert _memo.release(registry, spark) == 2
+    assert registry == {}
+    assert n_cached_rdds() == baseline
