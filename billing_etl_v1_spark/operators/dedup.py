@@ -634,6 +634,7 @@ def near_dup_clusters(
     text_col: str = "text",
     min_jaccard: float = 0.5,
     max_iters: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over the MinHash-LSH near-dup graph: every doc
     labeled with its cluster representative (the component's min id), the
@@ -654,12 +655,21 @@ def near_dup_clusters(
     label frame is localCheckpoint()ed each round so the plan/lineage stays
     O(1) deep instead of O(rounds). The edge list is persisted once;
     label updates never touch the raw corpus.
+
+    .. warning:: EXECUTES EAGERLY at call time — the fixpoint loop runs all
+       its Spark jobs (one join + one convergence count per round, each
+       label frame localCheckpoint()ed) before this function returns, unlike
+       every other operator here which only builds a lazy plan. Calling this
+       "just to build a DAG" already pays the full clustering cost; the
+       returned DataFrame is the (cheap) checkpointed result. Measured cost
+       lives in SCALE_PROBE (iterative_ops): construction is the work,
+       the subsequent write is O(nodes).
     """
     pairs = minhash_lsh_pairs(df, id_col=id_col, text_col=text_col).filter(
         F.col("est_jaccard") >= min_jaccard
     )
     nodes = df.select(F.col(id_col).alias("node"))
-    comp = connected_components(nodes, pairs, max_iters=max_iters)
+    comp = connected_components(nodes, pairs, max_iters=max_iters, stats=stats)
     return comp.select(
         F.col("node").alias(id_col),
         "cluster_id",
@@ -668,20 +678,30 @@ def near_dup_clusters(
 
 
 def connected_components(
-    nodes: DataFrame, pairs: DataFrame, max_iters: int = 50
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_iters: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Generic distributed connected components: (node) × (doc_a, doc_b)
     undirected pairs → (node, cluster_id = component min). The iterative
     core of ``near_dup_clusters``, factored out so any pair generator
     (simhash, embedding-LSH, exact) can feed it, and so the fixpoint logic
-    is property-testable against a union-find model on arbitrary graphs."""
+    is property-testable against a union-find model on arbitrary graphs.
+
+    EXECUTES EAGERLY (see :func:`near_dup_clusters`). Pass a ``stats`` dict
+    to receive ``{"rounds": N}`` — N includes the final no-change round
+    that proves the fixpoint; probes record it because cost is
+    O(rounds × edges) and rounds tracks component diameter, not data size."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .persist()
     )
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         neigh_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
@@ -696,17 +716,23 @@ def connected_components(
                 ),
             )
         )
+        # checkpoint FIRST, then test convergence between the two
+        # checkpointed frames: the join pipeline executes once per round,
+        # not twice (a pre-checkpoint count re-ran the whole round's join
+        # just to answer yes/no — measured ~2x the fixpoint cost)
+        new_labels = updated.withColumnRenamed("__new", "label").localCheckpoint()
         changed = (
-            updated.filter(F.col("__new") != F.col("node"))
-            .join(labels, "node")
-            .filter(F.col("__new") != F.col("label"))
+            new_labels.join(labels.withColumnRenamed("label", "__old"), "node")
+            .filter(F.col("label") != F.col("__old"))
             .limit(1)
             .count()
         )
-        labels = updated.withColumnRenamed("__new", "label").localCheckpoint()
+        labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

@@ -18,6 +18,7 @@ atomically per partition.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_PARTITIONING = ("invoice_month", "usage_day")
 
@@ -27,9 +28,31 @@ def write_calculated(
     path: str,
     partition_by: tuple[str, ...] = DEFAULT_PARTITIONING,
     mode: str = "overwrite",
+    pre_shuffle: bool = True,
+    files_per_partition: int = 1,
 ) -> None:
     """D1+D2+D3 as one operation (dynamic overwrite replaces only the
-    partitions present in ``df``)."""
+    partitions present in ``df``).
+
+    ``pre_shuffle`` clusters rows by the partition keys before the write so
+    each hive partition is produced by ``files_per_partition`` tasks instead
+    of by EVERY task that happens to hold its rows. Without it the file
+    count is O(tasks × partitions): measured at the 16× local scale
+    (9.1M output rows, 2499 day-partitions, 32 tasks) the naive write
+    produced 79,968 parquet files in 180s; pre-shuffled it is one file per
+    partition — the difference between a healthy table and a
+    planning-time disaster at 1000 executors. Raise ``files_per_partition``
+    when single partitions are too large for one task (adds a uniform salt
+    to the clustering key only — file layout, not row content)."""
+    if pre_shuffle and partition_by:
+        cols = [F.col(c) for c in partition_by]
+        if files_per_partition > 1:
+            # deterministic spread: hash of all columns mod N varies within
+            # a partition but not across reruns of identical data
+            salt = F.pmod(F.hash(*df.columns), F.lit(files_per_partition))
+            df = df.repartition(*cols, salt)
+        else:
+            df = df.repartition(*cols)
     df.write.mode(mode).partitionBy(*partition_by).parquet(path)
 
 
@@ -111,14 +134,20 @@ def compact_partitions(
     df = spark.read.parquet(path)
     # sizing from the file index — no data read; per-partition skew in the
     # rewrite shuffle is handled by AQE coalescing
-    total = 0
+    total, n_current, parts = 0, 0, set()
     for root, _dirs, files in os.walk(path):
-        total += sum(
-            os.path.getsize(os.path.join(root, f))
-            for f in files
-            if f.endswith(".parquet")
-        )
+        for f in files:
+            if f.endswith(".parquet"):
+                n_current += 1
+                total += os.path.getsize(os.path.join(root, f))
+                parts.add(root)
     n_files = max(1, math.ceil(total / target_file_bytes))
+    # a partitioned table cannot have fewer than one file per partition, so
+    # an already-compact layout (e.g. written by the pre-shuffling
+    # write_calculated) must be left alone — rewriting it is a full-table
+    # pass that changes nothing
+    if n_current <= max(n_files, len(parts)):
+        return
     # localCheckpoint materializes the rows and severs lineage to the input
     # files — required to overwrite the path being compacted (Spark refuses
     # a write whose plan still scans the destination)

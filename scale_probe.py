@@ -15,7 +15,16 @@ an O(pos²) formulation that only showed past toy scale, so linearity is
 something to MEASURE each round, not assume. time_ratio ≈ bytes_ratio (~10x)
 means linear; >> means a superlinear regression crept in.
 
-Usage: python scale_probe.py [replication]
+Also prices the ITERATIVE operators bench.py must exclude (dedup_clusters
+executes its fixpoint eagerly at construction; docs_pagerank is its lazy
+fixed-rounds sibling): wall time at sf0.01 vs sf0.1 plus rounds-to-converge,
+so their cost is recorded instead of being an unpriced surprise.
+
+And proves the SINK path at the largest local size: the replicated flagship
+output is partition-overwritten to parquet (D1-D3) and compacted, recording
+write/compact wall time and the file layout before/after.
+
+Usage: python scale_probe.py [replication]   (default 16 -> ~9.6M-row fact)
 """
 
 from __future__ import annotations
@@ -33,7 +42,7 @@ def main() -> None:
     from billing_etl_v1_spark.plans.pipeline import billing_pipeline
     from billing_etl_v1_spark.session import get_spark
 
-    replication = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    replication = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -82,6 +91,56 @@ def main() -> None:
     results[label] = {"rows": n, "sec": round(dt, 3), "rows_per_sec": int(n / dt)}
     print(f"# {label}: {n} rows in {dt:.2f}s ({int(n/dt)} rows/s)", file=sys.stderr)
 
+    # end-to-end SINK at the largest local size (VERDICT r3 item 8): the
+    # compute-only noop runs above prove the plan; this proves the write
+    # path (D1-D3 dynamic partition overwrite + compaction) at the same
+    # scale, recording wall time and the produced file layout.
+    import os
+    import shutil
+
+    from billing_etl_v1_spark.sources.writers import (
+        compact_partitions,
+        write_calculated,
+    )
+
+    out_dir = "/root/repo/.probe_sink"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    write_calculated(df, out_dir)
+    t_write = time.perf_counter() - t0
+
+    def layout(path):
+        parts, files, total = set(), 0, 0
+        for root, _dirs, fs in os.walk(path):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    files += 1
+                    total += os.path.getsize(os.path.join(root, f))
+                    parts.add(os.path.relpath(root, path))
+        return {"partitions": len(parts), "files": files, "bytes": total}
+
+    before = layout(out_dir)
+    t0 = time.perf_counter()
+    compact_partitions(spark, out_dir)
+    t_compact = time.perf_counter() - t0
+    after = layout(out_dir)
+    rows_back = spark.read.parquet(out_dir).count()
+    results[f"{label} sink"] = {
+        "write_sec": round(t_write, 3),
+        "compact_sec": round(t_compact, 3),
+        "layout_before_compact": before,
+        "layout_after_compact": after,
+        "rows_written": rows_back,
+    }
+    print(
+        f"# {label} sink: write {t_write:.2f}s -> {before['files']} files / "
+        f"{before['partitions']} partitions ({before['bytes']>>20} MiB); "
+        f"compact {t_compact:.2f}s -> {after['files']} files; "
+        f"{rows_back} rows read back",
+        file=sys.stderr,
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+
     text_ops = {}
     for qname in (
         "docs_winnow_fingerprints",
@@ -118,7 +177,64 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    print(json.dumps({"metric": "flagship_scaling", "runs": results, "text_ops": text_ops}))
+    # iterative operators (VERDICT r3 item 5): bench.py excludes
+    # dedup_clusters because its fixpoint EXECUTES at DataFrame-construction
+    # time (localCheckpoint per round), so price it here — construction is
+    # the work, the write after is O(nodes). docs_pagerank is lazy (fixed
+    # unrolled rounds) but lives outside the bench set for the same family
+    # reason; measured the same way for comparability.
+    from billing_etl_v1_spark.operators import dedup as dedup_ops
+
+    iterative_ops = {}
+    for label, sf_dir in [
+        ("sf0.01", "/root/testdata/sf0.01"),
+        ("sf0.1", "/root/testdata/sf0.1"),
+    ]:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_docs = docs.count()
+
+        st: dict = {}
+        t0 = time.perf_counter()
+        clusters = dedup_ops.near_dup_clusters(docs, stats=st)
+        t_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        clusters.write.format("noop").mode("overwrite").save()
+        t_write = time.perf_counter() - t0
+        iterative_ops.setdefault("dedup_clusters", {})[label] = {
+            "docs": n_docs,
+            "rounds_to_converge": st.get("rounds"),
+            "construct_sec": round(t_build, 3),
+            "write_sec": round(t_write, 3),
+        }
+        print(
+            f"# dedup_clusters {label}: {n_docs} docs, {st.get('rounds')} rounds, "
+            f"construct {t_build:.2f}s + write {t_write:.2f}s",
+            file=sys.stderr,
+        )
+
+        q = em.queries()["docs_pagerank"](spark, sf_dir)
+        q.write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        q.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        iterative_ops.setdefault("docs_pagerank", {})[label] = {
+            "docs": n_docs,
+            "rounds": 2,
+            "sec": round(dt, 3),
+        }
+        print(f"# docs_pagerank {label}: {n_docs} docs in {dt:.2f}s", file=sys.stderr)
+        dedup_ops.release_signature_cache(spark)
+
+    print(
+        json.dumps(
+            {
+                "metric": "flagship_scaling",
+                "runs": results,
+                "text_ops": text_ops,
+                "iterative_ops": iterative_ops,
+            }
+        )
+    )
     spark.stop()
 
 
