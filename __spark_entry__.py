@@ -817,133 +817,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Order matters: the driver's correctness harness checks the FIRST 50
     entries only; rotation policy is "every query's latest verdict <= 2
-    rounds old" (age = current round − verdict round). Round 4's window
-    (per VERDICT r3 item 1): the 26 round-3 additions that have never had
-    a driver verdict, billing_cube (oldest verdict, r1), the 22
-    highest-priority r2-verdict entries (the billing core plus the
-    operators whose shared internals changed most since r2), and
-    dedup_ngram_jaccard whose OUTPUT changes this round (stop-shingle
-    prune now on by default) — 26+1+22+1 = 50. Zero new queries were
-    added this round: at 125 registered vs a 50/round window, the surface
-    had outrun the hard signal. Everything below the fold still runs in
-    the local parity mirror (tests/test_oracle_parity.py, all 125).
+    rounds old" (age = current round − verdict round). Round 5's window
+    (per VERDICT r4 item 1): the 26 entries whose latest verdict is r2
+    (the TPC-H sweep + docs_top_ngrams/docs_tfidf_top_terms — age 3 if
+    skipped), dedup_lsh_recall whose OUTPUT CONTRACT changes this round
+    (ground truth now unpruned, ADVICE r4 medium), and the 23
+    highest-priority r3-verdict entries: the billing core the judge
+    named, the full dedup family (dedup.py changed this round), and the
+    similarity/events blocks — 26+1+23 = 50. The 26 r3-verdict entries
+    deferred (marked below) MUST lead round 6's window. Zero new queries
+    added (a new query displaces a rotation slot knowingly). Everything
+    below the fold still runs in the local parity mirror
+    (tests/test_oracle_parity.py, all 125), and
+    tests/test_rotation_policy.py asserts this ordering satisfies the
+    age policy mechanically.
     """
     return {
-        # --- ROUND-4 WINDOW (first 50; driver checks only these) ---
-        # 26 entries registered late in round 3 with NO driver verdict in
-        # any CORRECTNESS_r0N — first hash verdict this round:
-        "billing_profile": _q_billing_profile,
-        "dedup_lsh_recall": _q_dedup_lsh_recall,
-        "docs_pagerank": _q_docs_pagerank,
-        "docs_train_split": _q_docs_train_split,
-        "docs_shard_manifest": _q_docs_shard_manifest,
-        "docs_quality_percentiles": _q_docs_quality_percentiles,
-        "events_transitions": _q_events_transitions,
-        "multimodal_resize": _q_multimodal_resize,
-        "docs_training_corpus": _q_docs_training_corpus,
-        "docs_vocabulary": _q_docs_vocabulary,
-        "events_hll_merge": _q_events_hll_merge,
-        "events_key_skew": _q_events_key_skew,
-        "billing_forecast": _q_billing_forecast,
-        "events_rfm": _q_events_rfm,
-        "docs_cluster_quality": _q_docs_cluster_quality,
-        "events_session_funnel": _q_events_session_funnel,
-        "docs_ccnet_buckets": _q_docs_ccnet_buckets,
-        "events_gap_regularity": _q_events_gap_regularity,
-        "docs_pack_blocks": _q_docs_pack_blocks,
-        "docs_lang_confusion": _q_docs_lang_confusion,
-        "billing_unit_price": _q_billing_unit_price,
-        "docs_source_mix": _q_docs_source_mix,
-        "events_dau_wau": _q_events_dau_wau,
-        "billing_statement": _q_billing_statement,
-        "events_hourly_profile": _q_events_hourly_profile,
-        "billing_weekday_profile": _q_billing_weekday_profile,
-        # oldest verdict on the books (r1) — policy edge:
-        "billing_cube": _q_billing_cube,
-        # latest verdict r2 (age 2 after this round without re-check):
-        # the billing core + the operators whose shared internals moved
-        # most since r2 (two-phase rank, memo layer, winnow rework):
-        "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
-        "billing_flagship": _flagship(None, "detail"),
-        "billing_flagship_production": _flagship(None, "pipeline"),
-        "billing_flagship_sql": _q_flagship_sql,
-        "billing_source_agg": _q_source_agg,
-        "billing_source_agg_detail": _q_source_agg_detail,
-        "billing_rule_match": _q_rule_match,
-        "billing_pricing_modes": _q_pricing_modes,
-        "billing_dq_audit": _q_dq_audit,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        "events_top_paths": _q_events_top_paths,
-        "events_approx_stats": _q_approx_stats,
-        "events_funnel": _q_events_funnel,
-        "events_retention": _q_events_retention,
-        "events_salted_user_join": _q_events_salted_join,
-        "multimodal_meta": _q_multimodal_meta,
-        "multimodal_frame_sample": _q_multimodal_frames,
-        "docs_quality_corpus": _q_quality_corpus,
-        "docs_repetition": _q_docs_repetition,
-        "docs_decontaminate": _q_docs_decontaminate,
-        "docs_chunk": _q_docs_chunk,
-        "docs_bigram_fluency": _q_docs_fluency,
-        # output CHANGES this round: max_doc_freq stop-shingle prune is
-        # now on by default (VERDICT r3 item 6), so the r3 verdict no
-        # longer applies:
-        "dedup_ngram_jaccard": _q_dedup_jaccard,
-        # --- below the driver fold (local parity still runs ALL) ---
-        # latest verdict r3 (age 1 — safe until round 5):
-        "billing_credits_pivot": _q_credits_pivot,
-        "billing_dim_rules": _q_dim_rules,
-        "dedup_clusters": _q_dedup_clusters,
-        "sim_topk_ivf": _q_sim_ivf,
-        "docs_corpus_build": _q_docs_corpus_build,
-        "events_asof_purchase": _q_events_asof,
-        "billing_rollup": _q_billing_rollup,
-        "billing_minmax_day": _q_minmax_day,
-        "billing_distinct_accounts": _q_distinct_accounts,
-        "billing_running_totals": _q_running_totals,
-        "billing_rolling_daily_cost": _q_rolling_daily_cost,
-        "billing_month_reconciliation": _q_month_reconciliation,
-        "billing_month_over_month": _q_month_over_month,
-        "billing_new_usage_lines": _q_new_usage_lines,
-        "billing_repeat_usage_lines": _q_repeat_usage_lines,
-        "billing_gap_fill": _q_gap_fill,
-        "docs_text_stats": _q_text_stats,
-        "docs_lang_id": _q_lang_id,
-        "docs_fingerprint": _q_fingerprint,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_embedding_cosine": _q_dedup_embedding,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "sim_topk_bruteforce": _q_sim_bruteforce,
-        "events_window_agg": _q_events_window,
-        "events_sessionize": _q_events_sessionize,
-        "events_top_types": _q_events_top_types,
-        "events_json_props": _q_events_json,
-        "events_value_percentiles": _q_value_percentiles,
-        "events_user_trend": _q_user_trend,
-        "events_type_pivot": _q_event_pivot,
-        "events_value_deciles": _q_value_deciles,
-        "docs_pii_scrub": _q_pii_scrub,
-        "docs_sample": _q_docs_sample,
-        "docs_stratified_sample": _q_docs_stratified_sample,
-        "docs_pack_shards": _q_docs_pack_shards,
-        "docs_mixture_sample": _q_docs_mixture_sample,
-        "docs_dedup_spans": _q_docs_dedup_spans,
-        "docs_decontaminate_fuzzy": _q_docs_decontaminate_fuzzy,
-        "embeddings_kmeans": _q_embeddings_kmeans,
-        "dedup_semantic": _q_dedup_semantic,
-        "embeddings_quantize": _q_embeddings_quantize,
-        "sim_topk_quantized": _q_sim_topk_quantized,
-        "sim_hard_negatives": _q_sim_hard_negatives,
-        "events_anomaly": _q_events_anomaly,
-        "events_attribution": _q_events_attribution,
-        "billing_scd2": _q_billing_scd2,
-        "multimodal_features": _q_multimodal_features,
-        "docs_winnow_fingerprints": _q_docs_winnow,
-        # latest verdict r2 (age 2 after this round — these 26 MUST
-        # lead round 5's window, with ~24 of the r3 block above filling
-        # the rest; at 125 registered names the steady-state rotation is
-        # ~42/round, under the 50 window):
+        # --- ROUND-5 WINDOW (first 50; driver checks only these) ---
+        # 26 entries whose latest verdict is r2 — mandatory this round:
         "tpch_q1": _q_tpch_q1,
         "tpch_q2": _q_tpch_q2,
         "tpch_q3": _q_tpch_q3,
@@ -970,6 +861,115 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_top_customers": _q_top_customers,
         "docs_top_ngrams": _q_docs_top_ngrams,
         "docs_tfidf_top_terms": _q_docs_tfidf,
+        # output contract CHANGES this round (ADVICE r4: recall is now
+        # measured against the UNPRUNED exact baseline), so the r4
+        # verdict no longer applies:
+        "dedup_lsh_recall": _q_dedup_lsh_recall,
+        # 23 r3-verdict entries (age 2): billing core named in VERDICT r4,
+        # the dedup family (dedup.py changed this round), similarity +
+        # events blocks:
+        "billing_credits_pivot": _q_credits_pivot,
+        "billing_dim_rules": _q_dim_rules,
+        "billing_minmax_day": _q_minmax_day,
+        "billing_rollup": _q_billing_rollup,
+        "billing_distinct_accounts": _q_distinct_accounts,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_embedding_cosine": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "dedup_semantic": _q_dedup_semantic,
+        "sim_topk_bruteforce": _q_sim_bruteforce,
+        "sim_topk_ivf": _q_sim_ivf,
+        "sim_topk_quantized": _q_sim_topk_quantized,
+        "sim_hard_negatives": _q_sim_hard_negatives,
+        "embeddings_kmeans": _q_embeddings_kmeans,
+        "embeddings_quantize": _q_embeddings_quantize,
+        "events_window_agg": _q_events_window,
+        "events_sessionize": _q_events_sessionize,
+        "events_asof_purchase": _q_events_asof,
+        "events_json_props": _q_events_json,
+        "events_user_trend": _q_user_trend,
+        "events_value_percentiles": _q_value_percentiles,
+        # --- below the driver fold (local parity still runs ALL) ---
+        # latest verdict r3 (age 2) — deferred by the 50-slot window;
+        # these 26 MUST lead round 6's window:
+        "billing_running_totals": _q_running_totals,
+        "billing_rolling_daily_cost": _q_rolling_daily_cost,
+        "billing_month_reconciliation": _q_month_reconciliation,
+        "billing_month_over_month": _q_month_over_month,
+        "billing_new_usage_lines": _q_new_usage_lines,
+        "billing_repeat_usage_lines": _q_repeat_usage_lines,
+        "billing_gap_fill": _q_gap_fill,
+        "billing_scd2": _q_billing_scd2,
+        "docs_text_stats": _q_text_stats,
+        "docs_lang_id": _q_lang_id,
+        "docs_fingerprint": _q_fingerprint,
+        "docs_pii_scrub": _q_pii_scrub,
+        "docs_sample": _q_docs_sample,
+        "docs_stratified_sample": _q_docs_stratified_sample,
+        "docs_pack_shards": _q_docs_pack_shards,
+        "docs_mixture_sample": _q_docs_mixture_sample,
+        "docs_corpus_build": _q_docs_corpus_build,
+        "docs_dedup_spans": _q_docs_dedup_spans,
+        "docs_decontaminate_fuzzy": _q_docs_decontaminate_fuzzy,
+        "docs_winnow_fingerprints": _q_docs_winnow,
+        "events_top_types": _q_events_top_types,
+        "events_type_pivot": _q_event_pivot,
+        "events_value_deciles": _q_value_deciles,
+        "events_anomaly": _q_events_anomaly,
+        "events_attribution": _q_events_attribution,
+        "multimodal_features": _q_multimodal_features,
+        # latest verdict r4 (age 1 — safe until round 6/7):
+        "billing_profile": _q_billing_profile,
+        "docs_pagerank": _q_docs_pagerank,
+        "docs_train_split": _q_docs_train_split,
+        "docs_shard_manifest": _q_docs_shard_manifest,
+        "docs_quality_percentiles": _q_docs_quality_percentiles,
+        "events_transitions": _q_events_transitions,
+        "multimodal_resize": _q_multimodal_resize,
+        "docs_training_corpus": _q_docs_training_corpus,
+        "docs_vocabulary": _q_docs_vocabulary,
+        "events_hll_merge": _q_events_hll_merge,
+        "events_key_skew": _q_events_key_skew,
+        "billing_forecast": _q_billing_forecast,
+        "events_rfm": _q_events_rfm,
+        "docs_cluster_quality": _q_docs_cluster_quality,
+        "events_session_funnel": _q_events_session_funnel,
+        "docs_ccnet_buckets": _q_docs_ccnet_buckets,
+        "events_gap_regularity": _q_events_gap_regularity,
+        "docs_pack_blocks": _q_docs_pack_blocks,
+        "docs_lang_confusion": _q_docs_lang_confusion,
+        "billing_unit_price": _q_billing_unit_price,
+        "docs_source_mix": _q_docs_source_mix,
+        "events_dau_wau": _q_events_dau_wau,
+        "billing_statement": _q_billing_statement,
+        "events_hourly_profile": _q_events_hourly_profile,
+        "billing_weekday_profile": _q_billing_weekday_profile,
+        "billing_cube": _q_billing_cube,
+        "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
+        "billing_flagship": _flagship(None, "detail"),
+        "billing_flagship_production": _flagship(None, "pipeline"),
+        "billing_flagship_sql": _q_flagship_sql,
+        "billing_source_agg": _q_source_agg,
+        "billing_source_agg_detail": _q_source_agg_detail,
+        "billing_rule_match": _q_rule_match,
+        "billing_pricing_modes": _q_pricing_modes,
+        "billing_dq_audit": _q_dq_audit,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "events_top_paths": _q_events_top_paths,
+        "events_approx_stats": _q_approx_stats,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "events_salted_user_join": _q_events_salted_join,
+        "multimodal_meta": _q_multimodal_meta,
+        "multimodal_frame_sample": _q_multimodal_frames,
+        "docs_quality_corpus": _q_quality_corpus,
+        "docs_repetition": _q_docs_repetition,
+        "docs_decontaminate": _q_docs_decontaminate,
+        "docs_chunk": _q_docs_chunk,
+        "docs_bigram_fluency": _q_docs_fluency,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
     }
 
 
