@@ -741,6 +741,7 @@ def lsh_recall_report(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    gt_max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Measured LSH quality, as a query: exact n-gram Jaccard pairs at
     ``threshold`` (ground truth) full-outer-joined against the MinHash-LSH
@@ -750,14 +751,20 @@ def lsh_recall_report(
     before a 100 TB run, where the exact baseline is unaffordable but a
     sampled recall estimate is not.
 
-    The ground-truth side inherits the quadratic guard of
-    :func:`ngram_jaccard_pairs` — at scale, run the report on a
-    hash-sampled slice (corpus.hash_sample), which preserves pair recall
-    in expectation.
+    The ground truth is the UNPRUNED exact baseline: ``gt_max_doc_freq``
+    defaults to ``None`` (not :func:`ngram_jaccard_pairs`' production
+    default of 256) because a recall number measured against a pruned
+    truth set under-counts true pairs exactly on the hot-shingle corpora
+    the report exists to tune for, and the bias would be invisible — the
+    pruned truth is smaller, so recall reads HIGHER. The quadratic cost is
+    bounded by the row-count guard instead (max_rows=200k): at scale, run
+    the report on a hash-sampled slice (corpus.hash_sample), which
+    preserves pair recall in expectation. Pass a cap explicitly only to
+    measure recall *against the pruned baseline itself*.
     """
-    gt = ngram_jaccard_pairs(df, id_col, text_col, threshold=threshold).select(
-        "doc_a", "doc_b", F.lit(1).alias("__gt")
-    )
+    gt = ngram_jaccard_pairs(
+        df, id_col, text_col, threshold=threshold, max_doc_freq=gt_max_doc_freq
+    ).select("doc_a", "doc_b", F.lit(1).alias("__gt"))
     est = minhash_lsh_pairs(df, id_col, text_col).select(
         "doc_a", "doc_b", F.lit(1).alias("__est")
     )

@@ -113,20 +113,25 @@ sh AS (
 )"""
 
 
-def ngram_jaccard_sql(threshold: float = 0.1, max_doc_freq: int = 256) -> str:
+def ngram_jaccard_sql(threshold: float = 0.1, max_doc_freq: int | None = 256) -> str:
     # join on the 60-bit shingle hash exactly like the Spark side; the
     # stop-shingle prune (doc_freq > max_doc_freq dropped before pairing,
-    # sizes keep FULL counts) mirrors ngram_jaccard_pairs' default
+    # sizes keep FULL counts) mirrors ngram_jaccard_pairs' default;
+    # None = unpruned exact baseline (ground-truth mode, lsh_recall_sql)
     jac = _r6("inter::DOUBLE / (sa.sz + sb.sz - inter)")
+    if max_doc_freq is None:
+        pairing = "p AS (SELECT doc_id, sh_h FROM shh),"
+    else:
+        pairing = f"""keep AS (
+  SELECT sh_h FROM (SELECT sh_h, count(*) AS d FROM shh GROUP BY sh_h)
+  WHERE d <= {max_doc_freq}
+),
+p AS (SELECT doc_id, sh_h FROM shh SEMI JOIN keep USING (sh_h)),"""
     return f"""
 WITH {_SHINGLES},
 shh AS (SELECT doc_id, {_md5int('shingle')} AS sh_h FROM sh),
 sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
-keep AS (
-  SELECT sh_h FROM (SELECT sh_h, count(*) AS d FROM shh GROUP BY sh_h)
-  WHERE d <= {max_doc_freq}
-),
-p AS (SELECT doc_id, sh_h FROM shh SEMI JOIN keep USING (sh_h)),
+{pairing}
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
   FROM p a JOIN p b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
@@ -469,9 +474,11 @@ FROM pr{iters} p LEFT JOIN deg d USING (node)
 
 def lsh_recall_sql(threshold: float = 0.5) -> str:
     """Twin of operators.dedup.lsh_recall_report — composes the jaccard
-    ground-truth and LSH candidate twins, same full-outer rollup."""
+    ground-truth and LSH candidate twins, same full-outer rollup. The
+    truth side is UNPRUNED (max_doc_freq=None), mirroring the Spark
+    side's gt_max_doc_freq=None default."""
     return f"""
-WITH gt AS (SELECT doc_a, doc_b, 1 AS g FROM ({ngram_jaccard_sql(threshold=threshold)})),
+WITH gt AS (SELECT doc_a, doc_b, 1 AS g FROM ({ngram_jaccard_sql(threshold=threshold, max_doc_freq=None)})),
 est AS (SELECT doc_a, doc_b, 1 AS e FROM ({minhash_lsh_sql()})),
 j AS (SELECT * FROM gt FULL OUTER JOIN est USING (doc_a, doc_b)),
 a AS (
