@@ -23,6 +23,24 @@ from pyspark.sql import functions as F
 DEFAULT_PARTITIONING = ("invoice_month", "usage_day")
 
 
+def _hashable_columns(df: DataFrame) -> list[str]:
+    """Column names whose types Spark's hash() accepts — MapType anywhere
+    in the type tree (top-level, array element, struct field) is not
+    hashable and must be excluded from salt expressions."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(has_map(f.dataType) for f in dt.fields)
+        return False
+
+    return [f.name for f in df.schema.fields if not has_map(f.dataType)]
+
+
 def write_calculated(
     df: DataFrame,
     path: str,
@@ -43,13 +61,33 @@ def write_calculated(
     partition — the difference between a healthy table and a
     planning-time disaster at 1000 executors. Raise ``files_per_partition``
     when single partitions are too large for one task (adds a uniform salt
-    to the clustering key only — file layout, not row content)."""
+    to the clustering key only — file layout, not row content).
+
+    Salt mechanics: hash of the HASHABLE non-partition columns mod N —
+    map-typed columns (top-level or nested) are excluded because Spark
+    cannot hash MapType (including one raised AnalysisException), and
+    partition columns are excluded because they are constant within a
+    partition and would dilute nothing. Byte-identical duplicate rows
+    share a salt, so fully-duplicated data still lands in one file per
+    partition regardless of N. If no such column exists the salt
+    falls back to ``monotonically_increasing_id() % N`` — spreads
+    everything, including duplicates, at the cost of a file layout that is
+    not byte-stable across reruns (acceptable: the salt decides file
+    boundaries only, never row content)."""
     if pre_shuffle and partition_by:
         cols = [F.col(c) for c in partition_by]
         if files_per_partition > 1:
-            # deterministic spread: hash of all columns mod N varies within
-            # a partition but not across reruns of identical data
-            salt = F.pmod(F.hash(*df.columns), F.lit(files_per_partition))
+            hashable = [
+                c for c in _hashable_columns(df) if c not in set(partition_by)
+            ]
+            if hashable:
+                # deterministic spread: varies within a partition but not
+                # across reruns of identical data
+                salt = F.pmod(F.hash(*hashable), F.lit(files_per_partition))
+            else:
+                salt = F.pmod(
+                    F.monotonically_increasing_id(), F.lit(files_per_partition)
+                )
             df = df.repartition(*cols, salt)
         else:
             df = df.repartition(*cols)
@@ -119,9 +157,16 @@ def compact_partitions(
     Daily appends (append_calculated) leave one file per task per day; at
     1000 executors that is thousands of KB-sized files per partition, and
     scan/planning cost grows with file COUNT, not bytes. Compaction
-    rewrites each partition into ceil(bytes / target) files via a
+    MERGES small files: the table is rewritten into
+    max(ceil(total_bytes / target), one-per-partition) files via a
     partition-key repartition — the shuffle is one pass over the data and
-    amortizes across every later scan.
+    amortizes across every later scan. It is merge-ONLY by policy: a
+    layout already at or below that file count is left untouched (the
+    early return below), so it never splits few oversized files — an
+    oversized partition is a write-time decision
+    (``write_calculated(files_per_partition=N)``), because re-splitting
+    after the fact pays a full-table pass for a layout the writer could
+    have produced for free.
 
     Uses dynamic partition overwrite (session default) so a crash mid-
     compaction loses nothing: a partition is replaced atomically or not at

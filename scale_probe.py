@@ -103,43 +103,47 @@ def main() -> None:
         write_calculated,
     )
 
+    # try/finally so a mid-probe failure cannot leave the multi-hundred-MB
+    # sink directory stranded inside the repo working tree
     out_dir = "/root/repo/.probe_sink"
     shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    write_calculated(df, out_dir)
-    t_write = time.perf_counter() - t0
+    try:
+        t0 = time.perf_counter()
+        write_calculated(df, out_dir)
+        t_write = time.perf_counter() - t0
 
-    def layout(path):
-        parts, files, total = set(), 0, 0
-        for root, _dirs, fs in os.walk(path):
-            for f in fs:
-                if f.endswith(".parquet"):
-                    files += 1
-                    total += os.path.getsize(os.path.join(root, f))
-                    parts.add(os.path.relpath(root, path))
-        return {"partitions": len(parts), "files": files, "bytes": total}
+        def layout(path):
+            parts, files, total = set(), 0, 0
+            for root, _dirs, fs in os.walk(path):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        files += 1
+                        total += os.path.getsize(os.path.join(root, f))
+                        parts.add(os.path.relpath(root, path))
+            return {"partitions": len(parts), "files": files, "bytes": total}
 
-    before = layout(out_dir)
-    t0 = time.perf_counter()
-    compact_partitions(spark, out_dir)
-    t_compact = time.perf_counter() - t0
-    after = layout(out_dir)
-    rows_back = spark.read.parquet(out_dir).count()
-    results[f"{label} sink"] = {
-        "write_sec": round(t_write, 3),
-        "compact_sec": round(t_compact, 3),
-        "layout_before_compact": before,
-        "layout_after_compact": after,
-        "rows_written": rows_back,
-    }
-    print(
-        f"# {label} sink: write {t_write:.2f}s -> {before['files']} files / "
-        f"{before['partitions']} partitions ({before['bytes']>>20} MiB); "
-        f"compact {t_compact:.2f}s -> {after['files']} files; "
-        f"{rows_back} rows read back",
-        file=sys.stderr,
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
+        before = layout(out_dir)
+        t0 = time.perf_counter()
+        compact_partitions(spark, out_dir)
+        t_compact = time.perf_counter() - t0
+        after = layout(out_dir)
+        rows_back = spark.read.parquet(out_dir).count()
+        results[f"{label} sink"] = {
+            "write_sec": round(t_write, 3),
+            "compact_sec": round(t_compact, 3),
+            "layout_before_compact": before,
+            "layout_after_compact": after,
+            "rows_written": rows_back,
+        }
+        print(
+            f"# {label} sink: write {t_write:.2f}s -> {before['files']} files / "
+            f"{before['partitions']} partitions ({before['bytes']>>20} MiB); "
+            f"compact {t_compact:.2f}s -> {after['files']} files; "
+            f"{rows_back} rows read back",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
     text_ops = {}
     for qname in (

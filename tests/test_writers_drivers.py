@@ -219,6 +219,68 @@ def test_write_calculated_preshuffle_one_file_per_partition(spark, tmp_path):
     assert spark.read.parquet(p2).count() == spark.read.parquet(p1).count() == 2000
 
 
+def test_compact_partitions_skips_already_compact_layout(spark, tmp_path):
+    """Merge-only contract: a layout already at one file per partition (the
+    pre-shuffling write_calculated's output) must be left byte-untouched —
+    re-running compaction is a no-op, not a full-table rewrite (the r4
+    probe recorded a 64.75s full-table pass exactly because this check was
+    missing when it ran)."""
+    import os
+
+    from billing_etl_v1_spark.sources.writers import (
+        compact_partitions,
+        write_calculated,
+    )
+
+    path = str(tmp_path / "already_compact")
+    base = spark.range(0, 2000).selectExpr(
+        "'199506' AS invoice_month",
+        "date_add(DATE '1995-06-01', CAST(id % 3 AS INT)) AS usage_day",
+        "id AS v",
+    )
+    write_calculated(base, path)  # pre-shuffled: one file per partition
+
+    def file_states():
+        return {
+            os.path.join(r, f): (os.path.getmtime(os.path.join(r, f)),
+                                 os.path.getsize(os.path.join(r, f)))
+            for r, _d, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    before = file_states()
+    compact_partitions(spark, path)
+    assert file_states() == before  # same paths, same mtimes, same bytes
+
+
+def test_write_calculated_salt_tolerates_map_columns(spark, tmp_path):
+    """files_per_partition>1 must not feed MapType columns into hash()
+    (Spark cannot hash maps — this raised AnalysisException before the
+    salt filtered to hashable columns)."""
+    from billing_etl_v1_spark.sources.writers import write_calculated
+
+    base = spark.range(0, 200).selectExpr(
+        "'199506' AS invoice_month",
+        "date_add(DATE '1995-06-01', CAST(id % 2 AS INT)) AS usage_day",
+        "map('k', id) AS props",
+        "id AS v",
+    )
+    path = str(tmp_path / "map_salt")
+    write_calculated(base, path, files_per_partition=4)
+    assert spark.read.parquet(path).count() == 200
+
+    # degenerate frame: every non-partition column is a map -> id fallback
+    base2 = spark.range(0, 200).selectExpr(
+        "'199506' AS invoice_month",
+        "DATE '1995-06-01' AS usage_day",
+        "map('k', id) AS props",
+    ).select("props", "invoice_month", "usage_day")
+    path2 = str(tmp_path / "map_only_salt")
+    write_calculated(base2, path2, files_per_partition=2)
+    assert spark.read.parquet(path2).count() == 200
+
+
 def test_cli_month_backfill_end_to_end(spark, tmp_path, monkeypatch):
     """Drive the CLI surface end-to-end: write fact/dim parquet, run the
     month subcommand, read the target back."""
