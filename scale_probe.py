@@ -36,6 +36,15 @@ import time
 from pyspark.sql import functions as F
 
 
+def _max_files_per_dir(path: str) -> int:
+    import os
+
+    best = 0
+    for _root, _dirs, fs in os.walk(path):
+        best = max(best, len([f for f in fs if f.endswith(".parquet")]))
+    return best
+
+
 def main() -> None:
     import __spark_entry__ as em
     from billing_etl_v1_spark import oracle
@@ -142,6 +151,27 @@ def main() -> None:
             f"{rows_back} rows read back",
             file=sys.stderr,
         )
+        # at x64+ the per-partition bytes exceed one comfortable task's
+        # worth — exercise the files_per_partition spread for real and
+        # record that the layout stays bounded at N files per partition
+        # (not one per task)
+        if replication >= 64:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            write_calculated(df, out_dir, files_per_partition=4)
+            t_spread = time.perf_counter() - t0
+            spread = layout(out_dir)
+            results[f"{label} sink spread4"] = {
+                "write_sec": round(t_spread, 3),
+                "layout": spread,
+                "max_files_per_partition": _max_files_per_dir(out_dir),
+            }
+            print(
+                f"# {label} sink spread4: write {t_spread:.2f}s -> "
+                f"{spread['files']} files / {spread['partitions']} partitions "
+                f"(max {_max_files_per_dir(out_dir)}/partition)",
+                file=sys.stderr,
+            )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
