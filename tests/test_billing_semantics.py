@@ -290,3 +290,62 @@ def test_exact_sum_large_magnitudes_use_integer_hi(spark):
     for parts in (1, 4):
         got = df.repartition(parts).agg(exact_sum(F.col("v")).alias("s")).collect()[0].s
         assert got == pytest.approx(expected, abs=1e-9), (parts, got, expected)
+
+
+def test_filter_month_and_day_range_semantics(spark, tmp_path):
+    """P3/P4 predicate helpers: filter_month(None) is a passthrough, the
+    month equality reaches the parquet scan as a pushed filter (the whole
+    point of the helper at 100 TB — partition/row-group pruning), and
+    filter_day_range is half-open [start, end)."""
+    import datetime as dt
+
+    from billing_etl_v1_spark.operators.aggregate import (
+        filter_day_range,
+        filter_month,
+    )
+
+    rows = [
+        ("199505", dt.date(1995, 5, 31)),
+        ("199506", dt.date(1995, 6, 1)),
+        ("199506", dt.date(1995, 6, 15)),
+        ("199506", dt.date(1995, 6, 30)),
+        ("199507", dt.date(1995, 7, 1)),
+    ]
+    df = spark.createDataFrame(rows, "invoice_month string, usage_day date")
+
+    assert filter_month(df, None) is df  # passthrough, no plan node added
+    assert filter_month(df, "199506").count() == 3
+
+    got = filter_day_range(
+        df, dt.date(1995, 6, 1), dt.date(1995, 6, 30)
+    ).select("usage_day").collect()
+    days = sorted(r.usage_day for r in got)
+    assert days == [dt.date(1995, 6, 1), dt.date(1995, 6, 15)]  # end exclusive
+
+    # pushdown proof: against a parquet source the equality must appear in
+    # the scan's PushedFilters, not as a post-scan-only Filter
+    path = str(tmp_path / "fact_pushdown")
+    df.write.parquet(path)
+    plan = filter_month(spark.read.parquet(path), "199506")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "invoice_month" in plan.split("PushedFilters", 1)[1].split("]", 1)[0], plan
+
+
+def test_restrict_dim_to_fact_accounts_is_semi_join(spark):
+    """J2/P9: dim restricted to the batch's accounts via LEFT SEMI — keeps
+    every dim row for present accounts (including duplicates), drops absent
+    accounts, and NEVER amplifies rows no matter how many fact rows share
+    an account (the hazard of an inner-join formulation)."""
+    from billing_etl_v1_spark.operators.rules import restrict_dim_to_fact_accounts
+
+    dim = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 3), ("C", 4)],
+        "billing_account_id string, rule int",
+    )
+    fact = spark.createDataFrame(
+        [("A",), ("A",), ("A",), ("B",)], "billing_account_id string"
+    )
+    out = restrict_dim_to_fact_accounts(dim, fact)
+    got = sorted((r.billing_account_id, r.rule) for r in out.collect())
+    assert got == [("A", 1), ("A", 2), ("B", 3)]  # C dropped, A not amplified
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan

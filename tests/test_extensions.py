@@ -873,3 +873,27 @@ def test_memo_release_leaves_no_cached_relations(spark):
     assert _memo.release(registry, spark) == 2
     assert registry == {}
     assert n_cached_rdds() == baseline
+
+
+def test_named_release_wrappers_drop_their_caches(spark):
+    """release_corpus_cache / release_vector_cache (the public twins of
+    dedup.release_signature_cache) must actually unpersist what their
+    operators memoized — a long-lived session that interleaves corpus
+    builds and kmeans sweeps relies on these to bound executor storage."""
+    from billing_etl_v1_spark.operators import corpus as corpus_ops
+    from billing_etl_v1_spark.operators import similarity as sim_ops
+    from billing_etl_v1_spark.sources.readers import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+
+    corpus_ops.training_corpus(docs).count()
+    assert len(corpus_ops._CORPUS_CACHE) > 0
+    assert corpus_ops.release_corpus_cache(spark) > 0
+    assert corpus_ops._CORPUS_CACHE == {}
+
+    sim_ops.kmeans_refine(emb).count()
+    assert len(sim_ops._VEC_CACHE) > 0
+    assert sim_ops.release_vector_cache(spark) > 0
+    assert sim_ops._VEC_CACHE == {}
