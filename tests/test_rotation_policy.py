@@ -38,7 +38,15 @@ def _registered_order() -> list[str]:
 
 
 def _latest_green_verdicts() -> tuple[dict[str, int], int]:
-    """{query: latest round with rows+schema+hash green}, current round."""
+    """{query: latest round with rows+schema+hash green}, current round.
+
+    The current round is the one being BUILT (PROGRESS.jsonl's last
+    ``round`` field, driver-written at round start) — not max(CORRECTNESS
+    round)+1, because the driver writes CORRECTNESS_r{N} at the END of
+    round N and the judge runs pytest right after: at that moment the
+    round-N window is legitimately still in place, and only when the
+    NEXT round's build starts (PROGRESS ticks to N+1) does the
+    un-rotated window become a policy violation."""
     latest: dict[str, int] = {}
     rounds = []
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
@@ -51,7 +59,16 @@ def _latest_green_verdicts() -> tuple[dict[str, int], int]:
             if v.get("rows_match") and v.get("schema_match") and v.get("hash_match"):
                 latest[name] = max(latest.get(name, 0), rnd)
     assert rounds, "no CORRECTNESS_r*.json artifacts found"
-    return latest, max(rounds) + 1
+    current = max(rounds) + 1
+    progress = os.path.join(REPO, "PROGRESS.jsonl")
+    if os.path.exists(progress):
+        for line in open(progress):
+            line = line.strip()
+            if line:
+                rec = json.loads(line)
+                if "round" in rec:
+                    current = max(rec["round"], max(rounds))
+    return latest, current
 
 
 def test_registered_names_unique_and_nonempty():
