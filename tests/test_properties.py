@@ -561,3 +561,44 @@ def test_daily_anomaly_agrees_with_python_model(spark, daily_cents):
         dev = m * x - s
         want = m >= 4 and dev > 0 and dev * dev > 9 * (m * ss - s * s)
         assert got[d + 1] == want, (d, daily_cents)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=120
+    ),
+    n_parts=st.sampled_from([1, 3, 8]),
+)
+def test_distributed_total_rank_agrees_with_python_sort(spark, values, n_parts):
+    """The two-phase distributed rank (range-repartition -> local
+    row_number -> broadcast prefix offsets) is the shared internal under
+    ten registered queries (deciles, percentiles, vocabulary, train_split,
+    shard_manifest, pack_blocks, ccnet buckets, ...). Property: for ANY
+    value multiset — heavy ties, negatives, single row, fewer distinct
+    values than partitions (empty range-partitions) — rank over the total
+    order (value, id) equals a Python sort's 1-based position, __total is
+    the row count, and the optional prefix sum equals the Python running
+    sum over the same order. Input partitioning must not matter."""
+    from billing_etl_v1_spark.operators.events import distributed_total_rank
+
+    rows = [(i, v, abs(v) % 7 + 1) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "id long, v long, w long").repartition(n_parts)
+    got = {
+        r.id: r
+        for r in distributed_total_rank(
+            df, ["v", "id"], rank_col="rank", sum_col="w", cum_col="cum"
+        ).collect()
+    }
+
+    expected_order = sorted(rows, key=lambda r: (r[1], r[0]))
+    running = 0
+    for pos, (i, _v, w) in enumerate(expected_order, start=1):
+        running += w
+        assert got[i].rank == pos, (i, got[i].rank, pos)
+        assert got[i].cum == running, (i, got[i].cum, running)
+    assert all(r["__total"] == len(values) for r in got.values())
