@@ -602,3 +602,54 @@ def test_distributed_total_rank_agrees_with_python_sort(spark, values, n_parts):
         assert got[i].rank == pos, (i, got[i].rank, pos)
         assert got[i].cum == running, (i, got[i].cum, running)
     assert all(r["__total"] == len(values) for r in got.values())
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    doc_lens=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=25),
+    block_tokens=st.sampled_from([7, 16, 64]),
+)
+def test_pack_blocks_conserves_and_fills(spark, doc_lens, block_tokens):
+    """GPT-style sequence packing invariants for ANY corpus shape: (1) no
+    token lost or duplicated — globally unique tokens, so the multiset
+    check is exact; (2) every block except the single tail block holds
+    exactly block_tokens tokens (zero padding waste); (3) documents stay
+    contiguous along the packed line — each doc's token sequence appears
+    intact in the concatenation of blocks in block_id order, i.e. splits
+    happen only AT block boundaries, never by reordering within a doc."""
+    from billing_etl_v1_spark.operators.corpus import pack_blocks
+
+    rows = [
+        (i, " ".join(f"d{i}w{j}" for j in range(n)), "en", "s")
+        for i, n in enumerate(doc_lens)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).repartition(3)
+    blocks = sorted(
+        pack_blocks(df, block_tokens=block_tokens).collect(), key=lambda r: r.block_id
+    )
+    total = sum(doc_lens)
+    if total == 0:
+        assert blocks == []
+        return
+
+    assert [b.block_id for b in blocks] == list(range(len(blocks)))  # dense ids
+    assert sum(b.n_tokens for b in blocks) == total
+    for b in blocks[:-1]:
+        assert b.n_tokens == block_tokens, (b.block_id, b.n_tokens)
+    assert 1 <= blocks[-1].n_tokens <= block_tokens
+
+    line = " ".join(b.block_text for b in blocks).split(" ")
+    assert sorted(line) == sorted(
+        t for i, n in enumerate(doc_lens) for t in (f"d{i}w{j}" for j in range(n))
+    )  # exact token multiset conservation
+    line_str = " " + " ".join(line) + " "
+    for i, n in enumerate(doc_lens):
+        if n:
+            seq = " " + " ".join(f"d{i}w{j}" for j in range(n)) + " "
+            assert seq in line_str, f"doc {i} not contiguous"
