@@ -113,13 +113,18 @@ def extract_features(df: DataFrame, fake: bool = True, batch_hint: int = 1024) -
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL payload (missing/corrupt blob — routine at scale) maps
+            # to NULL byte_len/features, never a worker crash
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "byte_len": pdf["payload"].map(len).astype("int32"),
+                    "byte_len": pd.Series(
+                        [None if p is None else len(p) for p in pdf["payload"]],
+                        dtype="Int32",
+                    ),
                     "features": [
-                        _decode_payload(p, m, fake)
+                        None if p is None else _decode_payload(p, m, fake)
                         for p, m in zip(pdf["payload"], pdf["media_type"])
                     ],
                 }
@@ -153,6 +158,8 @@ def sample_frames(
         for pdf in batches:
             doc_ids, idxs, lens, frames = [], [], [], []
             for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:  # missing blob -> zero frames, matching the
+                    continue  # SQL twin's empty range over NULL byte_len
                 n_frames = (len(p) + frame_size - 1) // frame_size
                 for i in range(0, n_frames, every_n):
                     chunk = p[i * frame_size : (i + 1) * frame_size]
@@ -186,7 +193,9 @@ def resize_payload(df: DataFrame, target_len: int = 64, fake: bool = True) -> Da
         for pdf in batches:
             resized = []
             for p in pdf["payload"]:
-                if len(p) <= target_len:
+                if p is None:  # missing blob -> NULL row, not a crash
+                    resized.append(None)
+                elif len(p) <= target_len:
                     resized.append(bytes(p))
                 else:
                     stride = len(p) / target_len
@@ -195,8 +204,13 @@ def resize_payload(df: DataFrame, target_len: int = 64, fake: bool = True) -> Da
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "orig_len": pdf["payload"].map(len).astype("int32"),
-                    "resized_len": pd.Series([len(r) for r in resized], dtype="int32"),
+                    "orig_len": pd.Series(
+                        [None if p is None else len(p) for p in pdf["payload"]],
+                        dtype="Int32",
+                    ),
+                    "resized_len": pd.Series(
+                        [None if r is None else len(r) for r in resized], dtype="Int32"
+                    ),
                     "resized": pd.Series(resized, dtype="object"),
                 }
             )

@@ -1633,8 +1633,10 @@ SELECT doc_id,
             WHEN doc_id % 3 = 1 THEN 'audio/wav'
             ELSE 'video/mp4' END AS media_type,
        n::INT AS orig_len,
-       CAST(CASE WHEN n <= {target_len} THEN n ELSE {target_len} END AS INT) AS resized_len,
-       CASE WHEN n <= {target_len} THEN text
+       CAST(CASE WHEN n IS NULL THEN NULL
+                 WHEN n <= {target_len} THEN n ELSE {target_len} END AS INT) AS resized_len,
+       CASE WHEN n IS NULL THEN NULL
+            WHEN n <= {target_len} THEN text
             ELSE array_to_string(
               list_transform(range(0, {target_len}), i -> substr(text, {idx}, 1)), '')
        END AS resized_text
@@ -1692,9 +1694,13 @@ def multimodal_features_sql(dim: int = 8) -> str:
     fixed-point floor keeps the doubles bit-identical across engines.
     """
     n = "greatest(byte_len, 1)"
+    # NULL text (missing blob) -> NULL features, mirroring the mapInPandas
+    # side's None propagation (element_at over a NULL features array)
     fcols = ",\n  ".join(
+        f"CASE WHEN byte_len IS NULL THEN NULL ELSE "
         f"((COALESCE(list_sum(list_transform(range({j}, byte_len, {dim}), "
-        f"i -> unicode(text[i + 1]))), 0)::BIGINT * 1000000) // {n}) / 1000000.0 AS f{j}"
+        f"i -> unicode(text[i + 1]))), 0)::BIGINT * 1000000) // {n}) / 1000000.0 "
+        f"END AS f{j}"
         for j in range(dim)
     )
     return f"""

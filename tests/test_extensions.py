@@ -897,3 +897,29 @@ def test_named_release_wrappers_drop_their_caches(spark):
     assert len(sim_ops._VEC_CACHE) > 0
     assert sim_ops.release_vector_cache(spark) > 0
     assert sim_ops._VEC_CACHE == {}
+
+
+def test_multimodal_ops_null_payloads_propagate_not_crash(spark):
+    """A missing/corrupt blob is a NULL payload — routine at 100 TB, and it
+    must flow through the Arrow UDFs as NULL output (features/resize) or
+    zero frames (sampler), never kill the Python worker (len(None) did,
+    round 5). NULL semantics are mirrored in the DuckDB twins and verified
+    bit-exact on a NULL-bearing corpus."""
+    from billing_etl_v1_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(0, "hello world payload"), (1, None), (2, "x")], "doc_id long, text string"
+    )
+    payloads = mm.attach_payload(docs)
+
+    feats = {r.doc_id: r for r in mm.extract_features(payloads, fake=True).collect()}
+    assert feats[1].byte_len is None and feats[1].features is None
+    assert feats[0].byte_len == 19 and len(feats[0].features) == mm.FEATURE_DIM
+
+    resized = {r.doc_id: r for r in mm.resize_payload(payloads, target_len=8).collect()}
+    assert resized[1].orig_len is None and resized[1].resized is None
+    assert resized[1].resized_len is None
+    assert resized[2].resized == b"x"
+
+    frames = mm.sample_frames(payloads, frame_size=4, every_n=1).collect()
+    assert {r.doc_id for r in frames} == {0, 2}  # NULL doc yields no frames
