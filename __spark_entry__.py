@@ -584,7 +584,14 @@ def _q_multimodal_resize(spark, sf_dir):
     """mapInPandas resize plumbing, hash-verified like multimodal_features:
     the deterministic stride downsample over ASCII payloads is exactly
     reproducible in SQL (floor-indexed character gather), so the Python
-    stage's output — not just its row count — is driver-checked."""
+    stage's output — not just its row count — is driver-checked.
+
+    try_validate_utf8, not decode: the resize is BYTE-stride (image
+    semantics), so on a multibyte corpus a slice can land mid-codepoint
+    and strict decode would throw MALFORMED_CHARACTER_CODING; invalid
+    slices surface as NULL text instead. Identical on the ASCII testdata
+    (every slice valid), where the char-gather SQL twin is exact — the
+    byte-vs-char boundary is documented at oracle_ext.multimodal_*_sql."""
     docs = mm_ops.attach_payload(load_table(spark, sf_dir, "documents"))
     r = mm_ops.resize_payload(docs, target_len=64)
     return r.select(
@@ -592,7 +599,7 @@ def _q_multimodal_resize(spark, sf_dir):
         "media_type",
         "orig_len",
         "resized_len",
-        F.decode("resized", "UTF-8").alias("resized_text"),
+        F.try_validate_utf8(F.col("resized")).alias("resized_text"),
     )
 
 
