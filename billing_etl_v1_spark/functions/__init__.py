@@ -34,6 +34,38 @@ def round_doubles(df: DataFrame, _scale: int = 6) -> DataFrame:
     )
 
 
+def finite_or_null(col):
+    """Non-finite doubles (NaN, ±Inf) to NULL at operator ingestion.
+
+    At 100 TB a single corrupt measurement WILL occur, and the two failure
+    modes are both job-level: NaN is absorbing under sum (one poisoned row
+    turns a global total into NaN), and exact-cents casts raise
+    CAST_OVERFLOW on NaN/Inf, killing the task. NULL is the semantic the
+    rest of each aggregate already handles (skipped by sums, counted by
+    nothing). The DuckDB oracle twins apply the identical rule via
+    ``CASE WHEN isfinite(value) THEN value END`` so cross-engine parity
+    holds on poisoned corpora too (tests/test_corrupt_floats.py)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))), c)
+
+
+def finite_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Drop rows whose vector contains any non-finite component: a corrupt
+    embedding must not poison centroid means or claim NaN-driven
+    similarity ranks. Exclusion (not per-component nulling) is the ANN
+    contract — distance to a partial vector is undefined. Twins mirror
+    with ``list_aggregate(list_transform(v, x -> isfinite(x)), 'bool_and')``."""
+    c = F.col(vec_col)
+    return df.filter(
+        F.forall(
+            c,
+            lambda x: x.isNotNull()
+            & ~F.isnan(x.cast("double"))
+            & (F.abs(x.cast("double")) != F.lit(float("inf"))),
+        )
+    )
+
+
 _B = 1_000_000_000
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from billing_etl_v1_spark.functions import quantize6
+from billing_etl_v1_spark.functions import finite_or_null, quantize6
 
 
 def _epoch(col) -> F.Column:
@@ -25,6 +25,7 @@ def tumbling_window_agg(events: DataFrame, width_s: int = 300) -> DataFrame:
 
     The bucket is exposed as epoch seconds (bigint) so both engines agree on
     the exact value; render with ``timestamp_seconds`` for display."""
+    events = events.withColumn("value", finite_or_null("value"))
     bucket = (F.floor(_epoch(F.col("ts")) / width_s) * width_s).cast("bigint")
     return (
         events.withColumn("bucket_start_s", bucket)
@@ -60,6 +61,7 @@ def sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
 
     Ordering ties on ts are broken by event_id in both engines.
     """
+    events = events.withColumn("value", finite_or_null("value"))
     return (
         with_session_idx(events, gap_s)
         .groupBy("user_id", "session_idx")
@@ -82,6 +84,7 @@ def sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
 def top_event_types_per_user(events: DataFrame, k: int = 3) -> DataFrame:
     """Top-k event types per user by total value (window top-k — a shape the
     reference lacks entirely, SURVEY §2.11)."""
+    events = events.withColumn("value", finite_or_null("value"))
     agg = events.groupBy("user_id", "event_type").agg(
         quantize6(F.sum("value")).alias("total_value")
     )
@@ -169,11 +172,17 @@ def asof_join(
 def clicks_asof_purchase(events: DataFrame) -> DataFrame:
     """For every click event, the most recent purchase value at-or-before it
     for the same user (NULL when the user has not purchased yet)."""
+    events = events.withColumn("value", finite_or_null("value"))
     clicks = events.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
+    # value-less purchases (corrupt value -> NULL via finite_or_null) carry
+    # no information for the as-of lookup; dropping them pre-group makes the
+    # ignorenulls carry-forward and the DuckDB ASOF oracle agree exactly
     purchases = (
-        events.filter(F.col("event_type") == "purchase")
+        events.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("purchase_value"))
     )
@@ -207,6 +216,7 @@ def event_type_pivot(events: DataFrame, types: list[str] | None = None) -> DataF
     table; widen deliberately). Value sums accumulate in DECIMAL so the
     per-cell totals are partition-order-independent.
     """
+    events = events.withColumn("value", finite_or_null("value"))
     from billing_etl_v1_spark.functions import quantize6
 
     types = types or ["click", "view", "purchase", "signup", "error"]
@@ -323,10 +333,16 @@ def value_deciles(events: DataFrame, n_tiles: int = 10) -> DataFrame:
     — identical output to the ntile oracle, no global single-task sort.
     Integer DIV keeps the math exact at any n (no double ceil).
     """
+    events = events.withColumn("value", finite_or_null("value"))
     from billing_etl_v1_spark.functions import quantize6
 
+    # deciles describe the MEASURED distribution: NULL (incl. sanitized
+    # non-finite) values hold no rank — and engines disagree on NULL sort
+    # position (Spark first, DuckDB last), so excluding them is also the
+    # only cross-engine-stable choice
     ranked = distributed_total_rank(
-        events.select("value", "event_id"), ["value", "event_id"]
+        events.filter(F.col("value").isNotNull()).select("value", "event_id"),
+        ["value", "event_id"],
     ).withColumnRenamed("__total", "__n")
     k = n_tiles
     # q = rows per small tile, r = number of big (q+1-row) tiles; greatest()
@@ -448,6 +464,7 @@ def purchase_attribution(
     aggregation (microsecond epoch + event_id tiebreak — total order, so
     deterministic cross-engine), not a second window pass.
     """
+    events = events.withColumn("value", finite_or_null("value"))
     p = events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("p_eid"),
         F.col("user_id"),
@@ -539,6 +556,7 @@ def rfm_segments(
     recency. One user-grain aggregate + a 1-row broadcast reference
     date; integer cents keep the hash exact.
     """
+    events = events.withColumn("value", finite_or_null("value"))
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     ref = events.agg(F.max(us).alias("__ref_us"))
     per_user = events.groupBy("user_id").agg(

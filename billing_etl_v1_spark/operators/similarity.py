@@ -46,8 +46,16 @@ def with_norm(df: DataFrame, vec_col: str = "v", out_col: str = "norm") -> DataF
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    # corrupt vectors (any NaN/Inf component) are excluded from the index:
+    # distance to a poisoned vector is undefined, and NaN dots would
+    # otherwise crash int8 quantization casts and scramble top-k ranks.
+    # Single chokepoint for brute/IVF/kmeans/quantize/cosine-pair/LSH paths.
+    from billing_etl_v1_spark.functions import finite_vectors
+
     return with_norm(
-        df.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
+        finite_vectors(df, vec_col).select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+        )
     )
 
 
@@ -338,8 +346,10 @@ def hard_negatives(
                 f"cosine_topk_ivf-style cluster pruning or pass "
                 f"max_rows=None deliberately."
             )
+    from billing_etl_v1_spark.functions import finite_vectors
+
     base = with_norm(
-        embeddings.select(
+        finite_vectors(embeddings, vec_col).select(
             F.col(id_col).alias("vid"),
             _as_double(F.col(vec_col)).alias("v"),
             F.col(label_col).alias("lab"),

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from billing_etl_v1_spark.functions import quantize6
+from billing_etl_v1_spark.functions import finite_or_null, quantize6
 
 SALT_COL = "__salt"
 
@@ -64,6 +64,7 @@ def user_activity_enriched(events: DataFrame, buckets: int = 8) -> DataFrame:
     salted-join case: the rollup replicates `buckets`×, the whale user's
     events spread over `buckets` reducers.
     """
+    events = events.withColumn("value", finite_or_null("value"))
     totals = events.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("user_events"),
         F.sum(F.col("value").cast("decimal(38,10)")).alias("__tv"),

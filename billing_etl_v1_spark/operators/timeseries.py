@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from billing_etl_v1_spark.functions import quantize6
+from billing_etl_v1_spark.functions import finite_or_null, quantize6
 
 PERCENTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
 
@@ -70,6 +70,7 @@ def value_percentiles(
     """Exact value percentiles per event_type (linear interpolation — the
     PERCENTILE_CONT definition both Spark's ``percentile`` and DuckDB's
     ``quantile_cont`` implement), plus count/min/max context."""
+    events = events.withColumn("value", finite_or_null("value"))
     pct = F.percentile("value", F.array(*[F.lit(q) for q in qs]))
     cols = [
         quantize6(F.element_at(pct, i + 1)).alias(f"p{int(q * 100)}")
@@ -94,6 +95,7 @@ def approx_group_stats(
     No DuckDB oracle (sketch estimates are engine-specific); correctness is
     bounded against the exact operators in tests/test_timeseries.py.
     """
+    events = events.withColumn("value", finite_or_null("value"))
     pct = F.percentile_approx(
         "value", F.array(*[F.lit(q) for q in qs]), F.lit(100_000)
     )
@@ -135,6 +137,7 @@ def approx_stats_checked(
     literal TRUEs, so a sketch regression beyond bounds flips a flag and
     fails the driver hash.
     """
+    events = events.withColumn("value", finite_or_null("value"))
     approx = approx_group_stats(events, qs, rsd)
     lo_hi = [
         (max(0.0, q - q_tol), min(1.0, q + q_tol)) for q in qs
@@ -201,6 +204,7 @@ def user_value_trend(events: DataFrame, min_points: int = 2) -> DataFrame:
     # string, DuckDB through the exact binary expansion — they disagree at
     # the 10th decimal), but integer sums in DECIMAL(38,0) are exact
     # everywhere, and the closed form below starts from identical doubles.
+    events = events.withColumn("value", finite_or_null("value"))
     dec0 = lambda c: F.sum(c.cast("decimal(38,0)"))  # noqa: E731
     x = F.floor(F.unix_timestamp("ts") / F.lit(86400))
     yk = F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5))
@@ -263,6 +267,7 @@ def daily_anomaly_flags(
     """
     from pyspark.sql import Window
 
+    events = events.withColumn("value", finite_or_null("value"))
     cents = F.round(F.col("value") * 100).cast("bigint")
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("day")

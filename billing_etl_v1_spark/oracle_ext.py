@@ -23,6 +23,23 @@ from billing_etl_v1_spark.oracle import _r6
 _MD5INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 
+
+# Corrupt-float posture shared by the Spark operators (functions.finite_or_null
+# / finite_vectors) and these twins: non-finite event values read as NULL,
+# vectors with any non-finite component are excluded from every index.
+_EVF = (
+    "(SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) "
+    "FROM events)"
+)
+_FINITE_VEC = (
+    # x IS NOT NULL first: bool_and SKIPS NULLs, so a bare isfinite(NULL)
+    # would silently keep vectors with NULL components that the Spark side
+    # (forall + isNotNull) drops
+    "coalesce(list_aggregate(list_transform(embedding::DOUBLE[], "
+    "x -> x IS NOT NULL AND isfinite(x)), 'bool_and'), FALSE)"
+)
+
+
 def _md5int(x: str, salt: str | None = None) -> str:
     if salt is not None:
         x = f"'{salt}|' || ({x})"
@@ -307,9 +324,12 @@ WHERE {cos} >= {threshold}
 
 
 def _norms_cte() -> str:
+    # WHERE mirrors functions.finite_vectors: vectors with any non-finite
+    # (or NULL) component are excluded from the index on both engines
     self_dot = _DOT.format(a="v", b="v")
     return f"""
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE {_FINITE_VEC}),
 n AS (SELECT vec_id, v, sqrt({self_dot}) AS nrm FROM e)"""
 
 
@@ -499,7 +519,8 @@ def hard_negatives_sql(query_mod: int = 50, k: int = 5) -> str:
     label-inequality pairing, same tie-breaks."""
     dot = _DOT.format(a="n.v", b="q.qv")
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+          WHERE {_FINITE_VEC}),
 n AS (SELECT vec_id, v, label,
              sqrt({_DOT.format(a='v', b='v')}) AS nrm FROM e),
 q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, label AS qlab
@@ -642,14 +663,14 @@ SELECT (floor(epoch(ts) / {width_s}) * {width_s})::BIGINT AS bucket_start_s,
        event_type,
        count(*) AS n_events,
        {_r6('sum(value)')} AS total_value
-FROM events
+FROM {_EVF}
 GROUP BY 1, 2
 """
 
 
 def sessionize_sql(gap_s: int = 1800) -> str:
     return f"""
-WITH e AS (SELECT event_id, user_id, ts, value, floor(epoch(ts))::BIGINT AS ep FROM events),
+WITH e AS (SELECT event_id, user_id, ts, value, floor(epoch(ts))::BIGINT AS ep FROM {_EVF}),
 m AS (
   SELECT *, CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > {gap_s}
                  THEN 1 ELSE 0 END AS ns
@@ -674,7 +695,7 @@ def top_event_types_sql(k: int = 3) -> str:
     return f"""
 WITH a AS (
   SELECT user_id, event_type, {_r6('sum(value)')} AS total_value
-  FROM events GROUP BY 1, 2
+  FROM {_EVF} GROUP BY 1, 2
 ),
 r AS (
   SELECT *, row_number() OVER (PARTITION BY user_id
@@ -687,11 +708,11 @@ SELECT user_id, event_type, total_value, rnk::INT AS rank FROM r WHERE rnk <= {k
 
 def asof_purchase_sql() -> str:
     # DuckDB native ASOF JOIN as the oracle for the union-trick operator
-    return """
-WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    return f"""
+WITH l AS (SELECT event_id, user_id, ts FROM {_EVF} WHERE event_type = 'click'),
 r AS (
   SELECT user_id, ts, max(value) AS purchase_value
-  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+  FROM {_EVF} WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1, 2
 )
 SELECT l.event_id, l.user_id, l.ts, r.purchase_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
@@ -878,7 +899,7 @@ WITH s AS (
     sum({yk}) AS syk,
     sum({x} * {yk}) AS sxyk,
     sum({x} * {x}) AS sxx
-  FROM events GROUP BY user_id
+  FROM {_EVF} GROUP BY user_id
 ),
 d AS (
   SELECT user_id, n_events,
@@ -914,11 +935,11 @@ def purchase_attribution_sql(
 WITH p AS (
   SELECT event_id AS p_eid, user_id, epoch_us(ts) AS p_us,
          CAST(round(value * 100) AS BIGINT) AS purchase_cents
-  FROM events WHERE event_type = 'purchase'
+  FROM {_EVF} WHERE event_type = 'purchase'
 ),
 t AS (
   SELECT user_id, event_id AS t_eid, epoch_us(ts) AS t_us, event_type AS t_type
-  FROM events WHERE event_type IN ({in_list})
+  FROM {_EVF} WHERE event_type IN ({in_list})
 ),
 j AS (
   SELECT p.p_eid, p.user_id, p.purchase_cents, t.t_eid, t.t_us, t.t_type
@@ -971,7 +992,7 @@ def rfm_segments_sql(recent_days: int = 1, frequent_n: int = 14) -> str:
     date, integer cents, and fixed segment thresholds."""
     rec = "CAST(floor((ref_us - last_us) / 86400000000.0) AS INT)"
     return f"""
-WITH ref AS (SELECT max(epoch_us(ts)) AS ref_us FROM events),
+WITH ref AS (SELECT max(epoch_us(ts)) AS ref_us FROM {_EVF}),
 u AS (
   SELECT user_id,
          max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS last_us,
@@ -980,7 +1001,7 @@ u AS (
          CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
                                 THEN CAST(round(value * 100) AS BIGINT) END), 0)
               AS BIGINT) AS monetary_cents
-  FROM events GROUP BY user_id
+  FROM {_EVF} GROUP BY user_id
 )
 SELECT user_id,
   CASE WHEN frequency > 0 THEN {rec} END AS recency_days,
@@ -1064,7 +1085,7 @@ WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          CAST(count(*) AS BIGINT) AS n_events,
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
-  FROM events GROUP BY event_type, CAST(ts AS DATE)
+  FROM {_EVF} GROUP BY event_type, CAST(ts AS DATE)
 ),
 w AS (
   SELECT event_type, day, n_events, v_cents,
@@ -1096,7 +1117,7 @@ def event_type_pivot_sql(types: tuple[str, ...] = ("click", "view", "purchase", 
     return f"""
 SELECT user_id,
   {sel}
-FROM events GROUP BY user_id
+FROM {_EVF} GROUP BY user_id
 """
 
 
@@ -1106,7 +1127,7 @@ def value_deciles_sql() -> str:
     return f"""
 WITH d AS (
   SELECT value, ntile(10) OVER (ORDER BY value ASC, event_id ASC) AS decile
-  FROM events
+  FROM {_EVF} WHERE value IS NOT NULL
 )
 SELECT decile::INT AS decile, count(*) AS n_events,
   {_r6('min(value)')} AS min_value,
@@ -1145,11 +1166,11 @@ def salted_user_join_sql() -> str:
 WITH u AS (
   SELECT user_id, count(*) AS user_events,
          sum(CAST(value AS DECIMAL(38,10))) AS tv
-  FROM events GROUP BY user_id
+  FROM {_EVF} GROUP BY user_id
 )
 SELECT event_id, e.user_id, event_type, {_r6('value')} AS value,
        user_events, {_r6('CAST(tv AS DOUBLE)')} AS user_total_value
-FROM events e JOIN u USING (user_id)
+FROM {_EVF} e JOIN u USING (user_id)
 """
 
 
@@ -1731,7 +1752,7 @@ SELECT event_type,
   {_r6('min(value)')} AS min_value,
   {pcols},
   {_r6('max(value)')} AS max_value
-FROM events
+FROM {_EVF}
 GROUP BY event_type
 """
 
@@ -1776,7 +1797,7 @@ SELECT event_type,
   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
   TRUE AS users_in_bounds,
   {flag_cols}
-FROM events
+FROM {_EVF}
 GROUP BY event_type
 """
 

@@ -1,0 +1,104 @@
+"""Corrupt-float posture: NaN/Inf rows must neither kill jobs nor poison
+aggregates, and cross-engine parity must survive them.
+
+At 100 TB a poisoned double WILL appear (failed sensor, bad backfill,
+overflowed upstream computation). Before round 5's guards, one NaN in
+events.value crashed six queries outright (CAST_OVERFLOW on exact-cents
+casts) and silently broke Spark-vs-DuckDB parity in nine more (engines
+disagree on NaN ordering and NaN is absorbing under sum). The policy now:
+
+- scalar measurements: non-finite -> NULL at operator ingestion
+  (functions.finite_or_null; twins use CASE WHEN isfinite(value)).
+- vectors: any non-finite (or NULL) component excludes the vector from
+  every index (functions.finite_vectors; twins filter on _FINITE_VEC).
+
+This suite poisons ~1% of events.value with NaN/Inf and one embedding
+component per ~1% of vectors, then requires the driver-grade exact match
+for every affected query twin.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import TESTDATA_TABLES, assert_frames_match
+
+AFFECTED = [
+    "events_window_agg",
+    "events_sessionize",
+    "events_top_types",
+    "events_asof_purchase",
+    "events_type_pivot",
+    "events_value_deciles",
+    "events_attribution",
+    "events_rfm",
+    "events_value_percentiles",
+    "events_approx_stats",
+    "events_user_trend",
+    "events_anomaly",
+    "events_salted_user_join",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "sim_topk_quantized",
+    "sim_hard_negatives",
+    "embeddings_kmeans",
+    "embeddings_quantize",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_semantic",
+]
+
+
+@pytest.fixture(scope="module")
+def poisoned_sf_dir(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    d = tmp_path_factory.mktemp("testdata_poisoned")
+    for t in TESTDATA_TABLES:
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        if t == "events":
+            df = df.withColumn(
+                "value",
+                F.when(F.col("event_id") % 97 == 0, F.lit(float("nan")))
+                .when(F.col("event_id") % 89 == 0, F.lit(float("inf")))
+                .when(F.col("event_id") % 83 == 0, F.lit(float("-inf")))
+                .otherwise(F.col("value")),
+            )
+        if t == "embeddings":
+            # poison ONE component, preserving the vector's dimension
+            df = df.withColumn(
+                "embedding",
+                F.when(
+                    F.col("vec_id") % 113 == 0,
+                    F.transform(
+                        "embedding",
+                        lambda x, i: F.when(i == 0, F.lit(float("nan")).cast("float")).otherwise(x),
+                    ),
+                ).otherwise(F.col("embedding")),
+            )
+        df.coalesce(1).write.mode("overwrite").parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_poisoned(poisoned_sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{poisoned_sf_dir}/{t}.parquet/*.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", AFFECTED)
+def test_twin_parity_survives_poisoned_floats(spark, poisoned_sf_dir, duck_poisoned, name):
+    q = entrymod.queries()[name]
+    sdf = q(spark, poisoned_sf_dir).toPandas()
+    o = entrymod.oracle_sql().get(name)
+    if o is None:
+        return  # weak-checked op: executing without raising is the contract
+    assert_frames_match(sdf, duck_poisoned.execute(o).df(), name)
