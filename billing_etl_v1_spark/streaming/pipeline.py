@@ -32,6 +32,15 @@ from billing_etl_v1_spark.plans.pipeline import billing_pipeline
 from billing_etl_v1_spark.sources.writers import write_calculated
 
 
+def _sanitize_value(df: DataFrame) -> DataFrame:
+    """Same corrupt-float posture as the batch twins: a NaN in one
+    micro-batch must not poison a whole window's running total (NaN is
+    absorbing under sum, and window state carries it forever)."""
+    from billing_etl_v1_spark.functions import finite_or_null
+
+    return df.withColumn("value", finite_or_null("value"))
+
+
 def _event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     """Normalize the event-time column to TIMESTAMP (LTZ).
 
@@ -169,7 +178,7 @@ def streaming_window_counts(
 ) -> DataFrame:
     """Event-time tumbling window aggregation with late-data watermark."""
     return (
-        _event_time(events_stream).withWatermark("ts", watermark)
+        _sanitize_value(_event_time(events_stream)).withWatermark("ts", watermark)
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
         .select(
@@ -218,9 +227,9 @@ def streaming_enrich_user_profile(
     alternative (stream-stream join) would hold state for both sides and
     is only needed when the dimension itself is a stream of updates.
     """
-    enriched = _event_time(events_stream).withWatermark("ts", watermark).join(
-        F.broadcast(user_profile), "user_id"
-    )
+    enriched = _sanitize_value(_event_time(events_stream)).withWatermark(
+        "ts", watermark
+    ).join(F.broadcast(user_profile), "user_id")
     return (
         enriched.groupBy(F.window("ts", width).alias("w"), "segment")
         .agg(
@@ -251,7 +260,7 @@ def streaming_click_attribution(
     join from an unbounded one. Inner join: late/unmatched rows drop once
     the watermark passes (the batch twin reproduces this on complete data).
     """
-    events_stream = _event_time(events_stream)
+    events_stream = _sanitize_value(_event_time(events_stream))
     clicks = (
         events_stream.filter(F.col("event_type") == "click")
         .select(
