@@ -526,31 +526,56 @@ def chunk_documents(
     tokens) — the windowing step before sequence packing in a training
     pipeline (pair with corpus.pack_shards for the packing half).
 
-    One-to-N expansion entirely in array expressions: start offsets are a
-    ``sequence(1, n_tokens, stride)``, each chunk a ``slice`` — no UDF, no
-    shuffle; the explode is map-side, so a 100 TB corpus chunks at scan
-    speed. Blank documents produce no chunks. The tail chunk may be
-    shorter than ``chunk_tokens``; every token is covered exactly
-    ``ceil(chunk/stride)`` times or fewer (deterministic).
+    Shape: tokens explode to ROWS, each token computes ARITHMETICALLY
+    which chunks it belongs to (<= ceil(chunk/stride) of them — a 1-to-2
+    map-side expansion at the default 32/24), and chunks reassemble with
+    one (doc, chunk)-keyed aggregate whose per-group work is bounded by
+    ``chunk_tokens`` (the pack_blocks pattern). Linear in corpus tokens.
+
+    NOT the obvious ``transform(sequence(...), s -> slice(toks, s, k))``
+    one-liner: interpreted higher-order lambdas + projection collapse
+    inline the tokenization INTO the lambda body, re-splitting the whole
+    document once per chunk — O(chunks x doc_len), measured as a >120s
+    hang on one 400k-token document while this form takes seconds (the
+    winnowing lesson, round 2, re-learned on chunking in round 5).
+
+    Blank documents produce no chunks. The tail chunk may be shorter than
+    ``chunk_tokens``; every token is covered exactly ``ceil(chunk/stride)``
+    times or fewer (deterministic).
     """
-    d = (
+    toks = (
         df.filter(F.length(F.trim(F.col(text_col))) > 0)
-        .select("doc_id", _tokens(F.col(text_col)).alias("__toks"))
-        .withColumn(
-            "__chunks",
-            F.expr(
-                f"transform(sequence(1, size(__toks), {stride}),"
-                f" s -> slice(__toks, s, {chunk_tokens}))"
-            ),
-        )
+        .select("doc_id", F.posexplode(_tokens(F.col(text_col))).alias("__p0", "__tok"))
+        .withColumn("__p", F.col("__p0") + 1)  # 1-based token position
     )
-    return d.select(
-        "doc_id", F.posexplode("__chunks").alias("chunk_idx", "__ct")
+    # chunk k (0-based) spans 1-based positions [1 + k*stride, k*stride + chunk]:
+    # token p belongs to k in [ceil((p - chunk)/stride), (p-1) div stride],
+    # clamped at 0. Double ceil is exact here (positions << 2^53).
+    k_lo = F.greatest(
+        F.lit(0),
+        F.ceil((F.col("__p") - F.lit(chunk_tokens)) / F.lit(float(stride))).cast("int"),
+    )
+    k_hi = F.floor((F.col("__p") - 1) / F.lit(stride)).cast("int")
+    pieces = toks.select(
+        "doc_id",
+        "__p",
+        "__tok",
+        F.explode(F.sequence(k_lo, k_hi)).alias("chunk_idx"),
+    )
+    return pieces.groupBy("doc_id", "chunk_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("chunk_text"),
     ).select(
         "doc_id",
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        F.size("__ct").cast("bigint").alias("n_chunk_tokens"),
-        F.concat_ws(" ", F.col("__ct")).alias("chunk_text"),
+        "n_chunk_tokens",
+        "chunk_text",
     )
 
 
