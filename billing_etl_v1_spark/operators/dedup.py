@@ -84,19 +84,43 @@ def _norm_text(text_col: str) -> Column:
     return F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
 
 
+def _bind_once(expr: Column, build) -> Column:
+    """Evaluate ``expr`` exactly once per row and hand it to ``build`` as a
+    HOF lambda VARIABLE (a materialized attribute, O(1) to reference)
+    instead of a free sub-expression.
+
+    Interpreted higher-order lambdas re-evaluate every free expression
+    they close over once PER ELEMENT — ``transform(sequence(1, size(t)),
+    i -> element_at(t, i))`` with ``t = split(text)`` re-splits the whole
+    document for each position, O(len^2) per doc (the docs_chunk /
+    winnowing hang, re-found in round 5 on word_shingles: one 400k-token
+    document stalled the MinHash family >300s). Wrapping as
+    ``element_at(transform(array(t), x -> body(x)), 1)`` makes ``t`` the
+    HOF *argument* — evaluated once — and ``x`` a bound variable inside
+    ``body``."""
+    return F.element_at(F.transform(F.array(expr), build), 1)
+
+
 def word_shingles(text_col: str = "text", n: int = 3) -> Column:
     """Distinct word n-gram shingles (1-based element_at, mirroring the
-    oracle's 1-based list indexing); short docs use the whole token string."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    ngrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + off) for off in range(n)]
-        ),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(ngrams)).otherwise(
-        F.array(F.concat_ws(" ", toks))
-    )
+    oracle's 1-based list indexing); short docs use the whole token string.
+
+    The token array is bound via :func:`_bind_once` so the document is
+    tokenized ONCE per row; the per-position lambda then does O(1) array
+    reads — linear in document length."""
+
+    def _build(toks: Column) -> Column:
+        ngrams = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + off) for off in range(n)]
+            ),
+        )
+        return F.when(F.size(toks) >= n, F.array_distinct(ngrams)).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
+
+    return _bind_once(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), _build)
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -202,22 +226,6 @@ def shingle_base_hashes(text_col: str = "text", n: int = 3) -> Column:
     )
 
 
-def _cw_transform(a: int, b: int):
-    # NB: must return a ONE-parameter lambda — extra (even defaulted)
-    # parameters make pyspark treat it as an indexed-lambda variant
-    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
-
-
-def minhash_signature(hashes_col: Column, k: int = NUM_MINHASH) -> list[Column]:
-    """k MinHash values computed per row from the base-hash array:
-    array_min over the Carter-Wegman transform — no explode, no shuffle,
-    two integer ops per (shingle, component)."""
-    return [
-        F.array_min(F.transform(hashes_col, _cw_transform(a, b))).alias(f"mh{i}")
-        for i, (a, b) in enumerate(CW_CONSTANTS[:k])
-    ]
-
-
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -230,11 +238,29 @@ def minhash_signatures(
     ~k×8 bytes per document — the intermediate worth writing to storage
     once per corpus. Incremental dedup (:func:`minhash_incremental_pairs`)
     then joins each new batch against this table instead of re-hashing
-    the historical corpus."""
-    hashed = df.select(
-        F.col(id_col).alias("doc"), shingle_base_hashes(text_col, n).alias("__hs")
+    the historical corpus.
+
+    Shape: base hashes explode to ROWS through one Generate (the shingle
+    pass runs exactly once per document — a chained
+    ``select(hs).select(k mins over hs)`` projection-collapses into k
+    copies of the whole shingle+md5 expression, a measured k× blowup),
+    then ONE groupBy(doc) computes all k component minima with map-side
+    partial aggregation: each partition pre-reduces its shingles to one
+    k-int row per doc before the shuffle, so shuffle bytes are ~k×8 per
+    document regardless of document length. word_shingles guarantees a
+    non-empty shingle array for every row (short/empty/NULL docs get one
+    whole-string shingle), so no document is dropped by the explode."""
+    rows = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingle_base_hashes(text_col, n)).alias("__h"),
     )
-    return hashed.select("doc", *minhash_signature(F.col("__hs"), k))
+    aggs = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(CW_CONSTANTS[:k])
+    ]
+    return rows.groupBy("doc").agg(*aggs)
 
 
 def _banded(sig: DataFrame, bands: int = BANDS, k: int = NUM_MINHASH) -> DataFrame:

@@ -923,3 +923,25 @@ def test_multimodal_ops_null_payloads_propagate_not_crash(spark):
 
     frames = mm.sample_frames(payloads, frame_size=4, every_n=1).collect()
     assert {r.doc_id for r in frames} == {0, 2}  # NULL doc yields no frames
+
+
+def test_minhash_linear_on_pathological_long_doc(spark):
+    """One degenerate multi-hundred-kilotoken document must not stall the
+    MinHash family. Round 5 found word_shingles re-tokenizing the whole
+    document once PER SHINGLE POSITION (a free sub-expression inside an
+    interpreted HOF lambda — the docs_chunk trap) and minhash_signatures
+    recomputing the entire shingle pass once per signature component
+    (projection collapse over chained selects): a single 400k-token doc
+    hung >300s. The fixed path (_bind_once + explode-to-rows min-agg)
+    does it in seconds; at the O(len^2) complexity this 60k-token doc
+    alone would run for minutes and trip the suite as a hang."""
+    from billing_etl_v1_spark.operators.dedup import minhash_lsh_pairs
+
+    words = " ".join(f"w{i % 997}" for i in range(60_000))
+    docs = spark.createDataFrame(
+        [(0, words), (1, words + " tail shift"), (2, "tiny doc")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in minhash_lsh_pairs(docs).collect()}
+    # near-identical giants must be caught as a candidate pair
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.5
