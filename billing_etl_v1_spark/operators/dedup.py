@@ -390,27 +390,51 @@ def minhash_lsh_pairs(
     return _estimated_jaccard(cand, sig, k)
 
 
-def simhash16(text_col: str = "text") -> Column:
-    """16-bit SimHash over distinct tokens, fully per-row.
+def simhash16_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, sig) 16-bit SimHash signatures over distinct tokens: bit b of
+    the signature = 1 iff sum over tokens of (+1 if bit b of the token
+    hash else -1) > 0.
 
-    bit b of the signature = 1 iff sum over tokens of (+1 if bit b of the
-    token hash else -1) > 0.
-    """
+    Shape: distinct tokens explode to rows through one Generate, each row
+    hashes ONCE, and one groupBy(doc) sums all 16 bit votes with map-side
+    partial aggregation — a doc's tokens start co-located in its source
+    row, so each partition pre-reduces to one 16-int row per doc and the
+    shuffle carries ~#docs rows. The previous per-row Column form ran 16
+    separate ``F.aggregate`` passes over the token-hash array, re-hashing
+    every token once per bit (md5 dominates; 16× the hash work).
+
+    Integer vote sums are order-independent, so signatures are
+    bit-identical to the per-row form and to the DuckDB oracle. NULL-text
+    docs keep their signature of 0 (every vote NULL → every bit 0 in the
+    old form) via a separate constant branch."""
     toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-    hashes = F.transform(toks, lambda t: md5_long(t))
-
-    def _vote(b: int):
-        # NB: keep HOF lambdas strictly unary/binary — an extra (even
-        # defaulted) parameter makes pyspark treat them as indexed variants
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    bits = []
-    for b in range(16):
-        vote = F.aggregate(hashes, F.lit(0), _vote(b))
-        bits.append(F.when(vote > 0, F.lit(2**b)).otherwise(F.lit(0)))
-    return sum(bits[1:], bits[0]).cast("int")
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("__t"))
+    null_sigs = base.filter(F.col("__t").isNull()).select(
+        "doc", F.lit(0).cast("int").alias("sig")
+    )
+    hashed = (
+        base.filter(F.col("__t").isNotNull())
+        .select("doc", F.explode("__t").alias("__tok"))
+        .select("doc", md5_long(F.col("__tok")).alias("__h"))
+    )
+    votes = hashed.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"__v{b}")
+            for b in range(16)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"__v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        for b in range(16)
+    ]
+    sigs = votes.select("doc", sum(bits[1:], bits[0]).cast("int").alias("sig"))
+    return sigs.unionByName(null_sigs)
 
 
 def embedding_cosine_pairs(
@@ -621,8 +645,7 @@ def simhash_pairs(
     assert 16 % n_bands == 0, "banding needs max_hamming+1 to divide 16"
     width = 16 // n_bands
     mask = (1 << width) - 1
-    sig = df.select(F.col(id_col).alias("doc"), simhash16(text_col).alias("sig"))
-    sig = _memo_persist_sig(sig)
+    sig = _memo_persist_sig(simhash16_signatures(df, id_col, text_col))
     banded = sig.select(
         "doc",
         "sig",
