@@ -49,6 +49,10 @@ def _prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     # corrupt vectors (any NaN/Inf component) are excluded from the index:
     # distance to a poisoned vector is undefined, and NaN dots would
     # otherwise crash int8 quantization casts and scramble top-k ranks.
+    # Zero-norm vectors (all-zero embedding — a failed encoder's routine
+    # output) are excluded for the same contract reason, and a harder one:
+    # cosine divides by the norm, and under ANSI mode (Spark 4 default) a
+    # single zero-norm row kills the whole job with DIVIDE_BY_ZERO.
     # Single chokepoint for brute/IVF/kmeans/quantize/cosine-pair/LSH paths.
     from billing_etl_v1_spark.functions import finite_vectors
 
@@ -56,7 +60,7 @@ def _prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         finite_vectors(df, vec_col).select(
             F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
         )
-    )
+    ).filter(F.col("norm") > 0)
 
 
 def cosine_topk_bruteforce(
@@ -203,7 +207,14 @@ def kmeans_refine(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda t: t["m"]
             ).alias("cv")
         )
-        cents = with_norm(arr, "cv", "cn").select("cid", "cv", "cn")
+        # a refined centroid can degenerate to the zero vector (members
+        # summing to zero); it must vanish like an empty cluster, or the
+        # next round's cosine divides by cn=0 (ANSI job-kill)
+        cents = (
+            with_norm(arr, "cv", "cn")
+            .select("cid", "cv", "cn")
+            .filter(F.col("cn") > 0)
+        )
 
     return assign(cents).select(
         F.col("vid").alias(id_col),
@@ -348,13 +359,16 @@ def hard_negatives(
             )
     from billing_etl_v1_spark.functions import finite_vectors
 
+    # inlines _prep's contract (the label column rules out reusing it):
+    # non-finite AND zero-norm vectors are excluded — cosine divides by
+    # the norm, and ANSI mode turns norm=0 into a job-killing error
     base = with_norm(
         finite_vectors(embeddings, vec_col).select(
             F.col(id_col).alias("vid"),
             _as_double(F.col(vec_col)).alias("v"),
             F.col(label_col).alias("lab"),
         )
-    )
+    ).filter(F.col("norm") > 0)
     anchors = base.filter(F.col("vid") % query_mod == 0).select(
         F.col("vid").alias("qid"),
         F.col("v").alias("qv"),

@@ -325,12 +325,15 @@ WHERE {cos} >= {threshold}
 
 def _norms_cte() -> str:
     # WHERE mirrors functions.finite_vectors: vectors with any non-finite
-    # (or NULL) component are excluded from the index on both engines
+    # (or NULL) component are excluded from the index on both engines.
+    # nrm > 0 mirrors similarity._prep's zero-norm exclusion (an all-zero
+    # embedding would otherwise divide cosine by zero).
     self_dot = _DOT.format(a="v", b="v")
     return f"""
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       WHERE {_FINITE_VEC}),
-n AS (SELECT vec_id, v, sqrt({self_dot}) AS nrm FROM e)"""
+n AS (SELECT * FROM (SELECT vec_id, v, sqrt({self_dot}) AS nrm FROM e)
+      WHERE nrm > 0)"""
 
 
 def sim_topk_bruteforce_sql(query_mod: int = 50, k: int = 5) -> str:
@@ -521,8 +524,8 @@ def hard_negatives_sql(query_mod: int = 50, k: int = 5) -> str:
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
           WHERE {_FINITE_VEC}),
-n AS (SELECT vec_id, v, label,
-             sqrt({_DOT.format(a='v', b='v')}) AS nrm FROM e),
+n AS (SELECT * FROM (SELECT vec_id, v, label,
+             sqrt({_DOT.format(a='v', b='v')}) AS nrm FROM e) WHERE nrm > 0),
 q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, label AS qlab
       FROM n WHERE vec_id % {query_mod} = 0),
 s AS (
@@ -647,7 +650,8 @@ def kmeans_refine_sql(centroid_mod: int = 25, iters: int = 2) -> str:
   GROUP BY a.cid, u.i
 ),
 arr{i} AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cid),
-c{i + 1} AS (SELECT cid, cv, sqrt({self_dot}) AS cn FROM arr{i})"""
+c{i + 1} AS (SELECT * FROM (SELECT cid, cv, sqrt({self_dot}) AS cn FROM arr{i})
+             WHERE cn > 0)"""
         )
     parts.append(assign(f"a{iters}", f"c{iters}"))
     body = ",\n".join(parts)

@@ -77,6 +77,17 @@ def poisoned_sf_dir(spark, tmp_path_factory):
                     ),
                 ).otherwise(F.col("embedding")),
             )
+            # and ZERO whole vectors elsewhere: a failed encoder emits
+            # all-zeros, which is finite but has norm 0 — under ANSI mode
+            # cosine's divide-by-norm kills the job unless the index
+            # excludes them (similarity._prep / oracle nrm > 0)
+            df = df.withColumn(
+                "embedding",
+                F.when(
+                    F.col("vec_id") % 109 == 0,
+                    F.transform("embedding", lambda x: F.lit(0.0).cast("float")),
+                ).otherwise(F.col("embedding")),
+            )
         df.coalesce(1).write.mode("overwrite").parquet(str(d / f"{t}.parquet"))
     return str(d)
 
