@@ -31,8 +31,23 @@ def conform_to_target(
     df: DataFrame,
     etl_time: _dt.datetime | None = None,
     include_etl_time: bool = True,
+    strict: bool = True,
 ) -> DataFrame:
-    """Project onto the exact 37-column target schema with reference defaults."""
+    """Project onto the exact 37-column target schema with reference defaults.
+
+    ``strict`` controls what happens to type GARBAGE (a string 'abc' in a
+    numeric column, '2024-99-99' in usage_day — distinct from NULLs, which
+    the coalesce defaults always absorb): strict=True (default, the
+    verified reference behavior) uses plain casts, so under ANSI mode one
+    malformed value fails the job loudly at the conformance boundary;
+    strict=False is the 100 TB quarantine mode — try_cast turns garbage
+    into NULL, which then takes the same type-appropriate default as a
+    missing value ('' / 0.0 / 0, NULL preserved for the nullable pair),
+    so one poisoned row cannot kill a day-long backfill."""
+
+    def _cast(c: Column, t: str) -> Column:
+        return c.cast(t) if strict else c.try_cast(t)
+
     present = set(df.columns)
     out: list[Column] = []
     for name in TARGET_COLUMNS:
@@ -41,10 +56,10 @@ def conform_to_target(
                 continue
             col = F.lit(etl_time).cast("timestamp") if etl_time else F.current_timestamp()
         elif name == "usage_day":
-            col = F.col(name).cast("date")
+            col = _cast(F.col(name), "date")
         elif name == "mode":
             base = F.col(name) if name in present else F.lit(None)
-            col = F.coalesce(base.cast("int"), F.lit(0))
+            col = F.coalesce(_cast(base, "int"), F.lit(0))
         elif name in TARGET_NULLABLE_STRING_COLUMNS:
             col = (F.col(name) if name in present else F.lit(None)).cast("string")
         elif name in TARGET_STRING_COLUMNS:
@@ -52,7 +67,7 @@ def conform_to_target(
             col = F.coalesce(base.cast("string"), F.lit(""))
         elif name in TARGET_NUMERIC_COLUMNS:
             base = F.col(name) if name in present else F.lit(None)
-            col = F.coalesce(base.cast("double"), F.lit(0.0))
+            col = F.coalesce(_cast(base, "double"), F.lit(0.0))
         else:  # pragma: no cover - exhaustive above
             col = F.col(name)
         out.append(col.alias(name))

@@ -192,8 +192,22 @@ def clicks_asof_purchase(events: DataFrame) -> DataFrame:
 
 
 def json_props_agg(events: DataFrame) -> DataFrame:
-    """JSON extraction (props -> $.k) + aggregation per event_type."""
-    k = F.get_json_object("props", "$.k").cast("int")
+    """JSON extraction (props -> $.k) + aggregation per event_type.
+
+    Corrupt-input posture: at 100 TB some props WILL be malformed JSON or
+    carry a non-numeric k. get_json_object already NULLs malformed JSON;
+    the extracted string is gated on integral format and then try_cast
+    because under ANSI mode (Spark 4 default) a plain cast of one 'abc'
+    kills the whole job (CAST_INVALID_INPUT). The explicit ^-?[0-9]+$
+    gate (same RE2/Java semantics on both engines) pins the edge cases
+    the engines natively disagree on: DuckDB ROUNDS '3.7'::INTEGER to 4
+    while Spark's try_cast NULLs it — fractional/overflowing/boolean k
+    values are uniformly NULL on both. The oracle twin mirrors with
+    TRY_CAST(props AS JSON) (DuckDB's json_extract_string ERRORS on
+    malformed documents, so the try wraps the parse itself) + the same
+    regex gate + TRY_CAST."""
+    s = F.get_json_object("props", "$.k")
+    k = F.when(s.rlike(r"^-?[0-9]+$"), s).try_cast("int")
     return (
         events.withColumn("k", k)
         .groupBy("event_type")

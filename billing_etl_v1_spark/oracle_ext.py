@@ -724,12 +724,22 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 
 
 def json_props_sql() -> str:
-    return """
+    # TRY_CAST(props AS JSON) NULLs malformed documents (json_extract_string
+    # ERRORS on them); the integral-format regex gate + TRY_CAST mirrors the
+    # Spark side exactly — without the gate DuckDB ROUNDS '3.7'::INTEGER to
+    # 4 while Spark's try_cast NULLs it
+    k = (
+        "TRY_CAST(CASE WHEN regexp_matches("
+        "json_extract_string(TRY_CAST(props AS JSON), '$.k'), '^-?[0-9]+$') "
+        "THEN json_extract_string(TRY_CAST(props AS JSON), '$.k') END "
+        "AS INTEGER)"
+    )
+    return f"""
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS INTEGER))::BIGINT AS sum_k,
-       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+       sum({k})::BIGINT AS sum_k,
+       min({k}) AS min_k,
+       max({k}) AS max_k
 FROM events GROUP BY event_type
 """
 

@@ -349,3 +349,30 @@ def test_restrict_dim_to_fact_accounts_is_semi_join(spark):
     assert got == [("A", 1), ("A", 2), ("B", 3)]  # C dropped, A not amplified
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan, plan
+
+
+def test_conform_strict_fails_loud_permissive_quarantines(spark):
+    """Type GARBAGE at the conformance boundary (a string in a numeric
+    column, an unparseable usage_day — distinct from NULLs): the default
+    strict mode must fail the job loudly under ANSI, and strict=False
+    must quarantine the bad value to the same type-appropriate default a
+    missing value gets, so one poisoned row can't kill a long backfill."""
+    import pytest
+
+    from billing_etl_v1_spark.operators.conform import conform_to_target
+
+    df = spark.createDataFrame(
+        [("2024-03-01", "3", "1.5"), ("garbage-day", "abc", "x")],
+        "usage_day string, mode string, cost string",
+    )
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT|ANSI|Cannot cast|DateTimeException|CANNOT_PARSE"):
+        conform_to_target(df, include_etl_time=False).collect()
+
+    rows = {
+        str(r.usage_day): r
+        for r in conform_to_target(df, include_etl_time=False, strict=False).collect()
+    }
+    good = rows["2024-03-01"]
+    assert good.mode == 3 and good.cost == 1.5
+    bad = rows["None"]
+    assert bad.mode == 0 and bad.cost == 0.0

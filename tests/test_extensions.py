@@ -945,3 +945,34 @@ def test_minhash_linear_on_pathological_long_doc(spark):
     pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in minhash_lsh_pairs(docs).collect()}
     # near-identical giants must be caught as a candidate pair
     assert (0, 1) in pairs and pairs[(0, 1)] >= 0.5
+
+
+def test_json_props_survives_malformed_props_bit_identical(spark):
+    """One malformed props document or one non-numeric k must not kill
+    the job (round 5: ANSI CAST_INVALID_INPUT on Spark, Invalid Input
+    Error from DuckDB's json_extract_string) and both engines must agree
+    on every edge the fix pins down — notably fractional k, where a bare
+    DuckDB '3.7'::INTEGER ROUNDS to 4 while Spark's try_cast NULLs it;
+    the shared ^-?[0-9]+$ gate makes both NULL."""
+    import duckdb
+    import pandas as pd
+
+    import billing_etl_v1_spark.oracle_ext as ox
+    from billing_etl_v1_spark.operators import events as ev
+    from tests.conftest import normalize
+
+    rows = [
+        (1, "click", '{"k":3}'), (2, "click", '{"k":"abc"}'),
+        (3, "view", "not-json{"), (4, "view", None), (5, "view", '{"j":9}'),
+        (6, "view", '{"k":"3.7"}'), (7, "scroll", '{"k":3.9}'),
+        (8, "scroll", "7"), (9, "scroll", '{"k":null}'),
+        (10, "scroll", '{"k":-12}'), (11, "scroll", "[1,2]"), (12, "scroll", '""'),
+        (13, "tap", '{"k":99999999999999999999}'), (14, "tap", '{"k":true}'),
+        (15, "tap", '{"k":"007"}'), (16, "tap", '{"k":[1]}'),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, props string")
+    s = normalize(ev.json_props_agg(df).toPandas())
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame(rows, columns=["event_id", "event_type", "props"]))
+    d = normalize(con.execute(ox.json_props_sql()).df())
+    pd.testing.assert_frame_equal(s, d, check_dtype=False)
