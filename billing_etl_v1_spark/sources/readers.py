@@ -104,3 +104,77 @@ def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
     keys, which breaks downstream column resolution)."""
     harden_session(spark)
     return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema,
+    header: bool = True,
+    timestamp_format: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV source with corrupt-row QUARANTINE instead of job failure — the
+    in-data-plane form of the reference's failure-CSV posture (reference
+    main.py:15-32 wraps each day in try/except and logs failures to a CSV;
+    here the failed ROWS themselves are captured, not just the batch that
+    contained them).
+
+    Returns ``(good, bad)``: ``good`` has exactly ``schema``'s columns with
+    every fully-parsed row; ``bad`` is ``(corrupt_record: string)`` holding
+    the raw text of each row that failed to parse, ready for
+    ``writers.write_rows`` into a quarantine location. Use
+    :func:`read_csv` (FAILFAST) when a malformed row should stop the run;
+    use this when a 100 TB backfill must survive row-level garbage and
+    account for it afterwards.
+
+    Implementation notes: PERMISSIVE mode + ``columnNameOfCorruptRecord``
+    requires the corrupt column present in the read schema, and Spark
+    refuses to filter on the corrupt column of an unmaterialized scan
+    (SPARK-21610) — the parsed frame is persisted before the split, which
+    also means the file is read ONCE for both outputs.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql.types import StringType, StructType
+
+    harden_session(spark)
+    corrupt = "_corrupt_record"
+    aug = StructType(list(schema.fields)).add(corrupt, StringType())
+    reader = (
+        spark.read.schema(aug)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+    )
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    parsed = reader.csv(path).persist(StorageLevel.MEMORY_AND_DISK)
+    good = parsed.filter(F.col(corrupt).isNull()).drop(corrupt)
+    bad = parsed.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("corrupt_record")
+    )
+    return good, bad
+
+
+def read_json_quarantine(
+    spark: SparkSession, path: str, schema
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines source with corrupt-row quarantine; same contract and
+    rationale as :func:`read_csv_quarantine`."""
+    from pyspark import StorageLevel
+    from pyspark.sql.types import StringType, StructType
+
+    harden_session(spark)
+    corrupt = "_corrupt_record"
+    aug = StructType(list(schema.fields)).add(corrupt, StringType())
+    parsed = (
+        spark.read.schema(aug)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .json(path)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    good = parsed.filter(F.col(corrupt).isNull()).drop(corrupt)
+    bad = parsed.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("corrupt_record")
+    )
+    return good, bad

@@ -563,3 +563,52 @@ def test_versioned_writes_time_travel_and_rollback(spark, tmp_path):
     assert read_versioned(spark, d).count() == 40
     with pytest.raises(ValueError, match="does not exist"):
         rollback_version(spark, d, 99)
+
+
+def test_csv_quarantine_splits_good_and_bad_rows(spark, tmp_path):
+    """PERMISSIVE + corrupt-record capture: malformed rows land in the
+    quarantine frame as raw text, fully-parsed rows come back typed and
+    complete, and the union accounts for every input line (the reference's
+    failure-CSV posture moved into the data plane, at row grain)."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from billing_etl_v1_spark.sources.readers import read_csv_quarantine
+
+    path = str(tmp_path / "q.csv")
+    with open(path, "w") as f:
+        f.write("id,name,qty\n")
+        f.write("1,alpha,10\n")
+        f.write("2,beta,not-a-number\n")
+        f.write("3,gamma,30\n")
+        f.write("4,delta,4.5\n")
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("name", StringType()),
+            StructField("qty", IntegerType()),
+        ]
+    )
+    good, bad = read_csv_quarantine(spark, path, schema)
+    g = {r.id: r for r in good.collect()}
+    b = sorted(r.corrupt_record for r in bad.collect())
+    assert set(g) == {1, 3} and g[1].qty == 10 and g[3].qty == 30
+    assert b == ["2,beta,not-a-number", "4,delta,4.5"]
+    assert good.columns == ["id", "name", "qty"]
+
+
+def test_json_quarantine_splits_good_and_bad_rows(spark, tmp_path):
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from billing_etl_v1_spark.sources.readers import read_json_quarantine
+
+    path = str(tmp_path / "q.jsonl")
+    with open(path, "w") as f:
+        f.write('{"id": 1, "tag": "a"}\n')
+        f.write("this is not json\n")
+        f.write('{"id": 3, "tag": "c"}\n')
+    schema = StructType(
+        [StructField("id", IntegerType()), StructField("tag", StringType())]
+    )
+    good, bad = read_json_quarantine(spark, path, schema)
+    assert {r.id for r in good.collect()} == {1, 3}
+    assert [r.corrupt_record for r in bad.collect()] == ["this is not json"]
