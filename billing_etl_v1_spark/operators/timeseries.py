@@ -43,8 +43,17 @@ def gap_fill_daily(fact: DataFrame, month: str) -> DataFrame:
     a 100 TB pipeline, materialize the day grain once (it is only
     accounts x days rows) and feed this operator from that table instead.
     """
+    # the day grain is additionally clamped to the invoice month's CALENDAR
+    # window: a corrupt usage_day that disagrees with its invoice_month (a
+    # valid date like 9999-12-31 passes every cast) would otherwise stretch
+    # the [min, max] spine to millions of days and the accounts x spine
+    # cross join to billions of rows — one bad row, one dead job. Inside
+    # the month the clamp is a no-op; out-of-month garbage is excluded
+    # here and flagged by the dq audit, not silently reported as usage.
+    m0 = F.to_date(F.lit(month), "yyyyMM")
     day = (
         fact.filter(F.col("invoice_month") == month)
+        .filter(F.col("usage_day").between(m0, F.last_day(m0)))
         .groupBy("billing_account_id", "usage_day")
         .agg(F.sum(F.col("cost").cast("decimal(38,10)")).alias("__cost"))
     )

@@ -531,13 +531,17 @@ FROM fact WHERE invoice_month = '{prior}'
 
 def gap_fill_daily_sql(month: str = FLAGSHIP_MONTH) -> str:
     """Twin of operators.timeseries.gap_fill_daily — date spine via
-    generate_series over the month's observed [min, max] day span."""
+    generate_series over the month's observed [min, max] day span, with the
+    day grain clamped to the invoice month's calendar window (mirrors the
+    Spark-side guard against out-of-month corrupt usage_day rows)."""
     return f"""
 WITH fact AS ({FACT_SQL}),
 day_agg AS (
   SELECT billing_account_id, usage_day,
          sum(CAST(cost AS DECIMAL(38,10))) AS c
   FROM fact WHERE invoice_month = '{month}'
+    AND usage_day BETWEEN strptime('{month}', '%Y%m')::DATE
+                      AND last_day(strptime('{month}', '%Y%m')::DATE)
   GROUP BY billing_account_id, usage_day
 ),
 bounds AS (SELECT min(usage_day) AS d0, max(usage_day) AS d1 FROM day_agg),

@@ -124,3 +124,25 @@ def test_price_bands_partition_every_part(spark):
     out = examples.price_band_summary(part).toPandas()
     assert out.n_parts.sum() == part.count()
     assert out.band.is_unique
+
+
+def test_gap_fill_clamps_out_of_month_corrupt_day(spark):
+    """A usage_day that disagrees with its invoice_month (9999-12-31 is a
+    VALID date, so every cast passes) must not stretch the spine: unclamped,
+    [min, max] spans ~2.9M days and the accounts x spine cross join goes to
+    billions of rows — one corrupt row, one dead job. The day grain is
+    clamped to the month's calendar window, so the spine stays within the
+    month and the corrupt day is excluded (dq audit territory, not a
+    zero-filled series)."""
+    import datetime as dt
+
+    fact = _fact(spark)
+    bad = fact.limit(1).withColumn("usage_day", F.lit(dt.date(9999, 12, 31)))
+    out = ts.gap_fill_daily(fact.unionByName(bad), MONTH).cache()
+    days = [r.usage_day for r in out.select("usage_day").distinct().collect()]
+    assert max(days) <= dt.date(1995, 6, 30)
+    assert min(days) >= dt.date(1995, 6, 1)
+    # spine row count stays accounts x observed-window days (bounded <= 30)
+    n_accounts = out.select("billing_account_id").distinct().count()
+    assert out.count() == n_accounts * len(days)
+    out.unpersist()
