@@ -8,6 +8,14 @@ from pyspark.sql.types import DoubleType
 
 QUANT_SCALE = 1_000_000.0
 
+# quantize6's floor path is engine-identical only while x*1e6 fits BIGINT:
+# Spark's floor(double) returns LONG (and SATURATES at Long.MaxValue on
+# overflow) while DuckDB's returns DOUBLE — a corrupt-but-finite 1e300
+# quantized to 9.22e12 on one engine and stayed 1e300 on the other.
+# Beyond this bound the 1e-6 grid is meaningless anyway (double ulp > 1e-6),
+# so out-of-envelope values PASS THROUGH unchanged on both engines.
+QUANT_ABS_MAX = 9.0e12
+
 
 def quantize6(col):
     """Deterministic money quantization: floor(x*1e6 + 0.5)/1e6.
@@ -17,8 +25,14 @@ def quantize6(col):
     with money inputs of few decimal digits, products land EXACTLY on
     .xxxxxx5 boundaries and a 1e-6 hash mismatch appears. This formula is
     pure IEEE double arithmetic, so both engines produce bit-identical
-    results (the DuckDB oracle uses the same text — oracle._r6)."""
-    return F.floor(col * F.lit(QUANT_SCALE) + F.lit(0.5)) / F.lit(QUANT_SCALE)
+    results (the DuckDB oracle uses the same text — oracle._r6).
+
+    Values outside the quantization envelope (|x| > QUANT_ABS_MAX, where
+    Spark's LONG-returning floor would saturate while DuckDB's DOUBLE
+    floor would not) pass through unchanged on both engines — including
+    NaN/Inf, whose abs() comparison is false."""
+    q = F.floor(col * F.lit(QUANT_SCALE) + F.lit(0.5)) / F.lit(QUANT_SCALE)
+    return F.when(F.abs(col) <= F.lit(QUANT_ABS_MAX), q).otherwise(col)
 
 
 def round_doubles(df: DataFrame, _scale: int = 6) -> DataFrame:
@@ -34,19 +48,33 @@ def round_doubles(df: DataFrame, _scale: int = 6) -> DataFrame:
     )
 
 
-def finite_or_null(col):
-    """Non-finite doubles (NaN, ±Inf) to NULL at operator ingestion.
+# the measure domain guarded by finite_or_null: |v| <= 9e8, aligned with
+# exact_sum's 1e-10 BIGINT grid. A FINITE 1e300 is just as corrupt for a
+# measure as NaN — it saturates Spark's quantization, overflows
+# DECIMAL(38,10) casts under ANSI (job-kill), and DuckDB raises where
+# Spark saturates, the worst divergence.
+MEASURE_ABS_MAX = 9.0e8
 
-    At 100 TB a single corrupt measurement WILL occur, and the two failure
-    modes are both job-level: NaN is absorbing under sum (one poisoned row
-    turns a global total into NaN), and exact-cents casts raise
-    CAST_OVERFLOW on NaN/Inf, killing the task. NULL is the semantic the
+
+def finite_or_null(col):
+    """Out-of-domain doubles (NaN, ±Inf, |v| > MEASURE_ABS_MAX) to NULL at
+    operator ingestion.
+
+    At 100 TB a single corrupt measurement WILL occur, and the failure
+    modes are all job-level: NaN is absorbing under sum (one poisoned row
+    turns a global total into NaN), exact-cents/DECIMAL casts raise
+    CAST_OVERFLOW / NUMERIC_VALUE_OUT_OF_RANGE on NaN/Inf/huge values,
+    killing the task, and a finite-but-absurd 1e300 saturates Spark's
+    LONG-returning floor while DuckDB errors. NULL is the semantic the
     rest of each aggregate already handles (skipped by sums, counted by
     nothing). The DuckDB oracle twins apply the identical rule via
-    ``CASE WHEN isfinite(value) THEN value END`` so cross-engine parity
-    holds on poisoned corpora too (tests/test_corrupt_floats.py)."""
+    ``CASE WHEN isfinite(value) AND abs(value) <= 9e8 THEN value END`` so
+    cross-engine parity holds on poisoned corpora too
+    (tests/test_corrupt_floats.py)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))), c)
+    return F.when(
+        ~F.isnan(c) & (F.abs(c) <= F.lit(MEASURE_ABS_MAX)), c
+    )
 
 
 def finite_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -68,6 +96,11 @@ def finite_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 _B = 1_000_000_000
 
+# exact_sum's input domain: the 1e-10 quantization grid fits BIGINT only for
+# |v| <= ~9.22e8; values beyond it are treated as corrupt and excluded from
+# the sum (see exact_sum docstring). 9e8 leaves a clean margin.
+EXACT_SUM_ABS_MAX = 9.0e8
+
 
 def exact_sum(col) -> "F.Column":
     """Partition-order-proof SUM of a double column, primitive-long fast.
@@ -86,8 +119,17 @@ def exact_sum(col) -> "F.Column":
     2^53 (|value| ~9e5) because the difference is no longer representable.
     Integer div keeps hi exact across the full BIGINT range, so per-row
     |value| is bounded only by the 1e-10 grid itself (~9e8).
+
+    Values OUTSIDE the grid (|v| > 9e8 — finite but absurd for money/measure
+    semantics, i.e. corrupt) are excluded from the sum identically on both
+    engines: without the guard Spark SATURATES the BIGINT cast (silently
+    poisoning the sum with Long.MaxValue) while DuckDB raises a conversion
+    error (one corrupt row kills the job) — the worst possible divergence.
+    The CASE guard mirrors oracle._dsum token-for-token.
     """
-    v10 = F.floor(col.cast("double") * F.lit(1e10) + F.lit(0.5)).cast("bigint")
+    d = col.cast("double")
+    bounded = F.when(F.abs(d) <= F.lit(EXACT_SUM_ABS_MAX), d)
+    v10 = F.floor(bounded * F.lit(1e10) + F.lit(0.5)).cast("bigint")
     lo = ((v10 % _B) + _B) % _B
     hi = F.call_function("div", v10 - lo, F.lit(_B))  # exact: (v10-lo) % 1e9 == 0
     return (

@@ -32,12 +32,19 @@ FLAGSHIP_MONTH = "199506"
 
 def _r6(expr: str) -> str:
     """Same quantization as functions.quantize6 — floor(x*1e6+0.5)/1e6 in pure
-    double arithmetic, bit-identical across engines (ROUND ties differ)."""
+    double arithmetic, bit-identical across engines (ROUND ties differ).
+    Out-of-envelope values (|x| > 9e12 — where Spark's LONG floor would
+    saturate but DuckDB's DOUBLE floor would not) pass through unchanged,
+    mirroring functions.quantize6."""
     # CAST the constants: Spark SQL types a bare 1000000.0 literal as
     # DECIMAL(8,1), which would silently turn the whole expression decimal
-    return (
+    q = (
         f"floor(({expr}) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
         f" / CAST(1000000.0 AS DOUBLE)"
+    )
+    return (
+        f"CASE WHEN abs(CAST(({expr}) AS DOUBLE)) <= 9e12 THEN {q}"
+        f" ELSE CAST(({expr}) AS DOUBLE) END"
     )
 
 
@@ -96,9 +103,15 @@ def _dsum(m: str, dialect: str = "duckdb") -> str:
     Spark SQL ∩ DuckDB dialect intersection and IEEE-identical, so both
     engines agree bit-for-bit; matches operators.aggregate.source_aggregate.
     Integer div (not ``/``): a double division truncates hi off-by-one once
-    |v10| > 2^53 (per-row |value| ~9e5); integer div is exact to ~9e8."""
+    |v10| > 2^53 (per-row |value| ~9e5); integer div is exact to ~9e8.
+
+    The CASE guard excludes values outside the grid (|v| > 9e8, finite but
+    corrupt for measure semantics) from the sum, mirroring
+    functions.exact_sum: without it Spark saturates the BIGINT cast while
+    DuckDB raises — silent poison on one engine, a dead job on the other."""
     idiv = "//" if dialect == "duckdb" else "div"
-    v10 = f"CAST(floor({m} * 1e10 + 0.5) AS BIGINT)"
+    bounded = f"CASE WHEN abs(CAST({m} AS DOUBLE)) <= 9e8 THEN CAST({m} AS DOUBLE) END"
+    v10 = f"CAST(floor(({bounded}) * 1e10 + 0.5) AS BIGINT)"
     lo = f"((({v10}) % 1000000000) + 1000000000) % 1000000000"
     hi = f"((({v10}) - ({lo})) {idiv} 1000000000"  + ")"
     return (

@@ -25,11 +25,13 @@ _MD5INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 
 # Corrupt-float posture shared by the Spark operators (functions.finite_or_null
-# / finite_vectors) and these twins: non-finite event values read as NULL,
-# vectors with any non-finite component are excluded from every index.
+# / finite_vectors) and these twins: out-of-domain event values (non-finite
+# OR |v| > 9e8, the exact-grid envelope — a finite 1e300 saturates Spark's
+# quantization and overflows DECIMAL casts) read as NULL, vectors with any
+# non-finite component are excluded from every index.
 _EVF = (
-    "(SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) "
-    "FROM events)"
+    "(SELECT * REPLACE (CASE WHEN isfinite(value) AND abs(value) <= 9e8 "
+    "THEN value END AS value) FROM events)"
 )
 _FINITE_VEC = (
     # x IS NOT NULL first: bool_and SKIPS NULLs, so a bare isfinite(NULL)

@@ -58,11 +58,16 @@ def poisoned_sf_dir(spark, tmp_path_factory):
     for t in TESTDATA_TABLES:
         df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
         if t == "events":
+            # 1e300 is FINITE, so it slips past every NaN/Inf guard — but it
+            # is outside exact_sum's 1e-10 grid, where unguarded Spark
+            # saturates the BIGINT cast (silent poison) and DuckDB raises
+            # (dead job); both engines must exclude it identically
             df = df.withColumn(
                 "value",
                 F.when(F.col("event_id") % 97 == 0, F.lit(float("nan")))
                 .when(F.col("event_id") % 89 == 0, F.lit(float("inf")))
                 .when(F.col("event_id") % 83 == 0, F.lit(float("-inf")))
+                .when(F.col("event_id") % 79 == 0, F.lit(1e300))
                 .otherwise(F.col("value")),
             )
         if t == "embeddings":
