@@ -475,3 +475,60 @@ def read_scd2_history(spark: SparkSession, history_store: str) -> DataFrame:
     return hist.crossJoin(F.broadcast(latest)).withColumn(
         "is_current", F.col("valid_to") == F.col("__maxm")
     ).drop("__maxm")
+
+
+def streaming_quarantine_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    good_path: str,
+    bad_path: str,
+    checkpoint_dir: str,
+    fmt: str = "json",
+) -> StreamingQuery:
+    """Continuous JSON-lines/CSV ingest with corrupt-row QUARANTINE — the
+    streaming twin of :func:`sources.readers.read_json_quarantine`: rows
+    that fail to parse land in ``bad_path`` as raw text instead of killing
+    the stream, fully-parsed rows append to ``good_path`` with exactly the
+    declared schema.
+
+    Per micro-batch the parsed frame is persisted once and split two ways
+    (the batch readers' SPARK-21610 pattern, applied inside foreachBatch
+    where the corrupt column CAN be filtered), so each file is read once
+    per trigger regardless of how many rows it quarantines. foreachBatch
+    is at-least-once; both sinks are plain appends of the same split, so
+    a retried batch re-appends both halves consistently — dedup of
+    redelivery composes downstream exactly as for the other ingests.
+    """
+    from pyspark.sql.types import StringType, StructType
+
+    corrupt = "_corrupt_record"
+    aug = StructType(list(schema.fields)).add(corrupt, StringType())
+    reader = (
+        spark.readStream.schema(aug)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+    )
+    stream = reader.json(src_dir) if fmt == "json" else reader.csv(src_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark import StorageLevel
+
+        batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            good = batch_df.filter(F.col(corrupt).isNull()).drop(corrupt)
+            bad = batch_df.filter(F.col(corrupt).isNotNull()).select(
+                F.col(corrupt).alias("corrupt_record")
+            )
+            good.write.mode("append").parquet(good_path)
+            if not bad.isEmpty():
+                bad.write.mode("append").parquet(bad_path)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -385,3 +385,39 @@ def test_streaming_scd2_maintenance_matches_batch_recompute(spark, tmp_path):
     assert g == w
     # the extended key has exactly 2 versions, the untouched key survived
     assert ("A", 2) in g and ("B", 1) in g and ("CC", 1) in g
+
+
+def test_streaming_quarantine_ingest_splits_good_and_bad(spark, tmp_path):
+    """Corrupt rows landing in the stream must divert to the quarantine
+    sink as raw text — never kill the stream — and the good sink must
+    hold exactly the parseable rows with the declared schema."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from billing_etl_v1_spark.streaming.pipeline import streaming_quarantine_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"id": 1, "tag": "a"}\n'
+        "garbage line one\n"
+        '{"id": 2, "tag": "b"}\n'
+    )
+    (src / "b.jsonl").write_text(
+        '{"id": 3, "tag": "c"}\n'
+        '{"id": oops}\n'
+    )
+    schema = StructType(
+        [StructField("id", IntegerType()), StructField("tag", StringType())]
+    )
+    good_path = str(tmp_path / "good")
+    bad_path = str(tmp_path / "bad")
+    q = streaming_quarantine_ingest(
+        spark, str(src), schema, good_path, bad_path, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    good = spark.read.parquet(good_path)
+    assert sorted(good.columns) == ["id", "tag"]
+    assert {r.id for r in good.collect()} == {1, 2, 3}
+    bad = {r.corrupt_record for r in spark.read.parquet(bad_path).collect()}
+    assert bad == {"garbage line one", '{"id": oops}'}
