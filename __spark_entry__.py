@@ -838,8 +838,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries (NULL-skip branches only, r4 verdicts, identity strict-proven
     at sf0.01) didn't fit and sit first below the fold; they plus the 35
     r3-verdict entries marked below MUST lead round 6's window (fits:
-    38 < 50). Zero new queries added (a new query displaces a rotation
-    slot knowingly). Everything below the fold still runs in the local
+    38 < 50). The late-round NULL-key lane added ingestion filters to more
+    below-the-fold plans (events_transitions, events_hll_merge,
+    docs_pack_shards/_blocks, docs_dedup_spans, docs_quality_percentiles,
+    dedup_semantic, multimodal_frame_sample, and the pack-composed corpus
+    queries); their verdicts stand because the clean driver tables contain
+    ZERO NULL keys (checked at sf0.01 — the filters are provable no-ops
+    there) and the 125-query parity mirror re-ran unchanged, but they join
+    the round-6 must-lead set all the same. Zero new queries added (a new
+    query displaces a rotation slot knowingly). Everything below the fold still runs in the local
     parity mirror (tests/test_oracle_parity.py, all 125), and
     tests/test_rotation_policy.py asserts this ordering satisfies the
     age policy mechanically.

@@ -196,9 +196,16 @@ def _global_token_offsets(
     """Each document's EXCLUSIVE start offset on the deterministic
     hash-ordered token line — the distributed two-phase prefix sum shared
     by pack_shards (shard = start div budget) and pack_blocks (blocks may
-    split a document). Output: key, n_tokens, __start."""
+    split a document). Output: key, n_tokens, __start.
+
+    NULL keys are excluded: the packing line is ordered by (hash(key),
+    key), and a NULL key has no hash — Spark sorts NULLs FIRST where
+    DuckDB sorts them LAST, so one identity-less document would shift
+    every downstream shard/block boundary differently per engine. The
+    oracle twins mirror with ``key IS NOT NULL``."""
     from billing_etl_v1_spark.operators.text import md5_long, token_count
 
+    df = df.filter(F.col(key_col).isNotNull())
     h = md5_long(F.col(key_col).cast("string"), salt=salt)
     base = df.select(
         F.col(key_col),

@@ -60,8 +60,16 @@ def sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     inactivity per user. Output: one row per session with bounds and counts.
 
     Ordering ties on ts are broken by event_id in both engines.
+
+    Events without a timestamp cannot be placed in the gap order — and the
+    engines disagree on where NULL sorts (Spark windows default NULLS
+    FIRST, DuckDB NULLS LAST), so they are excluded as corrupt rather
+    than silently landing in different sessions per engine (twin mirrors
+    with ts IS NOT NULL).
     """
-    events = events.withColumn("value", finite_or_null("value"))
+    events = events.filter(F.col("ts").isNotNull()).withColumn(
+        "value", finite_or_null("value")
+    )
     return (
         with_session_idx(events, gap_s)
         .groupBy("user_id", "session_idx")
@@ -539,7 +547,11 @@ def event_transitions(events: DataFrame) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("event_type").over(w)
     pairs = (
-        events.select("user_id", "ts", "event_id", "event_type")
+        # a NULL ts has no place in the (ts, event_id) total order — and
+        # Spark sorts NULLS FIRST where DuckDB sorts NULLS LAST, so such
+        # corrupt rows would produce different transitions per engine
+        events.filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
         .withColumn("next_type", nxt)
         .filter(F.col("next_type").isNotNull())
     )

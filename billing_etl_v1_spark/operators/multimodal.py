@@ -166,8 +166,12 @@ def sample_frames(
         for pdf in batches:
             doc_ids, idxs, lens, frames = [], [], [], []
             for d, p in zip(pdf["doc_id"], pdf["payload"]):
-                if p is None:  # missing blob -> zero frames, matching the
-                    continue  # SQL twin's empty range over NULL byte_len
+                # missing blob OR missing identity -> zero frames: a frame
+                # that can't be tied back to a document is useless, and a
+                # NULL doc_id (NaN here) would crash the int64 output
+                # column — one corrupt row must not kill the Python worker
+                if p is None or pd.isna(d):
+                    continue
                 n_frames = (len(p) + frame_size - 1) // frame_size
                 for i in range(0, n_frames, every_n):
                     chunk = p[i * frame_size : (i + 1) * frame_size]

@@ -53,14 +53,20 @@ def _prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     # output) are excluded for the same contract reason, and a harder one:
     # cosine divides by the norm, and under ANSI mode (Spark 4 default) a
     # single zero-norm row kills the whole job with DIVIDE_BY_ZERO.
+    # NULL ids are excluded too: every pair/top-k path keys and
+    # tie-breaks on vid, and NULL can't equi-join or rank consistently
+    # across engines (Spark NULLS FIRST vs DuckDB NULLS LAST).
     # Single chokepoint for brute/IVF/kmeans/quantize/cosine-pair/LSH paths.
     from billing_etl_v1_spark.functions import finite_vectors
 
-    return with_norm(
-        finite_vectors(df, vec_col).select(
-            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    return (
+        with_norm(
+            finite_vectors(df.filter(F.col(id_col).isNotNull()), vec_col).select(
+                F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+            )
         )
-    ).filter(F.col("norm") > 0)
+        .filter(F.col("norm") > 0)
+    )
 
 
 def cosine_topk_bruteforce(

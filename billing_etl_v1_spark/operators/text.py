@@ -681,7 +681,12 @@ def remove_repeated_spans(
     """
     from billing_etl_v1_spark.operators.dedup import _memo_persist_sig
 
-    toks = df.select(F.col(id_col).alias("doc"), _tokens(F.col(text_col)).alias("__t"))
+    # the rebuild join and position gather key on the doc id; a NULL id
+    # can't round-trip the join (NULL != NULL), so Spark would drop the
+    # doc while the twin's grouping kept it — excluded on both engines
+    toks = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("doc"), _tokens(F.col(text_col)).alias("__t")
+    )
     # the hashed gram table feeds two consumers (frequency count + coverage
     # probe); without the memo-persist the explode+md5 lineage runs twice
     grams = _memo_persist_sig(
@@ -740,7 +745,12 @@ def quality_percentiles(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     from billing_etl_v1_spark.operators.events import distributed_total_rank
 
-    scored = text_stats(df, text_col).select("doc_id", "quality_score")
+    # doc_id is the rank tiebreaker: NULL ids sort FIRST on Spark and LAST
+    # on DuckDB, so an identity-less doc would shift every rank after it
+    # differently per engine — excluded as corrupt (twin mirrors)
+    scored = text_stats(df.filter(F.col("doc_id").isNotNull()), text_col).select(
+        "doc_id", "quality_score"
+    )
     ranked = distributed_total_rank(scored, ["quality_score", "doc_id"])
     return ranked.select(
         "doc_id",

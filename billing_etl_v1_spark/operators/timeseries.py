@@ -146,7 +146,12 @@ def approx_stats_checked(
     literal TRUEs, so a sketch regression beyond bounds flips a flag and
     fails the driver hash.
     """
-    events = events.withColumn("value", finite_or_null("value"))
+    # the exact-bounds frame joins the sketch frame ON event_type: a NULL
+    # category would drop from the equi-join on Spark while the twin (no
+    # join) kept it — corrupt category rows are excluded on both engines
+    events = events.filter(F.col("event_type").isNotNull()).withColumn(
+        "value", finite_or_null("value")
+    )
     approx = approx_group_stats(events, qs, rsd)
     lo_hi = [
         (max(0.0, q - q_tol), min(1.0, q + q_tol)) for q in qs
@@ -276,7 +281,11 @@ def daily_anomaly_flags(
     """
     from pyspark.sql import Window
 
-    events = events.withColumn("value", finite_or_null("value"))
+    # NULL ts has no day and would sort differently per engine (Spark
+    # NULLS FIRST vs DuckDB NULLS LAST) inside the trailing window
+    events = events.filter(F.col("ts").isNotNull()).withColumn(
+        "value", finite_or_null("value")
+    )
     cents = F.round(F.col("value") * 100).cast("bigint")
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("day")
@@ -337,6 +346,9 @@ def hll_daily_merge(events: DataFrame, rel_tol: float = 0.05) -> DataFrame:
     1/rel_tol the comparison is trivially TRUE since HLL's sparse mode is
     exact there).
     """
+    # merged and direct frames join ON event_type: NULL categories would
+    # drop from the Spark equi-join but not the twin — excluded both sides
+    events = events.filter(F.col("event_type").isNotNull())
     daily = events.groupBy("event_type", F.to_date("ts").alias("__d")).agg(
         F.hll_sketch_agg("user_id").alias("__sk")
     )

@@ -333,7 +333,7 @@ def _norms_cte() -> str:
     self_dot = _DOT.format(a="v", b="v")
     return f"""
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-      WHERE {_FINITE_VEC}),
+      WHERE vec_id IS NOT NULL AND {_FINITE_VEC}),
 n AS (SELECT * FROM (SELECT vec_id, v, sqrt({self_dot}) AS nrm FROM e)
       WHERE nrm > 0)"""
 
@@ -525,7 +525,7 @@ def hard_negatives_sql(query_mod: int = 50, k: int = 5) -> str:
     dot = _DOT.format(a="n.v", b="q.qv")
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
-          WHERE {_FINITE_VEC}),
+          WHERE vec_id IS NOT NULL AND {_FINITE_VEC}),
 n AS (SELECT * FROM (SELECT vec_id, v, label,
              sqrt({_DOT.format(a='v', b='v')}) AS nrm FROM e) WHERE nrm > 0),
 q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, label AS qlab
@@ -676,7 +676,8 @@ GROUP BY 1, 2
 
 def sessionize_sql(gap_s: int = 1800) -> str:
     return f"""
-WITH e AS (SELECT event_id, user_id, ts, value, floor(epoch(ts))::BIGINT AS ep FROM {_EVF}),
+WITH e AS (SELECT event_id, user_id, ts, value, floor(epoch(ts))::BIGINT AS ep FROM {_EVF}
+           WHERE ts IS NOT NULL),
 m AS (
   SELECT *, CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > {gap_s}
                  THEN 1 ELSE 0 END AS ns
@@ -1062,7 +1063,7 @@ SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
        TRUE AS merged_equals_direct,
        TRUE AS within_tol
-FROM events GROUP BY event_type
+FROM events WHERE event_type IS NOT NULL GROUP BY event_type
 """
 
 
@@ -1073,7 +1074,7 @@ def event_transitions_sql() -> str:
 WITH nxt AS (
   SELECT event_type,
          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 c AS (
   SELECT event_type AS from_type, next_type AS to_type,
@@ -1101,7 +1102,7 @@ WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          CAST(count(*) AS BIGINT) AS n_events,
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
-  FROM {_EVF} GROUP BY event_type, CAST(ts AS DATE)
+  FROM {_EVF} WHERE ts IS NOT NULL GROUP BY event_type, CAST(ts AS DATE)
 ),
 w AS (
   SELECT event_type, day, n_events, v_cents,
@@ -1630,9 +1631,12 @@ ORDER BY numwait DESC, s_suppkey ASC LIMIT {k}
 
 def multimodal_frames_sql(frame_size: int = 256, every_n: int = 4) -> str:
     # frame boundaries are pure arithmetic over byte length, so the 1-to-N
-    # mapInPandas expansion has an exact SQL twin via per-row series
+    # mapInPandas expansion has an exact SQL twin via per-row series.
+    # doc_id IS NOT NULL mirrors the sampler: identity-less frames are
+    # useless, and a NULL id would crash the worker's int64 output column
     return f"""
-WITH p AS (SELECT doc_id, octet_length(encode(text)) AS byte_len FROM documents),
+WITH p AS (SELECT doc_id, octet_length(encode(text)) AS byte_len FROM documents
+           WHERE doc_id IS NOT NULL),
 f AS (
   SELECT doc_id, byte_len,
          unnest(range(0, (byte_len + {frame_size - 1}) // {frame_size})) AS frame_idx
@@ -1688,7 +1692,7 @@ def remove_repeated_spans_sql(n: int = 5, max_freq: int = 1) -> str:
     gram = f"array_to_string(t[i + 1 : i + {n}], ' ')"
     return f"""
 WITH toks AS (
-  SELECT doc_id, {_TOKENS} AS t FROM documents
+  SELECT doc_id, {_TOKENS} AS t FROM documents WHERE doc_id IS NOT NULL
 ),
 words AS (
   SELECT doc_id, i AS pos, t[i + 1] AS word
@@ -1814,6 +1818,7 @@ SELECT event_type,
   TRUE AS users_in_bounds,
   {flag_cols}
 FROM {_EVF}
+WHERE event_type IS NOT NULL
 GROUP BY event_type
 """
 
@@ -2110,7 +2115,7 @@ def pack_shards_sql(shard_tokens: int = 4000, salt: str = "pack") -> str:
     return f"""
 WITH base AS (
   SELECT doc_id, CAST({nt} AS BIGINT) AS n_tokens, {h} AS h
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ),
 cum AS (
   SELECT doc_id, n_tokens,
@@ -2174,7 +2179,8 @@ def quality_percentiles_sql() -> str:
     formulation (equivalent to the Spark side's two-phase distributed
     rank), same integer bucket arithmetic."""
     return f"""
-WITH s AS (SELECT doc_id, quality_score FROM ({text_stats_sql()})),
+WITH s AS (SELECT doc_id, quality_score FROM ({text_stats_sql()})
+           WHERE doc_id IS NOT NULL),
 r AS (
   SELECT doc_id, quality_score,
          row_number() OVER (ORDER BY quality_score, doc_id) AS rnk,
@@ -2326,7 +2332,7 @@ def pack_blocks_sql(block_tokens: int = 256, salt: str = "pack") -> str:
 WITH base AS (
   SELECT doc_id, {_TOKENS} AS t,
          CAST({nt} AS BIGINT) AS n_tokens, {h} AS hh
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ),
 cum AS (
   SELECT doc_id, t, n_tokens,
