@@ -845,7 +845,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries); their verdicts stand because the clean driver tables contain
     ZERO NULL keys (checked at sf0.01 — the filters are provable no-ops
     there) and the 125-query parity mirror re-ran unchanged, but they join
-    the round-6 must-lead set all the same. Zero new queries added (a new
+    the round-6 must-lead set all the same. Likewise the staged-quantize
+    lane (functions.quantize6_staged: raw value computed once instead of
+    once per envelope-guard reference) touched the text_stats/repetition/
+    cosine/minhash-est projections — value-identical by construction
+    (attribute reference into the same formula; 20 affected queries
+    strict-verified at sf0.01), below-fold members join round 6's lead. Zero new queries added (a new
     query displaces a rotation slot knowingly). Everything below the fold still runs in the local
     parity mirror (tests/test_oracle_parity.py, all 125), and
     tests/test_rotation_policy.py asserts this ordering satisfies the

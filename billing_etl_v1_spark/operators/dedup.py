@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from billing_etl_v1_spark.functions import exact_sum, quantize6
+from billing_etl_v1_spark.functions import exact_sum, quantize6, quantize6_staged
 from billing_etl_v1_spark.operators import _memo
 from billing_etl_v1_spark.operators.text import md5_long
 
@@ -293,10 +293,13 @@ def _estimated_jaccard(cand: DataFrame, sig: DataFrame, k: int) -> DataFrame:
     est = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
     ) / F.lit(float(k))
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", quantize6(est).alias("est_jaccard"))
+    # staged so the k signature comparisons run once per candidate pair,
+    # not once per quantize6 guard reference
+    return quantize6_staged(
+        cand.join(sa, "doc_a").join(sb, "doc_b"),
+        ["doc_a", "doc_b"],
+        est,
+        "est_jaccard",
     )
 
 
@@ -466,18 +469,15 @@ def embedding_cosine_pairs(
             )
     base = _prep(embeddings, id_col, vec_col)
     a, b = base.alias("a"), base.alias("b")
-    cos = quantize6(
-        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
-    )
-    return (
-        a.join(b, F.col("a.vid") < F.col("b.vid"))
-        .select(
-            F.col("a.vid").alias("vid_a"),
-            F.col("b.vid").alias("vid_b"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    # staged so the vector dot product runs once per pair, not once per
+    # quantize6 guard reference
+    return quantize6_staged(
+        a.join(b, F.col("a.vid") < F.col("b.vid")),
+        [F.col("a.vid").alias("vid_a"), F.col("b.vid").alias("vid_b")],
+        cos,
+        "cosine",
+    ).filter(F.col("cosine") >= threshold)
 
 
 def semantic_dedup(
@@ -519,20 +519,20 @@ def semantic_dedup(
         assign_clusters(embeddings, id_col, vec_col, centroid_mod)
     )
     a, b = assigned.alias("a"), assigned.alias("b")
-    cos = quantize6(
-        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
-    )
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
     # pairs inside one cluster only; a.vid < b.vid means `b` is the
-    # candidate duplicate and `a` the kept-side witness
-    dup_edges = (
+    # candidate duplicate and `a` the kept-side witness. Staged so the
+    # dot product runs once per pair, not once per quantize6 reference.
+    dup_edges = quantize6_staged(
         a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
             & (F.col("a.vid") < F.col("b.vid")),
-        )
-        .select(F.col("b.vid").alias("vid"), cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+        ),
+        [F.col("b.vid").alias("vid")],
+        cos,
+        "cosine",
+    ).filter(F.col("cosine") >= threshold)
     hits = dup_edges.groupBy("vid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_dups"),
         quantize6(F.max("cosine")).alias("max_dup_sim"),
@@ -616,13 +616,15 @@ def embedding_lsh_pairs(
     )
     sa = base.select(F.col("vid").alias("vid_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
     sb = base.select(F.col("vid").alias("vid_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
-    cos = quantize6(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
-    return (
-        cand.join(sa, "vid_a")
-        .join(sb, "vid_b")
-        .select("vid_a", "vid_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # staged so the exact dot product runs once per bucketed candidate,
+    # not once per quantize6 guard reference
+    return quantize6_staged(
+        cand.join(sa, "vid_a").join(sb, "vid_b"),
+        ["vid_a", "vid_b"],
+        cos,
+        "cosine",
+    ).filter(F.col("cosine") >= threshold)
 
 
 def simhash_pairs(

