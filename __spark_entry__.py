@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from billing_etl_v1_spark import oracle, oracle_ext
 from billing_etl_v1_spark.functions import round_doubles
 from billing_etl_v1_spark.operators import analytics as analytics_ops
+from billing_etl_v1_spark.operators import bpe as bpe_ops
 from billing_etl_v1_spark.operators import corpus as corpus_ops
 from billing_etl_v1_spark.operators import dedup as dedup_ops
 from billing_etl_v1_spark.operators import events as event_ops
@@ -712,6 +713,21 @@ def _q_dedup_lsh_recall(spark, sf_dir):
     return dedup_ops.lsh_recall_report(load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_bpe_merges(spark, sf_dir):
+    """Tokenizer-exact BPE merge table learned from the corpus (Sennrich
+    et al. 2016). EXECUTES EAGERLY at call time (localCheckpoint per merge
+    round — see operators/bpe.py); training is memoized per session, so
+    docs_bpe_tokens reuses it."""
+    return bpe_ops.bpe_learn(load_table(spark, sf_dir, "documents"))[0]
+
+
+def _q_docs_bpe_tokens(spark, sf_dir):
+    """Exact per-document BPE token counts under the corpus-trained
+    vocabulary — the number sequence packing / token budgets / price-per-
+    token actually consume (bpe_token_count was the pre-token proxy)."""
+    return bpe_ops.bpe_token_counts(load_table(spark, sf_dir, "documents"))
+
+
 def _q_docs_pagerank(spark, sf_dir):
     return dedup_ops.similarity_pagerank(load_table(spark, sf_dir, "documents"))
 
@@ -834,11 +850,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     families, the chunking explode-to-rows rewrite, multimodal NULL
     propagation) — each strict-verified output-identical on clean data,
     but a changed plan deserves a fresh driver verdict ahead of any
-    unchanged age-2 entry. 26+1+23 = 50. Three further code-changed
-    queries (NULL-skip branches only, r4 verdicts, identity strict-proven
-    at sf0.01) didn't fit and sit first below the fold; they plus the 35
-    r3-verdict entries marked below MUST lead round 6's window (fits:
-    38 < 50). The late-round NULL-key lane added ingestion filters to more
+    unchanged age-2 entry — and two slots go to the session's NEW queries
+    (docs_bpe_merges / docs_bpe_tokens: a first-ever verdict outranks a
+    re-verdict, and an unverified query may not sit below the fold).
+    26+1+21+2 = 50. Three further code-changed queries (NULL-skip
+    branches only, r4 verdicts, identity strict-proven at sf0.01) didn't
+    fit and sit first below the fold; they plus the two displaced
+    plan-changed entries (dedup_semantic / multimodal_features, r3
+    verdicts) and the 35 r3-verdict entries marked below MUST lead round
+    6's window (fits: 40 < 50; mechanically-mandatory subset is 31). The late-round NULL-key lane added ingestion filters to more
     below-the-fold plans (events_transitions, events_hll_merge,
     docs_pack_shards/_blocks, docs_dedup_spans, docs_quality_percentiles,
     dedup_semantic, multimodal_frame_sample, and the pack-composed corpus
@@ -850,9 +870,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     once per envelope-guard reference) touched the text_stats/repetition/
     cosine/minhash-est projections — value-identical by construction
     (attribute reference into the same formula; 20 affected queries
-    strict-verified at sf0.01), below-fold members join round 6's lead. Zero new queries added (a new
-    query displaces a rotation slot knowingly). Everything below the fold still runs in the local
-    parity mirror (tests/test_oracle_parity.py, all 125), and
+    strict-verified at sf0.01), below-fold members join round 6's lead.
+    Two new queries added (docs_bpe_merges / docs_bpe_tokens), each
+    displacing a rotation slot knowingly — see the window comment; at 127
+    registered queries the steady-state recheck interval is 127/50 ≈ 2.5
+    rounds, inside the ≤2-age budget. Everything below the fold still
+    runs in the local parity mirror (tests/test_oracle_parity.py), and
     tests/test_rotation_policy.py asserts this ordering satisfies the
     age policy mechanically.
     """
@@ -916,8 +939,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_quantize": _q_embeddings_quantize,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "dedup_semantic": _q_dedup_semantic,
-        "multimodal_features": _q_multimodal_features,
+        # the session's two NEW queries (tokenizer-exact BPE — the round-4
+        # VERDICT's named real-user gap), each knowingly displacing one
+        # discretionary plan-changed entry (dedup_semantic /
+        # multimodal_features: r3 verdicts = age 2, strict-proven
+        # output-identical this round, now mandatory leads for round 6).
+        # A first-ever verdict outranks a re-verdict of a strict-proven
+        # unchanged output:
+        "docs_bpe_merges": _q_docs_bpe_merges,
+        "docs_bpe_tokens": _q_docs_bpe_tokens,
         # --- below the driver fold (local parity still runs ALL) ---
         # also code-changed this round but squeezed out by the 26
         # mandatory age-3 entries: the three with the smallest diffs
@@ -928,7 +958,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": _q_multimodal_frames,
         "events_salted_user_join": _q_events_salted_join,
         # latest verdict r3 (age 2) — deferred by the 50-slot window;
-        # these (plus the 9 below them) MUST lead round 6's window:
+        # these (plus the 9 below them AND the two displaced above) MUST
+        # lead round 6's window:
+        "dedup_semantic": _q_dedup_semantic,
+        "multimodal_features": _q_multimodal_features,
         "billing_credits_pivot": _q_credits_pivot,
         "billing_dim_rules": _q_dim_rules,
         "billing_minmax_day": _q_minmax_day,
@@ -1102,6 +1135,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_decontaminate_fuzzy": oracle_ext.decontaminate_fuzzy_sql(),
         "embeddings_kmeans": oracle_ext.kmeans_refine_sql(),
         "dedup_semantic": oracle_ext.semantic_dedup_sql(),
+        "docs_bpe_merges": oracle_ext.bpe_merges_sql(),
+        "docs_bpe_tokens": oracle_ext.bpe_token_counts_sql(),
         "embeddings_quantize": oracle_ext.quantize_embeddings_sql(),
         "sim_topk_quantized": oracle_ext.sim_topk_quantized_sql(),
         "sim_hard_negatives": oracle_ext.hard_negatives_sql(),

@@ -69,9 +69,10 @@ EXTENDED_NAMES = [
     "tpch_q6",
     "tpch_q18",
     "dedup_minhash_lsh",
-    # dedup_clusters is excluded: its iterative fixpoint executes eagerly at
-    # DataFrame-construction time (localCheckpoint per round), so the
-    # write-phase timing bench measures would not include the real work
+    # dedup_clusters and docs_bpe_merges/_tokens are excluded: their
+    # iterative loops execute eagerly at DataFrame-construction time
+    # (localCheckpoint per round), so the write-phase timing bench measures
+    # would not include the real work; scale_probe.py prices them instead
     "dedup_embedding_lsh",
     "dedup_semantic",
     "sim_topk_ivf",

@@ -2430,3 +2430,132 @@ t AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS tt FROM p GROUP BY eve
 SELECT p.event_type, p.hour, p.n_events, {_r6('p.n_events / t.tt')} AS share
 FROM p JOIN t USING (event_type)
 """
+
+
+# --- tokenizer-exact BPE (operators/bpe.py) -------------------------------
+
+_BPE_PRE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _bpe_round_ctes(i: int) -> str:
+    """One unrolled merge round. INDEPENDENT formulation from the Spark
+    fold: greedy left-to-right non-overlap via positional run-parity —
+    consecutive overlapping matches are only possible when left = right,
+    and within such a run exactly the even offsets start a merge. An empty
+    best pair (fully merged vocabulary) turns the round into a no-op
+    through the NULL scalar subqueries, matching the Spark left-join
+    guard.
+
+    The multiply-referenced CTEs are MATERIALIZED: DuckDB inlines CTEs by
+    default, and with each round referencing the previous vocabulary ~3
+    times the inlined tree re-opens the base parquet O(3^rounds) times
+    (observed: 'Too many open files' at 8 rounds) — the SQL mirror of the
+    localCheckpoint-per-round reasoning on the Spark side."""
+    return f"""pc{i} AS (
+  SELECT s[u.i + 1] AS a, s[u.i + 2] AS b, CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM v{i}, unnest(range(0, len(s) - 1)) u(i)
+  GROUP BY 1, 2
+),
+b{i} AS MATERIALIZED (SELECT a, b, pair_count FROM pc{i} ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1),
+p{i} AS (
+  SELECT word, u.i AS pos, s[u.i + 1] AS sym
+  FROM v{i}, unnest(range(0, len(s))) u(i)
+),
+q{i} AS (
+  SELECT word, pos, sym,
+         coalesce(sym = (SELECT a FROM b{i})
+                  AND lead(sym) OVER (PARTITION BY word ORDER BY pos)
+                      = (SELECT b FROM b{i}), FALSE) AS mtch
+  FROM p{i}
+),
+g{i} AS (
+  SELECT *, CASE WHEN mtch
+    THEN pos - row_number() OVER (PARTITION BY word, mtch ORDER BY pos) END AS grp
+  FROM q{i}
+),
+st{i} AS (
+  SELECT word, pos, sym,
+         mtch AND (pos - min(pos) OVER (PARTITION BY word, grp)) % 2 = 0 AS strt
+  FROM g{i}
+),
+c{i} AS (
+  SELECT word, pos, sym, strt,
+         coalesce(lag(strt) OVER (PARTITION BY word ORDER BY pos), FALSE) AS consumed
+  FROM st{i}
+),
+v{i + 1} AS MATERIALIZED (
+  SELECT c.word, v.freq,
+         list(CASE WHEN c.strt THEN (SELECT a || b FROM b{i}) ELSE c.sym END
+              ORDER BY c.pos) FILTER (WHERE NOT c.consumed) AS s
+  FROM c{i} c JOIN v{i} v USING (word)
+  GROUP BY c.word, v.freq
+)"""
+
+
+def _bpe_train_ctes(num_merges: int, max_word_len: int) -> str:
+    parts = [
+        f"pre AS (SELECT unnest(regexp_extract_all(text, '{_BPE_PRE_RE}')) AS word FROM documents)",
+        # regexp '.' yields one element per codepoint — the twin of
+        # Spark's split-by-empty-pattern (surrogate pairs stay whole)
+        "vall AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq, "
+        "regexp_extract_all(word, '.') AS s FROM pre GROUP BY word)",
+        # the max_word_len bypass (twin of bpe_learn's): len(s) counts
+        # codepoints on both engines; longer pre-tokens skip merging
+        f"v0 AS MATERIALIZED (SELECT * FROM vall WHERE len(s) <= {max_word_len})",
+        f"vlong AS (SELECT * FROM vall WHERE len(s) > {max_word_len})",
+    ]
+    parts.extend(_bpe_round_ctes(i) for i in range(num_merges))
+    return ",\n".join(parts)
+
+
+def bpe_merges_sql(num_merges: int = 8, max_word_len: int = 256) -> str:
+    """Twin of operators.bpe.bpe_learn's merge table — the same rounds
+    unrolled as chained CTEs (the kmeans/pagerank playbook). All values
+    are integers/strings, so the match is exact, including the argmax
+    tie-break (both engines order strings by UTF-8 bytes)."""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged, pair_count FROM b{i}"
+        for i in range(num_merges)
+    )
+    if not rows:
+        rows = (
+            "SELECT CAST(NULL AS INT) AS merge_rank, '' AS left_sym, "
+            "'' AS right_sym, '' AS merged, CAST(NULL AS BIGINT) AS pair_count "
+            "WHERE FALSE"
+        )
+    return f"""
+WITH {_bpe_train_ctes(num_merges, max_word_len)}
+{rows}
+"""
+
+
+def bpe_token_counts_sql(num_merges: int = 8, max_word_len: int = 256) -> str:
+    """Twin of operators.bpe.bpe_token_counts: exact per-document token
+    counts under the corpus-trained vocabulary (word → len(tokens) join,
+    never re-running merges per occurrence)."""
+    return f"""
+WITH {_bpe_train_ctes(num_merges, max_word_len)},
+occ AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS occ FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '{_BPE_PRE_RE}')) AS word
+    FROM documents
+  ) GROUP BY doc_id, word
+),
+cost AS (
+  SELECT word, CAST(len(s) AS BIGINT) AS n_tokens FROM v{num_merges}
+  UNION ALL
+  SELECT word, CAST(len(s) AS BIGINT) AS n_tokens FROM vlong
+),
+agg AS (
+  SELECT o.doc_id,
+         CAST(sum(o.occ) AS BIGINT) AS pre,
+         CAST(sum(o.occ * c.n_tokens) AS BIGINT) AS bpe
+  FROM occ o JOIN cost c USING (word)
+  GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.pre, 0) AS BIGINT) AS n_pretokens,
+       CAST(coalesce(a.bpe, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""

@@ -259,6 +259,35 @@ def main() -> None:
         print(f"# docs_pagerank {label}: {n_docs} docs in {dt:.2f}s", file=sys.stderr)
         dedup_ops.release_signature_cache(spark)
 
+        # BPE training (r5): EXECUTES EAGERLY like dedup_clusters — one
+        # corpus word-count pass, then 2 vocabulary-sized jobs per merge
+        # round; the encode query after it reuses the memoized vocabulary,
+        # so train and encode are priced separately (the serving shape).
+        from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+        bpe_ops.release_bpe_cache(spark)
+        t0 = time.perf_counter()
+        merges, _vocab = bpe_ops.bpe_learn(docs)
+        n_merges = merges.count()
+        t_train = time.perf_counter() - t0
+        enc = bpe_ops.bpe_token_counts(docs)
+        enc.write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        enc.write.format("noop").mode("overwrite").save()
+        t_enc = time.perf_counter() - t0
+        iterative_ops.setdefault("docs_bpe", {})[label] = {
+            "docs": n_docs,
+            "merges": n_merges,
+            "train_sec": round(t_train, 3),
+            "encode_sec": round(t_enc, 3),
+        }
+        print(
+            f"# docs_bpe {label}: {n_docs} docs, {n_merges} merges, "
+            f"train {t_train:.2f}s + encode {t_enc:.2f}s",
+            file=sys.stderr,
+        )
+        bpe_ops.release_bpe_cache(spark)
+
     print(
         json.dumps(
             {

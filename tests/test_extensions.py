@@ -7,6 +7,8 @@ from __future__ import annotations
 import importlib.util
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
 
@@ -976,3 +978,202 @@ def test_json_props_survives_malformed_props_bit_identical(spark):
     con.register("events", pd.DataFrame(rows, columns=["event_id", "event_type", "props"]))
     d = normalize(con.execute(ox.json_props_sql()).df())
     pd.testing.assert_frame_equal(s, d, check_dtype=False)
+
+
+# --- tokenizer-exact BPE (operators/bpe.py) -------------------------------
+
+
+def _naive_bpe(texts: list[str], num_merges: int, max_word_len: int = 256):
+    """Reference implementation of Sennrich et al. BPE: per-position pair
+    counting (overlaps counted), deterministic argmax (max count, then
+    smallest (left, right) by UTF-8 byte order), sequential greedy
+    left-to-right non-overlapping replacement. Pre-tokens longer than
+    max_word_len codepoints bypass merging (the operator's cap)."""
+    import re
+    from collections import Counter
+
+    pre_re = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    wf = Counter(w for t in texts for w in re.findall(pre_re, t))
+    vocab = {w: list(w) for w in wf}
+    capped = {w for w in wf if len(w) > max_word_len}
+    merges = []
+    for rank in range(num_merges):
+        pc = Counter()
+        for w, syms in vocab.items():
+            if w in capped:
+                continue
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wf[w]
+        if not pc:
+            break
+        mx = max(pc.values())
+        a, b = min(
+            (p for p, c in pc.items() if c == mx),
+            key=lambda p: (p[0].encode(), p[1].encode()),
+        )
+        merges.append((rank, a, b, a + b, mx))
+        for w, syms in vocab.items():
+            if w in capped:
+                continue
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab, wf
+
+
+def _spark_bpe(spark, texts: list[str], num_merges: int):
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, vocab = bpe_ops.bpe_learn(df, num_merges=num_merges)
+    got_m = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    got_v = {r["word"]: list(r["tokens"]) for r in vocab.collect()}
+    return df, got_m, got_v
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab1 .", min_size=0, max_size=24), min_size=0, max_size=6
+    ),
+    num_merges=st.integers(min_value=0, max_value=5),
+)
+def test_bpe_matches_naive_reference(spark, texts, num_merges):
+    """The distributed trainer must agree with the sequential reference on
+    adversarially small alphabets — 'ab1 .' forces count ties (byte-order
+    tie-break), a==b chain runs ('aaaa'), digit/symbol pre-token splits,
+    and fully-merged-early vocabularies within the merge budget."""
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+    exp_m, exp_v, _ = _naive_bpe(texts, num_merges)
+    df, got_m, got_v = _spark_bpe(spark, texts, num_merges)
+    assert got_m == exp_m
+    assert got_v == exp_v
+
+    import re
+
+    pre_re = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    got_tc = {
+        r["doc_id"]: (r["n_pretokens"], r["n_bpe_tokens"])
+        for r in bpe_ops.bpe_token_counts(df, num_merges=num_merges).collect()
+    }
+    exp_tc = {
+        i: (
+            len(re.findall(pre_re, t)),
+            sum(len(exp_v[w]) for w in re.findall(pre_re, t)),
+        )
+        for i, t in enumerate(texts)
+    }
+    assert got_tc == exp_tc
+
+
+def test_bpe_greedy_chain_resolves_left_to_right(spark):
+    """'aaaa' under merge (a,a) must become [aa, aa] and 'aaa' [aa, a] —
+    the overlap case where a fencepost bug in either engine's replacement
+    (or a non-greedy formulation) diverges first."""
+    _, got_m, got_v = _spark_bpe(spark, ["aaaa aaa aaaa"], 1)
+    # pair (a,a): 'aaaa' holds 3 overlapping positions × corpus freq 2,
+    # 'aaa' holds 2 × freq 1 → 8 (Sennrich counting)
+    assert got_m == [(0, "a", "a", "aa", 8)]
+    assert got_v == {"aaaa": ["aa", "aa"], "aaa": ["aa", "a"]}
+
+
+def test_bpe_chain_parity_survives_renumbering(spark):
+    """Round 2+ chains are where sparse-position parity breaks: after
+    (a,a) → aa the survivors of 'aaaaaa' sat at positions 0/2/4, and an
+    even-GAP parity test marked every (aa,aa) match a start, collapsing
+    the word to ['aaaa'] instead of ['aaaa','aa'] (caught by the naive
+    reference; positions are now renumbered densely per round)."""
+    exp_m, exp_v, _ = _naive_bpe(["aaaaaa aaaaaaaaaa"], 2)
+    _, got_m, got_v = _spark_bpe(spark, ["aaaaaa aaaaaaaaaa"], 2)
+    assert got_m == exp_m
+    assert got_v == exp_v
+    assert got_v["aaaaaa"] == ["aaaa", "aa"]
+    assert got_v["aaaaaaaaaa"] == ["aaaa", "aaaa", "aa"]
+
+
+def test_bpe_word_len_cap_matches_naive_and_oracle(spark):
+    """Pre-tokens over max_word_len codepoints must bypass merging on all
+    THREE implementations (Spark loop, DuckDB unrolled CTEs, sequential
+    reference): excluded from pair counts, encoded one token per
+    codepoint. The cap is what keeps a base64/DNA monster word from
+    costing O(len²) in the position loop."""
+    import duckdb
+
+    from billing_etl_v1_spark import oracle_ext
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+    texts = ["the cat the", "a" * 20 + " the mat"]
+    exp_m, exp_v, _ = _naive_bpe(texts, 3, max_word_len=8)
+    assert exp_v["a" * 20] == list("a" * 20), "cap must bypass the monster"
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, vocab = bpe_ops.bpe_learn(df, num_merges=3, max_word_len=8)
+    got_m = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    got_v = {r["word"]: list(r["tokens"]) for r in vocab.collect()}
+    assert got_m == exp_m
+    assert got_v == exp_v
+    assert all(a != "a" or b != "a" for _, a, b, _, _ in got_m), (
+        "the monster's (a,a) pairs must not reach the merge table"
+    )
+
+    spark_tc = {
+        r["doc_id"]: (r["n_pretokens"], r["n_bpe_tokens"])
+        for r in bpe_ops.bpe_token_counts(df, num_merges=3, max_word_len=8).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", list(enumerate(texts)))
+    duck_tc = {
+        int(r[0]): (int(r[1]), int(r[2]))
+        for r in con.execute(
+            oracle_ext.bpe_token_counts_sql(3, max_word_len=8)
+        ).fetchall()
+    }
+    assert spark_tc == duck_tc
+    duck_m = [
+        (int(r[0]), r[1], r[2], r[3], int(r[4]))
+        for r in con.execute(oracle_ext.bpe_merges_sql(3, max_word_len=8)).fetchall()
+    ]
+    assert sorted(duck_m) == got_m
+
+
+def test_bpe_stops_early_when_fully_merged(spark):
+    """A vocabulary that merges to single tokens before the budget runs out
+    must yield a short merge table, not fail or loop."""
+    _, got_m, got_v = _spark_bpe(spark, ["ab ab ab"], 8)
+    assert got_m == [(0, "a", "b", "ab", 3)]
+    assert got_v == {"ab": ["ab"]}
+
+
+def test_bpe_memo_and_release(spark, docs):
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+    m1, v1 = bpe_ops.bpe_learn(docs, num_merges=2)
+    m2, v2 = bpe_ops.bpe_learn(docs, num_merges=2)
+    assert m1 is m2 and v1 is v2, "same corpus+budget must reuse training"
+    m3, _ = bpe_ops.bpe_learn(docs, num_merges=3)
+    assert m3 is not m1, "different budget must retrain"
+    assert bpe_ops.release_bpe_cache(spark) >= 2
+    m4, _ = bpe_ops.bpe_learn(docs, num_merges=2)
+    assert m4 is not m1, "release must drop the memo"
+    bpe_ops.release_bpe_cache(spark)

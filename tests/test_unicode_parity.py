@@ -37,6 +37,8 @@ TEXT_QUERIES = [
     "docs_dedup_spans",
     "docs_vocabulary",
     "docs_ccnet_buckets",
+    "docs_bpe_merges",
+    "docs_bpe_tokens",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
