@@ -291,26 +291,15 @@ def bpe_learn(
     return merges, vocab
 
 
-def bpe_token_counts(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_merges: int = 8,
-    max_word_len: int = 256,
+def _doc_counts(
+    df: DataFrame, word_cost: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
-    """Exact per-document BPE token counts under a vocabulary trained on
-    the same corpus: doc_id, n_pretokens, n_bpe_tokens.
-
-    The encode path never re-applies merges per occurrence — the trained
-    vocabulary already maps word → token count, so the corpus-sized work
-    is one (doc, word) occurrence aggregate plus one equi-join against
-    the vocabulary (AQE broadcasts it when small; at terabyte vocabularies
-    it stays a plain equi-join — never hardcode the broadcast). Documents
-    with zero pre-tokens (empty/whitespace text) report 0/0 via the left
-    join. Trains via :func:`bpe_learn` — see its EXECUTES-EAGERLY warning
-    (memoized, so composing with docs_bpe_merges pays training once)."""
-    _, vocab = bpe_learn(df, text_col, num_merges, max_word_len)
-    word_cost = vocab.select("word", F.size("tokens").alias("n_tokens"))
+    """Per-document (n_pretokens, n_bpe_tokens) given a complete
+    word → n_tokens cost table: one (doc, word) occurrence aggregate plus
+    one equi-join (AQE broadcasts the cost table when small; at terabyte
+    vocabularies it stays a plain equi-join — never hardcode the
+    broadcast). Documents with zero pre-tokens report 0/0 via the left
+    join."""
     occurrences = (
         df.select(
             F.col(id_col), F.explode(_pretokens(F.col(text_col))).alias("word")
@@ -335,3 +324,94 @@ def bpe_token_counts(
             F.coalesce("__bpe", F.lit(0)).cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_merges: int = 8,
+    max_word_len: int = 256,
+) -> DataFrame:
+    """Exact per-document BPE token counts under a vocabulary trained on
+    the same corpus: doc_id, n_pretokens, n_bpe_tokens.
+
+    The encode path never re-applies merges per occurrence — the trained
+    vocabulary already maps word → token count, so the corpus-sized work
+    is the shared :func:`_doc_counts` aggregate + equi-join. Trains via
+    :func:`bpe_learn` — see its EXECUTES-EAGERLY warning (memoized, so
+    composing with docs_bpe_merges pays training once). To count NEW
+    documents under this (or any) frozen vocabulary, use
+    :func:`bpe_encode` instead of re-training on the union."""
+    _, vocab = bpe_learn(df, text_col, num_merges, max_word_len)
+    word_cost = vocab.select("word", F.size("tokens").alias("n_tokens"))
+    return _doc_counts(df, word_cost, text_col, id_col)
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_word_len: int = 256,
+) -> DataFrame:
+    """Exact BPE token counts for a NEW batch under a FROZEN trained
+    vocabulary — the tokenizer SERVING path, and the incremental-ingest
+    twin of :func:`bpe_token_counts` (the minhash_signatures /
+    minhash_incremental_pairs pattern: train once, encode any batch, old
+    text never re-read). Same output schema: doc_id, n_pretokens,
+    n_bpe_tokens.
+
+    ``merges`` / ``vocab`` are :func:`bpe_learn`'s outputs. Words already
+    in the vocabulary resolve via one equi-join; only the batch's UNSEEN
+    distinct words (left_anti against the vocabulary — bounded by the
+    batch's novel vocabulary, not the corpus) re-run the merge loop, in
+    learned rank order with the same run-parity apply the trainer used —
+    so a training word routed through the unseen path reproduces its
+    trained tokenization exactly (property-tested), and encode semantics
+    are the Sennrich apply-each-merge-in-rank-order greedy scan.
+    ``max_word_len`` must match training: over-cap unseen pre-tokens
+    bypass to one token per codepoint, like the trainer's bypass lane.
+
+    .. warning:: EXECUTES EAGERLY when the batch has unseen words (one
+       localCheckpoint per learned merge over the unseen-word position
+       rows — same lineage-truncation reasoning as :func:`bpe_learn`);
+       an all-known batch short-circuits to the lazy join-only plan.
+    """
+    if max_word_len < 1:
+        raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
+    known = vocab.select("word", F.size("tokens").alias("n_tokens"))
+    unseen = (
+        df.select(F.explode(_pretokens(F.col(text_col))).alias("word"))
+        .distinct()
+        .join(vocab.select("word"), "word", "left_anti")
+        .withColumn("s", F.split(F.col("word"), ""))
+        .localCheckpoint()
+    )
+    if unseen.isEmpty():
+        return _doc_counts(df, known, text_col, id_col)
+    bypass = unseen.filter(F.size("s") > max_word_len).select(
+        "word", F.size("s").alias("n_tokens")
+    )
+    # freq is a training-weight column _apply_merge carries through; it
+    # does not affect which positions merge, so any constant works here
+    pos = (
+        unseen.filter(F.size("s") <= max_word_len)
+        .select(
+            "word",
+            F.lit(1).cast("bigint").alias("freq"),
+            F.posexplode("s").alias("pos", "sym"),
+        )
+        .localCheckpoint()
+    )
+    for i in range(merges.count()):
+        best = merges.filter(F.col("merge_rank") == i).select(
+            F.col("left_sym").alias("a"), F.col("right_sym").alias("b")
+        )
+        pos = _apply_merge(pos, best).localCheckpoint()
+    unseen_cost = pos.groupBy("word").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens")
+    )
+    word_cost = known.unionByName(unseen_cost).unionByName(bypass)
+    return _doc_counts(df, word_cost, text_col, id_col)

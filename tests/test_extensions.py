@@ -1165,6 +1165,95 @@ def test_bpe_stops_early_when_fully_merged(spark):
     assert got_v == {"ab": ["ab"]}
 
 
+def _naive_encode_word(word: str, merges, max_word_len: int = 256):
+    """Sequential Sennrich ENCODE: apply each learned merge in rank order
+    as one greedy left-to-right non-overlapping pass (the same scan the
+    naive trainer uses), with the over-cap bypass lane."""
+    syms = list(word)
+    if len(syms) > max_word_len:
+        return syms
+    for _rank, a, b, _m, _c in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_unseen_path_reproduces_training_tokens(spark):
+    """A training word routed through bpe_encode's unseen-word merge loop
+    (frozen merges, EMPTY vocabulary) must reproduce its trained
+    tokenization exactly — train and encode share the apply semantics."""
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+    texts = ["aaabab banana aab .12 ab1", "banana aaabab aaaa"]
+    df, _, got_v = _spark_bpe(spark, texts, 4)
+    merges, vocab = bpe_ops.bpe_learn(df, num_merges=4)
+    got = {
+        r["doc_id"]: (r["n_pretokens"], r["n_bpe_tokens"])
+        for r in bpe_ops.bpe_encode(df, merges, vocab.limit(0)).collect()
+    }
+    exp = {}
+    import re
+
+    pre_re = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    for i, t in enumerate(texts):
+        words = re.findall(pre_re, t)
+        exp[i] = (len(words), sum(len(got_v[w]) for w in words))
+    assert got == exp
+    bpe_ops.release_bpe_cache(spark)
+
+
+def test_bpe_encode_new_docs_mixed_known_and_novel(spark):
+    """Serving path: new documents mixing vocabulary words with novel ones
+    (including an over-cap monster and a no-pretoken doc) must match the
+    sequential reference encoder under the frozen merge table, and an
+    all-known batch must agree with the training-corpus counter."""
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+    train = ["aaabab banana aab", "banana aaabab aaaa ."]
+    cap = 8
+    exp_m, _, _ = _naive_bpe(train, 4, max_word_len=cap)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], "doc_id long, text string"
+    )
+    merges, vocab = bpe_ops.bpe_learn(df, num_merges=4, max_word_len=cap)
+
+    new_texts = ["banana bandana aa", "zzz a" + "b" * 20 + " .", "   ", ""]
+    new_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(new_texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_pretokens"], r["n_bpe_tokens"])
+        for r in bpe_ops.bpe_encode(
+            new_df, merges, vocab, max_word_len=cap
+        ).collect()
+    }
+    import re
+
+    pre_re = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    exp = {}
+    for i, t in enumerate(new_texts):
+        words = re.findall(pre_re, t)
+        exp[i] = (
+            len(words),
+            sum(len(_naive_encode_word(w, exp_m, cap)) for w in words),
+        )
+    assert got == exp
+
+    # all-known batch: the lazy join-only short-circuit must agree with
+    # the trained counter on the training corpus itself
+    enc = bpe_ops.bpe_encode(df, merges, vocab, max_word_len=cap)
+    tc = bpe_ops.bpe_token_counts(df, num_merges=4, max_word_len=cap)
+    assert sorted(map(tuple, enc.collect())) == sorted(map(tuple, tc.collect()))
+    bpe_ops.release_bpe_cache(spark)
+
+
 def test_bpe_memo_and_release(spark, docs):
     from billing_etl_v1_spark.operators import bpe as bpe_ops
 
