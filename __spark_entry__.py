@@ -877,7 +877,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rounds, inside the ≤2-age budget. Everything below the fold still
     runs in the local parity mirror (tests/test_oracle_parity.py), and
     tests/test_rotation_policy.py asserts this ordering satisfies the
-    age policy mechanically.
+    age policy mechanically. End of r5: the FULL registry (all 127,
+    fold included) was strict-verified dtype-exact vs its oracles at
+    sf0.01 (tests/strict_check.py, 127/127 ok), so round 6's rotation
+    material is pre-validated, not just parity-mirrored at sf0.001.
     """
     return {
         # --- ROUND-5 WINDOW (first 50; driver checks only these) ---
