@@ -348,6 +348,27 @@ def bpe_token_counts(
     return _doc_counts(df, word_cost, text_col, id_col)
 
 
+def save_bpe(merges: DataFrame, vocab: DataFrame, dir_path: str) -> None:
+    """Persist a trained tokenizer (:func:`bpe_learn`'s outputs) as two
+    parquet tables under ``dir_path`` — the model-artifact round-trip a
+    real pipeline needs: train once, serve from storage in later jobs
+    (the in-process memo is per-session only). Both tables are
+    vocabulary-bounded, never corpus-sized."""
+    merges.write.mode("overwrite").parquet(f"{dir_path}/merges")
+    vocab.write.mode("overwrite").parquet(f"{dir_path}/vocab")
+
+
+def load_bpe(spark, dir_path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a tokenizer saved by :func:`save_bpe`. The returned frames are
+    plain lazy parquet scans, directly usable by :func:`bpe_encode` —
+    merge ranks are read back in rank order by the loop's per-rank
+    filter, so ordering of the stored files is irrelevant."""
+    return (
+        spark.read.parquet(f"{dir_path}/merges"),
+        spark.read.parquet(f"{dir_path}/vocab"),
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     merges: DataFrame,

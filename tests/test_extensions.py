@@ -1254,6 +1254,35 @@ def test_bpe_encode_new_docs_mixed_known_and_novel(spark):
     bpe_ops.release_bpe_cache(spark)
 
 
+def test_bpe_save_load_roundtrip_serves_identically(spark, tmp_path):
+    """Persisted tokenizer (save_bpe/load_bpe parquet round-trip) must
+    serve a new batch identically to the in-memory trained one — the
+    cross-session artifact path the per-session memo can't cover."""
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+    train = spark.createDataFrame(
+        [(0, "aaabab banana aab"), (1, "banana aaabab aaaa .")],
+        "doc_id long, text string",
+    )
+    merges, vocab = bpe_ops.bpe_learn(train, num_merges=4)
+    bpe_ops.save_bpe(merges, vocab, str(tmp_path / "tok"))
+    merges2, vocab2 = bpe_ops.load_bpe(spark, str(tmp_path / "tok"))
+    new_df = spark.createDataFrame(
+        [(0, "banana bandana aa"), (1, "zzz .")], "doc_id long, text string"
+    )
+    got = sorted(map(tuple, bpe_ops.bpe_encode(new_df, merges2, vocab2).collect()))
+    exp = sorted(map(tuple, bpe_ops.bpe_encode(new_df, merges, vocab).collect()))
+    assert got == exp
+    # the reloaded frames must also reproduce the trained state itself
+    assert sorted(map(tuple, merges2.collect())) == sorted(
+        map(tuple, merges.collect())
+    )
+    assert {r["word"]: list(r["tokens"]) for r in vocab2.collect()} == {
+        r["word"]: list(r["tokens"]) for r in vocab.collect()
+    }
+    bpe_ops.release_bpe_cache(spark)
+
+
 def test_bpe_memo_and_release(spark, docs):
     from billing_etl_v1_spark.operators import bpe as bpe_ops
 
