@@ -71,6 +71,26 @@ def build_parser() -> argparse.ArgumentParser:
         "decontamination, train/val/test split, per-split packing)",
     )
 
+    tok = sub.add_parser(
+        "tokenizer",
+        help="train the exact corpus BPE tokenizer, or encode documents "
+        "under a persisted one",
+    )
+    tok.add_argument("action", choices=["train", "encode"])
+    tok.add_argument("--docs", required=True, help="documents parquet path")
+    tok.add_argument(
+        "--tokenizer",
+        required=True,
+        help="tokenizer directory (merges + vocab parquet tables)",
+    )
+    tok.add_argument(
+        "--target", help="encode: output parquet for per-doc token counts"
+    )
+    tok.add_argument(
+        "--num-merges", type=int, default=8, help="train: merge budget"
+    )
+    tok.add_argument("--max-word-len", type=int, default=256)
+
     # ad-hoc SQL over tables-at-rest (reference README.md:38-45's documented
     # --query/--list-tables surface, dead in its main.py — real here)
     sql = sub.add_parser("sql", help="run ad-hoc SQL over a directory of parquet tables")
@@ -160,6 +180,33 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.target)
         n = spark.read.parquet(args.target).count()
         print(f"corpus build complete: {n} docs packed into shards at {args.target}")
+        spark.stop()
+        return 0
+    if args.command == "tokenizer":
+        from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+        docs = spark.read.parquet(args.docs)
+        if args.action == "train":
+            merges, vocab = bpe_ops.bpe_learn(
+                docs, num_merges=args.num_merges, max_word_len=args.max_word_len
+            )
+            bpe_ops.save_bpe(merges, vocab, args.tokenizer)
+            print(
+                f"tokenizer trained: {merges.count()} merges, "
+                f"{vocab.count()} words at {args.tokenizer}"
+            )
+        else:
+            if not args.target:
+                print("tokenizer encode requires --target", file=sys.stderr)
+                spark.stop()
+                return 2
+            merges, vocab = bpe_ops.load_bpe(spark, args.tokenizer)
+            counts = bpe_ops.bpe_encode(
+                docs, merges, vocab, max_word_len=args.max_word_len
+            )
+            counts.write.mode("overwrite").parquet(args.target)
+            n = spark.read.parquet(args.target).count()
+            print(f"encode complete: {n} docs counted at {args.target}")
         spark.stop()
         return 0
     fact = spark.read.parquet(args.fact)

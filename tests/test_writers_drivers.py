@@ -347,6 +347,48 @@ def test_cli_schema_subcommand(spark, monkeypatch, capsys):
     assert "r_regionkey" in out and "r_name" in out
 
 
+def test_cli_tokenizer_train_then_encode(spark, tmp_path, monkeypatch):
+    """Drive the tokenizer serving story end-to-end through the CLI:
+    train + persist on one corpus, encode a different batch under the
+    stored artifact, and check the counts against the library path."""
+    from billing_etl_v1_spark import cli
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+    train_path = str(tmp_path / "train_docs")
+    new_path = str(tmp_path / "new_docs")
+    tok = str(tmp_path / "tok")
+    target = str(tmp_path / "counts")
+    spark.createDataFrame(
+        [(0, "aaabab banana aab"), (1, "banana aaabab aaaa .")],
+        "doc_id long, text string",
+    ).write.parquet(train_path)
+    new_df = spark.createDataFrame(
+        [(0, "banana bandana aa"), (1, "zzz .")], "doc_id long, text string"
+    )
+    new_df.write.parquet(new_path)
+    monkeypatch.setattr("billing_etl_v1_spark.session.get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main(
+        ["tokenizer", "train", "--docs", train_path, "--tokenizer", tok,
+         "--num-merges", "4"]
+    )
+    assert rc == 0
+    rc = cli.main(
+        ["tokenizer", "encode", "--docs", new_path, "--tokenizer", tok,
+         "--target", target]
+    )
+    assert rc == 0
+    got = sorted(map(tuple, spark.read.parquet(target).collect()))
+    merges, vocab = bpe_ops.load_bpe(spark, tok)
+    exp = sorted(map(tuple, bpe_ops.bpe_encode(new_df, merges, vocab).collect()))
+    assert got == exp
+    # encode without --target is a usage error, not a crash
+    assert cli.main(
+        ["tokenizer", "encode", "--docs", new_path, "--tokenizer", tok]
+    ) == 2
+    bpe_ops.release_bpe_cache(spark)
+
+
 def test_cli_corpus_build_end_to_end(spark, tmp_path, monkeypatch):
     from billing_etl_v1_spark import cli
     from billing_etl_v1_spark.sources.readers import load_table
