@@ -466,6 +466,67 @@ def streaming_scd2_maintenance(
     )
 
 
+def streaming_token_meter(
+    spark: SparkSession,
+    docs_dir: str,
+    docs_schema,
+    tokenizer_dir: str,
+    counts_out: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_word_len: int = 256,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuous ingest → EXACT per-document BPE token counts under a
+    persisted frozen tokenizer (operators.bpe.save_bpe) — the token-rate
+    metering a training-data landing zone runs (sequence-packing budgets,
+    price-per-token, corpus accounting all consume the tokenizer's
+    number, per increment, as it lands).
+
+    Per micro-batch: ``bpe_encode`` against the stored (merges, vocab) —
+    known words resolve via the equi-join and only the batch's NOVEL
+    words re-run the merge loop, so per-trigger cost scales with the
+    batch's new vocabulary (the incremental-dedup posture: historical
+    text never re-read, no streaming state store — the tokenizer parquet
+    IS the state, and it is frozen, so every batch is priced under the
+    same vocabulary regardless of arrival order; tested identical to the
+    batch ``bpe_encode`` of everything ingested). ``max_word_len`` must
+    match training, as in ``bpe_encode``.
+
+    Exactly-once: counts land in a ``batch_id=N`` subdirectory with
+    overwrite, so a retried micro-batch (foreachBatch is at-least-once)
+    is idempotent; readers discover ``batch_id`` as a partition column.
+    """
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+    reader = spark.readStream.schema(docs_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merges, vocab = bpe_ops.load_bpe(batch_df.sparkSession, tokenizer_dir)
+        counts = bpe_ops.bpe_encode(
+            batch_df,
+            merges,
+            vocab,
+            text_col=text_col,
+            id_col=id_col,
+            max_word_len=max_word_len,
+        )
+        counts.write.mode("overwrite").parquet(f"{counts_out}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_scd2_history(spark: SparkSession, history_store: str) -> DataFrame:
     """Read the maintained history with ``is_current`` derived against the
     store-wide max month — the read-time view that stays correct under

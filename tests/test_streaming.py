@@ -326,6 +326,61 @@ def test_streaming_incremental_dedup_matches_full_batch(spark, tmp_path):
     assert sigs.select("doc").distinct().count() == docs.count()
 
 
+def test_streaming_token_meter_matches_batch_encode(spark, tmp_path):
+    """Two micro-batches metered under a frozen persisted tokenizer must
+    together equal the batch bpe_encode of everything ingested — batch 2
+    deliberately carries words novel to both the tokenizer and batch 1,
+    exercising the per-trigger merge loop on the unseen lane."""
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+    from billing_etl_v1_spark.streaming.pipeline import streaming_token_meter
+
+    train = spark.createDataFrame(
+        [(100, "aaabab banana aab"), (101, "banana aaabab aaaa .")],
+        "doc_id long, text string",
+    )
+    merges, vocab = bpe_ops.bpe_learn(train, num_merges=4)
+    tok = str(tmp_path / "tok")
+    bpe_ops.save_bpe(merges, vocab, tok)
+
+    new_docs = spark.createDataFrame(
+        [(0, "banana aa ."), (1, "bandana zzz aaabab"), (2, "   ")],
+        "doc_id long, text string",
+    )
+    docs_dir = str(tmp_path / "docs_in")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    new_docs.filter("doc_id = 0").coalesce(1).write.parquet(docs_dir)
+    new_docs.filter("doc_id >= 1").coalesce(1).write.mode("append").parquet(docs_dir)
+
+    counts_out = str(tmp_path / "counts")
+    q = streaming_token_meter(
+        spark,
+        docs_dir,
+        spark.read.parquet(docs_dir).schema,
+        tok,
+        counts_out,
+        checkpoint_dir=str(tmp_path / "ckpt_tok"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.doc_id: (r.n_pretokens, r.n_bpe_tokens)
+        for r in spark.read.parquet(counts_out).collect()
+    }
+    want = {
+        r.doc_id: (r.n_pretokens, r.n_bpe_tokens)
+        for r in bpe_ops.bpe_encode(new_docs, merges, vocab).collect()
+    }
+    assert got == want and len(want) == 3
+    # batch_id is a discoverable partition column (two triggers ran)
+    bids = {
+        int(r.batch_id)
+        for r in spark.read.parquet(counts_out).select("batch_id").distinct().collect()
+    }
+    assert len(bids) == 2
+    bpe_ops.release_bpe_cache(spark)
+
+
 def test_streaming_scd2_maintenance_matches_batch_recompute(spark, tmp_path):
     """Two micro-batches of dim snapshots must leave the history store
     equal to a full batch scd2_history recompute over every snapshot —
