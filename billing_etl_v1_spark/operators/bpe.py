@@ -426,7 +426,11 @@ def bpe_encode(
         )
         .localCheckpoint()
     )
-    for i in range(merges.count()):
+    # iterate to the highest rank, not count(): bpe_learn emits contiguous
+    # ranks, but a stored merge table someone filtered could have gaps —
+    # a missing rank must be a no-op round, not shift later merges early
+    max_rank = merges.agg(F.max("merge_rank")).first()[0]
+    for i in range(max_rank + 1 if max_rank is not None else 0):
         best = merges.filter(F.col("merge_rank") == i).select(
             F.col("left_sym").alias("a"), F.col("right_sym").alias("b")
         )
