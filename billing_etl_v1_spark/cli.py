@@ -89,7 +89,14 @@ def build_parser() -> argparse.ArgumentParser:
     tok.add_argument(
         "--num-merges", type=int, default=8, help="train: merge budget"
     )
-    tok.add_argument("--max-word-len", type=int, default=256)
+    tok.add_argument(
+        "--max-word-len",
+        type=int,
+        default=None,
+        help="train: pre-token merge-bypass cap (default 256), stored in "
+        "the artifact; encode reads the stored cap — only pass here to "
+        "override it deliberately",
+    )
 
     # ad-hoc SQL over tables-at-rest (reference README.md:38-45's documented
     # --query/--list-tables surface, dead in its main.py — real here)
@@ -187,10 +194,11 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = spark.read.parquet(args.docs)
         if args.action == "train":
+            cap = 256 if args.max_word_len is None else args.max_word_len
             merges, vocab = bpe_ops.bpe_learn(
-                docs, num_merges=args.num_merges, max_word_len=args.max_word_len
+                docs, num_merges=args.num_merges, max_word_len=cap
             )
-            bpe_ops.save_bpe(merges, vocab, args.tokenizer)
+            bpe_ops.save_bpe(merges, vocab, args.tokenizer, max_word_len=cap)
             print(
                 f"tokenizer trained: {merges.count()} merges, "
                 f"{vocab.count()} words at {args.tokenizer}"
@@ -200,10 +208,9 @@ def main(argv: list[str] | None = None) -> int:
                 print("tokenizer encode requires --target", file=sys.stderr)
                 spark.stop()
                 return 2
-            merges, vocab = bpe_ops.load_bpe(spark, args.tokenizer)
-            counts = bpe_ops.bpe_encode(
-                docs, merges, vocab, max_word_len=args.max_word_len
-            )
+            merges, vocab, stored_cap = bpe_ops.load_bpe(spark, args.tokenizer)
+            cap = stored_cap if args.max_word_len is None else args.max_word_len
+            counts = bpe_ops.bpe_encode(docs, merges, vocab, max_word_len=cap)
             counts.write.mode("overwrite").parquet(args.target)
             n = spark.read.parquet(args.target).count()
             print(f"encode complete: {n} docs counted at {args.target}")

@@ -291,15 +291,19 @@ def bpe_learn(
     return merges, vocab
 
 
-def _doc_counts(
-    df: DataFrame, word_cost: DataFrame, text_col: str, id_col: str
+def doc_token_counts(
+    df: DataFrame,
+    word_cost: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-document (n_pretokens, n_bpe_tokens) given a complete
     word → n_tokens cost table: one (doc, word) occurrence aggregate plus
     one equi-join (AQE broadcasts the cost table when small; at terabyte
     vocabularies it stays a plain equi-join — never hardcode the
     broadcast). Documents with zero pre-tokens report 0/0 via the left
-    join."""
+    join. Public building block: the streaming meter composes it with
+    :func:`encode_words` to maintain its own incremental cost table."""
     occurrences = (
         df.select(
             F.col(id_col), F.explode(_pretokens(F.col(text_col))).alias("word")
@@ -338,34 +342,55 @@ def bpe_token_counts(
 
     The encode path never re-applies merges per occurrence — the trained
     vocabulary already maps word → token count, so the corpus-sized work
-    is the shared :func:`_doc_counts` aggregate + equi-join. Trains via
+    is the shared :func:`doc_token_counts` aggregate + equi-join. Trains via
     :func:`bpe_learn` — see its EXECUTES-EAGERLY warning (memoized, so
     composing with docs_bpe_merges pays training once). To count NEW
     documents under this (or any) frozen vocabulary, use
     :func:`bpe_encode` instead of re-training on the union."""
     _, vocab = bpe_learn(df, text_col, num_merges, max_word_len)
     word_cost = vocab.select("word", F.size("tokens").alias("n_tokens"))
-    return _doc_counts(df, word_cost, text_col, id_col)
+    return doc_token_counts(df, word_cost, text_col, id_col)
 
 
-def save_bpe(merges: DataFrame, vocab: DataFrame, dir_path: str) -> None:
-    """Persist a trained tokenizer (:func:`bpe_learn`'s outputs) as two
+def save_bpe(
+    merges: DataFrame,
+    vocab: DataFrame,
+    dir_path: str,
+    max_word_len: int = 256,
+) -> None:
+    """Persist a trained tokenizer (:func:`bpe_learn`'s outputs) as
     parquet tables under ``dir_path`` — the model-artifact round-trip a
     real pipeline needs: train once, serve from storage in later jobs
-    (the in-process memo is per-session only). Both tables are
-    vocabulary-bounded, never corpus-sized."""
+    (the in-process memo is per-session only). All tables are
+    vocabulary-bounded, never corpus-sized.
+
+    ``max_word_len`` must be the value training used: encode-time bypass
+    behavior is part of the tokenizer's definition, so the cap is stored
+    IN the artifact (a 1-row ``meta`` table) and :func:`load_bpe` hands
+    it back — serving under a silently different cap would tokenize
+    novel over-cap words differently than training would have."""
     merges.write.mode("overwrite").parquet(f"{dir_path}/merges")
     vocab.write.mode("overwrite").parquet(f"{dir_path}/vocab")
+    meta = merges.sparkSession.createDataFrame(
+        [(int(max_word_len),)], "max_word_len int"
+    )
+    meta.write.mode("overwrite").parquet(f"{dir_path}/meta")
 
 
-def load_bpe(spark, dir_path: str) -> tuple[DataFrame, DataFrame]:
-    """Load a tokenizer saved by :func:`save_bpe`. The returned frames are
-    plain lazy parquet scans, directly usable by :func:`bpe_encode` —
-    merge ranks are read back in rank order by the loop's per-rank
-    filter, so ordering of the stored files is irrelevant."""
+def load_bpe(spark, dir_path: str) -> tuple[DataFrame, DataFrame, int]:
+    """Load a tokenizer saved by :func:`save_bpe`: (merges, vocab,
+    max_word_len). The frames are plain lazy parquet scans, directly
+    usable by :func:`bpe_encode` — merge ranks are read back in rank
+    order by the loop's per-rank filter, so ordering of the stored files
+    is irrelevant; pass the returned cap to bpe_encode so serving
+    matches training."""
+    max_word_len = int(
+        spark.read.parquet(f"{dir_path}/meta").first()["max_word_len"]
+    )
     return (
         spark.read.parquet(f"{dir_path}/merges"),
         spark.read.parquet(f"{dir_path}/vocab"),
+        max_word_len,
     )
 
 
@@ -400,25 +425,52 @@ def bpe_encode(
        rows — same lineage-truncation reasoning as :func:`bpe_learn`);
        an all-known batch short-circuits to the lazy join-only plan.
     """
-    if max_word_len < 1:
-        raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
     known = vocab.select("word", F.size("tokens").alias("n_tokens"))
     unseen = (
         df.select(F.explode(_pretokens(F.col(text_col))).alias("word"))
         .distinct()
         .join(vocab.select("word"), "word", "left_anti")
-        .withColumn("s", F.split(F.col("word"), ""))
         .localCheckpoint()
     )
     if unseen.isEmpty():
-        return _doc_counts(df, known, text_col, id_col)
-    bypass = unseen.filter(F.size("s") > max_word_len).select(
-        "word", F.size("s").alias("n_tokens")
+        return doc_token_counts(df, known, text_col, id_col)
+    enc = encode_words(unseen, merges, max_word_len)
+    word_cost = known.unionByName(
+        enc.select("word", F.size("tokens").alias("n_tokens"))
+    )
+    return doc_token_counts(df, word_cost, text_col, id_col)
+
+
+def encode_words(
+    words: DataFrame, merges: DataFrame, max_word_len: int = 256
+) -> DataFrame:
+    """word → tokens (array<string>) for words OUTSIDE the trained
+    vocabulary, by applying the learned merges in rank order — the
+    Sennrich encode loop, sharing the trainer's run-parity apply so a
+    training word routed through here reproduces its trained tokenization
+    exactly (property-tested). Over-cap words take the trainer's bypass
+    lane (one token per codepoint). Public building block: the streaming
+    meter persists these results so a novel word is encoded once across
+    all micro-batches, not once per batch.
+
+    .. warning:: EXECUTES EAGERLY (one localCheckpoint per learned merge
+       over the position rows — the :func:`bpe_learn` lineage reasoning);
+       cost scales with the input's vocabulary, never a corpus."""
+    if max_word_len < 1:
+        raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
+    base = (
+        words.select("word")
+        .distinct()
+        .withColumn("s", F.split(F.col("word"), ""))
+        .localCheckpoint()
+    )
+    bypass = base.filter(F.size("s") > max_word_len).select(
+        "word", F.col("s").alias("tokens")
     )
     # freq is a training-weight column _apply_merge carries through; it
     # does not affect which positions merge, so any constant works here
     pos = (
-        unseen.filter(F.size("s") <= max_word_len)
+        base.filter(F.size("s") <= max_word_len)
         .select(
             "word",
             F.lit(1).cast("bigint").alias("freq"),
@@ -435,8 +487,10 @@ def bpe_encode(
             F.col("left_sym").alias("a"), F.col("right_sym").alias("b")
         )
         pos = _apply_merge(pos, best).localCheckpoint()
-    unseen_cost = pos.groupBy("word").agg(
-        F.count(F.lit(1)).cast("int").alias("n_tokens")
+    encoded = pos.groupBy("word").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+            lambda t: t["sym"],
+        ).alias("tokens")
     )
-    word_cost = known.unionByName(unseen_cost).unionByName(bypass)
-    return _doc_counts(df, word_cost, text_col, id_col)
+    return encoded.unionByName(bypass)

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from billing_etl_v1_spark.operators import _memo
-from billing_etl_v1_spark.operators.text import lang_id, md5_long, text_stats
+from billing_etl_v1_spark.operators.text import WS_RE, lang_id, md5_long, text_stats
 
 SAMPLE_BUCKETS = 1_000_000
 
@@ -74,7 +74,7 @@ def quality_corpus(
         & (F.col("quality_score") >= min_quality)
         & F.col("lang_pred").isin(*langs)
     )
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), WS_RE, " ")
     w = Window.partitionBy("__fp").orderBy(F.col("doc_id").asc())
     return (
         kept.withColumn("__fp", md5_long(norm))

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from billing_etl_v1_spark.functions import exact_sum, quantize6, quantize6_staged
 from billing_etl_v1_spark.operators import _memo
-from billing_etl_v1_spark.operators.text import md5_long
+from billing_etl_v1_spark.operators.text import WS_RE, md5_long
 
 NUM_MINHASH = 16
 BANDS = 4  # 4 bands x 4 rows
@@ -81,7 +81,7 @@ CW_CONSTANTS = _cw_constants(NUM_MINHASH)
 
 
 def _norm_text(text_col: str) -> Column:
-    return F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return F.regexp_replace(F.trim(F.lower(F.col(text_col))), WS_RE, " ")
 
 
 def _bind_once(expr: Column, build) -> Column:
@@ -120,7 +120,7 @@ def word_shingles(text_col: str = "text", n: int = 3) -> Column:
             F.array(F.concat_ws(" ", toks))
         )
 
-    return _bind_once(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), _build)
+    return _bind_once(F.split(F.trim(F.lower(F.col(text_col))), WS_RE), _build)
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -412,7 +412,7 @@ def simhash16_signatures(
     bit-identical to the per-row form and to the DuckDB oracle. NULL-text
     docs keep their signature of 0 (every vote NULL → every bit 0 in the
     old form) via a separate constant branch."""
-    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), WS_RE))
     base = df.select(F.col(id_col).alias("doc"), toks.alias("__t"))
     null_sigs = base.filter(F.col("__t").isNull()).select(
         "doc", F.lit(0).cast("int").alias("sig")

@@ -33,7 +33,21 @@ DIGIT_CLASS = "[0-9]"
 # BPE-ish pre-tokenization: letter runs, digit runs, and single punctuation
 # marks each count as one token (the word/number/symbol split every BPE
 # vocabulary starts from). Same pattern runs in Java regex and RE2 (DuckDB).
-BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# the whitespace class is spelled out because \s is engine-dependent at
+# the edges: Java regex \s includes U+000B (vertical tab), DuckDB's RE2
+# \s does not, and Python's str-pattern \s is Unicode-wide — so 'a\x0Bb'
+# tokenized as 2 pre-tokens on Spark but 3 in the oracle. The explicit
+# class means Spark, DuckDB (oracle_ext interpolates this constant), and
+# the naive test references all split identically; escapes are shared
+# RE2/Java/Python syntax and pass through SQL string literals unchanged.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r\x0B]"
+
+# same edge, same cure, for every whitespace SPLIT/normalize: this class
+# equals Java's \s exactly (so Spark plans are unchanged), while DuckDB's
+# RE2 \s excludes \x0B — a vertical tab flipped token_count, and with it
+# quality_score/lang_id/fingerprints, between the engines until the
+# oracle twins started interpolating this constant instead of \s
+WS_RE = r"[ \t\n\f\r\x0B]+"
 
 
 def bpe_token_count(col: Column) -> Column:
@@ -42,7 +56,7 @@ def bpe_token_count(col: Column) -> Column:
 
 
 def _tokens(col: Column) -> Column:
-    return F.split(F.trim(F.lower(col)), r"\s+")
+    return F.split(F.trim(F.lower(col)), WS_RE)
 
 
 def token_count(col: Column) -> Column:
@@ -187,7 +201,7 @@ def md5_long(col: Column, salt: str | None = None) -> Column:
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: md5 hex + 60-bit int of the normalized text
     (lowercased, whitespace collapsed)."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), WS_RE, " ")
     return df.withColumns(
         {
             "fingerprint_md5": F.md5(norm),
@@ -508,7 +522,7 @@ def winnow_fingerprints(
 
     d = df.select(
         "doc_id",
-        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ").alias(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), WS_RE, " ").alias(
             "__norm"
         ),
     ).filter(F.length("__norm") >= k)

@@ -17,7 +17,12 @@ Formulas mirror the Spark operators exactly:
 from __future__ import annotations
 
 from billing_etl_v1_spark.operators.dedup import BANDS, NUM_MINHASH
-from billing_etl_v1_spark.operators.text import LANG_STOPWORDS, QUALITY_STOPWORDS
+from billing_etl_v1_spark.operators.text import (
+    BPE_TOKEN_RE,
+    LANG_STOPWORDS,
+    QUALITY_STOPWORDS,
+    WS_RE,
+)
 from billing_etl_v1_spark.oracle import _r6
 
 _MD5INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
@@ -48,8 +53,8 @@ def _md5int(x: str, salt: str | None = None) -> str:
     return _MD5INT.format(x=x)
 
 
-_TOKENS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
-_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKENS = f"regexp_split_to_array(trim(lower(text)), '{WS_RE}')"
+_NORM = f"regexp_replace(trim(lower(text)), '{WS_RE}', ' ', 'g')"
 
 
 def _sql_list(words: list[str]) -> str:
@@ -72,7 +77,7 @@ WITH t AS (
 SELECT doc_id, text, lang, source, n_chars,
   length(text)::INT AS char_count,
   token_count::INT AS token_count,
-  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::INT AS bpe_token_count,
+  len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))::INT AS bpe_token_count,
   {_r6('punct')} AS punct_ratio,
   {_r6('digit')} AS digit_ratio,
   {_r6('CASE WHEN token_count = 0 THEN 0.0 ELSE stop_hits::DOUBLE / token_count END')} AS stopword_ratio,
@@ -825,7 +830,7 @@ def quality_corpus_sql(
 WITH t AS (
   SELECT doc_id, text, lang,
     CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS}) END AS token_count,
-    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::INT AS bpe_token_count,
+    len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))::INT AS bpe_token_count,
     CASE WHEN length(text) = 0 THEN 0.0
          ELSE (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text) END AS punct,
     CASE WHEN length(text) = 0 THEN 0.0
@@ -1280,7 +1285,7 @@ def winnow_fingerprints_sql(k: int = 8, window: int = 4) -> str:
         h = f"(({h}) * {WINNOW_BASE} + codes[i + {j}]) % {WINNOW_MOD}"
     return f"""
 WITH norm AS (
-  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS n
+  SELECT doc_id, regexp_replace(trim(lower(text)), '{WS_RE}', ' ', 'g') AS n
   FROM documents
 ),
 coded AS (
@@ -2434,7 +2439,7 @@ FROM p JOIN t USING (event_type)
 
 # --- tokenizer-exact BPE (operators/bpe.py) -------------------------------
 
-_BPE_PRE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_BPE_PRE_RE = BPE_TOKEN_RE
 
 
 def _bpe_round_ctes(i: int) -> str:

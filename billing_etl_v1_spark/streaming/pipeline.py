@@ -473,9 +473,10 @@ def streaming_token_meter(
     tokenizer_dir: str,
     counts_out: str,
     checkpoint_dir: str,
+    word_store: str | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_word_len: int = 256,
+    max_word_len: int | None = None,
     max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Continuous ingest → EXACT per-document BPE token counts under a
@@ -484,19 +485,24 @@ def streaming_token_meter(
     price-per-token, corpus accounting all consume the tokenizer's
     number, per increment, as it lands).
 
-    Per micro-batch: ``bpe_encode`` against the stored (merges, vocab) —
-    known words resolve via the equi-join and only the batch's NOVEL
-    words re-run the merge loop, so per-trigger cost scales with the
-    batch's new vocabulary (the incremental-dedup posture: historical
-    text never re-read, no streaming state store — the tokenizer parquet
-    IS the state, and it is frozen, so every batch is priced under the
-    same vocabulary regardless of arrival order; tested identical to the
-    batch ``bpe_encode`` of everything ingested). ``max_word_len`` must
-    match training, as in ``bpe_encode``.
+    Per micro-batch: known words resolve via one equi-join against the
+    stored vocabulary, and only words NOVEL to the vocabulary — and,
+    with ``word_store`` set, to every prior batch — run the merge loop
+    (``operators.bpe.encode_words``), so per-trigger cost scales with the
+    batch's genuinely-new vocabulary (the incremental-dedup posture:
+    historical text never re-read, no streaming state store — the
+    tokenizer parquet is frozen state and the word store is append-only
+    (word, n_tokens) rows, so counts are arrival-order independent and
+    a recurring novel word is encoded once per stream, not once per
+    batch; tested identical to the batch ``bpe_encode`` of everything
+    ingested, with and without the store). ``max_word_len`` defaults
+    to the cap stored in the artifact (pass a value only to override it
+    deliberately).
 
-    Exactly-once: counts land in a ``batch_id=N`` subdirectory with
-    overwrite, so a retried micro-batch (foreachBatch is at-least-once)
-    is idempotent; readers discover ``batch_id`` as a partition column.
+    Exactly-once: counts and learned words land in ``batch_id=N``
+    subdirectories with overwrite, so a retried micro-batch
+    (foreachBatch is at-least-once) is idempotent; readers discover
+    ``batch_id`` as a partition column.
     """
     from billing_etl_v1_spark.operators import bpe as bpe_ops
 
@@ -508,16 +514,46 @@ def streaming_token_meter(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        merges, vocab = bpe_ops.load_bpe(batch_df.sparkSession, tokenizer_dir)
-        counts = bpe_ops.bpe_encode(
-            batch_df,
-            merges,
-            vocab,
-            text_col=text_col,
-            id_col=id_col,
-            max_word_len=max_word_len,
+        s = batch_df.sparkSession
+        merges, vocab, stored_cap = bpe_ops.load_bpe(s, tokenizer_dir)
+        cap = stored_cap if max_word_len is None else max_word_len
+        known = vocab.select("word", F.size("tokens").alias("n_tokens"))
+        if word_store is not None:
+            try:
+                known = known.unionByName(
+                    s.read.parquet(word_store).select("word", "n_tokens")
+                )
+            except Exception:  # first batch: no store yet
+                pass
+        unseen = (
+            batch_df.select(
+                F.explode(
+                    F.regexp_extract_all(
+                        F.col(text_col), F.lit(bpe_ops.BPE_TOKEN_RE), 0
+                    )
+                ).alias("word")
+            )
+            .distinct()
+            .join(known.select("word"), "word", "left_anti")
+            .localCheckpoint()
         )
+        new_costs = None
+        if not unseen.isEmpty():
+            new_costs = bpe_ops.encode_words(unseen, merges, cap).select(
+                "word", F.size("tokens").alias("n_tokens")
+            )
+            known = known.unionByName(new_costs)
+        counts = bpe_ops.doc_token_counts(batch_df, known, text_col, id_col)
         counts.write.mode("overwrite").parquet(f"{counts_out}/batch_id={batch_id}")
+        if word_store is not None and new_costs is not None:
+            # store write LAST: `known` reads the store lazily, so
+            # overwriting batch_id=N before the counts query runs could
+            # drop a crashed retry's partially-written words from the
+            # cost table mid-query. Losing a store write only ever costs
+            # re-encoding those words in a later batch, never counts.
+            new_costs.write.mode("overwrite").parquet(
+                f"{word_store}/batch_id={batch_id}"
+            )
 
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -992,7 +992,7 @@ def _naive_bpe(texts: list[str], num_merges: int, max_word_len: int = 256):
     import re
     from collections import Counter
 
-    pre_re = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    from billing_etl_v1_spark.operators.text import BPE_TOKEN_RE as pre_re
     wf = Counter(w for t in texts for w in re.findall(pre_re, t))
     vocab = {w: list(w) for w in wf}
     capped = {w for w in wf if len(w) > max_word_len}
@@ -1067,7 +1067,7 @@ def test_bpe_matches_naive_reference(spark, texts, num_merges):
 
     import re
 
-    pre_re = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    from billing_etl_v1_spark.operators.text import BPE_TOKEN_RE as pre_re
     got_tc = {
         r["doc_id"]: (r["n_pretokens"], r["n_bpe_tokens"])
         for r in bpe_ops.bpe_token_counts(df, num_merges=num_merges).collect()
@@ -1201,7 +1201,7 @@ def test_bpe_encode_unseen_path_reproduces_training_tokens(spark):
     exp = {}
     import re
 
-    pre_re = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    from billing_etl_v1_spark.operators.text import BPE_TOKEN_RE as pre_re
     for i, t in enumerate(texts):
         words = re.findall(pre_re, t)
         exp[i] = (len(words), sum(len(got_v[w]) for w in words))
@@ -1236,7 +1236,7 @@ def test_bpe_encode_new_docs_mixed_known_and_novel(spark):
     }
     import re
 
-    pre_re = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    from billing_etl_v1_spark.operators.text import BPE_TOKEN_RE as pre_re
     exp = {}
     for i, t in enumerate(new_texts):
         words = re.findall(pre_re, t)
@@ -1265,8 +1265,9 @@ def test_bpe_save_load_roundtrip_serves_identically(spark, tmp_path):
         "doc_id long, text string",
     )
     merges, vocab = bpe_ops.bpe_learn(train, num_merges=4)
-    bpe_ops.save_bpe(merges, vocab, str(tmp_path / "tok"))
-    merges2, vocab2 = bpe_ops.load_bpe(spark, str(tmp_path / "tok"))
+    bpe_ops.save_bpe(merges, vocab, str(tmp_path / "tok"), max_word_len=77)
+    merges2, vocab2, cap2 = bpe_ops.load_bpe(spark, str(tmp_path / "tok"))
+    assert cap2 == 77, "stored max_word_len must round-trip"
     new_df = spark.createDataFrame(
         [(0, "banana bandana aa"), (1, "zzz .")], "doc_id long, text string"
     )

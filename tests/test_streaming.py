@@ -340,7 +340,7 @@ def test_streaming_token_meter_matches_batch_encode(spark, tmp_path):
     )
     merges, vocab = bpe_ops.bpe_learn(train, num_merges=4)
     tok = str(tmp_path / "tok")
-    bpe_ops.save_bpe(merges, vocab, tok)
+    bpe_ops.save_bpe(merges, vocab, tok)  # default cap 256 = training cap
 
     new_docs = spark.createDataFrame(
         [(0, "banana aa ."), (1, "bandana zzz aaabab"), (2, "   ")],
@@ -378,6 +378,48 @@ def test_streaming_token_meter_matches_batch_encode(spark, tmp_path):
         for r in spark.read.parquet(counts_out).select("batch_id").distinct().collect()
     }
     assert len(bids) == 2
+
+    # word_store variant: 'bandana' is novel to the tokenizer and occurs
+    # in BOTH micro-batches — with the store it must be encoded by batch 1
+    # and resolved by lookup in batch 2 (exactly one store row), with
+    # identical counts
+    docs2 = spark.createDataFrame(
+        [(10, "bandana banana"), (11, "bandana zzz .")], "doc_id long, text string"
+    )
+    docs2_dir = str(tmp_path / "docs_in2")
+    docs2.filter("doc_id = 10").coalesce(1).write.parquet(docs2_dir)
+    docs2.filter("doc_id = 11").coalesce(1).write.mode("append").parquet(docs2_dir)
+    counts2 = str(tmp_path / "counts2")
+    store = str(tmp_path / "word_store")
+    q2 = streaming_token_meter(
+        spark,
+        docs2_dir,
+        spark.read.parquet(docs2_dir).schema,
+        tok,
+        counts2,
+        checkpoint_dir=str(tmp_path / "ckpt_tok2"),
+        word_store=store,
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(180)
+    got2 = {
+        r.doc_id: (r.n_pretokens, r.n_bpe_tokens)
+        for r in spark.read.parquet(counts2).collect()
+    }
+    want2 = {
+        r.doc_id: (r.n_pretokens, r.n_bpe_tokens)
+        for r in bpe_ops.bpe_encode(docs2, merges, vocab).collect()
+    }
+    assert got2 == want2
+    store_rows = spark.read.parquet(store).collect()
+    words = [r.word for r in store_rows]
+    assert sorted(set(words)) == sorted(words), "a word must be stored once"
+    assert "bandana" in words
+    # the recurring novel word was learned by the FIRST batch that saw it
+    bandana_batches = {
+        int(r.batch_id) for r in store_rows if r.word == "bandana"
+    }
+    assert len(bandana_batches) == 1
     bpe_ops.release_bpe_cache(spark)
 
 

@@ -22,7 +22,10 @@ import pytest
 import __spark_entry__ as entrymod
 from tests.conftest import TESTDATA_TABLES, assert_frames_match
 
-UNICODE_SUFFIX = " 日本語テスト café naïve über 😀🌍 привет 中文分析"
+# \x0b (vertical tab) is the regex-\s edge where Java and RE2 disagree —
+# kept in the corpus so the explicit whitespace class in BPE_TOKEN_RE
+# stays load-bearing; \xa0 (NBSP) is the Python-\s-only divergence twin
+UNICODE_SUFFIX = " 日本語テスト café naïve über 😀🌍 привет 中文分析 a\x0bb c\xa0d"
 
 # text-centric operators whose parity must be byte/char-assumption-free
 TEXT_QUERIES = [
