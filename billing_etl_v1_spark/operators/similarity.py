@@ -371,9 +371,11 @@ def hard_negatives(
 
     # inlines _prep's contract (the label column rules out reusing it):
     # non-finite AND zero-norm vectors are excluded — cosine divides by
-    # the norm, and ANSI mode turns norm=0 into a job-killing error
+    # the norm, and ANSI mode turns norm=0 into a job-killing error —
+    # and NULL ids too (the top-k tie-break orders by vid: Spark sorts
+    # NULLS FIRST, the twin's WHERE vec_id IS NOT NULL drops them)
     base = with_norm(
-        finite_vectors(embeddings, vec_col).select(
+        finite_vectors(embeddings.filter(F.col(id_col).isNotNull()), vec_col).select(
             F.col(id_col).alias("vid"),
             _as_double(F.col(vec_col)).alias("v"),
             F.col(label_col).alias("lab"),

@@ -584,6 +584,12 @@ def chunk_documents(
     """
     toks = (
         df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        # NULL-key lane: chunks reassemble by (doc_id, chunk_idx), so NULL
+        # doc_ids would merge unrelated documents' tokens into one
+        # interleaved garbage chunk (the per-row twin emits them
+        # separately) — exclude at ingestion like every other
+        # key-dependent operator, mirrored in chunk_documents_sql
+        .filter(F.col("doc_id").isNotNull())
         .select("doc_id", F.posexplode(_tokens(F.col(text_col))).alias("__p0", "__tok"))
         .withColumn("__p", F.col("__p0") + 1)  # 1-based token position
     )
@@ -599,7 +605,11 @@ def chunk_documents(
         "doc_id",
         "__p",
         "__tok",
-        F.explode(F.sequence(k_lo, k_hi)).alias("chunk_idx"),
+        # k_lo > k_hi means the token sits in a gap (stride > chunk_tokens
+        # configs): it belongs to NO chunk. Unguarded, sequence(k_lo, k_hi)
+        # runs DESCENDING and assigns it to two wrong chunks — the same
+        # footgun top_ngrams guards; when() yields NULL and explode drops it
+        F.explode(F.when(k_lo <= k_hi, F.sequence(k_lo, k_hi))).alias("chunk_idx"),
     )
     return pieces.groupBy("doc_id", "chunk_idx").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_chunk_tokens"),

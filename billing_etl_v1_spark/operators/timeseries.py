@@ -218,7 +218,14 @@ def user_value_trend(events: DataFrame, min_points: int = 2) -> DataFrame:
     # string, DuckDB through the exact binary expansion — they disagree at
     # the 10th decimal), but integer sums in DECIMAL(38,0) are exact
     # everywhere, and the closed form below starts from identical doubles.
-    events = events.withColumn("value", finite_or_null("value"))
+    # rows whose y (corrupt value → NULL via the guard) or x (NULL ts) is
+    # missing must leave ALL five sums, not just the ones that touch the
+    # NULL: F.sum skips NULLs per-column, so keeping the row would count
+    # it in n/Σx/Σx² but not Σy/Σxy — the closed form then fits mismatched
+    # sums instead of the valid points (review finding; oracle mirrors)
+    events = events.withColumn("value", finite_or_null("value")).filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     dec0 = lambda c: F.sum(c.cast("decimal(38,0)"))  # noqa: E731
     x = F.floor(F.unix_timestamp("ts") / F.lit(86400))
     yk = F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5))

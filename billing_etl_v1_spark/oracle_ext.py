@@ -921,7 +921,10 @@ WITH s AS (
     sum({yk}) AS syk,
     sum({x} * {yk}) AS sxyk,
     sum({x} * {x}) AS sxx
-  FROM {_EVF} GROUP BY user_id
+  -- NULL value (corrupt, guarded to NULL) or NULL ts rows leave ALL sums:
+  -- mirrored Spark-side — partial per-column NULL-skipping would fit
+  -- mismatched sums
+  FROM {_EVF} WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY user_id
 ),
 d AS (
   SELECT user_id, n_events,
@@ -1318,7 +1321,11 @@ def chunk_documents_sql(chunk_tokens: int = 32, stride: int = 24) -> str:
     like Spark's slice(toks, s, chunk)."""
     return f"""
 WITH toks AS (
-  SELECT doc_id, {_TOKENS} AS t FROM documents WHERE length(trim(text)) > 0
+  -- doc_id IS NOT NULL mirrors the Spark side's NULL-key exclusion (its
+  -- chunk reassembly groups by doc_id; this per-row form never merges,
+  -- so the filter exists purely to keep the twins row-identical)
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+  WHERE length(trim(text)) > 0 AND doc_id IS NOT NULL
 ),
 starts AS (
   SELECT doc_id, t, unnest(range(1, len(t) + 1, {stride})) AS s FROM toks

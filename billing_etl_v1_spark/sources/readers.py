@@ -106,6 +106,42 @@ def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
 
+# parsed frames pinned by the quarantine readers, released via
+# release_quarantine_cache (same lifecycle pattern as dedup's signature
+# memo): the split must filter a MATERIALIZED scan (SPARK-21610), but a
+# persist with no unpersist path would pin a whole backfill's input in
+# storage memory for the session's lifetime
+_QUARANTINE_PINNED: list = []
+
+
+def release_quarantine_cache() -> int:
+    """Unpersist every parsed frame pinned by the quarantine readers and
+    return how many were released. Call AFTER the good/bad outputs are
+    consumed/written — releasing reverts the scan to unmaterialized, where
+    filtering on the corrupt column is disallowed again (SPARK-21610), so
+    the split frames raise AnalysisException if used afterwards."""
+    released = 0
+    for df in _QUARANTINE_PINNED:
+        try:
+            df.unpersist()
+            released += 1
+        except Exception:
+            pass  # stopped session — nothing left to release
+    _QUARANTINE_PINNED.clear()
+    return released
+
+
+def split_corrupt(parsed, corrupt: str = "_corrupt_record"):
+    """The PERMISSIVE-parse good/bad split shared by the batch quarantine
+    readers and the streaming ingest twin: fully-parsed rows minus the
+    corrupt column, and the raw text of every row that failed."""
+    good = parsed.filter(F.col(corrupt).isNull()).drop(corrupt)
+    bad = parsed.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("corrupt_record")
+    )
+    return good, bad
+
+
 def read_csv_quarantine(
     spark: SparkSession,
     path: str,
@@ -148,11 +184,8 @@ def read_csv_quarantine(
     if timestamp_format:
         reader = reader.option("timestampFormat", timestamp_format)
     parsed = reader.csv(path).persist(StorageLevel.MEMORY_AND_DISK)
-    good = parsed.filter(F.col(corrupt).isNull()).drop(corrupt)
-    bad = parsed.filter(F.col(corrupt).isNotNull()).select(
-        F.col(corrupt).alias("corrupt_record")
-    )
-    return good, bad
+    _QUARANTINE_PINNED.append(parsed)
+    return split_corrupt(parsed, corrupt)
 
 
 def read_json_quarantine(
@@ -173,8 +206,5 @@ def read_json_quarantine(
         .json(path)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    good = parsed.filter(F.col(corrupt).isNull()).drop(corrupt)
-    bad = parsed.filter(F.col(corrupt).isNotNull()).select(
-        F.col(corrupt).alias("corrupt_record")
-    )
-    return good, bad
+    _QUARANTINE_PINNED.append(parsed)
+    return split_corrupt(parsed, corrupt)

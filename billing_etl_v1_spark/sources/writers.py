@@ -69,11 +69,13 @@ def write_calculated(
     partition columns are excluded because they are constant within a
     partition and would dilute nothing. Byte-identical duplicate rows
     share a salt, so fully-duplicated data still lands in one file per
-    partition regardless of N. If no such column exists the salt
-    falls back to ``monotonically_increasing_id() % N`` — spreads
-    everything, including duplicates, at the cost of a file layout that is
-    not byte-stable across reruns (acceptable: the salt decides file
-    boundaries only, never row content)."""
+    partition regardless of N. If no such column exists the salt falls
+    back to hashing ``to_json(struct(<non-partition columns>))`` — slower
+    (serializes the row) but still DETERMINISTIC per row content. A
+    nondeterministic key (e.g. monotonically_increasing_id) is never
+    used: repartitioning on one can silently drop or duplicate rows when
+    a stage retry recomputes a map task after reducers consumed its
+    earlier output — Spark only repair-protects round-robin."""
     if pre_shuffle and partition_by:
         cols = [F.col(c) for c in partition_by]
         if files_per_partition > 1:
@@ -85,8 +87,14 @@ def write_calculated(
                 # across reruns of identical data
                 salt = F.pmod(F.hash(*hashable), F.lit(files_per_partition))
             else:
+                # every non-partition column is map-typed somewhere:
+                # hash() refuses maps, but to_json doesn't — deterministic
+                # per row content, which a shuffle key MUST be (retry
+                # safety), at the cost of serializing the row once
+                rest = [c for c in df.columns if c not in set(partition_by)]
                 salt = F.pmod(
-                    F.monotonically_increasing_id(), F.lit(files_per_partition)
+                    F.hash(F.to_json(F.struct(*rest))),
+                    F.lit(files_per_partition),
                 )
             df = df.repartition(*cols, salt)
         else:

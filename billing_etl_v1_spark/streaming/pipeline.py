@@ -582,12 +582,15 @@ def streaming_quarantine_ingest(
     bad_path: str,
     checkpoint_dir: str,
     fmt: str = "json",
+    header: bool = True,
 ) -> StreamingQuery:
     """Continuous JSON-lines/CSV ingest with corrupt-row QUARANTINE — the
     streaming twin of :func:`sources.readers.read_json_quarantine`: rows
     that fail to parse land in ``bad_path`` as raw text instead of killing
     the stream, fully-parsed rows append to ``good_path`` with exactly the
-    declared schema.
+    declared schema. ``header`` applies to CSV only and defaults like the
+    batch twin's — without it every file's header line would fail the
+    typed parse and pollute the quarantine each trigger.
 
     Per micro-batch the parsed frame is persisted once and split two ways
     (the batch readers' SPARK-21610 pattern, applied inside foreachBatch
@@ -606,17 +609,19 @@ def streaming_quarantine_ingest(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt)
     )
-    stream = reader.json(src_dir) if fmt == "json" else reader.csv(src_dir)
+    if fmt == "json":
+        stream = reader.json(src_dir)
+    else:
+        stream = reader.option("header", str(header).lower()).csv(src_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark import StorageLevel
 
+        from billing_etl_v1_spark.sources.readers import split_corrupt
+
         batch_df.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            good = batch_df.filter(F.col(corrupt).isNull()).drop(corrupt)
-            bad = batch_df.filter(F.col(corrupt).isNotNull()).select(
-                F.col(corrupt).alias("corrupt_record")
-            )
+            good, bad = split_corrupt(batch_df, corrupt)
             good.write.mode("append").parquet(good_path)
             if not bad.isEmpty():
                 bad.write.mode("append").parquet(bad_path)

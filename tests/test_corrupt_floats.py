@@ -118,3 +118,31 @@ def test_twin_parity_survives_poisoned_floats(spark, poisoned_sf_dir, duck_poiso
     if o is None:
         return  # weak-checked op: executing without raising is the contract
     assert_frames_match(sdf, duck_poisoned.execute(o).df(), name)
+
+
+def test_user_value_trend_corrupt_rows_leave_all_sums(spark):
+    """A corrupt-value row must vanish from the fit entirely: keeping it
+    would count it in n/Σx/Σx² while F.sum skips its NULL y in Σy/Σxy —
+    a 'least-squares' of mismatched sums (review finding). Three points,
+    one NaN: the fit must be the exact line through the two valid ones."""
+    import datetime as dt
+
+    from billing_etl_v1_spark.operators.timeseries import user_value_trend
+
+    day = lambda d: dt.datetime(2024, 1, 1 + d, 0, 0, 0)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (7, day(0), 1.0),
+            (7, day(1), 2.0),
+            (7, day(2), float("nan")),
+            (8, day(0), 5.0),
+            (8, day(1), None),  # NULL value: same exclusion lane
+            (8, day(2), 9.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {r.user_id: r for r in user_value_trend(df).collect()}
+    assert out[7].n_events == 2 and abs(out[7].slope_per_day - 1.0) < 1e-9
+    assert out[7].mean_value == 1.5
+    assert out[8].n_events == 2 and abs(out[8].slope_per_day - 2.0) < 1e-9
+    assert out[8].mean_value == 7.0

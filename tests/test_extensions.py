@@ -474,6 +474,42 @@ def test_chunk_documents_overlap_and_tail(spark):
     assert covered == set(words)
 
 
+def test_chunk_documents_gap_stride_drops_gap_tokens(spark):
+    """stride > chunk_tokens leaves gaps: a gap token belongs to NO chunk.
+    Unguarded, Spark's sequence(k_lo, k_hi) with k_lo > k_hi runs
+    DESCENDING and assigned each gap token to two wrong chunks (review
+    finding) — the slice-form oracle and the old slice implementation
+    both drop them."""
+    from billing_etl_v1_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6")], "doc_id long, text string"
+    )
+    out = sorted(
+        chunk_documents(df, chunk_tokens=2, stride=4).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # chunks span positions [1,2] and [5,6]; t3/t4 sit in the gap
+    assert [(r.chunk_idx, r.chunk_text) for r in out] == [
+        (0, "t1 t2"),
+        (1, "t5 t6"),
+    ]
+
+
+def test_chunk_documents_null_doc_ids_never_merge(spark):
+    """Two documents with NULL doc_id must produce NO chunks (the NULL-key
+    exclusion), not one interleaved garbage chunk via the (doc_id,
+    chunk_idx) reassembly grouping both under NULL (review finding)."""
+    from billing_etl_v1_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(None, "a b c"), (None, "x y z"), (7, "p q r")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=8, stride=8).collect()
+    assert [(r.doc_id, r.chunk_text) for r in out] == [(7, "p q r")]
+
+
 def test_winnow_guarantees_shared_fingerprint_for_long_matches(spark):
     """Winnowing's core guarantee: two docs sharing a substring of length
     >= k + window - 1 (here 8+4-1=11 chars) ALWAYS share a fingerprint;

@@ -29,6 +29,13 @@ AFFECTED = [
     "docs_quality_percentiles",
     "dedup_semantic",
     "multimodal_frame_sample",
+    # r5 code-review finds: chunk reassembly merged NULL-doc_id tokens
+    # into one garbage chunk; hard_negatives' inline prep skipped the
+    # NULL-vid exclusion its twin applies; trend rows with NULL ts fed
+    # n/Σy but not Σx/Σx²
+    "docs_chunk",
+    "sim_hard_negatives",
+    "events_user_trend",
     # spot-check neighbors that already agreed on NULL keys (regression
     # guard for the ops that handle NULLs by grouping, not exclusion)
     "events_top_types",

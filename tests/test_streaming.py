@@ -518,3 +518,20 @@ def test_streaming_quarantine_ingest_splits_good_and_bad(spark, tmp_path):
     assert {r.id for r in good.collect()} == {1, 2, 3}
     bad = {r.corrupt_record for r in spark.read.parquet(bad_path).collect()}
     assert bad == {"garbage line one", '{"id": oops}'}
+
+    # CSV twin: header handling must match the batch reader's (review
+    # finding: without the header option every file's header line was a
+    # fake corrupt row in the quarantine, every trigger)
+    csv_src = tmp_path / "csv_src"
+    csv_src.mkdir()
+    (csv_src / "a.csv").write_text("id,tag\n1,a\n2,not-ok,extra-field-junk\n")
+    good2, bad2 = str(tmp_path / "good2"), str(tmp_path / "bad2")
+    q2 = streaming_quarantine_ingest(
+        spark, str(csv_src), schema, good2, bad2,
+        str(tmp_path / "ckpt_csv"), fmt="csv",
+    )
+    q2.awaitTermination(120)
+    assert {r.id for r in spark.read.parquet(good2).collect()} == {1}
+    assert {r.corrupt_record for r in spark.read.parquet(bad2).collect()} == {
+        "2,not-ok,extra-field-junk"
+    }

@@ -639,6 +639,35 @@ def test_csv_quarantine_splits_good_and_bad_rows(spark, tmp_path):
     assert good.columns == ["id", "name", "qty"]
 
 
+def test_quarantine_release_unpersists_pinned_scans(spark, tmp_path):
+    """The quarantine readers pin the parsed scan (SPARK-21610 split);
+    release_quarantine_cache must unpersist it so a backfill's input
+    doesn't stay in storage memory for the session's lifetime (review
+    finding: there was no release path at all)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from billing_etl_v1_spark.sources import readers
+
+    path = str(tmp_path / "r.jsonl")
+    with open(path, "w") as f:
+        f.write('{"id": 1}\nnot json\n')
+    schema = StructType([StructField("id", IntegerType())])
+    good, bad = readers.read_json_quarantine(spark, path, schema)
+    assert good.count() == 1 and bad.count() == 1
+    pinned = readers._QUARANTINE_PINNED[-1]
+    assert pinned.storageLevel.useMemory, "split must run on a pinned scan"
+    assert readers.release_quarantine_cache() >= 1
+    assert not pinned.storageLevel.useMemory
+    assert readers._QUARANTINE_PINNED == []
+    # post-release the split frames are INVALID again (SPARK-21610: the
+    # corrupt-column filter needs a materialized scan) — documented
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    with _pytest.raises(AnalysisException):
+        bad.count()
+
+
 def test_json_quarantine_splits_good_and_bad_rows(spark, tmp_path):
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
