@@ -881,6 +881,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fold included) was strict-verified dtype-exact vs its oracles at
     sf0.01 (tests/strict_check.py, 127/127 ok), so round 6's rotation
     material is pre-validated, not just parity-mirrored at sf0.001.
+    Late-r5 review fixes add to the round-6 must-lead set: the shared
+    whitespace class (text.WS_RE — \\x0B cross-engine divergence) touched
+    every text/dedup twin pair's regex literal on BOTH sides, and the
+    trend/chunk/hard-negatives NULL-exclusion fixes changed those plans
+    outright; the in-window members (docs_chunk, events_user_trend,
+    sim_hard_negatives, the text/dedup entries at slots <50) get fresh r5
+    verdicts, the below-fold regex-touched entries (docs_text_stats,
+    docs_lang_id, docs_fingerprint, docs_winnow_fingerprints,
+    docs_dedup_spans, docs_decontaminate*, docs_bigram_fluency,
+    dedup_ngram_jaccard, dedup_minhash_lsh, docs_repetition,
+    docs_quality_corpus, docs_training_corpus, docs_vocabulary,
+    docs_ccnet_buckets, dedup_exact, dedup_simhash) were all
+    strict-re-verified at sf0.01 after the change (127/127) and join
+    round 6's leads.
     """
     return {
         # --- ROUND-5 WINDOW (first 50; driver checks only these) ---
