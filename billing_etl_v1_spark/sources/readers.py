@@ -115,11 +115,13 @@ _QUARANTINE_PINNED: list = []
 
 
 def release_quarantine_cache() -> int:
-    """Unpersist every parsed frame pinned by the quarantine readers and
-    return how many were released. Call AFTER the good/bad outputs are
-    consumed/written — releasing reverts the scan to unmaterialized, where
-    filtering on the corrupt column is disallowed again (SPARK-21610), so
-    the split frames raise AnalysisException if used afterwards."""
+    """Unpersist EVERY parsed frame pinned by the quarantine readers in
+    this process and return how many were released. Global by design
+    (the dedup-memo lifecycle pattern): call it only when no quarantine
+    frames are still in flight — it also invalidates OTHER readers'
+    outstanding good/bad frames, because releasing reverts each scan to
+    unmaterialized, where filtering on the corrupt column is disallowed
+    again (SPARK-21610) and the split frames raise AnalysisException."""
     released = 0
     for df in _QUARANTINE_PINNED:
         try:

@@ -588,9 +588,11 @@ def streaming_quarantine_ingest(
     streaming twin of :func:`sources.readers.read_json_quarantine`: rows
     that fail to parse land in ``bad_path`` as raw text instead of killing
     the stream, fully-parsed rows append to ``good_path`` with exactly the
-    declared schema. ``header`` applies to CSV only and defaults like the
-    batch twin's — without it every file's header line would fail the
-    typed parse and pollute the quarantine each trigger.
+    declared schema. ``header`` applies to CSV only and defaults True
+    like the batch twin's — without it every headered file's first line
+    would fail the typed parse and pollute the quarantine each trigger;
+    pass header=False for headerless feeds (with True, Spark discards
+    each file's first line as the header).
 
     Per micro-batch the parsed frame is persisted once and split two ways
     (the batch readers' SPARK-21610 pattern, applied inside foreachBatch

@@ -270,7 +270,8 @@ def test_write_calculated_salt_tolerates_map_columns(spark, tmp_path):
     write_calculated(base, path, files_per_partition=4)
     assert spark.read.parquet(path).count() == 200
 
-    # degenerate frame: every non-partition column is a map -> id fallback
+    # degenerate frame: every non-partition column is a map -> the
+    # deterministic to_json(struct) salt fallback
     base2 = spark.range(0, 200).selectExpr(
         "'199506' AS invoice_month",
         "DATE '1995-06-01' AS usage_day",
