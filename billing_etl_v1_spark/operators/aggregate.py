@@ -146,8 +146,15 @@ def filter_month(fact: DataFrame, invoice_month: str | None) -> Column | DataFra
 
 def filter_day_range(fact: DataFrame, day_start, day_end) -> DataFrame:
     """P4: half-open usage_day range
-    (reference billing_calculation_service.py:147-148,183-184)."""
-    return fact.filter((F.col("usage_day") >= day_start) & (F.col("usage_day") < day_end))
+    (reference billing_calculation_service.py:147-148,183-184).
+    Either bound may be None for an open side — a single bound must still
+    filter (review finding: the pipeline's inline copy silently ignored a
+    lone day_start, recomputing the whole month)."""
+    if day_start is not None:
+        fact = fact.filter(F.col("usage_day") >= day_start)
+    if day_end is not None:
+        fact = fact.filter(F.col("usage_day") < day_end)
+    return fact
 
 
 def min_max_usage_day(fact: DataFrame, invoice_month: str) -> DataFrame:

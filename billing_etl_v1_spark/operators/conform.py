@@ -56,7 +56,11 @@ def conform_to_target(
                 continue
             col = F.lit(etl_time).cast("timestamp") if etl_time else F.current_timestamp()
         elif name == "usage_day":
-            col = _cast(F.col(name), "date")
+            # guarded like every other branch: absent -> typed NULL (a
+            # month-grain rollup legitimately has no day column), not an
+            # UNRESOLVED_COLUMN crash (review finding)
+            base = F.col(name) if name in present else F.lit(None)
+            col = _cast(base, "date")
         elif name == "mode":
             base = F.col(name) if name in present else F.lit(None)
             col = F.coalesce(_cast(base, "int"), F.lit(0))
@@ -89,43 +93,48 @@ def dq_audit(calculated: DataFrame, grain: list[str] | None = None) -> DataFrame
     2 shuffles total regardless of check count.
     """
     c = F.count(F.lit(1))
+    # every sum coalesced: F.sum over an EMPTY frame is NULL, and a gate
+    # asserting violations == 0 on a zero-row month would mis-evaluate
+    z = lambda col, name: F.coalesce(F.sum(col.cast("long")), F.lit(0)).alias(name)  # noqa: E731
     checks = calculated.agg(
-        F.sum(
+        z(
             (
                 F.col("invoice_month").isNull()
                 | F.col("billing_account_id").isNull()
                 | F.col("usage_day").isNull()
-            ).cast("long")
-        ).alias("null_required_keys"),
-        F.sum((F.col("cost") < 0).cast("long")).alias("negative_cost"),
-        F.sum(
-            ((F.col("mode") < 0) | (F.col("mode") > 4)).cast("long")
-        ).alias("mode_out_of_range"),
-        F.sum(
-            (
-                (F.col("mode") == 4)
-                & (F.col("price") == 0)
-                & (F.col("discount_amount") != 0)
-            ).cast("long")
-        ).alias("mode4_zero_price_leak"),
+            ),
+            "null_required_keys",
+        ),
+        z(F.col("cost") < 0, "negative_cost"),
+        z((F.col("mode") < 0) | (F.col("mode") > 4), "mode_out_of_range"),
+        # the zero-price guard's failure mode is division fallout in
+        # discount_amount (credit_part / price). The naive post-conform
+        # form "price = 0 AND discount_amount != 0" flags CORRECT rows:
+        # a NULL dim price legitimately prices at the mode-4 default 1.0
+        # (nonzero discount_amount) and conform then collapses the NULL
+        # price to 0.0 — indistinguishable from an explicit zero here.
+        # So the check targets what a real leak produces: non-finite
+        # discount_amount on a mode-4 row (review finding).
+        z(
+            (F.col("mode") == 4)
+            & (
+                F.isnan("discount_amount")
+                | (F.abs("discount_amount") == float("inf"))
+            ),
+            "mode4_zero_price_leak",
+        ),
     )
     # duplicate detection must run at the grain the frame is actually at —
     # auditing detail-grain output against the coarser production grain
     # reports legitimate detail rows as duplicates
-    grain = grain or [
-        "invoice_month",
-        "billing_account_id",
-        "usage_day",
-        "project_id",
-        "project_name",
-        "service_id",
-        "service_description",
-        "sku_id",
-        "sku_description",
-        "usage_pricing_unit",
-        "currency",
-        "cost_type",
-    ]
+    # default to the FINEST grain the engine emits (the 13 DETAIL_KEYS —
+    # hand-listing dropped currency_conversion_rate, so detail rows
+    # differing only in conversion rate counted as duplicates; review
+    # finding); pass the production 8-key grain explicitly when auditing
+    # production-grain frames
+    from billing_etl_v1_spark.operators.aggregate import DETAIL_KEYS
+
+    grain = grain or DETAIL_KEYS
     dup = (
         calculated.groupBy(*grain)
         .agg(c.alias("__n"))
@@ -180,9 +189,20 @@ def profile_columns(
     belong to the quantized numeric queries.
     """
     cols = list(columns or PROFILE_COLUMNS)
+    # the day column profiles through its ISO-string form; listing it in
+    # ``columns`` too would melt both the date-typed and string forms
+    # under ONE label and merge their stats (doubled n_rows) — profile it
+    # exactly once, via the string form (review finding)
     if day_col is not None:
+        cols = [c for c in cols if c != day_col]
         fact = fact.withColumn("__day_str", F.col(day_col).cast("string"))
         cols = [*cols, "__day_str"]
+    for c in cols:
+        if not c.replace("_", "").isalnum():
+            raise ValueError(
+                f"profile_columns: unsafe column name {c!r} (names are "
+                f"interpolated into a stack() expression)"
+            )
     pairs = ", ".join(f"'{c.replace('__day_str', day_col)}', {c}" for c in cols)
     melted = fact.select(
         F.expr(f"stack({len(cols)}, {pairs})").alias("column_name", "value")

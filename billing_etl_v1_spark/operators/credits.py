@@ -35,14 +35,23 @@ def _fold_all_buckets(pairs: Column) -> Column:
     zero = F.struct(*[F.lit(0.0).alias(f) for f in fields])
 
     def step(acc: Column, x: Column) -> Column:
+        # NULL amounts (corrupt elements, or arrays_zip padding when the
+        # type/amount arrays have mismatched lengths) contribute ZERO to
+        # every bucket AND the total: an unguarded acc + NULL would null
+        # the chain, so the total (and the matching bucket) silently
+        # coalesced to 0 while OTHER buckets kept their sums — breaking
+        # internal_credits_cost >= Σ buckets and the consumption identity
+        # on exactly the rows a 100 TB corpus produces (review finding).
+        # NULL types still count in the total only, like any unknown type.
+        amt = F.coalesce(x["credits_amount"], F.lit(0.0))
         out = [
             (
                 acc[col]
-                + F.when(x["credits_type"] == ct, x["credits_amount"]).otherwise(F.lit(0.0))
+                + F.when(x["credits_type"] == ct, amt).otherwise(F.lit(0.0))
             ).alias(col)
             for ct, col in buckets
         ]
-        out.append((acc[_TOTAL] + x["credits_amount"]).alias(_TOTAL))
+        out.append((acc[_TOTAL] + amt).alias(_TOTAL))
         return F.struct(*out)
 
     return F.aggregate(pairs, zero, step)

@@ -187,13 +187,24 @@ def scd2_history(dim: DataFrame, include_current: bool = True) -> DataFrame:
         "contract_id",
     ]
     attr_cols = ["mode", "discount", "price", "credit_fields"]
-    sent = "§null§"
     midx = (
         F.substring("month", 1, 4).cast("int") * 12
         + F.substring("month", 6, 2).cast("int")
     )
-    attrs = F.concat_ws(
-        "|", *[F.coalesce(F.col(c).cast("string"), F.lit(sent)) for c in attr_cols]
+    # attribute fingerprint as a STRUCT, not a joined string: concat_ws
+    # collides across field boundaries (('a|b','c') vs ('a','b|c')) and a
+    # literal sentinel collides with sentinel-valued data — either merged
+    # REAL version changes (review finding). Per field, (is_null, value)
+    # makes NULL vs '' distinct with no sentinel; struct comparison is
+    # field-wise and structs order deterministically in the window.
+    attrs = F.struct(
+        *[
+            F.struct(
+                F.col(c).cast("string").isNull().alias("n"),
+                F.coalesce(F.col(c).cast("string"), F.lit("")).alias("v"),
+            ).alias(c)
+            for c in attr_cols
+        ]
     )
     # __attrs tiebreak: duplicate (key, month) rows never occur in the
     # synthetic dim, but a library operator must not let window-order ties

@@ -637,21 +637,31 @@ FROM a FULL OUTER JOIN b ON a.billing_account_id = b.billing_account_id
 
 def dq_audit_sql() -> str:
     """Twin of operators.conform.dq_audit over the flagship output."""
+    # the 13 DETAIL_KEYS (the grain the flagship output is actually at;
+    # hand-listing had dropped currency_conversion_rate — review finding)
     grain = ("invoice_month, billing_account_id, usage_day, project_id, "
              "project_name, service_id, service_description, sku_id, "
-             "sku_description, usage_pricing_unit, currency, cost_type")
+             "sku_description, usage_pricing_unit, currency, "
+             "currency_conversion_rate, cost_type")
     return f"""
 WITH calc AS ({flagship_sql()}),
 checks AS (
   -- CAST each aggregate: DuckDB sums of ints widen to HUGEINT, which the
   -- driver's comparator materializes as float (0.0) and hash-mismatches
   -- against Spark's BIGINT 0
+  -- coalesce(.., 0): sums over an EMPTY frame are NULL in both engines,
+  -- and the Spark side zero-fills (a gate asserting == 0 must not see NULL)
   SELECT
-    CAST(sum((invoice_month IS NULL OR billing_account_id IS NULL
-         OR usage_day IS NULL)::BIGINT) AS BIGINT) AS null_required_keys,
-    CAST(sum((cost < 0)::BIGINT) AS BIGINT) AS negative_cost,
-    CAST(sum((mode < 0 OR mode > 4)::BIGINT) AS BIGINT) AS mode_out_of_range,
-    CAST(sum((mode = 4 AND price = 0 AND discount_amount <> 0)::BIGINT) AS BIGINT)
+    CAST(coalesce(sum((invoice_month IS NULL OR billing_account_id IS NULL
+         OR usage_day IS NULL)::BIGINT), 0) AS BIGINT) AS null_required_keys,
+    CAST(coalesce(sum((cost < 0)::BIGINT), 0) AS BIGINT) AS negative_cost,
+    CAST(coalesce(sum((mode < 0 OR mode > 4)::BIGINT), 0) AS BIGINT) AS mode_out_of_range,
+    -- a real zero-price-guard leak is division fallout: NaN/Inf
+    -- discount_amount on a mode-4 row (price = 0 post-conform is also the
+    -- legitimate NULL-price default, so the old price=0 form flagged
+    -- correct rows — review finding; mirrors the Spark check)
+    CAST(coalesce(sum((mode = 4 AND (isnan(discount_amount)
+         OR isinf(discount_amount)))::BIGINT), 0) AS BIGINT)
       AS mode4_zero_price_leak
   FROM calc
 ),
@@ -674,10 +684,17 @@ def scd2_history_sql() -> str:
         "billing_account_id, project_id, service_description, sku_id, "
         "customer_id, contract_id"
     )
+    # per-field (is_null, value) struct, matching the Spark side: a joined
+    # string collides across field boundaries and a sentinel collides with
+    # sentinel-valued data, merging REAL version changes (review finding);
+    # struct comparison/ordering is field-wise in both engines
     attrs = (
-        "concat_ws('|', coalesce(CAST(mode AS VARCHAR), '§null§'), "
-        "coalesce(discount, '§null§'), coalesce(price, '§null§'), "
-        "coalesce(credit_fields, '§null§'))"
+        "struct_pack(m := struct_pack(n := mode IS NULL, "
+        "v := coalesce(CAST(mode AS VARCHAR), '')), "
+        "d := struct_pack(n := discount IS NULL, v := coalesce(discount, '')), "
+        "p := struct_pack(n := price IS NULL, v := coalesce(price, '')), "
+        "c := struct_pack(n := credit_fields IS NULL, "
+        "v := coalesce(credit_fields, '')))"
     )
     return f"""{_base_ctes()},
 staged AS (

@@ -65,11 +65,22 @@ def billing_pipeline(
     the reference, billing_calculation_service.py:354-371); ``grain='detail'``
     is the 13-key invoice-detail grain of the SQL template.
     """
-    if invoice_month is not None:
-        fact = fact.filter(F.col("invoice_month") == invoice_month)
-    if day_start is not None and day_end is not None:
-        fact = fact.filter((F.col("usage_day") >= day_start) & (F.col("usage_day") < day_end))
+    from billing_etl_v1_spark.operators.aggregate import (
+        filter_day_range,
+        filter_month,
+    )
 
+    # the shared P3/P4 operators, not inline copies (review finding: the
+    # inline day filter required BOTH bounds, silently recomputing the
+    # whole month when an incremental caller passed only day_start)
+    fact = filter_month(fact, invoice_month)
+    fact = filter_day_range(fact, day_start, day_end)
+
+    if grain not in ("detail", "pipeline"):
+        raise ValueError(
+            f"grain must be 'detail' or 'pipeline', got {grain!r} — a typo "
+            f"here would otherwise silently aggregate at the wrong grain"
+        )
     keys = DETAIL_KEYS if grain == "detail" else PIPELINE_KEYS
     agg = source_aggregate(with_contract_month(fact), keys=keys, extra_keys=["contract_month"])
 

@@ -376,3 +376,186 @@ def test_conform_strict_fails_loud_permissive_quarantines(spark):
     assert good.mode == 3 and good.cost == 1.5
     bad = rows["None"]
     assert bad.mode == 0 and bad.cost == 0.0
+
+
+def test_credits_pivot_null_amount_contributes_zero_everywhere(spark):
+    """A NULL credits_amount element (corrupt data, or arrays_zip padding
+    when the type/amount arrays have mismatched lengths) must contribute
+    ZERO to its bucket AND the total — before the guard it nulled the
+    running total (coalesced to 0) while OTHER buckets kept their sums,
+    breaking the consumption identity on exactly the rows a 100 TB corpus
+    produces (review finding)."""
+    out = credits_pivot(
+        _credits_df(
+            spark,
+            ["DISCOUNT", "PROMOTION", "RESELLER_MARGIN"],
+            [-5.0, None, -8.0],
+        )
+    ).collect()[0]
+    assert out.c_discount == -5.0
+    assert out.c_promotion == 0.0  # NULL element excluded, not poisoning
+    assert out.c_rm == -8.0
+    assert out.internal_credits_cost == -13.0  # valid elements only
+    assert out.internal_credits_consumption == -5.0  # total - c_rm
+
+    # mismatched lengths: arrays_zip pads the short side with NULLs —
+    # padded elements must behave exactly like NULL elements
+    out = credits_pivot(
+        _credits_df(spark, ["DISCOUNT", "PROMOTION"], [-5.0])
+    ).collect()[0]
+    assert out.c_discount == -5.0 and out.internal_credits_cost == -5.0
+
+
+def test_filter_day_range_single_bound(spark):
+    """A lone bound must still filter (review finding: the pipeline's old
+    inline copy required BOTH bounds and silently recomputed the whole
+    month for an incremental caller passing only day_start)."""
+    import datetime as dt
+
+    from billing_etl_v1_spark.operators.aggregate import filter_day_range
+
+    rows = [(dt.date(1995, 6, d),) for d in (1, 15, 30)]
+    df = spark.createDataFrame(rows, "usage_day date")
+    assert filter_day_range(df, dt.date(1995, 6, 10), None).count() == 2
+    assert filter_day_range(df, None, dt.date(1995, 6, 10)).count() == 1
+    assert filter_day_range(df, None, None).count() == 3
+
+
+def test_billing_pipeline_rejects_unknown_grain(spark):
+    from billing_etl_v1_spark.plans.pipeline import billing_pipeline
+    from billing_etl_v1_spark.sources import synthetic
+    from billing_etl_v1_spark.sources.readers import register_views
+    from tests.conftest import SF_SMALL
+
+    register_views(spark, SF_SMALL, ["lineitem"])
+    fact, dim = synthetic.fact_df(spark), synthetic.dim_df(spark)
+    with pytest.raises(ValueError, match="grain"):
+        billing_pipeline(fact, dim, grain="details")  # typo must not
+        # silently select the coarser production grain
+
+
+def test_conform_defaults_missing_usage_day(spark):
+    """Every absent target column takes a typed default — including
+    usage_day (review finding: the one unguarded branch crashed with
+    UNRESOLVED_COLUMN on month-grain frames)."""
+    from billing_etl_v1_spark.operators.conform import conform_to_target
+
+    df = spark.createDataFrame(
+        [("199506", "A")], "invoice_month string, billing_account_id string"
+    )
+    out = conform_to_target(df, include_etl_time=False).collect()[0]
+    assert out.usage_day is None
+    assert out.invoice_month == "199506" and out.cost == 0.0
+
+
+def test_dq_audit_zero_rows_and_mode4_null_price(spark):
+    """Empty frames report 0 violations (not NULL), and a mode-4 row whose
+    dim price was NULL (priced at the documented default 1.0, then
+    conformed to price=0.0) is NOT a zero-price leak — the old
+    price=0-and-discount!=0 form flagged that correct output (review
+    finding). A real leak is division fallout: non-finite
+    discount_amount."""
+    from billing_etl_v1_spark.operators.conform import conform_to_target, dq_audit
+
+    empty = conform_to_target(
+        spark.createDataFrame([], "invoice_month string"), include_etl_time=False
+    )
+    got = {r["check"]: r.violations for r in dq_audit(empty).collect()}
+    assert got == {
+        "null_required_keys": 0,
+        "negative_cost": 0,
+        "mode_out_of_range": 0,
+        "mode4_zero_price_leak": 0,
+        "duplicate_grain_rows": 0,
+    }
+
+    legit = _priced(spark, 4, None, None, "c_cud")
+    assert legit.discount_amount != 0.0  # priced at the default 1.0
+    frame = conform_to_target(
+        spark.createDataFrame(
+            [("199506", "A", 4, 0.0, legit.discount_amount)],
+            "invoice_month string, billing_account_id string, mode int, "
+            "price double, discount_amount double",
+        ),
+        include_etl_time=False,
+    )
+    got = {r["check"]: r.violations for r in dq_audit(frame).collect()}
+    assert got["mode4_zero_price_leak"] == 0
+
+    poisoned = frame.withColumn(
+        "discount_amount", F.lit(float("inf"))
+    )
+    got = {r["check"]: r.violations for r in dq_audit(poisoned).collect()}
+    assert got["mode4_zero_price_leak"] == 1
+
+
+def test_dq_audit_detail_grain_rate_change_not_duplicate(spark):
+    """Two detail rows differing only in currency_conversion_rate are at
+    DISTINCT grain (it is one of the 13 DETAIL_KEYS) — the old 12-key
+    default counted them as duplicates (review finding)."""
+    from billing_etl_v1_spark.operators.conform import conform_to_target, dq_audit
+
+    frame = conform_to_target(
+        spark.createDataFrame(
+            [("199506", "A", 1.0), ("199506", "A", 1.1)],
+            "invoice_month string, billing_account_id string, "
+            "currency_conversion_rate double",
+        ),
+        include_etl_time=False,
+    )
+    got = {r["check"]: r.violations for r in dq_audit(frame).collect()}
+    assert got["duplicate_grain_rows"] == 0
+
+
+def test_scd2_fingerprint_field_boundaries_and_sentinel(spark):
+    """Version changes must never merge via fingerprint collisions:
+    ('a|b','c') vs ('a','b|c') collide under a '|'-joined string, and a
+    literal sentinel string collides with NULL (review finding). Both
+    must version."""
+    from billing_etl_v1_spark.operators.rules import scd2_history
+
+    cols = (
+        "month string, billing_account_id string, project_id string, "
+        "service_description string, sku_id string, customer_id string, "
+        "contract_id string, mode int, discount string, price string, "
+        "credit_fields string"
+    )
+    k = ("A", "p", "s", "k", "cu", "co")
+    rows = [
+        ("202401", *k, 1, "a|b", "c", None),
+        ("202402", *k, 1, "a", "b|c", None),   # boundary-collision pair
+        ("202403", *k, 1, "§null§", "x", None),
+        ("202404", *k, 1, None, "x", None),    # sentinel-vs-NULL pair
+    ]
+    out = scd2_history(spark.createDataFrame(rows, cols)).collect()
+    assert len(out) == 4, [
+        (r.valid_from, r.valid_to, r.discount, r.price) for r in out
+    ]
+
+
+def test_profile_columns_day_col_listed_once_and_name_validation(spark):
+    """Listing the day column in ``columns`` too must not melt its date
+    and string forms under one label (merged stats, doubled n_rows —
+    review finding); unsafe names are rejected before reaching the
+    stack() expression they would be interpolated into."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from billing_etl_v1_spark.operators.conform import profile_columns
+
+    df = spark.createDataFrame(
+        [(dt.date(1995, 6, 1), "A"), (dt.date(1995, 6, 2), "B")],
+        "usage_day date, billing_account_id string",
+    )
+    out = {
+        r.column_name: r
+        for r in profile_columns(
+            df, columns=["usage_day", "billing_account_id"]
+        ).collect()
+    }
+    assert set(out) == {"usage_day", "billing_account_id"}
+    assert out["usage_day"].n_rows == 2  # once, not doubled
+    assert out["usage_day"].min_value == "1995-06-01"
+    with _pytest.raises(ValueError, match="unsafe column name"):
+        profile_columns(df, columns=["bad'name"], day_col="usage_day")
