@@ -44,10 +44,27 @@ def hash_sample(
 ) -> DataFrame:
     """Deterministic ``fraction`` sample: keep rows whose salted key hash
     lands in the first ``fraction`` of the bucket space. Different salts
-    give independent samples; (salt, 1-fraction complement) gives the exact
-    holdout set."""
+    give independent samples. For an exact train/holdout split use
+    :func:`hash_sample_complement` with the SAME (fraction, salt) — calling
+    this with 1-fraction selects buckets [0, t(1-f)), which OVERLAPS the
+    sample and does not partition the space (review finding; the old
+    docstring advertised exactly that broken recipe)."""
     bucket = md5_long(F.col(key_col).cast("string"), salt=salt) % SAMPLE_BUCKETS
     return df.filter(bucket < int(fraction * SAMPLE_BUCKETS))
+
+
+def hash_sample_complement(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """EXACT complement of ``hash_sample(df, fraction, key_col, salt)``:
+    every row lands in exactly one of the two (bucket >= threshold vs <
+    threshold), so sample ∪ complement = df and sample ∩ complement = ∅ —
+    the train/holdout disjointness contract."""
+    bucket = md5_long(F.col(key_col).cast("string"), salt=salt) % SAMPLE_BUCKETS
+    return df.filter(bucket >= int(fraction * SAMPLE_BUCKETS))
 
 
 def quality_corpus(
@@ -66,6 +83,12 @@ def quality_corpus(
     (text_stats keep_tokens_col -> lang_id tokens_col), so each document
     is tokenized once for the whole gate.
     """
+    # NULL-key lane: the dedup window orders by doc_id and the engines
+    # disagree on where NULL sorts (Spark NULLS FIRST kept a NULL-id dup
+    # survivor that DuckDB dropped — review finding, verified live, and
+    # the NULL survivor then vanished at the token-offset join anyway);
+    # excluded at ingestion, mirrored in quality_corpus_sql
+    docs = docs.filter(F.col("doc_id").isNotNull())
     scored = lang_id(
         text_stats(docs, keep_tokens_col="__gate_toks"), tokens_col="__gate_toks"
     ).drop("__gate_toks")
@@ -281,7 +304,15 @@ def corpus_build(
     as one lazy DAG: narrow expression work, one fingerprint shuffle, one
     (bucketed) prefix-sum window, everything else map-side.
     """
-    kept = quality_corpus(docs, min_tokens=min_tokens, min_quality=min_quality)
+    # memo-persisted for the same multi-consumer reason as training_corpus:
+    # pack_shards scans its input twice (local cumsum + bucket totals) and
+    # the attribute join reads it a third time — without the persist the
+    # full stats→gate→fingerprint-shuffle pipeline executed ~3x per run
+    # (review finding), the most expensive narrow stage at 100 TB
+    kept = _memo.memo_persist(
+        quality_corpus(docs, min_tokens=min_tokens, min_quality=min_quality),
+        _CORPUS_CACHE,
+    )
     packed = pack_shards(kept, shard_tokens=shard_tokens)
     return packed.join(
         kept.select("doc_id", "lang_pred", "quality_score"), "doc_id"

@@ -40,7 +40,14 @@ def tumbling_window_agg(events: DataFrame, width_s: int = 300) -> DataFrame:
 def with_session_idx(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     """Per-event session assignment (the gap rule of :func:`sessionize`
     without the rollup) — shared by session-grain consumers like
-    :func:`session_funnel`. Ordering ties on ts break by event_id."""
+    :func:`session_funnel`. Ordering ties on ts break by event_id.
+
+    NULL-ts rows are excluded HERE, at the shared chokepoint, so every
+    session-grain consumer inherits the exclusion: the engines disagree
+    on where NULL sorts (Spark NULLS FIRST, DuckDB NULLS LAST), so an
+    unfiltered NULL-ts row lands in a different session per engine
+    (review finding: session_funnel diverged live before this moved in)."""
+    events = events.filter(F.col("ts").isNotNull())
     order = [F.col("ts").asc(), F.col("event_id").asc()]
     w = Window.partitionBy("user_id").orderBy(*order)
     ep = _epoch(F.col("ts"))
@@ -67,9 +74,8 @@ def sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     than silently landing in different sessions per engine (twin mirrors
     with ts IS NOT NULL).
     """
-    events = events.filter(F.col("ts").isNotNull()).withColumn(
-        "value", finite_or_null("value")
-    )
+    # ts IS NOT NULL now lives in with_session_idx (shared chokepoint)
+    events = events.withColumn("value", finite_or_null("value"))
     return (
         with_session_idx(events, gap_s)
         .groupBy("user_id", "session_idx")
@@ -123,7 +129,13 @@ def top_event_paths(events: DataFrame, length: int = 3, k: int = 20) -> DataFram
     step = F.coalesce(F.col("event_type"), F.lit("<null>"))
     steps = [step] + [F.lead(step, i).over(w) for i in range(1, length)]
     paths = (
-        events.select("user_id", "ts", "event_id", "event_type")
+        # NULL ts cannot be ordered into a sequence — the engines place it
+        # at opposite ends (Spark NULLS FIRST, DuckDB NULLS LAST), so
+        # unfiltered NULL-ts events produced different paths per engine
+        # (review finding, verified live); same exclusion as
+        # event_transitions, mirrored in the twin
+        events.filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
         .withColumn("__last", steps[-1])
         .withColumn("__path", F.concat_ws(" > ", *steps))
         .filter(F.col("__last").isNotNull())
@@ -156,7 +168,21 @@ def asof_join(
     through the same hash partitioning. Right should be pre-deduplicated to
     one row per (by, ts) for determinism.
     """
-    r = right.select(
+    # NULL-ts rows are excluded from BOTH sides: a right row with NULL ts
+    # can anchor no as-of time (Spark's union-window sorted it FIRST and
+    # carried its value into EVERY left row — review finding, verified
+    # live), and a left row with NULL ts has no as-of point at all — the
+    # engines invent OPPOSITE answers for it (Spark carries NULL; DuckDB's
+    # ASOF sorts the NULL probe LAST and matches the latest right row).
+    # Same exclusion as every ts-ordered operator, mirrored in the twin.
+    # NULL by-keys are excluded too: Spark's window groups all NULL keys
+    # into ONE partition (a NULL-user click would match a NULL-user
+    # purchase) while the oracle's equi-ASOF never joins NULL — the
+    # NULL-key lane convention.
+    left = left.filter(F.col(ts_col).isNotNull() & F.col(by).isNotNull())
+    r = right.filter(
+        F.col(ts_col).isNotNull() & F.col(by).isNotNull()
+    ).select(
         F.col(by),
         F.col(ts_col),
         F.lit(0).alias("__side"),
@@ -239,7 +265,6 @@ def event_type_pivot(events: DataFrame, types: list[str] | None = None) -> DataF
     per-cell totals are partition-order-independent.
     """
     events = events.withColumn("value", finite_or_null("value"))
-    from billing_etl_v1_spark.functions import quantize6
 
     types = types or ["click", "view", "purchase", "signup", "error"]
     pivoted = (
@@ -356,7 +381,6 @@ def value_deciles(events: DataFrame, n_tiles: int = 10) -> DataFrame:
     Integer DIV keeps the math exact at any n (no double ceil).
     """
     events = events.withColumn("value", finite_or_null("value"))
-    from billing_etl_v1_spark.functions import quantize6
 
     # deciles describe the MEASURED distribution: NULL (incl. sanitized
     # non-finite) values hold no rank — and engines disagree on NULL sort
@@ -741,7 +765,6 @@ def dau_wau(events: DataFrame, window_days: int = 7) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
     )
-    from billing_etl_v1_spark.functions import quantize6
 
     return dau.join(wau, "day").select(
         "day", "dau", "wau", quantize6(F.col("dau") / F.col("wau")).alias("stickiness")
@@ -753,8 +776,14 @@ def hourly_profile(events: DataFrame) -> DataFrame:
     share of the type's events in each hour — the load-shape fingerprint
     capacity planning and anomaly baselines read. Exact counts, one
     division; a tiny (type, hour) aggregate."""
+    # pmod, not %: the engines' % follows the dividend's sign, so a
+    # pre-1970 timestamp produced impossible negative hours (review
+    # finding) — pmod keeps every instant in [0, 24)
     h = (
-        F.floor((F.unix_timestamp(F.col("ts").cast("timestamp")) % 86400) / 3600)
+        F.floor(
+            F.pmod(F.unix_timestamp(F.col("ts").cast("timestamp")), F.lit(86400))
+            / 3600
+        )
     ).cast("int")
     per = events.groupBy("event_type", h.alias("hour")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events")

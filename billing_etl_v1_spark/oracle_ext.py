@@ -721,10 +721,14 @@ SELECT user_id, event_type, total_value, rnk::INT AS rank FROM r WHERE rnk <= {k
 def asof_purchase_sql() -> str:
     # DuckDB native ASOF JOIN as the oracle for the union-trick operator
     return f"""
-WITH l AS (SELECT event_id, user_id, ts FROM {_EVF} WHERE event_type = 'click'),
+WITH l AS (SELECT event_id, user_id, ts FROM {_EVF}
+  -- ts IS NOT NULL mirrors the operator: a NULL-ts probe has no
+  -- as-of point (DuckDB's ASOF would match it to the LATEST row)
+  WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL),
 r AS (
   SELECT user_id, ts, max(value) AS purchase_value
-  FROM {_EVF} WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1, 2
+  FROM {_EVF} WHERE event_type = 'purchase' AND value IS NOT NULL
+    AND ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1, 2
 )
 SELECT l.event_id, l.user_id, l.ts, r.purchase_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
@@ -837,7 +841,9 @@ WITH t AS (
          ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text) END AS digit,
     len(list_filter({_TOKENS}, x -> list_contains({stop}, x))) AS stop_hits,
     {scores}
-  FROM documents
+  -- doc_id IS NOT NULL mirrors the Spark side: the dedup window orders by
+  -- doc_id and the engines disagree on where NULL sorts
+  FROM documents WHERE doc_id IS NOT NULL
 ),
 scored AS (
   SELECT doc_id, text, lang, token_count, bpe_token_count,
@@ -1794,7 +1800,9 @@ def top_event_paths_sql(length: int = 3, k: int = 20) -> str:
     (ts, event_id), same separator, same tie-breaks, same NULL-step
     sentinel (Spark's concat_ws SKIPS nulls while ``||`` nulls the whole
     path — both engines coalesce before the leads so a NULL event_type is
-    a '<null>' step and lead() NULL means only end-of-sequence)."""
+    a '<null>' step and lead() NULL means only end-of-sequence); NULL-ts
+    rows are excluded like the Spark side (unorderable into a sequence —
+    the engines place NULL at opposite ends)."""
     step = "coalesce(event_type, '<null>')"
     leads = [step] + [
         f"lead({step}, {i}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
@@ -1805,7 +1813,7 @@ def top_event_paths_sql(length: int = 3, k: int = 20) -> str:
 WITH stepped AS (
   SELECT {concat} AS path,
          {leads[-1]} AS last_step
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT path, CAST(count(*) AS BIGINT) AS n
 FROM stepped WHERE last_step IS NOT NULL
@@ -2027,7 +2035,7 @@ def session_funnel_sql(
     CTE feeding the chained min-over-qualifying steps at session grain."""
     ctes = [
         f"""e AS (SELECT event_id, user_id, ts, event_type,
-         floor(epoch(ts))::BIGINT AS ep FROM events),
+         floor(epoch(ts))::BIGINT AS ep FROM events WHERE ts IS NOT NULL),
 m AS (
   SELECT *, CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > {gap_s}
                  THEN 1 ELSE 0 END AS ns
@@ -2434,7 +2442,7 @@ def hourly_profile_sql() -> str:
     return f"""
 WITH p AS (
   SELECT event_type,
-         CAST(floor((floor(epoch(ts))::BIGINT % 86400) / 3600) AS INT) AS hour,
+         CAST(floor((((floor(epoch(ts))::BIGINT % 86400) + 86400) % 86400) / 3600) AS INT) AS hour,
          CAST(count(*) AS BIGINT) AS n_events
   FROM events GROUP BY 1, 2
 ),

@@ -45,7 +45,10 @@ def duck(request):
 def _canon(x):
     import datetime as _dt
 
-    if x is None:
+    if x is None or x is pd.NaT:
+        # NaT (a NULL timestamp, e.g. an as-of row whose event has no ts)
+        # canonicalizes to None like any other NULL — .to_pydatetime() on
+        # NaT raises "NaTType does not support time"
         return None
     if isinstance(x, pd.Timestamp):
         x = x.to_pydatetime()

@@ -324,13 +324,17 @@ def test_multimodal_real_decode_with_pil(spark):
 def test_hash_sample_split_is_a_partition(spark, docs):
     """sample(f) and its complement partition the table exactly: the same
     salted hash drives both, so train/holdout are disjoint and exhaustive."""
-    from billing_etl_v1_spark.operators.corpus import SAMPLE_BUCKETS, hash_sample
-    from billing_etl_v1_spark.operators.text import md5_long
+    from billing_etl_v1_spark.operators.corpus import (
+        hash_sample,
+        hash_sample_complement,
+    )
 
     total = docs.count()
     train = hash_sample(docs, fraction=0.2)
-    bucket = md5_long(F.col("doc_id").cast("string"), salt="sample") % SAMPLE_BUCKETS
-    holdout = docs.filter(bucket >= int(0.2 * SAMPLE_BUCKETS))
+    # the PUBLIC complement API (review finding: hash_sample(1-f) selects
+    # buckets [0, t(1-f)) which OVERLAPS the sample — the docstring used
+    # to advertise exactly that broken recipe)
+    holdout = hash_sample_complement(docs, fraction=0.2)
     n_train, n_hold = train.count(), holdout.count()
     assert n_train + n_hold == total
     assert train.join(holdout, "doc_id", "inner").count() == 0

@@ -36,6 +36,16 @@ AFFECTED = [
     "docs_chunk",
     "sim_hard_negatives",
     "events_user_trend",
+    # second r5 review batch, each a live-verified divergence before the
+    # guards: NULL-ts rows ordered at opposite ends of windows/sequences
+    # (asof carry, paths, session assignment) and a NULL-doc_id dedup
+    # survivor picked differently per engine (quality corpus and its
+    # composed consumers)
+    "events_top_paths",
+    "events_asof_purchase",
+    "events_session_funnel",
+    "docs_quality_corpus",
+    "docs_training_corpus",
     # spot-check neighbors that already agreed on NULL keys (regression
     # guard for the ops that handle NULLs by grouping, not exclusion)
     "events_top_types",
