@@ -123,6 +123,18 @@ def word_shingles(text_col: str = "text", n: int = 3) -> Column:
     return _bind_once(F.split(F.trim(F.lower(F.col(text_col))), WS_RE), _build)
 
 
+def _nonnull_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """NULL-key/NULL-text ingestion lane for the text-similarity family
+    (review finding, verified live): a NULL id cannot pair or rank
+    consistently cross-engine, and NULL text hashes like EMPTY text on
+    Spark (concat_ws skips the NULL, so every NULL-text doc landed in one
+    giant est=1.0 false-duplicate cluster) while the twins' NULL shingles
+    never equi-join (0 pairs) — excluded identically at every signature/
+    pair ingestion. exact_dedup is NOT routed here: it handles NULLs by
+    grouping, identically on both engines."""
+    return df.filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup on normalized content hash: one row per distinct content,
     keeping the smallest id as representative."""
@@ -171,6 +183,7 @@ def ngram_jaccard_pairs(
     0 lost / 0 gained) and every cap in {16..256} is output-identical.
     Pass ``None`` to disable for deliberate offline ground-truth runs.
     """
+    df = _nonnull_docs(df, id_col, text_col)
     if max_rows is not None:
         n_docs = df.count()
         if n_docs > max_rows:
@@ -250,7 +263,7 @@ def minhash_signatures(
     document regardless of document length. word_shingles guarantees a
     non-empty shingle array for every row (short/empty/NULL docs get one
     whole-string shingle), so no document is dropped by the explode."""
-    rows = df.select(
+    rows = _nonnull_docs(df, id_col, text_col).select(
         F.col(id_col).alias("doc"),
         F.explode(shingle_base_hashes(text_col, n)).alias("__h"),
     )
@@ -409,17 +422,17 @@ def simhash16_signatures(
     every token once per bit (md5 dominates; 16× the hash work).
 
     Integer vote sums are order-independent, so signatures are
-    bit-identical to the per-row form and to the DuckDB oracle. NULL-text
-    docs keep their signature of 0 (every vote NULL → every bit 0 in the
-    old form) via a separate constant branch."""
+    bit-identical to the per-row form and to the DuckDB oracle. NULL-id /
+    NULL-text docs are EXCLUDED (the _nonnull_docs lane): the old sig-0
+    branch false-paired every NULL-text doc with each other and with any
+    real doc whose signature had <= max_hamming bits set, while the twin
+    emitted no pairs for them (review finding, verified live)."""
     toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), WS_RE))
-    base = df.select(F.col(id_col).alias("doc"), toks.alias("__t"))
-    null_sigs = base.filter(F.col("__t").isNull()).select(
-        "doc", F.lit(0).cast("int").alias("sig")
+    base = _nonnull_docs(df, id_col, text_col).select(
+        F.col(id_col).alias("doc"), toks.alias("__t")
     )
     hashed = (
-        base.filter(F.col("__t").isNotNull())
-        .select("doc", F.explode("__t").alias("__tok"))
+        base.select("doc", F.explode("__t").alias("__tok"))
         .select("doc", md5_long(F.col("__tok")).alias("__h"))
     )
     votes = hashed.groupBy("doc").agg(
@@ -436,8 +449,7 @@ def simhash16_signatures(
         F.when(F.col(f"__v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
         for b in range(16)
     ]
-    sigs = votes.select("doc", sum(bits[1:], bits[0]).cast("int").alias("sig"))
-    return sigs.unionByName(null_sigs)
+    return votes.select("doc", sum(bits[1:], bits[0]).cast("int").alias("sig"))
 
 
 def embedding_cosine_pairs(
@@ -589,6 +601,13 @@ def embedding_lsh_pairs(
     """
     from billing_etl_v1_spark.operators.similarity import _dot, _prep
 
+    # a vector shorter than the signature width cannot produce a full
+    # sign signature: element_at past the end is a JOB-KILLING
+    # INVALID_ARRAY_INDEX under ANSI mode (review finding, verified live),
+    # while the twin's CASE silently 0-fills the missing dims — both
+    # engines now exclude such ragged vectors (len >= bits), the corrupt-
+    # vector posture
+    embeddings = embeddings.filter(F.size(F.col(vec_col)) >= bits)
     base = _memo_persist_sig(_prep(embeddings, id_col, vec_col))
     # the minhash_lsh_pairs layout: band keys as ROWS over ids only (the
     # vectors stay out of the exploded relation and the pair-dedup shuffle),
@@ -719,7 +738,15 @@ def near_dup_clusters(
     pairs = minhash_lsh_pairs(df, id_col=id_col, text_col=text_col).filter(
         F.col("est_jaccard") >= min_jaccard
     )
-    nodes = df.select(F.col(id_col).alias("node"))
+    # NULL ids are excluded from the node set (the _nonnull_docs lane:
+    # they can't join the edge list and the twin's GROUP BY would merge
+    # them into one bogus NULL cluster); distinct() so duplicated ids
+    # label once, like the twin's GROUP BY node
+    nodes = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("node"))
+        .distinct()
+    )
     comp = connected_components(nodes, pairs, max_iters=max_iters, stats=stats)
     return comp.select(
         F.col("node").alias(id_col),
@@ -879,15 +906,22 @@ def similarity_pagerank(
     deg = edges.groupBy(F.col("doc_a").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    pr = nodes.crossJoin(F.broadcast(n_row)).select(
-        "node", (F.lit(1.0) / F.col("__n")).alias("pr")
-    )
+    # the iteration runs on SCALED mass s = pr * n, not pr itself: pr
+    # values are ~1/n, and exact_sum's fixed 1e-10 grid would quantize
+    # per-node contributions to a handful of grid units at n ~ 1e9 (and
+    # to 0 beyond ~2e10), numerically destroying the scores exactly at
+    # the corpus sizes this operator is documented for (review finding).
+    # Scaled, every summed term is O(1) — six-plus digits of grid
+    # headroom at ANY corpus size — and the recurrence is the same by
+    # linearity: s' = (1-d) + d*(Σ s/deg + dm/n), pr = s/n at output.
+    # The oracle mirrors the scaled rounds term for term.
+    pr = nodes.select("node", F.lit(1.0).alias("s"))
     base = F.lit(1.0 - damping)
     d = F.lit(damping)
     for _ in range(iters):
         state = pr.join(deg, "node", "left")
         contrib = state.filter(F.col("deg").isNotNull()).select(
-            F.col("node").alias("doc_a"), (F.col("pr") / F.col("deg")).alias("c")
+            F.col("node").alias("doc_a"), (F.col("s") / F.col("deg")).alias("c")
         )
         inmass = (
             edges.join(contrib, "doc_a")
@@ -895,7 +929,7 @@ def similarity_pagerank(
             .agg(exact_sum(F.col("c")).alias("m"))
         )
         dangling = state.filter(F.col("deg").isNull()).agg(
-            exact_sum(F.col("pr")).alias("dm")
+            exact_sum(F.col("s")).alias("dm")
         )
         pr = (
             nodes.crossJoin(F.broadcast(n_row))
@@ -904,18 +938,18 @@ def similarity_pagerank(
             .select(
                 "node",
                 (
-                    base / F.col("__n")
+                    base
                     + d
                     * (
                         F.coalesce(F.col("m"), F.lit(0.0))
                         + F.coalesce(F.col("dm"), F.lit(0.0)) / F.col("__n")
                     )
-                ).alias("pr"),
+                ).alias("s"),
             )
         )
-    out = pr.join(deg, "node", "left")
+    out = pr.crossJoin(F.broadcast(n_row)).join(deg, "node", "left")
     return out.select(
         F.col("node").alias(id_col),
         F.coalesce(F.col("deg"), F.lit(0)).cast("bigint").alias("degree"),
-        quantize6(F.col("pr")).alias("pagerank"),
+        quantize6(F.col("s") / F.col("__n")).alias("pagerank"),
     )

@@ -170,12 +170,12 @@ def sample_frames(
                 # that can't be tied back to a document is useless, and a
                 # NULL doc_id (NaN here) would crash the int64 output
                 # column — one corrupt row must not kill the Python worker
-                if p is None or pd.isna(d):
+                if p is None or pd.isna(d):  # defensive; filtered upstream
                     continue
                 n_frames = (len(p) + frame_size - 1) // frame_size
                 for i in range(0, n_frames, every_n):
                     chunk = p[i * frame_size : (i + 1) * frame_size]
-                    doc_ids.append(d)
+                    doc_ids.append(int(d))
                     idxs.append(i)
                     lens.append(len(chunk))
                     frames.append(bytes(chunk))
@@ -188,7 +188,17 @@ def sample_frames(
                 }
             )
 
-    return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+    # NULL ids/payloads are filtered SPARK-SIDE, before Arrow: one NULL in
+    # a batch promotes the pandas doc_id column to float64, and float64
+    # silently corrupts ids above 2^53 (snowflake-style 64-bit ids),
+    # mis-attributing frames to a neighboring document (review finding) —
+    # with the filter the column arrives int64-exact; the in-loop guard
+    # stays as defense in depth
+    return (
+        df.filter(F.col("doc_id").isNotNull() & F.col("payload").isNotNull())
+        .select("doc_id", "payload")
+        .mapInPandas(run, FRAME_SCHEMA)
+    )
 
 
 def resize_payload(df: DataFrame, target_len: int = 64, fake: bool = True) -> DataFrame:

@@ -252,13 +252,24 @@ def quantize_embeddings_int8(
     """
     base = _prep(embeddings, id_col, vec_col)
     amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
-    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
-    return base.select(
+    # scale is STAGED as a real column before the per-element transform:
+    # inlined, the interpreted lambda re-evaluated the full
+    # array_max-over-abs sweep once per element — O(d²) per row, the
+    # docs_chunk/winnowing HOF trap (review finding, confirmed in the
+    # optimized plan); staged, the sweep runs once and the lambda divides
+    # by a cheap attribute
+    staged = base.withColumn("__amax", amax).withColumn(
+        "scale",
+        F.when(F.col("__amax") > 0, F.col("__amax") / F.lit(127.0)).otherwise(
+            F.lit(1.0)
+        ),
+    )
+    return staged.select(
         "vid",
         "norm",
-        scale.alias("scale"),
+        "scale",
         F.transform(
-            F.col("v"), lambda x: F.round(x / scale).cast("int")
+            F.col("v"), lambda x: F.round(x / F.col("scale")).cast("int")
         ).alias("q"),
     )
 

@@ -74,11 +74,6 @@ def _class_ratio(col: Column, char_class: str) -> Column:
     )
 
 
-def _stopword_hits(col: Column, stopwords: list[str]) -> Column:
-    arr = F.array(*[F.lit(s) for s in stopwords])
-    return F.size(F.filter(_tokens(col), lambda t: F.array_contains(arr, t)))
-
-
 def _hits_in(toks: Column, stopwords: list[str]) -> Column:
     arr = F.array(*[F.lit(s) for s in stopwords])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
@@ -182,7 +177,13 @@ def lang_id(
         ]
     )
     best = F.array_max(votes)
-    pred = F.when(best["h"] == 0, F.lit("und")).otherwise(best["lang"])
+    # coalesce: NULL text gives NULL hit counts, best["h"] == 0 evaluates
+    # to NULL, and the when() fell through to the tie-break winner 'de'
+    # while the oracle's CASE returned 'und' (review finding, verified
+    # live) — no-hit and NULL-text documents are both 'und'
+    pred = F.when(
+        F.coalesce(best["h"], F.lit(0)) == 0, F.lit("und")
+    ).otherwise(best["lang"])
     return staged.withColumn(out_col, pred).drop(
         f"__toks_{out_col}", *hit_cols.values()
     )

@@ -320,9 +320,11 @@ def embedding_lsh_sql(threshold: float = 0.4, bits: int = 16, bands: int = 4) ->
     return f"""
 WITH {_norms_cte()},
 sig AS (
+  -- len(v) >= bits mirrors the Spark side: a ragged vector cannot produce
+  -- a full sign signature (the CASE would silently 0-fill missing dims)
   SELECT vec_id, v, nrm,
     {band_cols}
-  FROM n
+  FROM n WHERE len(v) >= {bits}
 )
 SELECT a.vec_id AS vid_a, b.vec_id AS vid_b, {cos} AS cosine
 FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({band_or})
@@ -465,12 +467,15 @@ def similarity_pagerank_sql(iters: int = 2, damping: float = 0.85) -> str:
         "nodes AS (SELECT doc_id AS node FROM documents)",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
         "deg AS (SELECT doc_a AS node, count(*) AS deg FROM edges GROUP BY doc_a)",
-        "pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM nodes, nn)",
+        # SCALED mass s = pr * n, mirroring the Spark side: pr-scale values
+        # (~1/n) would quantize to nothing on the fixed 1e-10 exact-sum
+        # grid at corpus scale; the recurrence is identical by linearity
+        "pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS s FROM nodes)",
     ]
     for i in range(iters):
         parts.append(
             f"""c{i} AS (
-  SELECT p.node AS doc_a, p.pr / d.deg AS c
+  SELECT p.node AS doc_a, p.s / d.deg AS c
   FROM pr{i} p JOIN deg d USING (node)
 ),
 m{i} AS (
@@ -478,14 +483,14 @@ m{i} AS (
   FROM edges e JOIN c{i} c USING (doc_a) GROUP BY e.doc_b
 ),
 dm{i} AS (
-  SELECT {_dsum('p.pr')} AS dm
+  SELECT {_dsum('p.s')} AS dm
   FROM pr{i} p LEFT JOIN deg d USING (node) WHERE d.deg IS NULL
 ),
 pr{i + 1} AS (
   SELECT n.node,
-         CAST({base} AS DOUBLE) / nn.n
+         CAST({base} AS DOUBLE)
            + CAST({d} AS DOUBLE)
-             * (coalesce(m.m, 0.0) + coalesce(dm.dm, 0.0) / nn.n) AS pr
+             * (coalesce(m.m, 0.0) + coalesce(dm.dm, 0.0) / nn.n) AS s
   FROM nodes n
   CROSS JOIN nn
   CROSS JOIN dm{i} dm
@@ -497,8 +502,8 @@ pr{i + 1} AS (
 WITH {body}
 SELECT p.node AS doc_id,
        CAST(coalesce(d.deg, 0) AS BIGINT) AS degree,
-       {_r6('p.pr')} AS pagerank
-FROM pr{iters} p LEFT JOIN deg d USING (node)
+       {_r6('p.s / nn.n')} AS pagerank
+FROM pr{iters} p CROSS JOIN nn LEFT JOIN deg d USING (node)
 """
 
 
@@ -2117,7 +2122,8 @@ edges AS (
   SELECT doc_b, doc_a FROM near
 ),
 reach(node, r) AS (
-  SELECT doc_id, doc_id FROM documents
+  -- doc_id IS NOT NULL mirrors the Spark node set (NULL-key lane)
+  SELECT doc_id, doc_id FROM documents WHERE doc_id IS NOT NULL
   UNION
   SELECT x.node, e.b FROM reach x JOIN edges e ON e.a = x.r
 )

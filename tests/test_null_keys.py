@@ -46,6 +46,20 @@ AFFECTED = [
     "events_session_funnel",
     "docs_quality_corpus",
     "docs_training_corpus",
+    # third r5 review batch — NULL-TEXT divergences (poisoned above):
+    # NULL text hashed like '' on Spark (one giant est=1.0 false cluster)
+    # vs NULL shingles joining nothing in DuckDB; lang_id returned the
+    # tie-break winner 'de' for NULL text vs the oracle's 'und'
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "docs_pagerank",
+    "dedup_lsh_recall",
+    "docs_lang_id",
+    "docs_lang_confusion",
+    "docs_decontaminate_fuzzy",
+    "docs_fingerprint",
     # spot-check neighbors that already agreed on NULL keys (regression
     # guard for the ops that handle NULLs by grouping, not exclusion)
     "events_top_types",
@@ -68,6 +82,14 @@ def nullkey_sf_dir(spark, tmp_path_factory):
                 "doc_id",
                 F.when(F.col("doc_id") % 101 == 0, F.lit(None)).otherwise(
                     F.col("doc_id")
+                ),
+            ).withColumn(
+                # NULL text (failed extraction — routine at 100 TB): hashes
+                # like EMPTY text on Spark but like NULL in DuckDB, which
+                # false-clustered every NULL-text doc (r5 review, live)
+                "text",
+                F.when(F.col("doc_id") % 41 == 3, F.lit(None)).otherwise(
+                    F.col("text")
                 ),
             )
         if t == "embeddings":
