@@ -97,6 +97,14 @@ def build_parser() -> argparse.ArgumentParser:
         "the artifact; encode reads the stored cap — only pass here to "
         "override it deliberately",
     )
+    tok.add_argument(
+        "--level",
+        choices=["char", "byte"],
+        default="char",
+        help="train: initial symbols — char (Sennrich codepoints) or byte "
+        "(GPT-2-style UTF-8 bytes); stored in the artifact, encode always "
+        "serves at the stored level",
+    )
 
     # ad-hoc SQL over tables-at-rest (reference README.md:38-45's documented
     # --query/--list-tables surface, dead in its main.py — real here)
@@ -196,9 +204,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.action == "train":
             cap = 256 if args.max_word_len is None else args.max_word_len
             merges, vocab = bpe_ops.bpe_learn(
-                docs, num_merges=args.num_merges, max_word_len=cap
+                docs, num_merges=args.num_merges, max_word_len=cap, level=args.level
             )
-            bpe_ops.save_bpe(merges, vocab, args.tokenizer, max_word_len=cap)
+            bpe_ops.save_bpe(
+                merges, vocab, args.tokenizer, max_word_len=cap, level=args.level
+            )
             print(
                 f"tokenizer trained: {merges.count()} merges, "
                 f"{vocab.count()} words at {args.tokenizer}"
@@ -208,9 +218,11 @@ def main(argv: list[str] | None = None) -> int:
                 print("tokenizer encode requires --target", file=sys.stderr)
                 spark.stop()
                 return 2
-            merges, vocab, stored_cap = bpe_ops.load_bpe(spark, args.tokenizer)
+            merges, vocab, stored_cap, level = bpe_ops.load_bpe(spark, args.tokenizer)
             cap = stored_cap if args.max_word_len is None else args.max_word_len
-            counts = bpe_ops.bpe_encode(docs, merges, vocab, max_word_len=cap)
+            counts = bpe_ops.bpe_encode(
+                docs, merges, vocab, max_word_len=cap, level=level
+            )
             counts.write.mode("overwrite").parquet(args.target)
             n = spark.read.parquet(args.target).count()
             print(f"encode complete: {n} docs counted at {args.target}")

@@ -6,7 +6,11 @@ training-data pipeline eventually needs the real thing: learn the merge
 table from the corpus and count the exact post-merge tokens each document
 costs (sequence packing, token budgets, and price-per-token all consume
 the tokenizer's number, not a proxy). This module implements the Sennrich
-et al. 2016 algorithm (arXiv:1508.07909) Spark-first:
+et al. 2016 algorithm (arXiv:1508.07909) Spark-first, in two modes:
+``level='char'`` (Sennrich codepoint symbols, letter/digit/symbol-run
+pre-tokens) and ``level='byte'`` (the GPT-2/tiktoken lineage — UTF-8
+bytes as initial symbols, hex-pair strings, GPT-2-style pre-tokenizer
+``BPE_BYTE_TOKEN_RE``); the merge machinery is level-blind:
 
 - the ONLY corpus-sized passes are two embarrassingly-parallel aggregates
   (pre-token → word frequencies; per-doc word occurrence counts), both
@@ -66,13 +70,39 @@ from pyspark.sql import functions as F
 
 from billing_etl_v1_spark.operators.text import BPE_TOKEN_RE
 
-# (session id, word_vocab semanticHash, num_merges, max_word_len) ->
+# GPT-2-style pre-tokenizer for the byte-level mode (Radford et al. 2019;
+# the tiktoken-lineage shape): common English contractions split off, then
+# optional-leading-space letter / digit / other runs, then whitespace runs.
+# Differences from the verbatim GPT-2 pattern, both deliberate:
+# - the trailing-whitespace lookahead (`\s+(?!\S)`) is dropped — DuckDB's
+#   RE2 has no lookahead, and cross-engine exactness outranks matching
+#   GPT-2's multi-space token boundaries bit-for-bit;
+# - `\s` is expanded to the explicit class [ \t\n\f\r\x0B] (the WS_RE
+#   lesson: Java's \s includes \x0B, RE2's does not). \p{L}/\p{N} are
+#   Unicode general categories in BOTH Java and RE2; parity over CJK /
+#   accents / emoji is exercised by tests/test_unicode_parity.py.
+BPE_BYTE_TOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+| ?\p{N}+"
+    r"| ?[^ \t\n\f\r\x0B\p{L}\p{N}]+"
+    r"|[ \t\n\f\r\x0B]+"
+)
+
+_LEVELS = ("char", "byte")
+
+
+def _check_level(level: str) -> None:
+    if level not in _LEVELS:
+        raise ValueError(f"level must be one of {_LEVELS}, got {level!r}")
+
+
+# (session id, word_vocab semanticHash, num_merges, max_word_len, level) ->
 # (analyzed plan, merges, vocab). Result-level memo so docs_bpe_merges /
 # docs_bpe_tokens on the same corpus train once per session, not once per
 # query — the _memo pattern, keyed the same way (hash CONFIRMED via
 # sameResult).
 _LEARN_CACHE: dict[
-    tuple[int, int, int, int], tuple[object, DataFrame, DataFrame]
+    tuple[int, int, int, int, str], tuple[object, DataFrame, DataFrame]
 ] = {}
 
 
@@ -88,23 +118,39 @@ def release_bpe_cache(spark=None) -> int:
     return dropped
 
 
-def _pretokens(col: Column) -> Column:
-    return F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0)
+def _pretokens(col: Column, level: str = "char") -> Column:
+    _check_level(level)
+    pat = BPE_TOKEN_RE if level == "char" else BPE_BYTE_TOKEN_RE
+    return F.regexp_extract_all(col, F.lit(pat), 0)
 
 
-def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Distinct pre-token vocabulary with corpus occurrence frequencies and
-    the initial one-codepoint-per-symbol arrays. The single corpus-sized
-    pass of training: explode + groupBy(word) map-side combines, and every
-    later round runs on this bounded table."""
-    return (
-        df.select(F.explode(_pretokens(F.col(text_col))).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
+def _symbols(col: Column, level: str) -> Column:
+    """Initial symbol array for one pre-token: one element per CODEPOINT
+    (char mode) or one uppercase hex pair per UTF-8 BYTE (byte mode —
+    merged symbols are concatenated hex pairs, so every symbol stays a
+    plain string the merge machinery and the DuckDB twin compare
+    identically: hex text is ASCII, and both engines order strings by
+    UTF-8 bytes)."""
+    _check_level(level)
+    if level == "char":
         # split-by-empty-pattern yields one element per codepoint in both
         # engines (surrogate pairs stay whole; exercised against DuckDB's
         # regexp_extract_all(word, '.') in tests/test_unicode_parity.py)
-        .withColumn("s", F.split(F.col("word"), ""))
+        return F.split(col, "")
+    # hex() is uppercase in both Spark and DuckDB (hex(encode(word)))
+    return F.regexp_extract_all(F.hex(F.encode(col, "UTF-8")), F.lit(".."), 0)
+
+
+def word_vocab(df: DataFrame, text_col: str = "text", level: str = "char") -> DataFrame:
+    """Distinct pre-token vocabulary with corpus occurrence frequencies and
+    the initial symbol arrays (:func:`_symbols`). The single corpus-sized
+    pass of training: explode + groupBy(word) map-side combines, and every
+    later round runs on this bounded table."""
+    return (
+        df.select(F.explode(_pretokens(F.col(text_col), level)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("s", _symbols(F.col("word"), level))
     )
 
 
@@ -192,6 +238,7 @@ def bpe_learn(
     text_col: str = "text",
     num_merges: int = 8,
     max_word_len: int = 256,
+    level: str = "char",
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``num_merges`` BPE merges from the corpus.
 
@@ -200,9 +247,17 @@ def bpe_learn(
     vocabulary (word, freq, tokens array<string>) with all merges applied
     — word → tokens is the complete encoder state.
 
-    ``max_word_len``: pre-tokens longer than this many CODEPOINTS bypass
+    ``level``: ``'char'`` (Sennrich — codepoints as initial symbols,
+    letter/digit/symbol-run pre-tokens) or ``'byte'`` (GPT-2 lineage —
+    UTF-8 bytes as initial symbols, represented as uppercase hex pairs,
+    under the GPT-2-style pre-tokenizer ``BPE_BYTE_TOKEN_RE``). The merge
+    machinery below is level-blind: only the pre-token regex and the
+    initial symbol split differ.
+
+    ``max_word_len``: pre-tokens longer than this many SYMBOLS (codepoints
+    in char mode, bytes in byte mode) bypass
     merging — they contribute nothing to pair counts and encode as one
-    token per codepoint. Every position row in the merge loop carries its
+    token per symbol. Every position row in the merge loop carries its
     word string as the window/join key, so a word's loop cost is
     O(len²) bytes; the cap bounds that at max_word_len² (64 KB at the
     default 256) per word. This is standard tokenizer practice
@@ -231,10 +286,11 @@ def bpe_learn(
         raise ValueError(f"num_merges must be >= 0, got {num_merges}")
     if max_word_len < 1:
         raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
+    _check_level(level)
     spark = df.sparkSession
-    base = word_vocab(df, text_col)
+    base = word_vocab(df, text_col, level)
     analyzed = base._jdf.queryExecution().analyzed()
-    key = (id(spark), analyzed.semanticHash(), num_merges, max_word_len)
+    key = (id(spark), analyzed.semanticHash(), num_merges, max_word_len, level)
     hit = _LEARN_CACHE.get(key)
     if hit is not None:
         plan, m_hit, v_hit = hit
@@ -296,6 +352,7 @@ def doc_token_counts(
     word_cost: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    level: str = "char",
 ) -> DataFrame:
     """Per-document (n_pretokens, n_bpe_tokens) given a complete
     word → n_tokens cost table: one (doc, word) occurrence aggregate plus
@@ -306,7 +363,7 @@ def doc_token_counts(
     :func:`encode_words` to maintain its own incremental cost table."""
     occurrences = (
         df.select(
-            F.col(id_col), F.explode(_pretokens(F.col(text_col))).alias("word")
+            F.col(id_col), F.explode(_pretokens(F.col(text_col), level)).alias("word")
         )
         .groupBy(id_col, "word")
         .agg(F.count(F.lit(1)).alias("occ"))
@@ -336,6 +393,7 @@ def bpe_token_counts(
     id_col: str = "doc_id",
     num_merges: int = 8,
     max_word_len: int = 256,
+    level: str = "char",
 ) -> DataFrame:
     """Exact per-document BPE token counts under a vocabulary trained on
     the same corpus: doc_id, n_pretokens, n_bpe_tokens.
@@ -347,9 +405,9 @@ def bpe_token_counts(
     composing with docs_bpe_merges pays training once). To count NEW
     documents under this (or any) frozen vocabulary, use
     :func:`bpe_encode` instead of re-training on the union."""
-    _, vocab = bpe_learn(df, text_col, num_merges, max_word_len)
+    _, vocab = bpe_learn(df, text_col, num_merges, max_word_len, level)
     word_cost = vocab.select("word", F.size("tokens").alias("n_tokens"))
-    return doc_token_counts(df, word_cost, text_col, id_col)
+    return doc_token_counts(df, word_cost, text_col, id_col, level)
 
 
 def save_bpe(
@@ -357,6 +415,7 @@ def save_bpe(
     vocab: DataFrame,
     dir_path: str,
     max_word_len: int = 256,
+    level: str = "char",
 ) -> None:
     """Persist a trained tokenizer (:func:`bpe_learn`'s outputs) as
     parquet tables under ``dir_path`` — the model-artifact round-trip a
@@ -364,33 +423,35 @@ def save_bpe(
     (the in-process memo is per-session only). All tables are
     vocabulary-bounded, never corpus-sized.
 
-    ``max_word_len`` must be the value training used: encode-time bypass
-    behavior is part of the tokenizer's definition, so the cap is stored
-    IN the artifact (a 1-row ``meta`` table) and :func:`load_bpe` hands
-    it back — serving under a silently different cap would tokenize
-    novel over-cap words differently than training would have."""
+    ``max_word_len`` / ``level`` must be the values training used:
+    encode-time bypass behavior and the pre-tokenizer/symbol split are
+    part of the tokenizer's definition, so both are stored IN the
+    artifact (a 1-row ``meta`` table) and :func:`load_bpe` hands them
+    back — serving under a silently different cap or level would
+    tokenize novel words differently than training would have."""
+    _check_level(level)
     merges.write.mode("overwrite").parquet(f"{dir_path}/merges")
     vocab.write.mode("overwrite").parquet(f"{dir_path}/vocab")
     meta = merges.sparkSession.createDataFrame(
-        [(int(max_word_len),)], "max_word_len int"
+        [(int(max_word_len), level)], "max_word_len int, level string"
     )
     meta.write.mode("overwrite").parquet(f"{dir_path}/meta")
 
 
-def load_bpe(spark, dir_path: str) -> tuple[DataFrame, DataFrame, int]:
+def load_bpe(spark, dir_path: str) -> tuple[DataFrame, DataFrame, int, str]:
     """Load a tokenizer saved by :func:`save_bpe`: (merges, vocab,
-    max_word_len). The frames are plain lazy parquet scans, directly
-    usable by :func:`bpe_encode` — merge ranks are read back in rank
-    order by the loop's per-rank filter, so ordering of the stored files
-    is irrelevant; pass the returned cap to bpe_encode so serving
-    matches training."""
-    max_word_len = int(
-        spark.read.parquet(f"{dir_path}/meta").first()["max_word_len"]
-    )
+    max_word_len, level). The frames are plain lazy parquet scans,
+    directly usable by :func:`bpe_encode` — merge ranks are read back in
+    rank order by the loop's per-rank filter, so ordering of the stored
+    files is irrelevant; pass the returned cap and level to bpe_encode so
+    serving matches training. Artifacts written before the ``level``
+    column existed load as char-level (the only mode that existed)."""
+    meta = spark.read.parquet(f"{dir_path}/meta").first().asDict()
     return (
         spark.read.parquet(f"{dir_path}/merges"),
         spark.read.parquet(f"{dir_path}/vocab"),
-        max_word_len,
+        int(meta["max_word_len"]),
+        str(meta.get("level", "char")),
     )
 
 
@@ -400,7 +461,9 @@ def bpe_encode(
     vocab: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_word_len: int = 256,
+    *,
+    max_word_len: int,
+    level: str = "char",
 ) -> DataFrame:
     """Exact BPE token counts for a NEW batch under a FROZEN trained
     vocabulary — the tokenizer SERVING path, and the incremental-ingest
@@ -417,39 +480,43 @@ def bpe_encode(
     so a training word routed through the unseen path reproduces its
     trained tokenization exactly (property-tested), and encode semantics
     are the Sennrich apply-each-merge-in-rank-order greedy scan.
-    ``max_word_len`` must match training: over-cap unseen pre-tokens
-    bypass to one token per codepoint, like the trainer's bypass lane.
+    ``max_word_len`` / ``level`` must match training (REQUIRED — thread
+    the values :func:`load_bpe` returns; a silently different default
+    would tokenize over-cap unseen words differently than training, the
+    exact mismatch the stored meta exists to prevent): over-cap unseen
+    pre-tokens bypass to one token per symbol, like the trainer's lane.
 
     .. warning:: EXECUTES EAGERLY when the batch has unseen words (one
        localCheckpoint per learned merge over the unseen-word position
        rows — same lineage-truncation reasoning as :func:`bpe_learn`);
        an all-known batch short-circuits to the lazy join-only plan.
     """
+    _check_level(level)
     known = vocab.select("word", F.size("tokens").alias("n_tokens"))
     unseen = (
-        df.select(F.explode(_pretokens(F.col(text_col))).alias("word"))
+        df.select(F.explode(_pretokens(F.col(text_col), level)).alias("word"))
         .distinct()
         .join(vocab.select("word"), "word", "left_anti")
         .localCheckpoint()
     )
     if unseen.isEmpty():
-        return doc_token_counts(df, known, text_col, id_col)
-    enc = encode_words(unseen, merges, max_word_len)
+        return doc_token_counts(df, known, text_col, id_col, level)
+    enc = encode_words(unseen, merges, max_word_len=max_word_len, level=level)
     word_cost = known.unionByName(
         enc.select("word", F.size("tokens").alias("n_tokens"))
     )
-    return doc_token_counts(df, word_cost, text_col, id_col)
+    return doc_token_counts(df, word_cost, text_col, id_col, level)
 
 
 def encode_words(
-    words: DataFrame, merges: DataFrame, max_word_len: int = 256
+    words: DataFrame, merges: DataFrame, *, max_word_len: int, level: str = "char"
 ) -> DataFrame:
     """word → tokens (array<string>) for words OUTSIDE the trained
     vocabulary, by applying the learned merges in rank order — the
     Sennrich encode loop, sharing the trainer's run-parity apply so a
     training word routed through here reproduces its trained tokenization
     exactly (property-tested). Over-cap words take the trainer's bypass
-    lane (one token per codepoint). Public building block: the streaming
+    lane (one token per symbol). Public building block: the streaming
     meter persists these results so a novel word is encoded once across
     all micro-batches, not once per batch.
 
@@ -458,10 +525,11 @@ def encode_words(
        cost scales with the input's vocabulary, never a corpus."""
     if max_word_len < 1:
         raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
+    _check_level(level)
     base = (
         words.select("word")
         .distinct()
-        .withColumn("s", F.split(F.col("word"), ""))
+        .withColumn("s", _symbols(F.col("word"), level))
         .localCheckpoint()
     )
     bypass = base.filter(F.size("s") > max_word_len).select(

@@ -197,13 +197,19 @@ def profile_columns(
         cols = [c for c in cols if c != day_col]
         fact = fact.withColumn("__day_str", F.col(day_col).cast("string"))
         cols = [*cols, "__day_str"]
-    for c in cols:
+    # day_col reaches the stack() expression too (as the melted LABEL for
+    # the string form), so it gets the same injection validation as the
+    # value columns; when day_col is None, no label substitution happens
+    # (a real column literally named __day_str then profiles under its
+    # own name instead of raising TypeError from str.replace(None))
+    for c in cols + ([day_col] if day_col is not None else []):
         if not c.replace("_", "").isalnum():
             raise ValueError(
                 f"profile_columns: unsafe column name {c!r} (names are "
                 f"interpolated into a stack() expression)"
             )
-    pairs = ", ".join(f"'{c.replace('__day_str', day_col)}', {c}" for c in cols)
+    labels = {"__day_str": day_col} if day_col is not None else {}
+    pairs = ", ".join(f"'{labels.get(c, c)}', {c}" for c in cols)
     melted = fact.select(
         F.expr(f"stack({len(cols)}, {pairs})").alias("column_name", "value")
     )

@@ -2463,6 +2463,26 @@ FROM p JOIN t USING (event_type)
 _BPE_PRE_RE = BPE_TOKEN_RE
 
 
+def _bpe_pre_re_sql(level: str) -> str:
+    """SQL-escaped pre-token regex for the level (the byte-level GPT-2
+    pattern contains apostrophes for the contraction alternatives)."""
+    from billing_etl_v1_spark.operators.bpe import BPE_BYTE_TOKEN_RE
+
+    pat = _BPE_PRE_RE if level == "char" else BPE_BYTE_TOKEN_RE
+    return pat.replace("'", "''")
+
+
+def _bpe_symbols_sql(level: str) -> str:
+    """Initial-symbol list expression over a ``word`` column: one element
+    per codepoint (char) or one uppercase hex pair per UTF-8 byte (byte —
+    hex() is uppercase in both engines, so symbols compare identically)."""
+    if level == "char":
+        # regexp '.' yields one element per codepoint — the twin of
+        # Spark's split-by-empty-pattern (surrogate pairs stay whole)
+        return "regexp_extract_all(word, '.')"
+    return "regexp_extract_all(hex(encode(word)), '..')"
+
+
 def _bpe_round_ctes(i: int) -> str:
     """One unrolled merge round. INDEPENDENT formulation from the Spark
     fold: greedy left-to-right non-overlap via positional run-parity —
@@ -2518,15 +2538,14 @@ v{i + 1} AS MATERIALIZED (
 )"""
 
 
-def _bpe_train_ctes(num_merges: int, max_word_len: int) -> str:
+def _bpe_train_ctes(num_merges: int, max_word_len: int, level: str = "char") -> str:
     parts = [
-        f"pre AS (SELECT unnest(regexp_extract_all(text, '{_BPE_PRE_RE}')) AS word FROM documents)",
-        # regexp '.' yields one element per codepoint — the twin of
-        # Spark's split-by-empty-pattern (surrogate pairs stay whole)
+        f"pre AS (SELECT unnest(regexp_extract_all(text, '{_bpe_pre_re_sql(level)}')) AS word FROM documents)",
         "vall AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq, "
-        "regexp_extract_all(word, '.') AS s FROM pre GROUP BY word)",
+        f"{_bpe_symbols_sql(level)} AS s FROM pre GROUP BY word)",
         # the max_word_len bypass (twin of bpe_learn's): len(s) counts
-        # codepoints on both engines; longer pre-tokens skip merging
+        # SYMBOLS (codepoints / bytes) identically on both engines;
+        # longer pre-tokens skip merging
         f"v0 AS MATERIALIZED (SELECT * FROM vall WHERE len(s) <= {max_word_len})",
         f"vlong AS (SELECT * FROM vall WHERE len(s) > {max_word_len})",
     ]
@@ -2534,7 +2553,9 @@ def _bpe_train_ctes(num_merges: int, max_word_len: int) -> str:
     return ",\n".join(parts)
 
 
-def bpe_merges_sql(num_merges: int = 8, max_word_len: int = 256) -> str:
+def bpe_merges_sql(
+    num_merges: int = 8, max_word_len: int = 256, level: str = "char"
+) -> str:
     """Twin of operators.bpe.bpe_learn's merge table — the same rounds
     unrolled as chained CTEs (the kmeans/pagerank playbook). All values
     are integers/strings, so the match is exact, including the argmax
@@ -2551,20 +2572,22 @@ def bpe_merges_sql(num_merges: int = 8, max_word_len: int = 256) -> str:
             "WHERE FALSE"
         )
     return f"""
-WITH {_bpe_train_ctes(num_merges, max_word_len)}
+WITH {_bpe_train_ctes(num_merges, max_word_len, level)}
 {rows}
 """
 
 
-def bpe_token_counts_sql(num_merges: int = 8, max_word_len: int = 256) -> str:
+def bpe_token_counts_sql(
+    num_merges: int = 8, max_word_len: int = 256, level: str = "char"
+) -> str:
     """Twin of operators.bpe.bpe_token_counts: exact per-document token
     counts under the corpus-trained vocabulary (word → len(tokens) join,
     never re-running merges per occurrence)."""
     return f"""
-WITH {_bpe_train_ctes(num_merges, max_word_len)},
+WITH {_bpe_train_ctes(num_merges, max_word_len, level)},
 occ AS (
   SELECT doc_id, word, CAST(count(*) AS BIGINT) AS occ FROM (
-    SELECT doc_id, unnest(regexp_extract_all(text, '{_BPE_PRE_RE}')) AS word
+    SELECT doc_id, unnest(regexp_extract_all(text, '{_bpe_pre_re_sql(level)}')) AS word
     FROM documents
   ) GROUP BY doc_id, word
 ),

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Any, Iterable, Iterator
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -515,7 +516,7 @@ def streaming_token_meter(
         if batch_df.isEmpty():
             return
         s = batch_df.sparkSession
-        merges, vocab, stored_cap = bpe_ops.load_bpe(s, tokenizer_dir)
+        merges, vocab, stored_cap, level = bpe_ops.load_bpe(s, tokenizer_dir)
         cap = stored_cap if max_word_len is None else max_word_len
         known = vocab.select("word", F.size("tokens").alias("n_tokens"))
         if word_store is not None:
@@ -523,14 +524,26 @@ def streaming_token_meter(
                 known = known.unionByName(
                     s.read.parquet(word_store).select("word", "n_tokens")
                 )
-            except Exception:  # first batch: no store yet
-                pass
+            except AnalysisException as exc:
+                # ONLY the first-batch case (store directory not created
+                # yet) may be swallowed; a corrupt store or transient FS
+                # error must fail the batch loudly — silently dropping the
+                # store re-encodes recurring novel words into a SECOND
+                # batch_id partition, and once the store reads again the
+                # duplicate (word, n_tokens) rows would fan out the
+                # doc_token_counts join and double-count every affected
+                # doc for the rest of the stream (review finding)
+                if "PATH_NOT_FOUND" not in str(exc):
+                    raise
+        # defense in depth: duplicate store rows (e.g. a manually restored
+        # store) must never fan out the counts join — one cost per word,
+        # deterministically (min = the first/any encoding; encodings of the
+        # same word under the same frozen tokenizer are identical anyway)
+        known = known.groupBy("word").agg(F.min("n_tokens").alias("n_tokens"))
         unseen = (
             batch_df.select(
                 F.explode(
-                    F.regexp_extract_all(
-                        F.col(text_col), F.lit(bpe_ops.BPE_TOKEN_RE), 0
-                    )
+                    bpe_ops._pretokens(F.col(text_col), level)
                 ).alias("word")
             )
             .distinct()
@@ -539,11 +552,11 @@ def streaming_token_meter(
         )
         new_costs = None
         if not unseen.isEmpty():
-            new_costs = bpe_ops.encode_words(unseen, merges, cap).select(
-                "word", F.size("tokens").alias("n_tokens")
-            )
+            new_costs = bpe_ops.encode_words(
+                unseen, merges, max_word_len=cap, level=level
+            ).select("word", F.size("tokens").alias("n_tokens"))
             known = known.unionByName(new_costs)
-        counts = bpe_ops.doc_token_counts(batch_df, known, text_col, id_col)
+        counts = bpe_ops.doc_token_counts(batch_df, known, text_col, id_col, level)
         counts.write.mode("overwrite").parquet(f"{counts_out}/batch_id={batch_id}")
         if word_store is not None and new_costs is not None:
             # store write LAST: `known` reads the store lazily, so

@@ -559,3 +559,18 @@ def test_profile_columns_day_col_listed_once_and_name_validation(spark):
     assert out["usage_day"].min_value == "1995-06-01"
     with _pytest.raises(ValueError, match="unsafe column name"):
         profile_columns(df, columns=["bad'name"], day_col="usage_day")
+    # day_col is interpolated into the stack() label string literal, so it
+    # gets the same validation — a quoted name must raise, not inject
+    # (review finding)
+    df2 = df.withColumnRenamed("usage_day", "bad'day")
+    with _pytest.raises(ValueError, match="unsafe column name"):
+        profile_columns(df2, columns=["billing_account_id"], day_col="bad'day")
+    # day_col=None with a real column literally named __day_str must
+    # profile it under its own name, not raise TypeError from
+    # str.replace(None) (review finding)
+    df3 = spark.createDataFrame([("x",), ("y",)], "__day_str string")
+    out3 = {
+        r.column_name: r
+        for r in profile_columns(df3, columns=["__day_str"], day_col=None).collect()
+    }
+    assert set(out3) == {"__day_str"} and out3["__day_str"].n_rows == 2

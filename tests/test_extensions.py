@@ -1197,6 +1197,204 @@ def test_bpe_word_len_cap_matches_naive_and_oracle(spark):
     assert sorted(duck_m) == got_m
 
 
+# --- byte-level (GPT-2-lineage) BPE mode -----------------------------------
+
+# explicit Python twin of BPE_BYTE_TOKEN_RE for the test alphabets below:
+# Python's re has no \p{L}/\p{N}, so letter/digit classes are spelled out
+# for exactly the characters the tests generate (contraction alternatives,
+# optional-leading-space runs, explicit whitespace class — same shape)
+def _py_byte_pre_re(letters: str, digits: str = "0-9") -> str:
+    ws = " \\t\\n\\f\\r\\x0b"
+    return (
+        f"'(?:s|t|re|ve|m|ll|d)"
+        f"| ?[{letters}]+| ?[{digits}]+"
+        f"| ?[^{ws}{letters}{digits}]+"
+        f"|[{ws}]+"
+    )
+
+
+_BYTE_TEST_ALPHABET = "ab1 .'é日\x0b"
+_BYTE_TEST_PRE_RE = _py_byte_pre_re("abé日", "1")
+
+
+def _hex_syms(word: str) -> list[str]:
+    return ["%02X" % b for b in word.encode("utf-8")]
+
+
+def _naive_bpe_byte(texts, num_merges: int, max_word_len: int = 256, pre_re=None):
+    """Sequential byte-level reference: GPT-2-style pre-tokenization, UTF-8
+    bytes as initial symbols (uppercase hex pairs — the engine's symbol
+    representation), then the identical Sennrich merge loop; the cap
+    counts BYTES."""
+    import re
+    from collections import Counter
+
+    pre_re = pre_re or _BYTE_TEST_PRE_RE
+    wf = Counter(w for t in texts for w in re.findall(pre_re, t))
+    vocab = {w: _hex_syms(w) for w in wf}
+    capped = {w for w in wf if len(vocab[w]) > max_word_len}
+    merges = []
+    for rank in range(num_merges):
+        pc = Counter()
+        for w, syms in vocab.items():
+            if w in capped:
+                continue
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wf[w]
+        if not pc:
+            break
+        mx = max(pc.values())
+        a, b = min(
+            (p for p, c in pc.items() if c == mx),
+            key=lambda p: (p[0].encode(), p[1].encode()),
+        )
+        merges.append((rank, a, b, a + b, mx))
+        for w, syms in vocab.items():
+            if w in capped:
+                continue
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab, wf
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet=_BYTE_TEST_ALPHABET, min_size=0, max_size=20),
+        min_size=0,
+        max_size=5,
+    ),
+    num_merges=st.integers(min_value=0, max_value=4),
+)
+def test_byte_bpe_matches_naive_reference(spark, texts, num_merges):
+    """The byte-level trainer must agree with the sequential byte-level
+    reference — the alphabet forces multibyte symbols (é = 2 bytes,
+    日 = 3), apostrophes (contraction-alternative boundaries), the \\x0b
+    whitespace edge, and count ties broken by hex-string byte order."""
+    import re
+
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+    exp_m, exp_v, _ = _naive_bpe_byte(texts, num_merges)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, vocab = bpe_ops.bpe_learn(df, num_merges=num_merges, level="byte")
+    got_m = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    got_v = {r["word"]: list(r["tokens"]) for r in vocab.collect()}
+    assert got_m == exp_m
+    assert got_v == exp_v
+
+    got_tc = {
+        r["doc_id"]: (r["n_pretokens"], r["n_bpe_tokens"])
+        for r in bpe_ops.bpe_token_counts(
+            df, num_merges=num_merges, level="byte"
+        ).collect()
+    }
+    exp_tc = {
+        i: (
+            len(re.findall(_BYTE_TEST_PRE_RE, t)),
+            sum(len(exp_v[w]) for w in re.findall(_BYTE_TEST_PRE_RE, t)),
+        )
+        for i, t in enumerate(texts)
+    }
+    assert got_tc == exp_tc
+    bpe_ops.release_bpe_cache(spark)
+
+
+def test_byte_bpe_cap_counts_bytes_not_codepoints(spark):
+    """In byte mode max_word_len caps BYTES: 'ééééé' is 5 codepoints but
+    10 bytes, so a cap of 8 must bypass it (one token per BYTE) while the
+    8-byte 'aaaaaaaa' still merges — the exact place a codepoint-counting
+    bug would hide. The DuckDB twin must agree."""
+    import duckdb
+
+    from billing_etl_v1_spark import oracle_ext
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+    texts = ["aaaaaaaa ééééé", "aaaaaaaa"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, vocab = bpe_ops.bpe_learn(
+        df, num_merges=2, max_word_len=8, level="byte"
+    )
+    got_v = {r["word"]: list(r["tokens"]) for r in vocab.collect()}
+    # ' ééééé' is 6 codepoints but 11 UTF-8 bytes — over the 8-BYTE cap,
+    # so it must bypass (a codepoint-counting bug would merge it)
+    assert got_v[" ééééé"] == _hex_syms(" ééééé")
+    # 'aaaaaaaa' (8 bytes, at cap) must merge
+    assert len(got_v["aaaaaaaa"]) < 8
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", list(enumerate(texts)))
+    duck_m = [
+        (int(r[0]), r[1], r[2], r[3], int(r[4]))
+        for r in con.execute(
+            oracle_ext.bpe_merges_sql(2, max_word_len=8, level="byte")
+        ).fetchall()
+    ]
+    got_m = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    assert sorted(duck_m) == got_m
+    bpe_ops.release_bpe_cache(spark)
+
+
+def test_byte_bpe_serving_and_artifact_roundtrip(spark, tmp_path):
+    """Byte-level serving: a persisted byte tokenizer must round-trip its
+    level and serve novel docs (including multibyte words novel to the
+    vocabulary) identically to the in-memory one, via the level-threaded
+    encode path."""
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+    train = spark.createDataFrame(
+        [(0, "the cat café"), (1, "the café 日本 cat")], "doc_id long, text string"
+    )
+    merges, vocab = bpe_ops.bpe_learn(train, num_merges=4, level="byte")
+    tok = str(tmp_path / "btok")
+    bpe_ops.save_bpe(merges, vocab, tok, max_word_len=256, level="byte")
+    m2, v2, cap2, level2 = bpe_ops.load_bpe(spark, tok)
+    assert (cap2, level2) == (256, "byte")
+    new_df = spark.createDataFrame(
+        [(0, "the caté 日本語 naïve"), (1, "")], "doc_id long, text string"
+    )
+    got = sorted(
+        map(
+            tuple,
+            bpe_ops.bpe_encode(
+                new_df, m2, v2, max_word_len=cap2, level=level2
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            bpe_ops.bpe_encode(
+                new_df, merges, vocab, max_word_len=256, level="byte"
+            ).collect(),
+        )
+    )
+    assert got == exp and len(got) == 2
+    bpe_ops.release_bpe_cache(spark)
+
+
 def test_bpe_stops_early_when_fully_merged(spark):
     """A vocabulary that merges to single tokens before the budget runs out
     must yield a short merge table, not fail or loop."""
@@ -1236,7 +1434,9 @@ def test_bpe_encode_unseen_path_reproduces_training_tokens(spark):
     merges, vocab = bpe_ops.bpe_learn(df, num_merges=4)
     got = {
         r["doc_id"]: (r["n_pretokens"], r["n_bpe_tokens"])
-        for r in bpe_ops.bpe_encode(df, merges, vocab.limit(0)).collect()
+        for r in bpe_ops.bpe_encode(
+            df, merges, vocab.limit(0), max_word_len=256
+        ).collect()
     }
     exp = {}
     import re
@@ -1304,15 +1504,28 @@ def test_bpe_save_load_roundtrip_serves_identically(spark, tmp_path):
         [(0, "aaabab banana aab"), (1, "banana aaabab aaaa .")],
         "doc_id long, text string",
     )
-    merges, vocab = bpe_ops.bpe_learn(train, num_merges=4)
+    merges, vocab = bpe_ops.bpe_learn(train, num_merges=4, max_word_len=77)
     bpe_ops.save_bpe(merges, vocab, str(tmp_path / "tok"), max_word_len=77)
-    merges2, vocab2, cap2 = bpe_ops.load_bpe(spark, str(tmp_path / "tok"))
+    merges2, vocab2, cap2, level2 = bpe_ops.load_bpe(spark, str(tmp_path / "tok"))
     assert cap2 == 77, "stored max_word_len must round-trip"
+    assert level2 == "char", "stored level must round-trip"
     new_df = spark.createDataFrame(
         [(0, "banana bandana aa"), (1, "zzz .")], "doc_id long, text string"
     )
-    got = sorted(map(tuple, bpe_ops.bpe_encode(new_df, merges2, vocab2).collect()))
-    exp = sorted(map(tuple, bpe_ops.bpe_encode(new_df, merges, vocab).collect()))
+    # the stored cap is threaded through — bpe_encode has no default cap,
+    # so a caller can no longer silently serve under a different one
+    # (review finding)
+    got = sorted(
+        map(
+            tuple,
+            bpe_ops.bpe_encode(
+                new_df, merges2, vocab2, max_word_len=cap2, level=level2
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(tuple, bpe_ops.bpe_encode(new_df, merges, vocab, max_word_len=77).collect())
+    )
     assert got == exp
     # the reloaded frames must also reproduce the trained state itself
     assert sorted(map(tuple, merges2.collect())) == sorted(

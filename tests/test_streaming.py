@@ -369,7 +369,7 @@ def test_streaming_token_meter_matches_batch_encode(spark, tmp_path):
     }
     want = {
         r.doc_id: (r.n_pretokens, r.n_bpe_tokens)
-        for r in bpe_ops.bpe_encode(new_docs, merges, vocab).collect()
+        for r in bpe_ops.bpe_encode(new_docs, merges, vocab, max_word_len=256).collect()
     }
     assert got == want and len(want) == 3
     # batch_id is a discoverable partition column (two triggers ran)
@@ -408,7 +408,7 @@ def test_streaming_token_meter_matches_batch_encode(spark, tmp_path):
     }
     want2 = {
         r.doc_id: (r.n_pretokens, r.n_bpe_tokens)
-        for r in bpe_ops.bpe_encode(docs2, merges, vocab).collect()
+        for r in bpe_ops.bpe_encode(docs2, merges, vocab, max_word_len=256).collect()
     }
     assert got2 == want2
     store_rows = spark.read.parquet(store).collect()

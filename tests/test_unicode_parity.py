@@ -42,6 +42,10 @@ TEXT_QUERIES = [
     "docs_ccnet_buckets",
     "docs_bpe_merges",
     "docs_bpe_tokens",
+    # byte-level mode: \p{L}/\p{N} must classify CJK/accents/emoji the
+    # same in Java regex and RE2, and the hex-pair byte split must agree
+    "docs_bpe_merges_byte",
+    "docs_bpe_tokens_byte",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

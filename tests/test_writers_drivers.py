@@ -380,9 +380,16 @@ def test_cli_tokenizer_train_then_encode(spark, tmp_path, monkeypatch):
     )
     assert rc == 0
     got = sorted(map(tuple, spark.read.parquet(target).collect()))
-    merges, vocab, cap = bpe_ops.load_bpe(spark, tok)
+    merges, vocab, cap, level = bpe_ops.load_bpe(spark, tok)
     assert cap == 256  # train default, stored in the artifact
-    exp = sorted(map(tuple, bpe_ops.bpe_encode(new_df, merges, vocab).collect()))
+    exp = sorted(
+        map(
+            tuple,
+            bpe_ops.bpe_encode(
+                new_df, merges, vocab, max_word_len=cap, level=level
+            ).collect(),
+        )
+    )
     assert got == exp
     # encode without --target is a usage error, not a crash
     assert cli.main(
