@@ -34,6 +34,16 @@ swings on dedup_embedding_lsh/docs_quality_corpus look like regressions).
 The emitted JSON carries a "timing" field naming the protocol so
 cross-round consumers can detect definition changes (r1-r3: second run;
 r4: billing median-of-5, ext n=1). All raw timings go to stderr.
+
+Round-over-round notes (adjudicated moves a reader should not
+re-investigate):
+- r4→r5 ext:docs_training_corpus +0.5s (1.059→1.564): inherits the r5
+  minhash_signatures explode→groupBy rebuild + corpus_build memo — the
+  trade that took one pathological 400k-token doc from >300s to 6.5s;
+  bought, not leaked.
+- r4→r5 billing_credits_pivot +71ms (0.186→0.257): the NULL-element
+  coalesce guard in the credits fold (a NULL credits_amount previously
+  nulled the whole fold chain and broke the consumption identity).
 """
 
 from __future__ import annotations

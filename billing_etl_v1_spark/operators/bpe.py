@@ -40,6 +40,14 @@ bytes as initial symbols, hex-pair strings, GPT-2-style pre-tokenizer
   table IS word → tokens, so per-doc token counts are one equi-join of
   (doc, word, occurrences) against it — AQE broadcasts it when small.
 
+Measured scaling (probe_r6.json bpe_train_scaling, local[32], median of
+3 full trainings): growing the distinct vocabulary x10 / x64 (31 → 310 →
+1,984 words, fixed 8-merge budget) moved training 4.00s → 4.41s → 5.55s
+(2.0 → 1.44 rounds/s) — per-round cost at this scale is dominated by the
+fixed job/localCheckpoint overhead (~0.5s/round), with the vocabulary-
+table term still small at x64, consistent with the loop being bounded by
+vocabulary rows, not corpus bytes.
+
 Run-parity merge apply (why per-position flags equal the sequential
 greedy scan): a position matches when (sym, next) = (a, b); two ADJACENT
 positions can only both match when a = b, so matches form runs, and the

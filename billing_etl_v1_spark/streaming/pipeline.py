@@ -479,6 +479,7 @@ def streaming_token_meter(
     text_col: str = "text",
     max_word_len: int | None = None,
     max_files_per_trigger: int | None = None,
+    store_compact_every: int | None = None,
 ) -> StreamingQuery:
     """Continuous ingest → EXACT per-document BPE token counts under a
     persisted frozen tokenizer (operators.bpe.save_bpe) — the token-rate
@@ -504,6 +505,14 @@ def streaming_token_meter(
     subdirectories with overwrite, so a retried micro-batch
     (foreachBatch is at-least-once) is idempotent; readers discover
     ``batch_id`` as a partition column.
+
+    ``store_compact_every``: the append-only store grows one parquet
+    partition per batch that learned novel words; after thousands of
+    micro-batches the per-batch store READ (partition discovery + many
+    tiny files) dominates the trigger. Every N batches the store is
+    consolidated into the single ``batch_id=-1`` partition
+    (:func:`compact_word_store`) so the file count stays bounded by the
+    compaction interval instead of the stream's lifetime.
     """
     from billing_etl_v1_spark.operators import bpe as bpe_ops
 
@@ -567,12 +576,55 @@ def streaming_token_meter(
             new_costs.write.mode("overwrite").parquet(
                 f"{word_store}/batch_id={batch_id}"
             )
+        if (
+            word_store is not None
+            and store_compact_every
+            and (batch_id + 1) % store_compact_every == 0
+        ):
+            compact_word_store(s, word_store)
 
     return (
         stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def compact_word_store(spark: SparkSession, word_store: str) -> None:
+    """Consolidate a streaming_token_meter word store (one ``batch_id=N``
+    parquet partition per novel-word batch) into the single reserved
+    ``batch_id=-1`` partition — partition discovery and file count stop
+    growing with stream lifetime.
+
+    Static whole-table overwrite (not the dynamic-mode default): the point
+    is to DROP the per-batch partitions, not overwrite them in place. A
+    crash mid-compaction can lose store rows, which is the store's
+    documented failure budget — a lost word re-encodes in a later batch;
+    counts are computed fresh per batch and never read the store's
+    history. A retried batch that re-writes its ``batch_id=N`` partition
+    after compaction leaves duplicate (word, n_tokens) rows across
+    partitions; the meter dedupes by word before its counts join, so
+    duplicates cost nothing."""
+    deduped = (
+        spark.read.parquet(word_store)
+        .groupBy("word")
+        .agg(F.min("n_tokens").alias("n_tokens"))
+        .withColumn("batch_id", F.lit(-1))
+        # materialize + sever lineage: the write below replaces the very
+        # files this plan scans (the compact_partitions posture)
+        .localCheckpoint()
+    )
+    # size the output explicitly — the groupBy leaves rows scattered over
+    # shuffle partitions, which would write one tiny file each and undo
+    # the compaction. ~5M (word, n_tokens) rows ≈ a 100–150 MB file.
+    n_files = max(1, -(-deduped.count() // 5_000_000))
+    rows = deduped.repartition(n_files)
+    (
+        rows.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("batch_id")
+        .parquet(word_store)
     )
 
 

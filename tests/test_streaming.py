@@ -423,6 +423,164 @@ def test_streaming_token_meter_matches_batch_encode(spark, tmp_path):
     bpe_ops.release_bpe_cache(spark)
 
 
+def test_token_meter_word_store_compaction_bounds_files(spark, tmp_path):
+    """Across 20+ micro-batches each learning a novel word, the append-only
+    word store must stay bounded in parquet file count (compaction every 5
+    batches consolidates into the batch_id=-1 partition) — without it the
+    store grows one partition directory per batch for the life of the
+    stream — and the metered counts must still equal the batch bpe_encode
+    of everything ingested. A store read mid-stream (mixing the compacted
+    -1 partition with fresher batch partitions) must also resolve known
+    words without fan-out."""
+    import os
+
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+    from billing_etl_v1_spark.streaming.pipeline import streaming_token_meter
+
+    train = spark.createDataFrame(
+        [(100, "aaabab banana aab")], "doc_id long, text string"
+    )
+    merges, vocab = bpe_ops.bpe_learn(train, num_merges=2)
+    tok = str(tmp_path / "tok")
+    bpe_ops.save_bpe(merges, vocab, tok)
+
+    n_batches = 21
+    # every batch carries one word novel to the tokenizer AND all prior
+    # batches (forces a store write per batch) plus one recurring novel
+    # word ('zebra') resolvable from the store after batch 0
+    docs = [(i, f"banana zebra nov{i}el") for i in range(n_batches)]
+    docs_df = spark.createDataFrame(docs, "doc_id long, text string")
+    docs_dir = str(tmp_path / "docs_in")
+    for i in range(n_batches):
+        docs_df.filter(F.col("doc_id") == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(docs_dir)
+
+    counts_out = str(tmp_path / "counts")
+    store = str(tmp_path / "word_store")
+    q = streaming_token_meter(
+        spark,
+        docs_dir,
+        spark.read.parquet(docs_dir).schema,
+        tok,
+        counts_out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        word_store=store,
+        max_files_per_trigger=1,
+        store_compact_every=5,
+    )
+    q.awaitTermination(600)
+
+    got = {
+        r.doc_id: (r.n_pretokens, r.n_bpe_tokens)
+        for r in spark.read.parquet(counts_out).collect()
+    }
+    want = {
+        r.doc_id: (r.n_pretokens, r.n_bpe_tokens)
+        for r in bpe_ops.bpe_encode(docs_df, merges, vocab, max_word_len=256).collect()
+    }
+    assert got == want and len(got) == n_batches
+
+    n_files = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _root, _dirs, fs in os.walk(store)
+    )
+    # last compaction fired at batch 20 (21 % ... == 0 at batch_id 19;
+    # batch 20 appended one more partition after it) — the bound is the
+    # compaction interval, NOT the 21-batch stream length
+    assert n_files <= 5, f"store must stay compacted, found {n_files} files"
+    store_df = spark.read.parquet(store)
+    words = [r.word for r in store_df.select("word").distinct().collect()]
+    assert "zebra" in words and len(words) >= n_batches
+    bpe_ops.release_bpe_cache(spark)
+
+
+def test_token_meter_serves_byte_level_tokenizer(spark, tmp_path):
+    """A persisted BYTE-level tokenizer must be served at its stored level
+    by the meter (level is read from the artifact meta, not assumed):
+    counts for novel multibyte words must equal the batch byte-level
+    bpe_encode — a char-level assumption would pre-tokenize and split
+    'café'/'日本' differently and miscount silently."""
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+    from billing_etl_v1_spark.streaming.pipeline import streaming_token_meter
+
+    train = spark.createDataFrame(
+        [(100, "the cat café"), (101, "the café 日本 cat")],
+        "doc_id long, text string",
+    )
+    merges, vocab = bpe_ops.bpe_learn(train, num_merges=4, level="byte")
+    tok = str(tmp_path / "btok")
+    bpe_ops.save_bpe(merges, vocab, tok, max_word_len=256, level="byte")
+
+    new_docs = spark.createDataFrame(
+        [(0, "the caté 日本語 naïve"), (1, "cat café 😀")],
+        "doc_id long, text string",
+    )
+    docs_dir = str(tmp_path / "docs_in")
+    new_docs.filter("doc_id = 0").coalesce(1).write.parquet(docs_dir)
+    new_docs.filter("doc_id = 1").coalesce(1).write.mode("append").parquet(docs_dir)
+    counts_out = str(tmp_path / "counts")
+    q = streaming_token_meter(
+        spark,
+        docs_dir,
+        spark.read.parquet(docs_dir).schema,
+        tok,
+        counts_out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    got = {
+        r.doc_id: (r.n_pretokens, r.n_bpe_tokens)
+        for r in spark.read.parquet(counts_out).collect()
+    }
+    want = {
+        r.doc_id: (r.n_pretokens, r.n_bpe_tokens)
+        for r in bpe_ops.bpe_encode(
+            new_docs, merges, vocab, max_word_len=256, level="byte"
+        ).collect()
+    }
+    assert got == want and len(got) == 2
+    bpe_ops.release_bpe_cache(spark)
+
+
+def test_token_meter_corrupt_word_store_fails_loudly(spark, tmp_path):
+    """A word store that exists but cannot be read must FAIL the batch,
+    not be silently treated as 'first batch: no store yet' — swallowing
+    it would re-encode recurring novel words into a second batch_id
+    partition and (before the dedupe guard) double-count every doc
+    containing them once the store read recovers (review finding)."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+    from billing_etl_v1_spark.streaming.pipeline import streaming_token_meter
+
+    train = spark.createDataFrame([(0, "aa ab")], "doc_id long, text string")
+    merges, vocab = bpe_ops.bpe_learn(train, num_merges=1)
+    tok = str(tmp_path / "tok")
+    bpe_ops.save_bpe(merges, vocab, tok)
+    docs_dir = str(tmp_path / "docs")
+    train.write.parquet(docs_dir)
+    # a store directory that EXISTS but holds a corrupt parquet footer —
+    # the failure mode of a crashed prior batch / partial copy
+    store = tmp_path / "word_store"
+    store.mkdir()
+    (store / "part-00000.parquet").write_bytes(b"not a parquet file")
+    q = streaming_token_meter(
+        spark,
+        docs_dir,
+        spark.read.parquet(docs_dir).schema,
+        tok,
+        str(tmp_path / "counts"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        word_store=str(store),
+    )
+    with _pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+    bpe_ops.release_bpe_cache(spark)
+
+
 def test_streaming_scd2_maintenance_matches_batch_recompute(spark, tmp_path):
     """Two micro-batches of dim snapshots must leave the history store
     equal to a full batch scd2_history recompute over every snapshot —

@@ -391,6 +391,33 @@ def test_cli_tokenizer_train_then_encode(spark, tmp_path, monkeypatch):
         )
     )
     assert got == exp
+    # byte-level train+encode: the stored level must drive serving — the
+    # artifact meta round-trips through the CLI without re-stating it
+    btok = str(tmp_path / "btok")
+    btarget = str(tmp_path / "bcounts")
+    rc = cli.main(
+        ["tokenizer", "train", "--docs", train_path, "--tokenizer", btok,
+         "--num-merges", "4", "--level", "byte"]
+    )
+    assert rc == 0
+    rc = cli.main(
+        ["tokenizer", "encode", "--docs", new_path, "--tokenizer", btok,
+         "--target", btarget]
+    )
+    assert rc == 0
+    bm, bv, bcap, blevel = bpe_ops.load_bpe(spark, btok)
+    assert blevel == "byte"
+    bgot = sorted(map(tuple, spark.read.parquet(btarget).collect()))
+    bexp = sorted(
+        map(
+            tuple,
+            bpe_ops.bpe_encode(
+                new_df, bm, bv, max_word_len=bcap, level=blevel
+            ).collect(),
+        )
+    )
+    assert bgot == bexp
+
     # encode without --target is a usage error, not a crash
     assert cli.main(
         ["tokenizer", "encode", "--docs", new_path, "--tokenizer", tok]
