@@ -748,6 +748,37 @@ def _q_docs_bpe_tokens_byte(spark, sf_dir):
     )
 
 
+def _q_docs_bpe_vocab(spark, sf_dir):
+    """The trained tokenizer's exported token-id table (char level): ids
+    0..n-1 for the observed initial codepoints in string order, then
+    merges at n+rank — the artifact an embedding matrix / id-encoder
+    consumes. Base ranks via the two-phase distributed rank (scale
+    posture); training shared with docs_bpe_merges via the memo."""
+    merges, vocab = bpe_ops.bpe_learn(load_table(spark, sf_dir, "documents"))
+    return bpe_ops.bpe_token_ids(merges, vocab)
+
+
+def _q_docs_bpe_vocab_byte(spark, sf_dir):
+    """Byte-level token-id table: the GPT-2 convention — ids 0..255 are
+    the FIXED byte alphabet (serving must id any future byte), merges at
+    256+rank."""
+    merges, vocab = bpe_ops.bpe_learn(
+        load_table(spark, sf_dir, "documents"), level="byte"
+    )
+    return bpe_ops.bpe_token_ids(merges, vocab, level="byte")
+
+
+def _q_docs_bpe_token_seq(spark, sf_dir):
+    """Per-document TOKEN-ID SEQUENCES (byte level — the production-safe
+    mode: the fixed 256-byte base ids every future symbol): one row per
+    position, the model-input artifact itself. Training shared with the
+    other byte-BPE queries via the memo."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges, vocab = bpe_ops.bpe_learn(docs, level="byte")
+    ids = bpe_ops.bpe_token_ids(merges, vocab, level="byte")
+    return bpe_ops.bpe_token_sequences(docs, vocab, ids, level="byte")
+
+
 def _q_docs_pagerank(spark, sf_dir):
     return dedup_ops.similarity_pagerank(load_table(spark, sf_dir, "documents"))
 
@@ -919,11 +950,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_spans": _q_docs_dedup_spans,
         "docs_decontaminate_fuzzy": _q_docs_decontaminate_fuzzy,
         "docs_winnow_fingerprints": _q_docs_winnow,
-        # the session's two NEW queries (byte-level GPT-2-lineage BPE — the
-        # r5 VERDICT's named extension); an unverified query may not sit
-        # below the fold:
+        # the session's five NEW queries (byte-level GPT-2-lineage BPE —
+        # the r5 VERDICT's named extension — plus the exported token-id
+        # vocabulary table at both levels and the per-document token-id
+        # SEQUENCES, completing the tokenizer surface: counts, vocabulary,
+        # model input); an unverified query may not sit below the fold.
+        # They displace three discretionary age-2 picks
+        # (docs_quality_corpus / docs_repetition / dedup_minhash_lsh),
+        # which join round 7's mandatory leads below:
         "docs_bpe_merges_byte": _q_docs_bpe_merges_byte,
         "docs_bpe_tokens_byte": _q_docs_bpe_tokens_byte,
+        "docs_bpe_vocab": _q_docs_bpe_vocab,
+        "docs_bpe_vocab_byte": _q_docs_bpe_vocab_byte,
+        "docs_bpe_token_seq": _q_docs_bpe_token_seq,
         # 17 discretionary slots, all from the 46-entry age-2 (r4-verdict)
         # pool so round 7 inherits the smallest possible backlog (29 < 50):
         # billing_profile first (profile_columns gained day_col validation
@@ -944,13 +983,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_pricing_modes": _q_pricing_modes,
         "billing_dq_audit": _q_dq_audit,
         "billing_cube": _q_billing_cube,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        "docs_quality_corpus": _q_quality_corpus,
-        "docs_repetition": _q_docs_repetition,
         # --- below the driver fold (local parity still runs ALL) ---
-        # 29 remaining age-2 (r4-verdict) entries — round 7 MUST lead with
-        # these (they fit: 29 < 50); kept contiguous here so that rotation
+        # 32 remaining age-2 (r4-verdict) entries (29 deferred + the three
+        # picks displaced by the new tokenizer queries) — round 7 MUST lead
+        # with these (they fit: 32 < 50); kept contiguous so that rotation
         # is a copy-paste:
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "docs_repetition": _q_docs_repetition,
+        "docs_quality_corpus": _q_quality_corpus,
         "docs_pagerank": _q_docs_pagerank,
         "docs_train_split": _q_docs_train_split,
         "docs_shard_manifest": _q_docs_shard_manifest,
@@ -1135,6 +1175,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_tokens": oracle_ext.bpe_token_counts_sql(),
         "docs_bpe_merges_byte": oracle_ext.bpe_merges_sql(level="byte"),
         "docs_bpe_tokens_byte": oracle_ext.bpe_token_counts_sql(level="byte"),
+        "docs_bpe_vocab": oracle_ext.bpe_token_ids_sql(),
+        "docs_bpe_vocab_byte": oracle_ext.bpe_token_ids_sql(level="byte"),
+        "docs_bpe_token_seq": oracle_ext.bpe_token_sequences_sql(level="byte"),
         "embeddings_quantize": oracle_ext.quantize_embeddings_sql(),
         "sim_topk_quantized": oracle_ext.sim_topk_quantized_sql(),
         "sim_hard_negatives": oracle_ext.hard_negatives_sql(),

@@ -418,6 +418,128 @@ def bpe_token_counts(
     return doc_token_counts(df, word_cost, text_col, id_col, level)
 
 
+def bpe_token_ids(
+    merges: DataFrame, vocab: DataFrame, level: str = "char"
+) -> DataFrame:
+    """The trained tokenizer's TOKEN-ID table: (token, token_id, source) —
+    the artifact a training pipeline actually exports (embedding-matrix
+    row i = token_id i; encoders map token strings to ids through it).
+
+    The id convention is the GPT-2 lineage's: base symbols first, then
+    merged tokens in learned-rank order —
+
+    - ``byte``: ids 0..255 are the 256 possible byte values (hex-pair
+      symbols '00'..'FF', FIXED regardless of what the corpus contained —
+      serving must be able to id any future byte), then merge ``r``
+      takes id ``256 + r``;
+    - ``char``: the base alphabet is open-ended, so ids 0..n-1 are the
+      corpus-OBSERVED initial codepoints in string order (both engines
+      order strings by UTF-8 bytes — deterministic), then merge ``r``
+      takes id ``n + r``.
+
+    The base alphabet derives from re-splitting the vocabulary's WORDS
+    (one vocabulary-bounded pass), NOT from the trained token arrays —
+    a fully-merged symbol no longer appears as a single token there.
+    Base ranks use the two-phase :func:`events.distributed_total_rank`
+    (no unpartitioned ordered window — the repo-wide scale posture);
+    the merge table joins in with a 1-row broadcast offset. No corpus
+    pass anywhere.
+    """
+    from billing_etl_v1_spark.operators.events import distributed_total_rank
+
+    _check_level(level)
+    if level == "byte":
+        base_ids = merges.sparkSession.range(256).select(
+            F.upper(F.format_string("%02x", F.col("id"))).alias("token"),
+            F.col("id").cast("int").alias("token_id"),
+            F.lit("base").alias("source"),
+        )
+        merged_ids = merges.select(
+            F.col("merged").alias("token"),
+            (F.lit(256) + F.col("merge_rank")).cast("int").alias("token_id"),
+            F.lit("merge").alias("source"),
+        )
+        return base_ids.unionByName(merged_ids)
+    base = (
+        vocab.select(F.explode(_symbols(F.col("word"), level)).alias("token"))
+        .distinct()
+    )
+    ranked = distributed_total_rank(base, ["token"])
+    base_ids = ranked.select(
+        "token",
+        (F.col("__rank") - 1).cast("int").alias("token_id"),
+        F.lit("base").alias("source"),
+    )
+    # merge ids start after the observed base alphabet — the offset is the
+    # rank pass's own grand total, joined as a 1-row broadcast (no
+    # driver-side count)
+    n = ranked.select(F.col("__total").cast("int").alias("__n")).limit(1)
+    merged_ids = merges.crossJoin(F.broadcast(n)).select(
+        F.col("merged").alias("token"),
+        (F.col("__n") + F.col("merge_rank")).cast("int").alias("token_id"),
+        F.lit("merge").alias("source"),
+    )
+    return base_ids.unionByName(merged_ids)
+
+
+def bpe_token_sequences(
+    df: DataFrame,
+    vocab: DataFrame,
+    token_ids: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: str = "char",
+) -> DataFrame:
+    """Per-document TOKEN-ID SEQUENCES — the model-input artifact itself:
+    one row per token position, (doc_id, pos, token, token_id), ``pos``
+    the 0-based position in the document's token stream.
+
+    Corpus-sized work is one pre-token posexplode + two equi-joins
+    (vocabulary word → tokens, then token → id; AQE broadcasts both when
+    small). Positions come from a per-document WORD-level cumulative sum
+    (base offset of each word = tokens before it) plus the within-word
+    offset — the window input is words, not exploded tokens, so the
+    per-doc sort touches ~10x fewer rows; the window is partitioned by
+    doc (per-doc sequence numbering is inherently per-doc — same skew
+    class as chunking, bounded by the longest single document).
+
+    ``level='byte'`` is the production-safe mode: the fixed 256-byte base
+    alphabet ids every possible future symbol. At char level a served
+    NOVEL codepoint has no trained id — the inner token-id join drops it;
+    use byte level when serving open vocabularies.
+    """
+    _check_level(level)
+    wcost = vocab.select("word", "tokens", F.size("tokens").alias("__n"))
+    wseq = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(_pretokens(F.col(text_col), level)).alias("wpos", "word"),
+        )
+        .join(wcost, "word")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("wpos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sseq = (
+        wseq.withColumn("__base", F.sum("__n").over(w) - F.col("__n"))
+        .select(
+            F.col(id_col),
+            F.col("__base"),
+            F.posexplode("tokens").alias("spos", "token"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("__base") + F.col("spos")).cast("bigint").alias("pos"),
+            "token",
+        )
+    )
+    return sseq.join(token_ids.select("token", "token_id"), "token").select(
+        id_col, "pos", "token", "token_id"
+    )
+
+
 def save_bpe(
     merges: DataFrame,
     vocab: DataFrame,

@@ -2553,13 +2553,7 @@ def _bpe_train_ctes(num_merges: int, max_word_len: int, level: str = "char") -> 
     return ",\n".join(parts)
 
 
-def bpe_merges_sql(
-    num_merges: int = 8, max_word_len: int = 256, level: str = "char"
-) -> str:
-    """Twin of operators.bpe.bpe_learn's merge table — the same rounds
-    unrolled as chained CTEs (the kmeans/pagerank playbook). All values
-    are integers/strings, so the match is exact, including the argmax
-    tie-break (both engines order strings by UTF-8 bytes)."""
+def _bpe_merge_rows(num_merges: int) -> str:
     rows = "\nUNION ALL\n".join(
         f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym, "
         f"a || b AS merged, pair_count FROM b{i}"
@@ -2571,9 +2565,118 @@ def bpe_merges_sql(
             "'' AS right_sym, '' AS merged, CAST(NULL AS BIGINT) AS pair_count "
             "WHERE FALSE"
         )
+    return rows
+
+
+def bpe_merges_sql(
+    num_merges: int = 8, max_word_len: int = 256, level: str = "char"
+) -> str:
+    """Twin of operators.bpe.bpe_learn's merge table — the same rounds
+    unrolled as chained CTEs (the kmeans/pagerank playbook). All values
+    are integers/strings, so the match is exact, including the argmax
+    tie-break (both engines order strings by UTF-8 bytes)."""
     return f"""
 WITH {_bpe_train_ctes(num_merges, max_word_len, level)}
-{rows}
+{_bpe_merge_rows(num_merges)}
+"""
+
+
+def bpe_token_ids_sql(
+    num_merges: int = 8, max_word_len: int = 256, level: str = "char"
+) -> str:
+    """Twin of operators.bpe.bpe_token_ids: the exported token-id table.
+    byte: ids 0..255 are the fixed byte alphabet, merges at 256+rank.
+    char: ids 0..n-1 are the corpus-observed initial codepoints in string
+    order (binary UTF-8 collation in both engines), merges at n+rank.
+    The oracle uses a plain ordered row_number — the INDEPENDENT
+    formulation of the engine's two-phase distributed rank."""
+    if level == "byte":
+        return f"""
+WITH {_bpe_train_ctes(num_merges, max_word_len, level)},
+m AS ({_bpe_merge_rows(num_merges)})
+SELECT printf('%02X', i) AS token, CAST(i AS INT) AS token_id, 'base' AS source
+FROM range(256) t(i)
+UNION ALL
+SELECT merged AS token, CAST(256 + merge_rank AS INT) AS token_id,
+       'merge' AS source
+FROM m
+"""
+    return f"""
+WITH {_bpe_train_ctes(num_merges, max_word_len, level)},
+m AS ({_bpe_merge_rows(num_merges)}),
+alpha AS (
+  SELECT DISTINCT unnest(regexp_extract_all(word, '.')) AS token FROM vall
+)
+SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS INT) AS token_id,
+       'base' AS source
+FROM alpha
+UNION ALL
+SELECT merged AS token,
+       CAST((SELECT count(*) FROM alpha) + merge_rank AS INT) AS token_id,
+       'merge' AS source
+FROM m
+"""
+
+
+def bpe_token_sequences_sql(
+    num_merges: int = 8, max_word_len: int = 256, level: str = "char"
+) -> str:
+    """Twin of operators.bpe.bpe_token_sequences: per-document token-id
+    sequences under the corpus-trained vocabulary. Word positions come
+    from the unnest(range(len(arr))) ordinality pattern (the p{i} CTE's);
+    the token position is the same word-level cumulative-sum-plus-offset
+    arithmetic the Spark side uses (wpos unique per doc, so the default
+    window frame is equivalent on both engines)."""
+    if level == "byte":
+        ids = """
+ids AS (
+  SELECT printf('%02X', i) AS token, CAST(i AS INT) AS token_id
+  FROM range(256) t(i)
+  UNION ALL
+  SELECT merged AS token, CAST(256 + merge_rank AS INT) AS token_id FROM m
+)"""
+    else:
+        ids = """
+alpha AS (
+  SELECT DISTINCT unnest(regexp_extract_all(word, '.')) AS token FROM vall
+),
+ids AS (
+  SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS INT) AS token_id
+  FROM alpha
+  UNION ALL
+  SELECT merged AS token,
+         CAST((SELECT count(*) FROM alpha) + merge_rank AS INT) AS token_id
+  FROM m
+)"""
+    return f"""
+WITH {_bpe_train_ctes(num_merges, max_word_len, level)},
+m AS ({_bpe_merge_rows(num_merges)}),
+{ids.strip()},
+wseq AS (
+  SELECT doc_id, u.i AS wpos, arr[u.i + 1] AS word
+  FROM (
+    SELECT doc_id, regexp_extract_all(text, '{_bpe_pre_re_sql(level)}') AS arr
+    FROM documents
+  ) t, unnest(range(0, len(arr))) u(i)
+),
+cost AS (
+  SELECT word, s FROM v{num_merges}
+  UNION ALL
+  SELECT word, s FROM vlong
+),
+wbase AS (
+  SELECT w.doc_id, w.wpos, c.s,
+         sum(len(c.s)) OVER (PARTITION BY w.doc_id ORDER BY w.wpos)
+           - len(c.s) AS base
+  FROM wseq w JOIN cost c USING (word)
+)
+SELECT s.doc_id, s.pos, s.token, i.token_id
+FROM (
+  SELECT b.doc_id,
+         CAST(b.base + u.i AS BIGINT) AS pos,
+         b.s[u.i + 1] AS token
+  FROM wbase b, unnest(range(0, len(b.s))) u(i)
+) s JOIN ids i ON i.token = s.token
 """
 
 

@@ -1395,6 +1395,77 @@ def test_byte_bpe_serving_and_artifact_roundtrip(spark, tmp_path):
     bpe_ops.release_bpe_cache(spark)
 
 
+def test_bpe_token_ids_convention(spark):
+    """The exported token-id table follows the GPT-2 lineage convention:
+    byte level — ids 0..255 are the FIXED byte alphabet plus merges at
+    256+rank; char level — ids 0..n-1 are the observed initial codepoints
+    in UTF-8-byte string order plus merges at n+rank. Ids must be dense,
+    unique, and stable under the two-phase distributed rank."""
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+    df = spark.createDataFrame(
+        [(0, "the cat café"), (1, "the café cat 日本")], "doc_id long, text string"
+    )
+    # char
+    merges, vocab = bpe_ops.bpe_learn(df, num_merges=3)
+    ids = {r.token: (r.token_id, r.source) for r in
+           bpe_ops.bpe_token_ids(merges, vocab).collect()}
+    base = sorted([t for t, (_, s) in ids.items() if s == "base"])
+    assert [ids[t][0] for t in base] == list(range(len(base))), (
+        "char base ids must be dense ranks in string order"
+    )
+    got_m = {r.merged: r.merge_rank for r in merges.collect()}
+    for tok, rank in got_m.items():
+        assert ids[tok] == (len(base) + rank, "merge")
+    assert len(set(i for i, _ in ids.values())) == len(ids), "ids unique"
+    # byte: fixed 256-base regardless of corpus
+    bm, bv = bpe_ops.bpe_learn(df, num_merges=3, level="byte")
+    bids = {r.token: (r.token_id, r.source) for r in
+            bpe_ops.bpe_token_ids(bm, bv, level="byte").collect()}
+    assert bids["00"] == (0, "base") and bids["FF"] == (255, "base")
+    assert sum(1 for _, s in bids.values() if s == "base") == 256
+    for r in bm.collect():
+        assert bids[r.merged] == (256 + r.merge_rank, "merge")
+    bpe_ops.release_bpe_cache(spark)
+
+
+def test_bpe_token_sequences_match_naive_reference(spark):
+    """Per-document token-id sequences must equal the sequential
+    reconstruction: pre-tokenize in order, concatenate each word's trained
+    token array, map through the id table — positions dense from 0, ids
+    per the GPT-2 convention. Byte level, multibyte + contraction input."""
+    import re
+
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+    texts = ["the cat's café", "日本 the the cat", ""]
+    exp_m, exp_v, _ = _naive_bpe_byte(
+        texts, 4, pre_re=_py_byte_pre_re("a-zA-Zéü日本", "0-9")
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, vocab = bpe_ops.bpe_learn(df, num_merges=4, level="byte")
+    ids_df = bpe_ops.bpe_token_ids(merges, vocab, level="byte")
+    id_of = {r.token: r.token_id for r in ids_df.collect()}
+    got = sorted(
+        (r.doc_id, r.pos, r.token, r.token_id)
+        for r in bpe_ops.bpe_token_sequences(
+            df, vocab, ids_df, level="byte"
+        ).collect()
+    )
+    pre_re = _py_byte_pre_re("a-zA-Zéü日本", "0-9")
+    exp = []
+    for i, t in enumerate(texts):
+        pos = 0
+        for w in re.findall(pre_re, t):
+            for tok in exp_v[w]:
+                exp.append((i, pos, tok, id_of[tok]))
+                pos += 1
+    assert got == sorted(exp) and len(got) > 0
+    bpe_ops.release_bpe_cache(spark)
+
+
 def test_bpe_stops_early_when_fully_merged(spark):
     """A vocabulary that merges to single tokens before the budget runs out
     must yield a short merge table, not fail or loop."""

@@ -46,6 +46,9 @@ TEXT_QUERIES = [
     # same in Java regex and RE2, and the hex-pair byte split must agree
     "docs_bpe_merges_byte",
     "docs_bpe_tokens_byte",
+    "docs_bpe_vocab",
+    "docs_bpe_vocab_byte",
+    "docs_bpe_token_seq",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
