@@ -779,6 +779,18 @@ def _q_docs_bpe_token_seq(spark, sf_dir):
     return bpe_ops.bpe_token_sequences(docs, vocab, ids, level="byte")
 
 
+def _q_docs_bpe_pack_ids(spark, sf_dir):
+    """Token-id sequences packed into fixed 128-id training blocks (the
+    pretraining data-loader shape: deterministic doc order, documents
+    crossing block boundaries, no padding). Global positions via the
+    two-phase distributed rank; block cut is exact BIGINT div/mod."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges, vocab = bpe_ops.bpe_learn(docs, level="byte")
+    ids = bpe_ops.bpe_token_ids(merges, vocab, level="byte")
+    seq = bpe_ops.bpe_token_sequences(docs, vocab, ids, level="byte")
+    return bpe_ops.bpe_pack_blocks(seq, block_tokens=128)
+
+
 def _q_docs_pagerank(spark, sf_dir):
     return dedup_ops.similarity_pagerank(load_table(spark, sf_dir, "documents"))
 
@@ -950,19 +962,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_spans": _q_docs_dedup_spans,
         "docs_decontaminate_fuzzy": _q_docs_decontaminate_fuzzy,
         "docs_winnow_fingerprints": _q_docs_winnow,
-        # the session's five NEW queries (byte-level GPT-2-lineage BPE —
+        # the session's six NEW queries (byte-level GPT-2-lineage BPE —
         # the r5 VERDICT's named extension — plus the exported token-id
-        # vocabulary table at both levels and the per-document token-id
-        # SEQUENCES, completing the tokenizer surface: counts, vocabulary,
-        # model input); an unverified query may not sit below the fold.
-        # They displace three discretionary age-2 picks
-        # (docs_quality_corpus / docs_repetition / dedup_minhash_lsh),
-        # which join round 7's mandatory leads below:
+        # vocabulary table at both levels, the per-document token-id
+        # SEQUENCES, and the fixed-size packed training blocks over them,
+        # completing the tokenizer surface end-to-end: counts, vocabulary,
+        # model input, data-loader blocks); an unverified query may not
+        # sit below the fold. They displace four discretionary age-2
+        # picks (docs_quality_corpus / docs_repetition / dedup_minhash_lsh
+        # / billing_cube), which join round 7's mandatory leads below:
         "docs_bpe_merges_byte": _q_docs_bpe_merges_byte,
         "docs_bpe_tokens_byte": _q_docs_bpe_tokens_byte,
         "docs_bpe_vocab": _q_docs_bpe_vocab,
         "docs_bpe_vocab_byte": _q_docs_bpe_vocab_byte,
         "docs_bpe_token_seq": _q_docs_bpe_token_seq,
+        "docs_bpe_pack_ids": _q_docs_bpe_pack_ids,
         # 17 discretionary slots, all from the 46-entry age-2 (r4-verdict)
         # pool so round 7 inherits the smallest possible backlog (29 < 50):
         # billing_profile first (profile_columns gained day_col validation
@@ -982,12 +996,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_rule_match": _q_rule_match,
         "billing_pricing_modes": _q_pricing_modes,
         "billing_dq_audit": _q_dq_audit,
-        "billing_cube": _q_billing_cube,
         # --- below the driver fold (local parity still runs ALL) ---
-        # 32 remaining age-2 (r4-verdict) entries (29 deferred + the three
+        # 33 remaining age-2 (r4-verdict) entries (29 deferred + the four
         # picks displaced by the new tokenizer queries) — round 7 MUST lead
-        # with these (they fit: 32 < 50); kept contiguous so that rotation
+        # with these (they fit: 33 < 50); kept contiguous so that rotation
         # is a copy-paste:
+        "billing_cube": _q_billing_cube,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "docs_repetition": _q_docs_repetition,
         "docs_quality_corpus": _q_quality_corpus,
@@ -1178,6 +1192,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_vocab": oracle_ext.bpe_token_ids_sql(),
         "docs_bpe_vocab_byte": oracle_ext.bpe_token_ids_sql(level="byte"),
         "docs_bpe_token_seq": oracle_ext.bpe_token_sequences_sql(level="byte"),
+        "docs_bpe_pack_ids": oracle_ext.bpe_pack_blocks_sql(128, level="byte"),
         "embeddings_quantize": oracle_ext.quantize_embeddings_sql(),
         "sim_topk_quantized": oracle_ext.sim_topk_quantized_sql(),
         "sim_hard_negatives": oracle_ext.hard_negatives_sql(),

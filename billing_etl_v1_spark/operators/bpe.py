@@ -540,6 +540,37 @@ def bpe_token_sequences(
     )
 
 
+def bpe_pack_blocks(
+    seq: DataFrame, block_tokens: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Pack token-id sequences (:func:`bpe_token_sequences` rows) into
+    fixed-size training blocks — the pretraining data-loader shape: a
+    deterministic document order (doc_id, then position), concatenated
+    and cut every ``block_tokens`` ids, documents crossing block
+    boundaries (the standard GPT packing; no padding, the final partial
+    block keeps its tail). Output: (block_id, offset, doc_id, token_id),
+    ``offset`` the position inside the block.
+
+    The global token position is one :func:`events.distributed_total_rank`
+    over (doc_id, pos) — a range-repartitioned parallel sort plus a tiny
+    prefix broadcast, never a single-task window; block assignment is then
+    integer arithmetic (``div``/``%`` — exact on BIGINT in both engines,
+    no float rounding at 100 TB token counts)."""
+    from billing_etl_v1_spark.operators.events import distributed_total_rank
+
+    if block_tokens < 1:
+        raise ValueError(f"block_tokens must be >= 1, got {block_tokens}")
+    ranked = distributed_total_rank(seq, [id_col, "pos"])
+    return ranked.select(
+        F.expr(f"CAST((__rank - 1) DIV {int(block_tokens)} AS BIGINT)").alias(
+            "block_id"
+        ),
+        ((F.col("__rank") - 1) % block_tokens).cast("int").alias("offset"),
+        F.col(id_col),
+        "token_id",
+    )
+
+
 def save_bpe(
     merges: DataFrame,
     vocab: DataFrame,

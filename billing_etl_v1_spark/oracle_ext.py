@@ -2680,6 +2680,27 @@ FROM (
 """
 
 
+def bpe_pack_blocks_sql(
+    block_tokens: int,
+    num_merges: int = 8,
+    max_word_len: int = 256,
+    level: str = "char",
+) -> str:
+    """Twin of operators.bpe.bpe_pack_blocks: the sequence query as a CTE,
+    then one ordered row_number (the independent formulation of the
+    engine's two-phase rank) and integer div/mod block arithmetic."""
+    return f"""
+WITH seq AS ({bpe_token_sequences_sql(num_merges, max_word_len, level)})
+SELECT CAST((row_number() OVER (ORDER BY doc_id, pos) - 1) // {int(block_tokens)} AS BIGINT)
+         AS block_id,
+       CAST((row_number() OVER (ORDER BY doc_id, pos) - 1) % {int(block_tokens)} AS INT)
+         AS "offset",
+       doc_id,
+       token_id
+FROM seq
+"""
+
+
 def bpe_token_counts_sql(
     num_merges: int = 8, max_word_len: int = 256, level: str = "char"
 ) -> str:

@@ -1466,6 +1466,66 @@ def test_bpe_token_sequences_match_naive_reference(spark):
     bpe_ops.release_bpe_cache(spark)
 
 
+def test_bpe_token_sequences_null_and_empty_text(spark):
+    """NULL-text and empty-text documents contribute ZERO sequence rows
+    (regexp over NULL propagates NULL, posexplode drops it — identical in
+    the DuckDB twin via unnest(range(0, len(NULL)))), and non-NULL docs in
+    the same batch are unaffected — the NULL-text corpus-killer lane from
+    r5, applied to the new sequence op."""
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+    df = spark.createDataFrame(
+        [(0, "the cat"), (1, None), (2, "")], "doc_id long, text string"
+    )
+    merges, vocab = bpe_ops.bpe_learn(df, num_merges=2, level="byte")
+    ids_df = bpe_ops.bpe_token_ids(merges, vocab, level="byte")
+    rows = bpe_ops.bpe_token_sequences(df, vocab, ids_df, level="byte").collect()
+    assert {r.doc_id for r in rows} == {0}
+    assert sorted(r.pos for r in rows) == list(range(len(rows))) and rows
+    bpe_ops.release_bpe_cache(spark)
+
+
+def test_bpe_pack_blocks_cuts_exact_boundaries(spark):
+    """Packed training blocks: blocks are full except the last, offsets
+    are dense 0..block-1, documents CROSS block boundaries (standard GPT
+    packing, no padding), and concatenating blocks in order reproduces
+    the per-doc sequences in (doc_id, pos) order exactly."""
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+    df = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "on the mat"), (2, "cat cat")],
+        "doc_id long, text string",
+    )
+    merges, vocab = bpe_ops.bpe_learn(df, num_merges=3, level="byte")
+    ids_df = bpe_ops.bpe_token_ids(merges, vocab, level="byte")
+    seq = bpe_ops.bpe_token_sequences(df, vocab, ids_df, level="byte")
+    flat = [
+        r.token_id
+        for r in seq.orderBy("doc_id", "pos").collect()
+    ]
+    block = 5
+    got = bpe_ops.bpe_pack_blocks(seq, block_tokens=block).collect()
+    n = len(flat)
+    assert len(got) == n
+    by_block: dict[int, dict[int, int]] = {}
+    for r in got:
+        by_block.setdefault(r.block_id, {})[r.offset] = r.token_id
+    n_blocks = -(-n // block)
+    assert sorted(by_block) == list(range(n_blocks))
+    rebuilt = []
+    for b in range(n_blocks):
+        offs = by_block[b]
+        want_len = block if b < n_blocks - 1 else n - block * (n_blocks - 1)
+        assert sorted(offs) == list(range(want_len)), "dense offsets"
+        rebuilt.extend(offs[o] for o in range(want_len))
+    assert rebuilt == flat, "block concatenation must reproduce the stream"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="block_tokens"):
+        bpe_ops.bpe_pack_blocks(seq, block_tokens=0)
+    bpe_ops.release_bpe_cache(spark)
+
+
 def test_bpe_stops_early_when_fully_merged(spark):
     """A vocabulary that merges to single tokens before the budget runs out
     must yield a short merge table, not fail or loop."""
