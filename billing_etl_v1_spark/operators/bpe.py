@@ -507,6 +507,10 @@ def bpe_token_sequences(
     alphabet ids every possible future symbol. At char level a served
     NOVEL codepoint has no trained id — the inner token-id join drops it;
     use byte level when serving open vocabularies.
+
+    Data contract: ``doc_id`` must be unique — duplicate ids make the
+    per-document position window tie, and tie order is engine-dependent
+    (text.corpus_dq_audit makes the contract checkable).
     """
     _check_level(level)
     wcost = vocab.select("word", "tokens", F.size("tokens").alias("__n"))

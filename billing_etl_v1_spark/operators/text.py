@@ -494,6 +494,10 @@ def winnow_fingerprints(
     the guarantee winnowing adds over random sampling is that any match
     of length ≥ k + window − 1 is always detected.
 
+    Data contract: ``doc_id`` must be unique — per-document position
+    windows tie under duplicate ids and tie order is engine-dependent;
+    :func:`corpus_dq_audit` makes the contract checkable.
+
     Formulated as char-explode → per-position Karp-Rabin hash (Horner over
     ``lead()`` codepoints, mod a < 2^40 prime) → sliding-window MIN →
     per-doc distinct. Two rejected formulations, both measured:
@@ -565,6 +569,8 @@ def chunk_documents(
     chunk_tokens ⇒ consecutive chunks share ``chunk_tokens − stride``
     tokens) — the windowing step before sequence packing in a training
     pipeline (pair with corpus.pack_shards for the packing half).
+    Data contract: ``doc_id`` unique (positional windows —
+    :func:`corpus_dq_audit` checks it).
 
     Shape: tokens explode to ROWS, each token computes ARITHMETICALLY
     which chunks it belongs to (<= ceil(chunk/stride) of them — a 1-to-2
@@ -777,6 +783,57 @@ def remove_repeated_spans(
         F.size("__t").cast("int").alias("n_tokens"),
         F.size("__keep").cast("int").alias("n_tokens_kept"),
     )
+
+
+def corpus_dq_audit(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Data-quality audit over a documents corpus: one row per check with
+    its violation count — the ingest-side gate that makes the corpus
+    operators' data contracts CHECKABLE instead of assumed. The checks
+    are exactly the poison classes the adversarial lanes found (NULL/
+    duplicate keys, NULL/empty text) plus the whitespace-only degenerate:
+
+    - ``duplicate_doc_id_rows``: rows beyond the first per non-NULL id.
+      Per-document POSITIONAL operators (chunking, winnowing, BPE token
+      sequences) window on (doc_id, position); duplicate ids make those
+      positions collide as order TIES, so their output order within a
+      tie is engine-dependent — run exact dedup (or this gate) first.
+    - ``null_doc_id_rows`` / ``null_text_rows``: the r5 corpus-killer
+      lanes (a NULL-text family formed one giant false-duplicate cluster;
+      NULL ids shift ranks differently per engine).
+    - ``empty_text_rows`` / ``whitespace_only_rows``: zero-signal docs
+      that inflate doc counts and gate thresholds.
+
+    One pass: conditional sums + one distinct-count, melted to the same
+    (check, violations) shape as the billing ``dq_audit``."""
+    counts = df.agg(
+        F.sum(F.col("doc_id").isNull().cast("bigint")).alias("null_doc_id_rows"),
+        (
+            F.sum(F.col("doc_id").isNotNull().cast("bigint"))
+            - F.countDistinct("doc_id")
+        ).alias("duplicate_doc_id_rows"),
+        F.sum(F.col(text_col).isNull().cast("bigint")).alias("null_text_rows"),
+        F.sum((F.col(text_col) == "").cast("bigint")).alias("empty_text_rows"),
+        F.sum(
+            (
+                (F.col(text_col) != "")
+                & F.regexp_replace(F.col(text_col), WS_RE, "").eqNullSafe("")
+            ).cast("bigint")
+        ).alias("whitespace_only_rows"),
+    )
+    melted = None
+    for c in (
+        "null_doc_id_rows",
+        "duplicate_doc_id_rows",
+        "null_text_rows",
+        "empty_text_rows",
+        "whitespace_only_rows",
+    ):
+        one = counts.select(
+            F.lit(c).alias("check"),
+            F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias("violations"),
+        )
+        melted = one if melted is None else melted.unionAll(one)
+    return melted
 
 
 def quality_percentiles(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -2458,6 +2458,37 @@ FROM p JOIN t USING (event_type)
 """
 
 
+def corpus_dq_audit_sql() -> str:
+    """Twin of operators.text.corpus_dq_audit: one conditional-sum pass
+    melted to (check, violations). DuckDB's regexp_replace needs the 'g'
+    flag to match Spark's replace-all default."""
+    checks = f"""
+SELECT
+  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS null_doc_id_rows,
+  CAST(sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       - count(DISTINCT doc_id) AS BIGINT) AS duplicate_doc_id_rows,
+  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS null_text_rows,
+  CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT)
+    AS empty_text_rows,
+  CAST(sum(CASE WHEN text <> '' AND regexp_replace(text, '{WS_RE}', '', 'g') = ''
+           THEN 1 ELSE 0 END) AS BIGINT) AS whitespace_only_rows
+FROM documents
+"""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS \"check\", CAST(coalesce({c}, 0) AS BIGINT) AS violations FROM counts"
+        for c in (
+            "null_doc_id_rows",
+            "duplicate_doc_id_rows",
+            "null_text_rows",
+            "empty_text_rows",
+            "whitespace_only_rows",
+        )
+    )
+    return f"WITH counts AS ({checks})\n{rows}"
+
+
 # --- tokenizer-exact BPE (operators/bpe.py) -------------------------------
 
 _BPE_PRE_RE = BPE_TOKEN_RE

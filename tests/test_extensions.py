@@ -1526,6 +1526,47 @@ def test_bpe_pack_blocks_cuts_exact_boundaries(spark):
     bpe_ops.release_bpe_cache(spark)
 
 
+def test_corpus_dq_audit_counts_poison_classes(spark):
+    """The corpus DQ gate must count each poison class on a deliberately
+    poisoned corpus — and agree with the DuckDB twin on the SAME rows
+    (the driver corpus is clean, so its hash-match alone never exercises
+    nonzero counts)."""
+    import duckdb
+
+    from billing_etl_v1_spark import oracle_ext
+    from billing_etl_v1_spark.operators.text import corpus_dq_audit
+
+    rows = [
+        (1, "good doc"),
+        (1, "duplicate id"),        # duplicate_doc_id_rows
+        (2, None),                  # null_text_rows
+        (None, "orphan"),           # null_doc_id_rows
+        (None, None),               # null id AND null text: both counts
+        (3, ""),                    # empty_text_rows
+        (4, " \t\x0b\n"),           # whitespace_only_rows
+        (5, "fine"),
+        (5, "fine"),                # duplicate again (same id twice more?)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.check: r.violations for r in corpus_dq_audit(df).collect()}
+    assert got == {
+        "null_doc_id_rows": 2,
+        "duplicate_doc_id_rows": 2,  # 7 non-null rows over 5 distinct ids
+        "null_text_rows": 2,
+        "empty_text_rows": 1,
+        "whitespace_only_rows": 1,
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    duck = {r[0]: int(r[1]) for r in con.execute(oracle_ext.corpus_dq_audit_sql()).fetchall()}
+    assert duck == got
+    # an EMPTY corpus reports zeros, not NULLs (the coalesce lane)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    got0 = {r.check: r.violations for r in corpus_dq_audit(empty).collect()}
+    assert set(got0.values()) == {0}
+
+
 def test_bpe_stops_early_when_fully_merged(spark):
     """A vocabulary that merges to single tokens before the budget runs out
     must yield a short merge table, not fail or loop."""

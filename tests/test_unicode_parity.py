@@ -50,6 +50,7 @@ TEXT_QUERIES = [
     "docs_bpe_vocab_byte",
     "docs_bpe_token_seq",
     "docs_bpe_pack_ids",
+    "docs_dq_audit",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
