@@ -539,9 +539,14 @@ def bpe_token_sequences(
             "token",
         )
     )
-    return sseq.join(token_ids.select("token", "token_id"), "token").select(
-        id_col, "pos", "token", "token_id"
-    )
+    # the id table is bounded by |base alphabet| + num_merges (a training
+    # hyperparameter — NEVER corpus-scaled, unlike the word-cost table
+    # doc_token_counts deliberately leaves to AQE), so broadcasting it is
+    # structurally safe and removes what would otherwise be a shuffle of
+    # the entire exploded token stream
+    return sseq.join(
+        F.broadcast(token_ids.select("token", "token_id")), "token"
+    ).select(id_col, "pos", "token", "token_id")
 
 
 def bpe_pack_blocks(

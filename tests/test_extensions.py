@@ -989,6 +989,40 @@ def test_minhash_linear_on_pathological_long_doc(spark):
     assert (0, 1) in pairs and pairs[(0, 1)] >= 0.5
 
 
+def test_bpe_sequences_linear_on_pathological_long_doc(spark):
+    """One multi-hundred-kiloword document must not stall the token-id
+    sequence / pack-blocks path (the per-position probe the verify
+    playbook prescribes for every new text op — the O(len²) traps all
+    only showed past toy scale). The plan's per-position work is rows
+    (posexplode + a word-level window + joins), never an interpreted HOF
+    over a long array, so this 60k-word doc runs in seconds; a quadratic
+    regression would trip the suite as a hang. Also re-proves positions:
+    the giant doc's sequence is dense 0..n-1."""
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+    words = " ".join(f"w{i % 997}" for i in range(60_000))
+    docs = spark.createDataFrame(
+        [(0, words), (1, "tiny doc")], "doc_id long, text string"
+    )
+    merges, vocab = bpe_ops.bpe_learn(docs, num_merges=2, level="byte")
+    ids_df = bpe_ops.bpe_token_ids(merges, vocab, level="byte")
+    seq = bpe_ops.bpe_token_sequences(docs, vocab, ids_df, level="byte")
+    packed = bpe_ops.bpe_pack_blocks(seq, block_tokens=1024)
+    stats = packed.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("block_id").alias("blocks"),
+    ).first()
+    n_giant = (
+        seq.filter(F.col("doc_id") == 0)
+        .agg(F.count(F.lit(1)), F.min("pos"), F.max("pos"))
+        .first()
+    )
+    assert n_giant[0] > 100_000  # byte-level splits 'w123' into runs
+    assert (n_giant[1], n_giant[2]) == (0, n_giant[0] - 1), "dense positions"
+    assert stats.blocks == -(-stats.n // 1024)
+    bpe_ops.release_bpe_cache(spark)
+
+
 def test_json_props_survives_malformed_props_bit_identical(spark):
     """One malformed props document or one non-numeric k must not kill
     the job (round 5: ANSI CAST_INVALID_INPUT on Spark, Invalid Input
