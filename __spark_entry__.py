@@ -779,6 +779,16 @@ def _q_docs_bpe_token_seq(spark, sf_dir):
     return bpe_ops.bpe_token_sequences(docs, vocab, ids, level="byte")
 
 
+def _q_docs_bpe_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (tokens/pre-token, bytes/token)
+    under the byte-level corpus-trained vocabulary — the standard
+    tokenizer-evaluation table (which languages the vocabulary over-
+    segments). Training shared with the byte-BPE family via the memo."""
+    return bpe_ops.bpe_fertility(
+        load_table(spark, sf_dir, "documents"), level="byte"
+    )
+
+
 def _q_docs_dq_audit(spark, sf_dir):
     """Corpus data-quality gate: one row per check with its violation
     count (NULL/duplicate doc_ids, NULL/empty/whitespace-only text) — the
@@ -971,17 +981,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_spans": _q_docs_dedup_spans,
         "docs_decontaminate_fuzzy": _q_docs_decontaminate_fuzzy,
         "docs_winnow_fingerprints": _q_docs_winnow,
-        # the session's seven NEW queries (byte-level GPT-2-lineage BPE —
+        # the session's eight NEW queries (byte-level GPT-2-lineage BPE —
         # the r5 VERDICT's named extension — plus the exported token-id
         # vocabulary table at both levels, the per-document token-id
         # SEQUENCES, and the fixed-size packed training blocks over them,
         # completing the tokenizer surface end-to-end: counts, vocabulary,
         # model input, data-loader blocks — plus the corpus DQ gate that
         # makes those operators' data contracts checkable); an unverified
-        # query may not sit below the fold. They displace five
+        # query may not sit below the fold. They displace six
         # discretionary age-2 picks (docs_quality_corpus /
         # docs_repetition / dedup_minhash_lsh / billing_cube /
-        # multimodal_resize), which join round 7's mandatory leads below:
+        # multimodal_resize / multimodal_frame_sample), which join
+        # round 7's mandatory leads below:
         "docs_bpe_merges_byte": _q_docs_bpe_merges_byte,
         "docs_bpe_tokens_byte": _q_docs_bpe_tokens_byte,
         "docs_bpe_vocab": _q_docs_bpe_vocab,
@@ -989,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_token_seq": _q_docs_bpe_token_seq,
         "docs_bpe_pack_ids": _q_docs_bpe_pack_ids,
         "docs_dq_audit": _q_docs_dq_audit,
+        "docs_bpe_fertility": _q_docs_bpe_fertility,
         # 17 discretionary slots, all from the 46-entry age-2 (r4-verdict)
         # pool so round 7 inherits the smallest possible backlog (29 < 50):
         # billing_profile first (profile_columns gained day_col validation
@@ -996,7 +1008,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then the three r5-flagged first picks, then the bench's flagship /
         # headline family, then the remaining bench ext: entries:
         "billing_profile": _q_billing_profile,
-        "multimodal_frame_sample": _q_multimodal_frames,
         "events_salted_user_join": _q_events_salted_join,
         "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
         "billing_flagship": _flagship(None, "detail"),
@@ -1008,9 +1019,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_pricing_modes": _q_pricing_modes,
         "billing_dq_audit": _q_dq_audit,
         # --- below the driver fold (local parity still runs ALL) ---
-        # 34 remaining age-2 (r4-verdict) entries (29 deferred + the five
+        # 35 remaining age-2 (r4-verdict) entries (29 deferred + the six
         # displaced picks) — round 7 MUST lead with these (they fit:
-        # 34 < 50); kept contiguous so that rotation is a copy-paste:
+        # 35 < 50); kept contiguous so that rotation is a copy-paste:
+        "multimodal_frame_sample": _q_multimodal_frames,
         "multimodal_resize": _q_multimodal_resize,
         "billing_cube": _q_billing_cube,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -1205,6 +1217,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_token_seq": oracle_ext.bpe_token_sequences_sql(level="byte"),
         "docs_bpe_pack_ids": oracle_ext.bpe_pack_blocks_sql(128, level="byte"),
         "docs_dq_audit": oracle_ext.corpus_dq_audit_sql(),
+        "docs_bpe_fertility": oracle_ext.bpe_fertility_sql(level="byte"),
         "embeddings_quantize": oracle_ext.quantize_embeddings_sql(),
         "sim_topk_quantized": oracle_ext.sim_topk_quantized_sql(),
         "sim_hard_negatives": oracle_ext.hard_negatives_sql(),

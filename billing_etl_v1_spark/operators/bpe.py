@@ -549,6 +549,61 @@ def bpe_token_sequences(
     ).select(id_col, "pos", "token", "token_id")
 
 
+def bpe_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    num_merges: int = 8,
+    max_word_len: int = 256,
+    level: str = "char",
+) -> DataFrame:
+    """Tokenizer FERTILITY metrics per ``group_col`` (typically language)
+    — the standard tokenizer-evaluation table: tokens per pre-token and
+    bytes per token tell you which languages a vocabulary over- or
+    under-segments (high fertility = more tokens per word = worse
+    compression = higher serving cost for that language).
+
+    One corpus pass beyond training: the shared :func:`bpe_token_counts`
+    occurrence aggregate plus a per-group sum. Ratios are quantized to
+    the cross-engine 1e-6 grid and guarded against zero denominators
+    (an all-NULL-text group has zero pre-tokens; ANSI division would
+    kill the job)."""
+    from billing_etl_v1_spark.functions import quantize6
+
+    counts = bpe_token_counts(df, text_col, id_col, num_merges, max_word_len, level)
+    joined = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.coalesce(F.octet_length(text_col), F.lit(0)).alias("__bytes"),
+    ).join(counts, id_col)
+    agg = joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__bytes").cast("bigint").alias("total_bytes"),
+        F.sum("n_pretokens").cast("bigint").alias("total_pretokens"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("total_tokens"),
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "total_bytes",
+        "total_pretokens",
+        "total_tokens",
+        quantize6(
+            F.when(
+                F.col("total_pretokens") > 0,
+                F.col("total_tokens") / F.col("total_pretokens"),
+            )
+        ).alias("tokens_per_pretoken"),
+        quantize6(
+            F.when(
+                F.col("total_tokens") > 0,
+                F.col("total_bytes") / F.col("total_tokens"),
+            )
+        ).alias("bytes_per_token"),
+    )
+
+
 def bpe_pack_blocks(
     seq: DataFrame, block_tokens: int, id_col: str = "doc_id"
 ) -> DataFrame:

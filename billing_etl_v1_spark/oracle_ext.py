@@ -2711,6 +2711,58 @@ FROM (
 """
 
 
+def bpe_fertility_sql(
+    num_merges: int = 8,
+    max_word_len: int = 256,
+    level: str = "char",
+    group_col: str = "lang",
+) -> str:
+    """Twin of operators.bpe.bpe_fertility: per-group tokenizer fertility
+    (tokens/pre-token, bytes/token) — quantized to the shared 1e-6 grid,
+    zero denominators → NULL (CASE guard on both engines)."""
+    return f"""
+WITH {_bpe_train_ctes(num_merges, max_word_len, level)},
+occ AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS occ FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '{_bpe_pre_re_sql(level)}')) AS word
+    FROM documents
+  ) GROUP BY doc_id, word
+),
+cost AS (
+  SELECT word, CAST(len(s) AS BIGINT) AS n_tokens FROM v{num_merges}
+  UNION ALL
+  SELECT word, CAST(len(s) AS BIGINT) AS n_tokens FROM vlong
+),
+perdoc AS (
+  SELECT d.doc_id, d.{group_col},
+         CAST(coalesce(octet_length(encode(d.text)), 0) AS BIGINT) AS b,
+         CAST(coalesce(a.pre, 0) AS BIGINT) AS pre,
+         CAST(coalesce(a.bpe, 0) AS BIGINT) AS bpe
+  FROM documents d LEFT JOIN (
+    SELECT o.doc_id,
+           CAST(sum(o.occ) AS BIGINT) AS pre,
+           CAST(sum(o.occ * c.n_tokens) AS BIGINT) AS bpe
+    FROM occ o JOIN cost c USING (word)
+    GROUP BY o.doc_id
+  ) a USING (doc_id)
+),
+g AS (
+  SELECT {group_col},
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(b) AS BIGINT) AS total_bytes,
+         CAST(sum(pre) AS BIGINT) AS total_pretokens,
+         CAST(sum(bpe) AS BIGINT) AS total_tokens
+  FROM perdoc GROUP BY {group_col}
+)
+SELECT {group_col}, n_docs, total_bytes, total_pretokens, total_tokens,
+       {_r6("CASE WHEN total_pretokens > 0 THEN total_tokens / CAST(total_pretokens AS DOUBLE) END")}
+         AS tokens_per_pretoken,
+       {_r6("CASE WHEN total_tokens > 0 THEN total_bytes / CAST(total_tokens AS DOUBLE) END")}
+         AS bytes_per_token
+FROM g
+"""
+
+
 def bpe_pack_blocks_sql(
     block_tokens: int,
     num_merges: int = 8,

@@ -1560,6 +1560,46 @@ def test_bpe_pack_blocks_cuts_exact_boundaries(spark):
     bpe_ops.release_bpe_cache(spark)
 
 
+def test_bpe_fertility_ratios_and_zero_denominators(spark):
+    """Fertility: per-group totals are exact integers; ratios are
+    quantized; a group whose docs have NO pre-tokens (NULL/whitespace
+    text) reports NULL ratios instead of an ANSI divide-by-zero job kill;
+    byte totals count UTF-8 bytes, not codepoints. DuckDB twin must agree
+    on the same poisoned corpus."""
+    import duckdb
+
+    from billing_etl_v1_spark import oracle_ext
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+    rows = [
+        (0, "the cat", "en"),
+        (1, "café 日本", "xx"),
+        # group zz has zero pre-tokens: NULL and EMPTY text only (unlike
+        # char mode, byte-level whitespace IS a pre-token — GPT-2 keeps
+        # space runs — so whitespace-only text would NOT qualify here)
+        (2, None, "zz"),
+        (3, "", "zz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.lang: tuple(r)[1:]
+        for r in bpe_ops.bpe_fertility(df, num_merges=2, level="byte").collect()
+    }
+    assert got["zz"][3] == 0 and got["zz"][4] is None and got["zz"][5] is None
+    assert got["xx"][1] == len("café 日本".encode("utf-8"))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    duck = {
+        r[0]: tuple(r)[1:]
+        for r in con.execute(
+            oracle_ext.bpe_fertility_sql(num_merges=2, level="byte")
+        ).fetchall()
+    }
+    assert duck == got
+    bpe_ops.release_bpe_cache(spark)
+
+
 def test_corpus_dq_audit_counts_poison_classes(spark):
     """The corpus DQ gate must count each poison class on a deliberately
     poisoned corpus — and agree with the DuckDB twin on the SAME rows

@@ -51,6 +51,7 @@ TEXT_QUERIES = [
     "docs_bpe_token_seq",
     "docs_bpe_pack_ids",
     "docs_dq_audit",
+    "docs_bpe_fertility",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
