@@ -789,6 +789,17 @@ def _q_docs_bpe_fertility(spark, sf_dir):
     )
 
 
+def _q_docs_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al. 2023): every document
+    scored by how target-like (here: the English subset as the quality
+    domain) its hashed bigram features are — the data-selection method
+    behind 'sample pretraining data that resembles Wikipedia'. Hashed
+    with the engine-identical md5 bucket trick; the ratio table is
+    hyperparameter-bounded and broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_ops.dsir_importance(docs, docs.filter(F.col("lang") == "en"))
+
+
 def _q_docs_dq_audit(spark, sf_dir):
     """Corpus data-quality gate: one row per check with its violation
     count (NULL/duplicate doc_ids, NULL/empty/whitespace-only text) — the
@@ -981,18 +992,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_spans": _q_docs_dedup_spans,
         "docs_decontaminate_fuzzy": _q_docs_decontaminate_fuzzy,
         "docs_winnow_fingerprints": _q_docs_winnow,
-        # the session's eight NEW queries (byte-level GPT-2-lineage BPE —
+        # the session's nine NEW queries (byte-level GPT-2-lineage BPE —
         # the r5 VERDICT's named extension — plus the exported token-id
         # vocabulary table at both levels, the per-document token-id
         # SEQUENCES, and the fixed-size packed training blocks over them,
         # completing the tokenizer surface end-to-end: counts, vocabulary,
         # model input, data-loader blocks — plus the corpus DQ gate that
         # makes those operators' data contracts checkable); an unverified
-        # query may not sit below the fold. They displace six
+        # query may not sit below the fold. They displace seven
         # discretionary age-2 picks (docs_quality_corpus /
         # docs_repetition / dedup_minhash_lsh / billing_cube /
-        # multimodal_resize / multimodal_frame_sample), which join
-        # round 7's mandatory leads below:
+        # multimodal_resize / multimodal_frame_sample /
+        # events_salted_user_join), which join round 7's mandatory
+        # leads below:
         "docs_bpe_merges_byte": _q_docs_bpe_merges_byte,
         "docs_bpe_tokens_byte": _q_docs_bpe_tokens_byte,
         "docs_bpe_vocab": _q_docs_bpe_vocab,
@@ -1001,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_pack_ids": _q_docs_bpe_pack_ids,
         "docs_dq_audit": _q_docs_dq_audit,
         "docs_bpe_fertility": _q_docs_bpe_fertility,
+        "docs_dsir_weights": _q_docs_dsir_weights,
         # 17 discretionary slots, all from the 46-entry age-2 (r4-verdict)
         # pool so round 7 inherits the smallest possible backlog (29 < 50):
         # billing_profile first (profile_columns gained day_col validation
@@ -1008,7 +1021,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then the three r5-flagged first picks, then the bench's flagship /
         # headline family, then the remaining bench ext: entries:
         "billing_profile": _q_billing_profile,
-        "events_salted_user_join": _q_events_salted_join,
         "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
         "billing_flagship": _flagship(None, "detail"),
         "billing_flagship_production": _flagship(None, "pipeline"),
@@ -1019,9 +1031,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_pricing_modes": _q_pricing_modes,
         "billing_dq_audit": _q_dq_audit,
         # --- below the driver fold (local parity still runs ALL) ---
-        # 35 remaining age-2 (r4-verdict) entries (29 deferred + the six
+        # 36 remaining age-2 (r4-verdict) entries (29 deferred + the seven
         # displaced picks) — round 7 MUST lead with these (they fit:
-        # 35 < 50); kept contiguous so that rotation is a copy-paste:
+        # 36 < 50); kept contiguous so that rotation is a copy-paste:
+        "events_salted_user_join": _q_events_salted_join,
         "multimodal_frame_sample": _q_multimodal_frames,
         "multimodal_resize": _q_multimodal_resize,
         "billing_cube": _q_billing_cube,
@@ -1218,6 +1231,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_pack_ids": oracle_ext.bpe_pack_blocks_sql(128, level="byte"),
         "docs_dq_audit": oracle_ext.corpus_dq_audit_sql(),
         "docs_bpe_fertility": oracle_ext.bpe_fertility_sql(level="byte"),
+        "docs_dsir_weights": oracle_ext.dsir_importance_sql(),
         "embeddings_quantize": oracle_ext.quantize_embeddings_sql(),
         "sim_topk_quantized": oracle_ext.sim_topk_quantized_sql(),
         "sim_hard_negatives": oracle_ext.hard_negatives_sql(),

@@ -557,3 +557,95 @@ def source_mix_report(df: DataFrame, text_col: str = "text") -> DataFrame:
         quantize6(F.col("n_docs") / F.col("__td")).alias("doc_share"),
         quantize6(F.col("n_tokens") / F.col("__tt")).alias("token_share"),
     )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    num_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every raw document by how much its hashed n-gram features look
+    like the TARGET domain rather than the raw corpus — the data-selection
+    method behind "sample pretraining data that resembles Wikipedia".
+    Output: (doc_id, n_feats, importance); importance is the per-doc sum
+    of feature-count × log((t_f+α)/(T+αB) ÷ (r_f+α)/(R+αB)) — the
+    log-likelihood ratio of the doc under the two hashed-n-gram unigram
+    models, Laplace-smoothed so unseen buckets stay finite. Positive ⇒
+    target-like; importance 0.0 for docs with no features.
+
+    Scale shape: both corpora make ONE map-side-combined (bucket, count)
+    aggregate (the wordcount shape); the ratio table is ≤ ``num_buckets``
+    rows and BROADCASTS into the per-doc join — structurally bounded by a
+    hyperparameter, never corpus-scaled (the bpe_token_ids posture), so
+    the only corpus-sized shuffles are the two feature aggregates. The
+    per-feature hash is the engine-identical md5 trick (text.md5_long),
+    so the DuckDB twin buckets identically; log() agreement rides the
+    same quantize6 grid every double query uses."""
+    from billing_etl_v1_spark.functions import quantize6
+    from billing_etl_v1_spark.operators.text import _tokens, _word_grams
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if num_buckets < 2:
+        raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
+
+    def feats(df: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        toks = df.select(*cols, _tokens(F.col(text_col)).alias("__t"))
+        grams = toks.select(
+            *cols, F.explode(_word_grams("__t", n)).alias("__g")
+        )
+        return grams.select(
+            *cols, (md5_long(F.col("__g")) % num_buckets).alias("bucket")
+        )
+
+    t = feats(target, False).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    r = feats(raw, False).groupBy("bucket").agg(F.count(F.lit(1)).alias("__rf"))
+    # every doc feature exists in the raw corpus by construction, so the
+    # ratio table keys on r's buckets; target-absent buckets smooth to α
+    totals = (
+        r.join(t, "bucket", "left")
+        .crossJoin(
+            F.broadcast(
+                r.agg(F.sum("__rf").alias("__R")).crossJoin(
+                    t.agg(F.coalesce(F.sum("__tf"), F.lit(0)).alias("__T"))
+                )
+            )
+        )
+        .select(
+            "bucket",
+            (
+                F.log(F.coalesce(F.col("__tf").cast("double"), F.lit(0.0)) + alpha)
+                - F.log(F.col("__T") + alpha * num_buckets)
+                - F.log(F.col("__rf").cast("double") + alpha)
+                + F.log(F.col("__R") + alpha * num_buckets)
+            ).alias("__lr"),
+        )
+    )
+    doc_counts = feats(raw, True).groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    per_doc = (
+        doc_counts.join(F.broadcast(totals), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("bigint").alias("__nf"),
+            F.sum(F.col("__c") * F.col("__lr")).alias("__imp"),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("__nf", F.lit(0)).cast("bigint").alias("n_feats"),
+            quantize6(F.coalesce("__imp", F.lit(0.0))).alias("importance"),
+        )
+    )

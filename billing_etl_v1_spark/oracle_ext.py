@@ -2458,6 +2458,64 @@ FROM p JOIN t USING (event_type)
 """
 
 
+def dsir_importance_sql(
+    target_where: str = "lang = 'en'",
+    n: int = 2,
+    num_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> str:
+    """Twin of operators.corpus.dsir_importance: hashed n-gram importance
+    weights. Same md5-bucket hash, same Laplace-smoothed log-ratio term
+    order; per-doc double sums land on the shared quantize grid."""
+    gram = f"array_to_string(t[i : i + {n - 1}], ' ')" if n > 1 else "t[i]"
+
+    def feats(src: str, with_id: bool) -> str:
+        idsel = "doc_id, " if with_id else ""
+        return f"""
+  SELECT {idsel}('0x' || substr(md5(gram), 1, 15))::BIGINT % {num_buckets} AS bucket
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t) - {n} + 2), i -> {gram})) AS gram
+    FROM (SELECT doc_id, {_TOKENS} AS t FROM {src})
+  )"""
+
+    return f"""
+WITH tgt_docs AS (SELECT * FROM documents WHERE {target_where}),
+tf AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS tfc FROM ({feats('tgt_docs', False)}) GROUP BY bucket
+),
+rf AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS rfc FROM ({feats('documents', False)}) GROUP BY bucket
+),
+tot AS (
+  SELECT (SELECT CAST(coalesce(sum(rfc), 0) AS BIGINT) FROM rf) AS R,
+         (SELECT CAST(coalesce(sum(tfc), 0) AS BIGINT) FROM tf) AS T
+),
+ratio AS (
+  SELECT rf.bucket,
+         ln(coalesce(CAST(tf.tfc AS DOUBLE), 0.0) + {alpha})
+           - ln(tot.T + {alpha} * {num_buckets})
+           - ln(CAST(rf.rfc AS DOUBLE) + {alpha})
+           + ln(tot.R + {alpha} * {num_buckets}) AS lr
+  FROM rf LEFT JOIN tf USING (bucket), tot
+),
+dc AS (
+  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM ({feats('documents', True)}) GROUP BY doc_id, bucket
+),
+per_doc AS (
+  SELECT dc.doc_id,
+         CAST(sum(dc.c) AS BIGINT) AS nf,
+         sum(dc.c * ratio.lr) AS imp
+  FROM dc JOIN ratio USING (bucket)
+  GROUP BY dc.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.nf, 0) AS BIGINT) AS n_feats,
+       {_r6('coalesce(p.imp, 0.0)')} AS importance
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def corpus_dq_audit_sql() -> str:
     """Twin of operators.text.corpus_dq_audit: one conditional-sum pass
     melted to (check, violations). DuckDB's regexp_replace needs the 'g'

@@ -1600,6 +1600,47 @@ def test_bpe_fertility_ratios_and_zero_denominators(spark):
     bpe_ops.release_bpe_cache(spark)
 
 
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """DSIR log-likelihood-ratio weights: documents sharing the target
+    domain's n-grams must score HIGHER than off-domain documents; a doc
+    with no features (short/NULL text) scores exactly 0.0; the DuckDB
+    twin agrees value-for-value on the same corpus."""
+    import duckdb
+
+    from billing_etl_v1_spark import oracle_ext
+    from billing_etl_v1_spark.operators import corpus as corpus_ops
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox sleeps", "en"),
+        (2, "der schnelle braune fuchs springt", "de"),
+        (3, "quick brown fox over the lazy dog again", "de"),  # en-LIKE text
+        (4, "völlig anderes vokabular hier drüben heute", "de"),
+        (5, "tiny", "de"),  # 1 token < bigram n -> no features
+        (6, None, "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: (r.n_feats, r.importance)
+        for r in corpus_ops.dsir_importance(
+            docs, docs.filter(F.col("lang") == "en")
+        ).collect()
+    }
+    assert got[5] == (0, 0.0) and got[6] == (0, 0.0)
+    # the en-like de doc must outscore the genuinely-foreign de doc
+    assert got[3][1] > got[4][1]
+    # and target members outscore the foreign doc too
+    assert min(got[0][1], got[1][1]) > got[4][1]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    duck = {
+        int(r[0]): (int(r[1]), float(r[2]))
+        for r in con.execute(oracle_ext.dsir_importance_sql()).fetchall()
+    }
+    assert duck == {k: (v[0], float(v[1])) for k, v in got.items()}
+
+
 def test_corpus_dq_audit_counts_poison_classes(spark):
     """The corpus DQ gate must count each poison class on a deliberately
     poisoned corpus — and agree with the DuckDB twin on the SAME rows

@@ -52,6 +52,7 @@ TEXT_QUERIES = [
     "docs_bpe_pack_ids",
     "docs_dq_audit",
     "docs_bpe_fertility",
+    "docs_dsir_weights",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
