@@ -933,29 +933,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Order matters: the driver's correctness harness checks the FIRST 50
     entries only; rotation policy is "every query's latest verdict <= 2
-    rounds old" (age = current round − verdict round). Round 6's window
-    is exactly the r5 VERDICT's prescription: the 31 entries whose
-    latest verdict is r3 (age 3 if skipped this round — the mechanically
-    mandatory set; tests/test_rotation_policy.py re-derives it from the
+    rounds old" (age = current round − verdict round). Round 6's window:
+    the 31 entries whose latest verdict is r3 (age 3 if skipped — the
+    mechanically mandatory set the r5 VERDICT names;
+    tests/test_rotation_policy.py re-derives it from the
     CORRECTNESS_r*.json artifacts and goes red if any is missing), then
-    the session's two NEW queries (docs_bpe_merges_byte /
-    docs_bpe_tokens_byte — the byte-level GPT-2-lineage BPE mode the r5
-    VERDICT named as the top extension; an unverified query may not sit
-    below the fold), then 17 discretionary slots all drawn from the
-    46-entry age-2 (r4-verdict) pool: billing_profile leads them because
-    profile_columns changed this round (day_col injection validation —
-    ADVICE r5 low), followed by the three entries r5 flagged as first
-    picks (multimodal_resize / multimodal_frame_sample /
-    events_salted_user_join) and the bench's flagship + headline family,
-    so the measured numbers always rest on fresh verdicts.
-    31 + 2 + 17 = 50. The 29 age-2 entries that didn't fit sit first
-    below the fold as round 7's mandatory leads (29 < 50, so the
+    the session's NINE NEW queries (an unverified query may not sit below
+    the fold): the byte-level GPT-2-lineage BPE family the r5 VERDICT
+    named as the top extension (docs_bpe_merges_byte /
+    docs_bpe_tokens_byte), the exported token-id vocabulary at both
+    levels (docs_bpe_vocab / docs_bpe_vocab_byte), per-document token-id
+    sequences and their fixed-size packed training blocks
+    (docs_bpe_token_seq / docs_bpe_pack_ids), per-language tokenizer
+    fertility (docs_bpe_fertility), DSIR importance weights
+    (docs_dsir_weights), and the corpus DQ gate (docs_dq_audit). The
+    remaining 10 discretionary slots all come from the 46-entry age-2
+    (r4-verdict) pool: billing_profile (profile_columns changed this
+    round — day_col validation, ADVICE r5 low) plus the bench's billing
+    headline block (flagships, source aggregates, rule_match,
+    pricing_modes, billing_dq_audit), so the measured numbers always
+    rest on fresh verdicts. 31 + 9 + 10 = 50. The 36 age-2 entries that
+    didn't fit (29 never-picked + 7 displaced by the new queries) sit
+    first below the fold as round 7's mandatory leads (36 < 50, so the
     rotation stays sustainable — test_rotation_is_sustainable asserts
     this); the 50 r5-verdict entries follow. Everything below the fold
-    still runs in the local parity mirror (tests/test_oracle_parity.py)
-    and was strict-verified dtype-exact at sf0.01 at end of r5
-    (tests/strict_check.py, 127/127), so the deferred entries are
-    pre-validated, not just parity-mirrored.
+    still runs in the local parity mirror (tests/test_oracle_parity.py),
+    and the FULL registry was strict-verified dtype-exact vs its oracles
+    at sf0.01 during round 6 (tests/strict_check.py), so the deferred
+    entries are pre-validated, not just parity-mirrored.
     """
     return {
         # --- ROUND-6 WINDOW (first 50; driver checks only these) ---
