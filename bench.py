@@ -79,7 +79,8 @@ EXTENDED_NAMES = [
     "tpch_q6",
     "tpch_q18",
     "dedup_minhash_lsh",
-    # dedup_clusters and docs_bpe_merges/_tokens are excluded: their
+    # dedup_clusters and the docs_bpe_* family (merges/tokens/vocab/
+    # token_seq/pack_ids/fertility, char and byte) are excluded: their
     # iterative loops execute eagerly at DataFrame-construction time
     # (localCheckpoint per round), so the write-phase timing bench measures
     # would not include the real work; scale_probe.py prices them instead

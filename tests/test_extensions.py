@@ -1641,6 +1641,61 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     assert duck == {k: (v[0], float(v[1])) for k, v in got.items()}
 
 
+def test_dsir_importance_matches_python_reference(spark):
+    """Third independent implementation: a sequential pure-Python DSIR
+    (hashlib md5 buckets, Counter distributions, math.log) must reproduce
+    the engine's importance weights to the quantize grid — guards the
+    smoothing arithmetic and the hash/bucket convention against a
+    mirrored-but-wrong twin pair."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from billing_etl_v1_spark.operators import corpus as corpus_ops
+
+    rows = [
+        (0, "alpha beta gamma alpha beta", "t"),
+        (1, "alpha beta delta epsilon", "t"),
+        (2, "zeta eta theta iota kappa", "r"),
+        (3, "alpha beta gamma zeta", "r"),
+        (4, "", "r"),
+    ]
+    B, ALPHA, N = 64, 1.0, 2
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: (r.n_feats, r.importance)
+        for r in corpus_ops.dsir_importance(
+            docs,
+            docs.filter(F.col("lang") == "t"),
+            num_buckets=B,
+            alpha=ALPHA,
+            n=N,
+        ).collect()
+    }
+
+    def buckets(text):
+        toks = text.strip().lower().split()
+        grams = [" ".join(toks[i : i + N]) for i in range(len(toks) - N + 1)]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B for g in grams
+        ]
+
+    tf = Counter(b for i, t, lang in rows if lang == "t" for b in buckets(t))
+    rf = Counter(b for i, t, _ in rows for b in buckets(t))
+    T, R = sum(tf.values()), sum(rf.values())
+    for doc_id, text, _ in rows:
+        fs = buckets(text)
+        imp = sum(
+            math.log(tf.get(b, 0) + ALPHA)
+            - math.log(T + ALPHA * B)
+            - math.log(rf[b] + ALPHA)
+            + math.log(R + ALPHA * B)
+            for b in fs
+        )
+        assert got[doc_id][0] == len(fs)
+        assert abs(got[doc_id][1] - imp) < 1e-6, (doc_id, got[doc_id][1], imp)
+
+
 def test_corpus_dq_audit_counts_poison_classes(spark):
     """The corpus DQ gate must count each poison class on a deliberately
     poisoned corpus — and agree with the DuckDB twin on the SAME rows
