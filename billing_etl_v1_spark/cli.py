@@ -105,6 +105,14 @@ def build_parser() -> argparse.ArgumentParser:
         "(GPT-2-style UTF-8 bytes); stored in the artifact, encode always "
         "serves at the stored level",
     )
+    tok.add_argument(
+        "--driver-loop",
+        action="store_true",
+        help="train: run the merge loop driver-side over the collected "
+        "vocabulary (the subword-nmt architecture — use for production "
+        "merge budgets; identical output, ~1000x faster per merge; the "
+        "corpus pass stays distributed)",
+    )
 
     # ad-hoc SQL over tables-at-rest (reference README.md:38-45's documented
     # --query/--list-tables surface, dead in its main.py — real here)
@@ -203,7 +211,10 @@ def main(argv: list[str] | None = None) -> int:
         docs = spark.read.parquet(args.docs)
         if args.action == "train":
             cap = 256 if args.max_word_len is None else args.max_word_len
-            merges, vocab = bpe_ops.bpe_learn(
+            learn = (
+                bpe_ops.bpe_learn_driver if args.driver_loop else bpe_ops.bpe_learn
+            )
+            merges, vocab = learn(
                 docs, num_merges=args.num_merges, max_word_len=cap, level=args.level
             )
             bpe_ops.save_bpe(

@@ -288,7 +288,10 @@ def bpe_learn(
        distinct-word table. Training stops early when no pair remains
        (every word fully merged). Results are memoized per (session,
        corpus plan, num_merges, max_word_len); ``release_bpe_cache``
-       drops them.
+       drops them. For PRODUCTION merge budgets (32k–100k merges) use
+       :func:`bpe_learn_driver` — identical output, the merge loop runs
+       driver-side over the bounded vocabulary instead of paying ~2
+       Spark jobs per merge.
     """
     if num_merges < 0:
         raise ValueError(f"num_merges must be >= 0, got {num_merges}")
@@ -353,6 +356,151 @@ def bpe_learn(
     )
     _LEARN_CACHE[key] = (analyzed, merges, vocab)
     return merges, vocab
+
+
+def bpe_learn_driver(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    max_word_len: int = 256,
+    level: str = "char",
+    max_vocab_rows: int = 5_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`bpe_learn` for PRODUCTION merge budgets (32k–100k merges) —
+    same algorithm, same outputs (property-tested identical), different
+    loop placement: the corpus-sized pass stays the distributed
+    :func:`word_vocab` aggregate, but the merge loop runs driver-side
+    over the collected (word, freq) table with incremental pair-count
+    maintenance and a lazy max-heap — the subword-nmt architecture.
+
+    Why it exists: the exact distributed loop costs ~2 Spark jobs per
+    merge (~0.5 s/round measured, probe_r6 bpe_train_scaling), which is
+    the right shape when the vocabulary can't fit anywhere, but a 50k-
+    merge production budget would take ~7 hours of round-trips. Merge
+    learning is CPU work over the BOUNDED vocabulary (Heaps' law:
+    millions of distinct pre-tokens for terabytes of corpus), so the
+    driver loop does ~thousands of merges per second once the corpus
+    pass has paid for itself.
+
+    The collect is the documented, GUARDED exception to the no-collect
+    posture: it is vocabulary-bounded, never corpus-bounded, and
+    ``max_vocab_rows`` fails loudly instead of OOMing the driver (memory
+    ~ O(total symbols) for the pair index). For larger vocabularies,
+    train on a corpus sample (standard tokenizer practice) or use the
+    distributed loop.
+
+    Determinism matches :func:`bpe_learn` exactly: overlapping pair
+    counting, argmax ties broken by UTF-8 byte order of (left, right),
+    greedy left-to-right non-overlapping apply, over-cap bypass.
+    """
+    import heapq
+    from collections import Counter, defaultdict
+
+    _check_level(level)
+    if num_merges < 0:
+        raise ValueError(f"num_merges must be >= 0, got {num_merges}")
+    if max_word_len < 1:
+        raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
+    spark = df.sparkSession
+    rows = word_vocab(df, text_col, level).select("word", "freq").collect()
+    if len(rows) > max_vocab_rows:
+        raise ValueError(
+            f"bpe_learn_driver: vocabulary has {len(rows)} distinct "
+            f"pre-tokens > max_vocab_rows={max_vocab_rows}; train on a "
+            f"corpus sample or use the distributed bpe_learn"
+        )
+
+    def _syms(w: str) -> list[str]:
+        if level == "char":
+            return list(w)
+        return ["%02X" % b for b in w.encode("utf-8")]
+
+    vocab: dict[str, list[str]] = {}
+    freq: dict[str, int] = {}
+    capped: set[str] = set()
+    for r in rows:
+        s = _syms(r["word"])
+        vocab[r["word"]] = s
+        freq[r["word"]] = r["freq"]
+        if len(s) > max_word_len:
+            capped.add(r["word"])
+
+    pc: Counter = Counter()
+    index: defaultdict[tuple[str, str], set[str]] = defaultdict(set)
+    for w, s in vocab.items():
+        if w in capped:
+            continue
+        f = freq[w]
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            pc[p] += f
+            index[p].add(w)
+
+    heap: list = []
+
+    def push(p: tuple[str, str]) -> None:
+        c = pc.get(p, 0)
+        if c > 0:
+            heapq.heappush(heap, (-c, p[0].encode(), p[1].encode(), p))
+
+    for p in pc:
+        push(p)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(num_merges):
+        best = None
+        while heap:
+            negc, _ab, _bb, p = heapq.heappop(heap)
+            if pc.get(p, 0) == -negc:  # skip stale lazy-heap entries
+                best = (p, -negc)
+                break
+        if best is None:
+            break  # fully merged before the budget ran out
+        (a, b), cnt = best
+        m = a + b
+        merges.append((rank, a, b, m, cnt))
+        # words listed under (a, b) may be stale (their symbols changed
+        # since insertion); for those the subtract/apply/re-add below is
+        # a no-op — correct, just wasted work
+        affected = list(index.pop((a, b), ()))
+        changed: set[tuple[str, str]] = {(a, b)}
+        for w in affected:
+            s = vocab[w]
+            f = freq[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pc[p] -= f
+                if pc[p] <= 0:
+                    pc.pop(p, None)
+                changed.add(p)
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vocab[w] = out
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pc[p] = pc.get(p, 0) + f
+                index[p].add(w)
+                changed.add(p)
+        for p in changed:
+            push(p)
+
+    merges_df = spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )
+    vocab_df = spark.createDataFrame(
+        [(w, freq[w], vocab[w]) for w in vocab],
+        "word string, freq bigint, tokens array<string>",
+    )
+    return merges_df, vocab_df
 
 
 def doc_token_counts(

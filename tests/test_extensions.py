@@ -1737,6 +1737,79 @@ def test_corpus_dq_audit_counts_poison_classes(spark):
     assert set(got0.values()) == {0}
 
 
+def test_bpe_learn_driver_identical_to_distributed(spark):
+    """The driver-loop trainer must produce BIT-IDENTICAL merges and
+    vocabulary to the distributed loop — same overlap counting, same
+    byte-order tie-break, same greedy apply, same cap bypass — on corpora
+    engineered to stress each (ties, a==b chains, over-cap monster,
+    multibyte at byte level, early full-merge stop)."""
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+    cases = [
+        (["aaabab banana aab .12 ab1", "banana aaabab aaaa"], "char", 6, 256),
+        (["the cat's café 日本 the cat", "café 日本語 the"], "byte", 6, 256),
+        (["a" * 20 + " the mat the", "the cat"], "char", 4, 8),  # cap lane
+        (["ab ab", "ab"], "char", 10, 256),  # early stop before budget
+    ]
+    for texts, level, k, cap in cases:
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        dm, dv = bpe_ops.bpe_learn(
+            df, num_merges=k, max_word_len=cap, level=level
+        )
+        lm, lv = bpe_ops.bpe_learn_driver(
+            df, num_merges=k, max_word_len=cap, level=level
+        )
+        assert sorted(map(tuple, lm.collect())) == sorted(map(tuple, dm.collect()))
+        assert sorted(
+            (r.word, r.freq, tuple(r.tokens)) for r in lv.collect()
+        ) == sorted((r.word, r.freq, tuple(r.tokens)) for r in dv.collect())
+        bpe_ops.release_bpe_cache(spark)
+
+
+def test_bpe_learn_driver_handles_production_merge_budget(spark):
+    """The point of the driver loop: a merge budget two orders beyond the
+    distributed loop's practical range (500 merges here ≈ 4 minutes of
+    Spark round-trips at the measured ~0.5 s/round) must complete in
+    seconds, stay internally consistent (ranks dense, counts
+    non-increasing never required — but every merge's pair must have
+    existed), and the trained vocabulary must re-encode exactly through
+    the shared serving path."""
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+    # ~900 distinct words over a 30-symbol alphabet: plenty of merge room
+    texts = [
+        " ".join(
+            "w%s%s" % (chr(97 + (i * 7 + j) % 26), chr(97 + (i * 13 + 3 * j) % 26))
+            + "x" * ((i + j) % 4)
+            for j in range(40)
+        )
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, vocab = bpe_ops.bpe_learn_driver(df, num_merges=500)
+    got = merges.collect()
+    ranks = sorted(r.merge_rank for r in got)
+    assert ranks == list(range(len(ranks)))
+    assert len(ranks) > 50, "must actually learn a deep merge table"
+    # vocabulary tokens must reproduce through the frozen-vocab encoder
+    enc = bpe_ops.bpe_encode(df, merges, vocab, max_word_len=256)
+    tc = {r.doc_id: r.n_bpe_tokens for r in enc.collect()}
+    direct = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_ops.doc_token_counts(
+            df, vocab.select("word", F.size("tokens").alias("n_tokens"))
+        ).collect()
+    }
+    assert tc == direct
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        bpe_ops.bpe_learn_driver(df, num_merges=1, max_vocab_rows=10)
+    bpe_ops.release_bpe_cache(spark)
+
+
 def test_bpe_stops_early_when_fully_merged(spark):
     """A vocabulary that merges to single tokens before the budget runs out
     must yield a short merge table, not fail or loop."""

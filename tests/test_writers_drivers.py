@@ -418,6 +418,17 @@ def test_cli_tokenizer_train_then_encode(spark, tmp_path, monkeypatch):
     )
     assert bgot == bexp
 
+    # --driver-loop trains the identical tokenizer through the driver-side
+    # merge loop (the production-budget path)
+    dtok = str(tmp_path / "dtok")
+    rc = cli.main(
+        ["tokenizer", "train", "--docs", train_path, "--tokenizer", dtok,
+         "--num-merges", "4", "--driver-loop"]
+    )
+    assert rc == 0
+    dm, dv, _, _ = bpe_ops.load_bpe(spark, dtok)
+    assert sorted(map(tuple, dm.collect())) == sorted(map(tuple, merges.collect()))
+
     # encode without --target is a usage error, not a crash
     assert cli.main(
         ["tokenizer", "encode", "--docs", new_path, "--tokenizer", tok]
