@@ -46,7 +46,10 @@ Measured scaling (probe_r6.json bpe_train_scaling, local[32], median of
 (2.0 → 1.44 rounds/s) — per-round cost at this scale is dominated by the
 fixed job/localCheckpoint overhead (~0.5s/round), with the vocabulary-
 table term still small at x64, consistent with the loop being bounded by
-vocabulary rows, not corpus bytes.
+vocabulary rows, not corpus bytes. The driver-side loop
+(:func:`bpe_learn_driver`, identical output) measured 2,000 merges in
+1.15s on the same x64 vocabulary — ~1,700 merges/s including the
+distributed corpus pass, the path for production merge budgets.
 
 Run-parity merge apply (why per-position flags equal the sequential
 greedy scan): a position matches when (sym, next) = (a, b); two ADJACENT

@@ -397,6 +397,33 @@ def main() -> None:
         )
         bpe_ops.release_bpe_cache(spark)
 
+    # driver-loop trainer at a production-grade merge budget (the lane the
+    # distributed loop cannot reach: ~0.5 s/round x 2000 would be ~17 min;
+    # the driver loop's merge rate is the number to record)
+    corpus = _replicate_docs(base, 64, suffix_words=True).localCheckpoint()
+
+    def train_driver():
+        bpe_ops.release_bpe_cache(spark)
+        t0 = time.perf_counter()
+        merges, _v = bpe_ops.bpe_learn_driver(corpus, num_merges=2000)
+        n = merges.count()
+        return time.perf_counter() - t0, {"merges": n}
+
+    r = _timed_eager(train_driver, "bpe_train_driver_loop x64vocab 2000merges")
+    bpe_scaling["driver_loop_2000"] = {
+        "vocab_words": int(bpe_ops.word_vocab(corpus).count()),
+        "merges": r["merges"],
+        "train_sec": r["sec"],
+        "train_runs_sec": r["runs_sec"],
+        "merges_per_sec": round(r["merges"] / max(r["sec"], 1e-9), 1),
+    }
+    print(
+        f"# bpe_train_driver_loop: {r['merges']} merges in {r['sec']}s "
+        f"({bpe_scaling['driver_loop_2000']['merges_per_sec']} merges/s, "
+        f"incl. the distributed corpus pass + collect)",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
