@@ -1810,6 +1810,30 @@ def test_bpe_learn_driver_handles_production_merge_budget(spark):
     bpe_ops.release_bpe_cache(spark)
 
 
+def test_bpe_family_empty_corpus(spark):
+    """An EMPTY corpus (routine at scale: an empty day partition) must
+    flow through the whole tokenizer surface without errors: zero merges,
+    empty counts/sequences/blocks, fertility empty — and the byte-level
+    token-id table still reports its FIXED 256-entry base alphabet (ids
+    exist independent of any corpus, that is the point of byte level)."""
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    for level in ("char", "byte"):
+        merges, vocab = bpe_ops.bpe_learn(empty, num_merges=3, level=level)
+        assert merges.count() == 0 and vocab.count() == 0
+        dm, dv = bpe_ops.bpe_learn_driver(empty, num_merges=3, level=level)
+        assert dm.count() == 0 and dv.count() == 0
+        assert bpe_ops.bpe_token_counts(empty, num_merges=3, level=level).count() == 0
+        ids = bpe_ops.bpe_token_ids(merges, vocab, level=level)
+        assert ids.count() == (256 if level == "byte" else 0)
+        seq = bpe_ops.bpe_token_sequences(empty, vocab, ids, level=level)
+        assert seq.count() == 0
+        assert bpe_ops.bpe_pack_blocks(seq, block_tokens=8).count() == 0
+        assert bpe_ops.bpe_fertility(empty, num_merges=3, level=level).count() == 0
+        bpe_ops.release_bpe_cache(spark)
+
+
 def test_bpe_stops_early_when_fully_merged(spark):
     """A vocabulary that merges to single tokens before the budget runs out
     must yield a short merge table, not fail or loop."""
