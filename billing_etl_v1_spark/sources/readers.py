@@ -150,6 +150,7 @@ def read_csv_quarantine(
     schema,
     header: bool = True,
     timestamp_format: str | None = None,
+    multiline: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """CSV source with corrupt-row QUARANTINE instead of job failure — the
     in-data-plane form of the reference's failure-CSV posture (reference
@@ -170,6 +171,14 @@ def read_csv_quarantine(
     refuses to filter on the corrupt column of an unmaterialized scan
     (SPARK-21610) — the parsed frame is persisted before the split, which
     also means the file is read ONCE for both outputs.
+
+    ``multiline``: by default each PHYSICAL line is one record, so an
+    RFC-4180 quoted field containing a newline splits into two records
+    that both land in ``bad`` — accounted, never silently corrupted
+    (pinned by test), and recoverable from the quarantine. Pass
+    ``multiline=True`` to parse such records correctly; the trade is that
+    multiLine files are NOT splittable (one task per file — at 100 TB
+    keep multiline sources in many moderate files, or pre-normalize).
     """
     from pyspark import StorageLevel
     from pyspark.sql.types import StringType, StructType
@@ -185,6 +194,8 @@ def read_csv_quarantine(
     )
     if timestamp_format:
         reader = reader.option("timestampFormat", timestamp_format)
+    if multiline:
+        reader = reader.option("multiLine", "true")
     parsed = reader.csv(path).persist(StorageLevel.MEMORY_AND_DISK)
     _QUARANTINE_PINNED.append(parsed)
     return split_corrupt(parsed, corrupt)

@@ -685,6 +685,41 @@ def test_csv_quarantine_splits_good_and_bad_rows(spark, tmp_path):
     assert good.columns == ["id", "name", "qty"]
 
 
+def test_csv_quarantine_embedded_newlines_accounted_or_parsed(spark, tmp_path):
+    """The classic silent-corruption CSV hazard: an RFC-4180 quoted field
+    containing a newline. Default (line-per-record) mode must QUARANTINE
+    both physical halves — accounted and recoverable, never a garbage
+    'good' row; multiline=True must parse the record correctly (trade:
+    multiLine files are not splittable, documented)."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from billing_etl_v1_spark.sources.readers import read_csv_quarantine
+
+    path = str(tmp_path / "nl.csv")
+    with open(path, "w") as f:
+        f.write("id,s,v\n")
+        f.write("1,hello,5\n")
+        f.write('2,"multi\nline field",6\n')
+        f.write("3,ok,7\n")
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("s", StringType()),
+            StructField("v", IntegerType()),
+        ]
+    )
+    good, bad = read_csv_quarantine(spark, path, schema)
+    assert {r.id for r in good.collect()} == {1, 3}
+    assert sorted(r.corrupt_record for r in bad.collect()) == [
+        '2,"multi',
+        'line field",6',
+    ]
+    good2, bad2 = read_csv_quarantine(spark, path, schema, multiline=True)
+    g2 = {r.id: r for r in good2.collect()}
+    assert set(g2) == {1, 2, 3} and g2[2].s == "multi\nline field"
+    assert bad2.count() == 0
+
+
 def test_quarantine_release_unpersists_pinned_scans(spark, tmp_path):
     """The quarantine readers pin the parsed scan (SPARK-21610 split);
     release_quarantine_cache must unpersist it so a backfill's input
