@@ -1768,6 +1768,40 @@ def test_bpe_learn_driver_identical_to_distributed(spark):
         bpe_ops.release_bpe_cache(spark)
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab1 .'", min_size=0, max_size=24), min_size=0, max_size=6
+    ),
+    num_merges=st.integers(min_value=0, max_value=6),
+)
+def test_bpe_learn_driver_matches_naive_reference(spark, texts, num_merges):
+    """Property sweep: the driver-loop trainer must equal the sequential
+    reference on adversarial random corpora (count ties, a==b runs,
+    fully-merged-early) — cheap per example because only the word-count
+    aggregate runs on Spark; the incremental pair-count/heap machinery is
+    what this exercises (the fixed-case identity test can't reach its
+    stale-entry and count-revert paths)."""
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+    exp_m, exp_v, _ = _naive_bpe(texts, num_merges)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, vocab = bpe_ops.bpe_learn_driver(df, num_merges=num_merges)
+    got_m = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    got_v = {r["word"]: list(r["tokens"]) for r in vocab.collect()}
+    assert got_m == exp_m
+    assert got_v == exp_v
+
+
 def test_bpe_learn_driver_handles_production_merge_budget(spark):
     """The point of the driver loop: a merge budget two orders beyond the
     distributed loop's practical range (500 merges here ≈ 4 minutes of
