@@ -106,6 +106,19 @@ def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC source (Spark-native columnar format — the warehouse interchange
+    sibling of parquet: predicate pushdown, column pruning, and splittable
+    stripes all apply). Self-describing like parquet, so the schema is
+    optional; passing one pins the read schema (projection + type check)
+    the same way the parquet readers rely on the file footer."""
+    harden_session(spark)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 # parsed frames pinned by the quarantine readers, released via
 # release_quarantine_cache (same lifecycle pattern as dedup's signature
 # memo): the split must filter a MATERIALIZED scan (SPARK-21610), but a

@@ -154,6 +154,21 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """ORC sink (Spark-native columnar; nested types, compression, and
+    partition directories exactly like the parquet sinks — for consumers
+    whose warehouse standardizes on ORC rather than parquet)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,

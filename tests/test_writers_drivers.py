@@ -720,6 +720,45 @@ def test_csv_quarantine_embedded_newlines_accounted_or_parsed(spark, tmp_path):
     assert bad2.count() == 0
 
 
+def test_orc_round_trip_with_partitions_and_nested_types(spark, tmp_path):
+    """ORC source/sink: partitioned write + typed read round-trips exactly,
+    including nested array columns CSV can't carry; the optional read
+    schema pins projection like the CSV/JSON readers' mandatory one."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from billing_etl_v1_spark.sources.readers import read_orc
+    from billing_etl_v1_spark.sources.writers import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", ["x", "y"], "d1"), (2, "b", [], "d2"), (3, None, ["z"], "d1")],
+        "id int, s string, tags array<string>, part string",
+    )
+    path = str(tmp_path / "orc_t")
+    write_orc(df, path, partition_by=("part",))
+    back = read_orc(spark, path)
+    assert sorted(
+        (r.id, r.s, tuple(r.tags), r.part) for r in back.collect()
+    ) == sorted((r.id, r.s, tuple(r.tags), r.part) for r in df.collect())
+    pinned = read_orc(
+        spark,
+        path,
+        schema=StructType(
+            [
+                StructField("id", IntegerType()),
+                StructField("tags", ArrayType(StringType())),
+                StructField("part", StringType()),
+            ]
+        ),
+    )
+    assert pinned.columns == ["id", "tags", "part"] and pinned.count() == 3
+
+
 def test_quarantine_release_unpersists_pinned_scans(spark, tmp_path):
     """The quarantine readers pin the parsed scan (SPARK-21610 split);
     release_quarantine_cache must unpersist it so a backfill's input
