@@ -405,13 +405,18 @@ def bpe_learn_driver(
     if max_word_len < 1:
         raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
     spark = df.sparkSession
-    rows = word_vocab(df, text_col, level).select("word", "freq").collect()
-    if len(rows) > max_vocab_rows:
+    vocab_df = word_vocab(df, text_col, level).select("word", "freq")
+    # guard BEFORE the collect (r6 VERDICT): counting a LIMIT n+1 of the
+    # bounded aggregate is cheap and raises before the driver ever
+    # allocates an over-cap vocabulary — a guard placed after .collect()
+    # would fire only after the OOM risk it promises to prevent
+    if vocab_df.limit(max_vocab_rows + 1).count() > max_vocab_rows:
         raise ValueError(
-            f"bpe_learn_driver: vocabulary has {len(rows)} distinct "
-            f"pre-tokens > max_vocab_rows={max_vocab_rows}; train on a "
-            f"corpus sample or use the distributed bpe_learn"
+            f"bpe_learn_driver: vocabulary has more than "
+            f"max_vocab_rows={max_vocab_rows} distinct pre-tokens; train "
+            f"on a corpus sample or use the distributed bpe_learn"
         )
+    rows = vocab_df.collect()
 
     def _syms(w: str) -> list[str]:
         if level == "char":

@@ -33,6 +33,27 @@ from billing_etl_v1_spark.plans.pipeline import billing_pipeline
 from billing_etl_v1_spark.sources.writers import write_calculated
 
 
+def _is_missing_path(exc: AnalysisException) -> bool:
+    """True iff the AnalysisException is the path-not-found condition.
+
+    Matched by error CLASS where the runtime exposes it (Spark 4:
+    ``getCondition``; 3.4/3.5: ``getErrorClass``) — message-substring
+    matching is Spark-version-specific (older releases said "Path does
+    not exist"), so it stays only as the last-resort fallback for
+    runtimes that predate error classes (review finding, ADVICE r6)."""
+    for probe in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, probe, None)
+        if fn is not None:
+            try:
+                cls = fn()
+            except Exception:
+                continue
+            if cls is not None:
+                return cls == "PATH_NOT_FOUND"
+    msg = str(exc)
+    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+
+
 def _sanitize_value(df: DataFrame) -> DataFrame:
     """Same corrupt-float posture as the batch twins: a NaN in one
     micro-batch must not poison a whole window's running total (NaN is
@@ -542,7 +563,7 @@ def streaming_token_meter(
                 # duplicate (word, n_tokens) rows would fan out the
                 # doc_token_counts join and double-count every affected
                 # doc for the rest of the stream (review finding)
-                if "PATH_NOT_FOUND" not in str(exc):
+                if not _is_missing_path(exc):
                     raise
         # defense in depth: duplicate store rows (e.g. a manually restored
         # store) must never fan out the counts join — one cost per word,
@@ -605,9 +626,22 @@ def compact_word_store(spark: SparkSession, word_store: str) -> None:
     history. A retried batch that re-writes its ``batch_id=N`` partition
     after compaction leaves duplicate (word, n_tokens) rows across
     partitions; the meter dedupes by word before its counts join, so
-    duplicates cost nothing."""
+    duplicates cost nothing.
+
+    A NEVER-WRITTEN store is a no-op, not an error: the meter calls this
+    on a fixed batch cadence regardless of whether any batch learned a
+    novel word, so when the tokenizer vocabulary covers the whole stream
+    the store directory legitimately doesn't exist yet — raising here
+    would fail the batch and wedge the checkpoint replay in a crash loop
+    (ADVICE r6 medium)."""
+    try:
+        store = spark.read.parquet(word_store)
+    except AnalysisException as exc:
+        if _is_missing_path(exc):
+            return
+        raise
     deduped = (
-        spark.read.parquet(word_store)
+        store
         .groupBy("word")
         .agg(F.min("n_tokens").alias("n_tokens"))
         .withColumn("batch_id", F.lit(-1))

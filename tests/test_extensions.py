@@ -1844,6 +1844,29 @@ def test_bpe_learn_driver_handles_production_merge_budget(spark):
     bpe_ops.release_bpe_cache(spark)
 
 
+def test_bpe_learn_driver_guard_raises_before_collect(spark, monkeypatch):
+    """The max_vocab_rows guard must fire BEFORE the driver collects the
+    vocabulary (ADVICE r6 medium / VERDICT r6 #1): the documented property
+    is 'fails loudly instead of OOMing the driver', which is only true if
+    the over-cap check happens without materializing the rows. Assert by
+    poisoning DataFrame.collect — the guarded path must raise ValueError
+    without ever calling it."""
+    from pyspark.sql import DataFrame as _DF
+
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+    df = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c") for i in range(20)], "doc_id long, text string"
+    )
+
+    def _no_collect(self):
+        raise AssertionError("collect() called before the max_vocab_rows guard")
+
+    monkeypatch.setattr(_DF, "collect", _no_collect)
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        bpe_ops.bpe_learn_driver(df, num_merges=1, max_vocab_rows=5)
+
+
 def test_bpe_family_empty_corpus(spark):
     """An EMPTY corpus (routine at scale: an empty day partition) must
     flow through the whole tokenizer surface without errors: zero merges,

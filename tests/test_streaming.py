@@ -495,6 +495,79 @@ def test_token_meter_word_store_compaction_bounds_files(spark, tmp_path):
     bpe_ops.release_bpe_cache(spark)
 
 
+def test_token_meter_compaction_tolerates_never_written_store(spark, tmp_path):
+    """Compaction fires on a fixed batch cadence regardless of whether any
+    batch ever learned a novel word; when the tokenizer vocabulary covers
+    the whole stream the store directory never exists, and compaction must
+    be a no-op instead of failing the batch (which would wedge the
+    checkpoint replay in a crash loop — ADVICE r6 medium). Every batch
+    here contains only tokenizer-known words and store_compact_every=1
+    forces the compaction attempt on each one."""
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+    from billing_etl_v1_spark.streaming.pipeline import (
+        compact_word_store,
+        streaming_token_meter,
+    )
+
+    train = spark.createDataFrame([(100, "alpha beta gamma")], "doc_id long, text string")
+    merges, vocab = bpe_ops.bpe_learn(train, num_merges=2)
+    tok = str(tmp_path / "tok")
+    bpe_ops.save_bpe(merges, vocab, tok)
+
+    # direct call on a missing path: no-op, not PATH_NOT_FOUND
+    compact_word_store(spark, str(tmp_path / "never_written"))
+
+    docs_df = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(3)], "doc_id long, text string"
+    )
+    docs_dir = str(tmp_path / "docs_in")
+    for i in range(3):
+        docs_df.filter(F.col("doc_id") == i).coalesce(1).write.mode("append").parquet(
+            docs_dir
+        )
+    store = str(tmp_path / "word_store")
+    q = streaming_token_meter(
+        spark,
+        docs_dir,
+        spark.read.parquet(docs_dir).schema,
+        tok,
+        str(tmp_path / "counts"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        word_store=store,
+        max_files_per_trigger=1,
+        store_compact_every=1,
+    )
+    q.awaitTermination(600)
+    assert q.exception() is None
+    got = spark.read.parquet(str(tmp_path / "counts"))
+    assert got.count() == 3
+    import os
+
+    assert not os.path.exists(store), "no novel words -> store never created"
+    bpe_ops.release_bpe_cache(spark)
+
+
+def test_is_missing_path_classifies_by_error_class(spark, tmp_path):
+    """_is_missing_path must key on the error CLASS (getCondition /
+    getErrorClass), not only the Spark-version-specific message text, and
+    must stay False for unrelated AnalysisExceptions (ADVICE r6 low)."""
+    from pyspark.errors import AnalysisException
+
+    from billing_etl_v1_spark.streaming.pipeline import _is_missing_path
+
+    try:
+        spark.read.parquet(str(tmp_path / "definitely_missing")).collect()
+        raise AssertionError("read of a missing path must raise")
+    except AnalysisException as exc:
+        assert _is_missing_path(exc)
+
+    try:
+        spark.createDataFrame([(1,)], "a int").select("no_such_column").collect()
+        raise AssertionError("unresolved column must raise")
+    except AnalysisException as exc:
+        assert not _is_missing_path(exc)
+
+
 def test_token_meter_serves_byte_level_tokenizer(spark, tmp_path):
     """A persisted BYTE-level tokenizer must be served at its stored level
     by the meter (level is read from the artifact meta, not assumed):
