@@ -111,7 +111,20 @@ def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
     sibling of parquet: predicate pushdown, column pruning, and splittable
     stripes all apply). Self-describing like parquet, so the schema is
     optional; passing one pins the read schema (projection + type check)
-    the same way the parquet readers rely on the file footer."""
+    the same way the parquet readers rely on the file footer.
+
+    Corrupt-file posture (deliberately NO quarantine twin): ORC is a
+    binary columnar format — there is no row-level "corrupt record" to
+    capture the way the CSV/JSON quarantine readers do, so a corrupt
+    stripe/footer fails its task loudly, which is the correct default
+    (silent data loss is worse than a failed job). The recovery knobs are
+    Spark's own: ``spark.sql.files.ignoreCorruptFiles=true`` (skips
+    unreadable FILES wholesale — whole-file granularity means every
+    healthy row in a file with one bad stripe is dropped too, so use it
+    only for triage, never steady-state) and quarantining at the FILE
+    level by moving readable paths aside after a failed read. Same story
+    applies to parquet; the row-granular quarantine surface is
+    CSV/JSON-only by design."""
     harden_session(spark)
     reader = spark.read
     if schema is not None:
