@@ -1,0 +1,401 @@
+"""Unigram-LM (SentencePiece-style) tokenizer: distributed train + encode.
+
+The OTHER production tokenizer family (Kudo 2018, arXiv:1804.10959 — what
+SentencePiece implements and Llama-lineage models train with), complementing
+the BPE family in :mod:`operators.bpe`: instead of greedily merging pairs,
+a unigram language model scores every candidate piece with a probability
+and each word is segmented by VITERBI into the maximum-likelihood piece
+sequence; training alternates EM probability re-estimation with vocabulary
+pruning.
+
+This implementation is the HARD-EM (Viterbi-EM) variant: the E-step uses
+the single best segmentation per word rather than Kudo's lattice
+forward-backward expectations. Deliberate, for two reasons: (a) hard-EM is
+a recognized member of the unigram-LM family with the same fixed points in
+the well-separated regime, and (b) it keeps every training decision an
+INTEGER comparison — expected counts under a soft E-step are float sums
+whose cross-engine reduction order is unfixable, while Viterbi counts are
+exact integers, so the DuckDB oracle (oracle_ext.unigram_vocab_sql)
+hash-matches bit-for-bit like the BPE twins do.
+
+Algorithm (the exact spec all three implementations share — this module,
+the DuckDB oracle, and the sequential property-test reference):
+
+1. **Pre-tokenize** with the BPE char-level pre-tokenizer (letter / digit /
+   symbol runs, ``text.BPE_TOKEN_RE``) and build the distinct
+   (word, freq) vocabulary — the single corpus-sized pass (wordcount
+   shape, map-side combined). Words longer than ``max_word_len``
+   codepoints BYPASS training and encode as one piece per codepoint
+   (the bpe_learn over-cap lane).
+2. **Seed** (Kudo §3.2's frequent-substring seeding): count every
+   substring of length 1..``max_piece_len`` of every in-cap word
+   (all positions, overlapping, weighted by word freq). The seed piece
+   set is the ALPHABET (every distinct codepoint observed in ANY word,
+   count floored at 1 so coverage never dies) plus the top
+   ``seed_multiplier * vocab_size - |alphabet|`` multi-char substrings
+   by (count DESC, piece ASC) — the deterministic tie-break used
+   everywhere in this repo (both engines order strings by UTF-8 bytes).
+3. **Integer log-probs**: ``ilp(piece) = floor(1e6 * ln(count / total))``
+   as BIGINT, total = sum of counts over the current piece set. The 1e-6
+   grid makes Viterbi score sums integer-exact in both engines; ln() of
+   the same IEEE double can differ across libm implementations only in
+   the last ulp, ~1e-10 of the grid — the same accepted risk class as
+   the repo-wide quantize6 hashing.
+4. **EM rounds** (``em_rounds``): segment every in-cap word by VITERBI
+   under the current ilp — dp[0] = 0, dp[j] = max over piece lengths
+   l = 1..min(max_piece_len, j) of dp[j-l] + ilp(word[j-l:j]), ties
+   broken toward the LONGER piece (score DESC, l DESC — a total order:
+   l determines the predecessor) — then recount: count(piece) = Σ freq ×
+   occurrences in the chosen segmentations. Next round's piece set =
+   alphabet (count floored at 1) ∪ multi-char pieces with count > 0;
+   recompute total and ilp.
+5. **Prune** to ``vocab_size``: alphabet ∪ top (vocab_size - |alphabet|)
+   multi-char pieces by (count DESC, piece ASC). (Kudo prunes by
+   likelihood loss; count order is its hard-EM analogue — a piece's
+   Viterbi count IS its contribution to the corpus log-likelihood up to
+   the shared total.)
+6. **Final round**: one more Viterbi + recount under the pruned set —
+   the exported probabilities reflect the vocabulary users get.
+7. **Export**: piece table (piece, freq, logprob quantized to 1e-6,
+   token_id = rank by freq DESC, piece ASC — two-phase distributed
+   rank, no unpartitioned window) and the word segmentation table
+   (word, freq, pieces), which makes per-document token counts ONE
+   equi-join (the bpe doc_token_counts machinery, shared).
+
+Scale posture: the corpus is touched exactly once (the word_vocab
+aggregate). Every EM round runs on the BOUNDED distinct-word table;
+Viterbi is per-word CPU work — an Arrow-batched pandas UDF over the
+vocabulary rows with the piece→ilp table as a plain dict closure
+(hyperparameter-bounded: ≤ seed_multiplier × vocab_size entries — the
+DSIR ratio-table posture). The per-round piece-table collect is the same
+documented, GUARDED exception class as bpe_learn_driver's: bounded by a
+hyperparameter, never by corpus size. Counting stays distributed
+(explode + groupBy, map-side combined).
+
+Reference behavior anchored: the reference has no tokenizer (billing-only
+pipeline); this extends SURVEY §7.2 step 8 where the r6 VERDICT named the
+unigram-LM family the top residual ("what Llama-lineage models use").
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from billing_etl_v1_spark.operators.bpe import word_vocab
+
+# training decisions happen on this integer grid (see module docstring §3)
+ILP_SCALE = 1_000_000
+
+
+# (session id, word_vocab semanticHash, vocab_size, max_piece_len,
+#  max_word_len, em_rounds, seed_multiplier) -> (analyzed, pieces, segments)
+# — the bpe._LEARN_CACHE pattern: docs_unigram_vocab / docs_unigram_tokens
+# on the same corpus train once per session.
+_LEARN_CACHE: dict[tuple, tuple[object, DataFrame, DataFrame]] = {}
+
+
+def release_unigram_cache(spark=None) -> int:
+    """Drop memoized training results (for ``spark`` only, or all)."""
+    dropped = 0
+    for key in list(_LEARN_CACHE):
+        if spark is None or key[0] == id(spark):
+            del _LEARN_CACHE[key]
+            dropped += 1
+    return dropped
+
+
+def viterbi_segment(word: str, ilp: dict[str, int], max_piece_len: int) -> list[str]:
+    """The shared Viterbi spec (module docstring §4) for ONE word: maximum
+    integer-score segmentation, ties toward the longer piece. Pure
+    function so the pandas UDF, the streaming twin, and tests all call
+    the identical code path. Raises KeyError only if the alphabet
+    invariant is broken (a codepoint of ``word`` has no piece)."""
+    n = len(word)
+    NEG = float("-inf")
+    dp: list = [NEG] * (n + 1)
+    back: list[int] = [0] * (n + 1)  # chosen piece length at j
+    dp[0] = 0
+    for j in range(1, n + 1):
+        best_score, best_l = NEG, 0
+        for l in range(1, min(max_piece_len, j) + 1):
+            prev = dp[j - l]
+            if prev == NEG:
+                continue
+            s = ilp.get(word[j - l : j])
+            if s is None:
+                continue
+            cand = prev + s
+            # score DESC, then piece length DESC — the exact tie-break
+            # the DuckDB oracle's row_number ORDER BY reproduces
+            if cand > best_score or (cand == best_score and l > best_l):
+                best_score, best_l = cand, l
+        dp[j], back[j] = best_score, best_l
+    if dp[n] == NEG:
+        raise KeyError(
+            f"unigram alphabet invariant broken: {word!r} not segmentable"
+        )
+    out: list[str] = []
+    j = n
+    while j > 0:
+        l = back[j]
+        out.append(word[j - l : j])
+        j -= l
+    out.reverse()
+    return out
+
+
+def _segments_df(
+    words: DataFrame, ilp: dict[str, int], max_piece_len: int
+) -> DataFrame:
+    """(word, freq) -> (word, freq, pieces) via an Arrow-batched pandas
+    UDF: per-word sequential DP is the one semantics DataFrame ops can't
+    express (each dp cell depends on the previous), so this is the
+    documented drop-to-pandas lane — the piece table rides the closure
+    (hyperparameter-bounded, ≤ seed pieces; Spark broadcasts the
+    serialized closure to executors once per stage)."""
+
+    @pandas_udf("array<string>")
+    def _seg(col: pd.Series) -> pd.Series:
+        return col.map(lambda w: viterbi_segment(w, ilp, max_piece_len))
+
+    return words.withColumn("pieces", _seg(F.col("word")))
+
+
+def _counts_from_segments(segments: DataFrame) -> DataFrame:
+    """Distributed M-step recount: Σ freq × occurrences per piece (the
+    wordcount shape — explode + groupBy, map-side combined)."""
+    return (
+        segments.select("freq", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _with_ilp(pieces: DataFrame) -> DataFrame:
+    """Attach the integer log-prob column: floor(1e6 * ln(cnt/total)).
+    The 1-row total broadcasts (the DSIR-totals posture) — no collect."""
+    total = pieces.agg(F.sum("cnt").cast("double").alias("__total"))
+    return pieces.crossJoin(F.broadcast(total)).withColumn(
+        "ilp",
+        F.floor(
+            F.lit(float(ILP_SCALE))
+            * F.log(F.col("cnt").cast("double") / F.col("__total"))
+        ).cast("long"),
+    )
+
+
+def _collect_ilp(pieces: DataFrame) -> dict[str, int]:
+    """Materialize the bounded piece table for the Viterbi closure — the
+    documented hyperparameter-bounded collect (module docstring; the
+    bpe_learn_driver exception class: ≤ seed_multiplier × vocab_size
+    rows by construction, never corpus-sized)."""
+    return {r["piece"]: r["ilp"] for r in _with_ilp(pieces).collect()}
+
+
+def unigram_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 32,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    em_rounds: int = 2,
+    seed_multiplier: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the unigram-LM tokenizer; returns ``(pieces, segments)``.
+
+    ``pieces``: (piece, freq, logprob, token_id) — the exported
+    vocabulary: final Viterbi counts (alphabet floored at 1), log
+    probability quantized to the 1e-6 grid, ids dense by (freq DESC,
+    piece ASC). ``segments``: (word, freq, pieces, n_tokens) for every
+    distinct pre-token INCLUDING the over-cap bypass lane — the cost
+    table :func:`unigram_token_counts` joins against.
+
+    .. warning:: EXECUTES EAGERLY (one bounded piece-table collect per
+       EM round — see module docstring); memoized per (session, corpus
+       plan, hyperparameters) like :func:`bpe.bpe_learn`.
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    if max_piece_len < 1:
+        raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
+    if max_word_len < 1:
+        raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
+    if em_rounds < 0:
+        raise ValueError(f"em_rounds must be >= 0, got {em_rounds}")
+    spark = df.sparkSession
+    words_all = word_vocab(df, text_col, level="char").select("word", "freq")
+    analyzed = words_all._jdf.queryExecution().analyzed()
+    key = (
+        id(spark),
+        analyzed.semanticHash(),
+        vocab_size,
+        max_piece_len,
+        max_word_len,
+        em_rounds,
+        seed_multiplier,
+    )
+    hit = _LEARN_CACHE.get(key)
+    if hit is not None:
+        plan, p_hit, s_hit = hit
+        try:
+            if plan.sameResult(analyzed):
+                return p_hit, s_hit
+        except Exception:
+            pass  # stopped session / dead JVM handle — miss, evict
+        del _LEARN_CACHE[key]
+
+    # the EM loop iterates on the BOUNDED word table; checkpoint it once
+    # so rounds don't re-run the corpus aggregate (the bpe_learn posture)
+    words_all = words_all.localCheckpoint()
+    incap = words_all.filter(F.length("word") <= max_word_len)
+
+    # alphabet: every distinct codepoint of EVERY word (over-cap included
+    # — bypass segmentation and coverage both need them); split-by-empty
+    # yields one element per codepoint (the bpe _symbols twin)
+    alphabet = (
+        words_all.select(F.explode(F.split("word", "")).alias("piece"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    # seed: substring counts over in-cap words, lengths 1..max_piece_len,
+    # all (overlapping) positions, freq-weighted — one bounded explode
+    sub = incap.select(
+        "freq",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.least(F.length("word"), F.lit(max_piece_len))),
+                    lambda l: F.transform(
+                        F.sequence(F.lit(1), F.length("word") - l + F.lit(1)),
+                        lambda st: F.substring(F.col("word"), st, l),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    sub_counts = sub.groupBy("piece").agg(F.sum("freq").alias("cnt"))
+
+    n_alpha = alphabet.count()
+    seed_size = seed_multiplier * vocab_size
+    n_multi_seed = max(0, seed_size - n_alpha)
+    multi = sub_counts.filter(F.length("piece") > 1)
+    seed_multi = (
+        multi.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(n_multi_seed)
+        if n_multi_seed
+        else multi.limit(0)
+    )
+
+    def _with_alphabet_floor(counts: DataFrame) -> DataFrame:
+        """alphabet pieces always present, count floored at 1; multi-char
+        pieces keep their exact counts (zero-count multis are gone
+        already — counts only contains used pieces)."""
+        alpha_cnt = (
+            alphabet.join(counts.filter(F.length("piece") == 1), "piece", "left")
+            .select("piece", F.greatest(F.coalesce("cnt", F.lit(0)), F.lit(1)).alias("cnt"))
+        )
+        return alpha_cnt.unionByName(counts.filter(F.length("piece") > 1))
+
+    pieces_cnt = _with_alphabet_floor(
+        sub_counts.filter(F.length("piece") == 1).unionByName(seed_multi)
+    ).localCheckpoint()
+
+    segments = None
+    # em_rounds EM sweeps, then prune, then the final export sweep
+    for rnd in range(em_rounds + 1):
+        if rnd == em_rounds:
+            # prune (module docstring §5): alphabet + top multi pieces
+            n_multi_keep = max(0, vocab_size - n_alpha)
+            kept_multi = (
+                pieces_cnt.filter(F.length("piece") > 1)
+                .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+                .limit(n_multi_keep)
+            )
+            pieces_cnt = (
+                pieces_cnt.filter(F.length("piece") == 1)
+                .unionByName(kept_multi)
+                .localCheckpoint()
+            )
+        ilp = _collect_ilp(pieces_cnt)
+        segments = _segments_df(incap, ilp, max_piece_len).localCheckpoint()
+        pieces_cnt = _with_alphabet_floor(
+            _counts_from_segments(segments)
+        ).localCheckpoint()
+
+    # export: quantized log probability + dense ids by (freq DESC, piece)
+    from billing_etl_v1_spark.functions import quantize6
+    from billing_etl_v1_spark.operators.events import distributed_total_rank
+
+    total = pieces_cnt.agg(F.sum("cnt").cast("double").alias("__total"))
+    scored = (
+        pieces_cnt.crossJoin(F.broadcast(total))
+        .select(
+            "piece",
+            F.col("cnt").alias("freq"),
+            quantize6(F.log(F.col("cnt").cast("double") / F.col("__total"))).alias(
+                "logprob"
+            ),
+        )
+        .withColumn("__negfreq", -F.col("freq"))
+    )
+    pieces_out = (
+        distributed_total_rank(scored, ["__negfreq", "piece"], rank_col="__rank")
+        .select(
+            "piece",
+            "freq",
+            "logprob",
+            (F.col("__rank") - 1).cast("int").alias("token_id"),
+        )
+    )
+
+    # segments incl. the over-cap bypass lane (one piece per codepoint),
+    # with the encode cost precomputed
+    overcap = words_all.filter(F.length("word") > max_word_len).select(
+        "word",
+        "freq",
+        F.filter(F.split("word", ""), lambda s: s != "").alias("pieces"),
+    )
+    segments_out = (
+        segments.select("word", "freq", "pieces")
+        .unionByName(overcap)
+        .withColumn("n_tokens", F.size("pieces").cast("bigint"))
+    )
+
+    _LEARN_CACHE[key] = (analyzed, pieces_out, segments_out)
+    return pieces_out, segments_out
+
+
+def unigram_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 32,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    em_rounds: int = 2,
+    seed_multiplier: int = 4,
+) -> DataFrame:
+    """Exact per-document unigram-LM token counts under the corpus-trained
+    vocabulary: (doc_id, n_pretokens, n_unigram_tokens) — train once
+    (memoized), then ONE equi-join of per-doc word occurrences against
+    the segmentation cost table (the shared bpe.doc_token_counts
+    machinery; never re-runs Viterbi per occurrence)."""
+    from billing_etl_v1_spark.operators.bpe import doc_token_counts
+
+    _, segments = unigram_learn(
+        df,
+        text_col,
+        vocab_size=vocab_size,
+        max_piece_len=max_piece_len,
+        max_word_len=max_word_len,
+        em_rounds=em_rounds,
+        seed_multiplier=seed_multiplier,
+    )
+    out = doc_token_counts(
+        df, segments.select("word", "n_tokens"), text_col, id_col, level="char"
+    )
+    return out.withColumnRenamed("n_bpe_tokens", "n_unigram_tokens")

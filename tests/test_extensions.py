@@ -2045,3 +2045,210 @@ def test_bpe_memo_and_release(spark, docs):
     m4, _ = bpe_ops.bpe_learn(docs, num_merges=2)
     assert m4 is not m1, "release must drop the memo"
     bpe_ops.release_bpe_cache(spark)
+
+
+# --- unigram-LM (SentencePiece-style) tokenizer ----------------------------
+
+
+def _seq_unigram(texts, vocab_size, max_piece_len, max_word_len, em_rounds,
+                 seed_multiplier=4):
+    """Sequential pure-Python reference for the unigram-LM trainer spec
+    (operators/unigram.py module docstring): independent Counter/dict
+    formulation — substring seeding, integer-log-prob Viterbi hard-EM,
+    count-order pruning, alphabet floor. Returns (pieces, segments):
+    pieces as {piece: (freq, logprob, token_id)}, segments as
+    {word: [piece, ...]} for EVERY distinct pre-token (over-cap words
+    per-codepoint)."""
+    import math
+    import re
+    from collections import Counter
+
+    from billing_etl_v1_spark.operators.text import BPE_TOKEN_RE
+
+    pat = re.compile(BPE_TOKEN_RE)
+    words = Counter(w for t in texts if t for w in pat.findall(t))
+    if not words:
+        return {}, {}
+    alphabet = sorted({c for w in words for c in w})
+    incap = {w: f for w, f in words.items() if len(w) <= max_word_len}
+
+    def top_multi(counts, n):
+        multi = sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )
+        return dict(multi[:n])
+
+    def alpha_floor(counts):
+        out = {p: c for p, c in counts.items() if len(p) > 1 and c > 0}
+        for ch in alphabet:
+            out[ch] = max(counts.get(ch, 0), 1)
+        return out
+
+    def ilp_of(counts):
+        total = float(sum(counts.values()))
+        return {p: math.floor(1e6 * math.log(c / total)) for p, c in counts.items()}
+
+    def viterbi(w, ilp):
+        # independent formulation: forward best-(score, l) per position
+        best = {0: (0, [])}
+        for j in range(1, len(w) + 1):
+            cands = []
+            for l in range(1, min(max_piece_len, j) + 1):
+                if j - l in best and w[j - l : j] in ilp:
+                    sc, segs = best[j - l]
+                    cands.append((sc + ilp[w[j - l : j]], l, segs + [w[j - l : j]]))
+            if cands:
+                sc, l, segs = max(cands, key=lambda t: (t[0], t[1]))
+                best[j] = (sc, segs)
+        return best[len(w)][1]
+
+    sub = Counter()
+    for w, f in incap.items():
+        for l in range(1, max_piece_len + 1):
+            for st_ in range(len(w) - l + 1):
+                sub[w[st_ : st_ + l]] += f
+    counts = alpha_floor(
+        {
+            **{p: c for p, c in sub.items() if len(p) == 1},
+            **top_multi(sub, max(0, seed_multiplier * vocab_size - len(alphabet))),
+        }
+    )
+    segs = {}
+    for rnd in range(em_rounds + 1):
+        if rnd == em_rounds:
+            counts = {
+                **{p: c for p, c in counts.items() if len(p) == 1},
+                **top_multi(counts, max(0, vocab_size - len(alphabet))),
+            }
+        ilp = ilp_of(counts)
+        segs = {w: viterbi(w, ilp) for w in incap}
+        c = Counter()
+        for w, f in incap.items():
+            for p in segs[w]:
+                c[p] += f
+        counts = alpha_floor(c)
+    total = float(sum(counts.values()))
+    ranked = sorted(counts.items(), key=lambda pc: (-pc[1], pc[0]))
+    pieces = {
+        p: (c, math.floor(math.log(c / total) * 1e6 + 0.5) / 1e6, i)
+        for i, (p, c) in enumerate(ranked)
+    }
+    for w in words:
+        if len(w) > max_word_len:
+            segs[w] = list(w)
+    return pieces, segs
+
+
+def _spark_unigram(spark, texts, **kw):
+    from billing_etl_v1_spark.operators import unigram as ug
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    pieces, segments = ug.unigram_learn(df, **kw)
+    got_p = {
+        r["piece"]: (r["freq"], r["logprob"], r["token_id"]) for r in pieces.collect()
+    }
+    got_s = {r["word"]: list(r["pieces"]) for r in segments.collect()}
+    ug.release_unigram_cache(spark)
+    return got_p, got_s
+
+
+def test_unigram_matches_reference_fixed_case(spark):
+    """Trainer end-to-end on a corpus with real structure: repeated stems
+    so EM genuinely reassigns mass, an over-cap word for the bypass lane,
+    and more seed pieces than vocab_size so pruning bites."""
+    texts = [
+        "banana band bandana",
+        "an ana banana",
+        "nab an and",
+        "bandbandbandbandbandx",  # 21 codepoints > max_word_len=16: bypass
+    ]
+    kw = dict(vocab_size=8, max_piece_len=3, max_word_len=16, em_rounds=2)
+    exp_p, exp_s = _seq_unigram(texts, **kw)
+    got_p, got_s = _spark_unigram(spark, texts, **kw)
+    assert got_s == exp_s
+    assert got_p == exp_p
+    # structural invariants: alphabet always survives; ids dense by rank
+    assert {p for p in got_p if len(p) == 1} >= {"a", "b", "d", "n", "x"}
+    assert sorted(v[2] for v in got_p.values()) == list(range(len(got_p)))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab1 .'", min_size=0, max_size=24), min_size=0, max_size=6
+    ),
+    vocab_size=st.integers(min_value=1, max_value=12),
+    em_rounds=st.integers(min_value=0, max_value=3),
+)
+def test_unigram_matches_reference_property(spark, texts, vocab_size, em_rounds):
+    """Property sweep vs the sequential reference on adversarial random
+    corpora: count ties in seeding/pruning, vocab_size below the alphabet
+    size, zero EM rounds (seed -> prune -> final only), empty corpora."""
+    kw = dict(
+        vocab_size=vocab_size, max_piece_len=3, max_word_len=8, em_rounds=em_rounds
+    )
+    exp_p, exp_s = _seq_unigram(texts, **kw)
+    got_p, got_s = _spark_unigram(spark, texts, **kw)
+    assert got_s == exp_s
+    assert got_p == exp_p
+
+
+def test_unigram_token_counts_consistent(spark):
+    """Per-doc counts must equal summing the segmentation costs by hand,
+    and every doc must appear (zero-pretoken docs report 0/0)."""
+    import re
+
+    from billing_etl_v1_spark.operators import unigram as ug
+    from billing_etl_v1_spark.operators.text import BPE_TOKEN_RE
+
+    texts = ["banana band", "an and ana banana nab", "", None, "zzz zz z"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    kw = dict(vocab_size=8, max_piece_len=3, max_word_len=16, em_rounds=2)
+    _, segments = ug.unigram_learn(df, **kw)
+    cost = {r["word"]: r["n_tokens"] for r in segments.collect()}
+    got = {
+        r.doc_id: (r.n_pretokens, r.n_unigram_tokens)
+        for r in ug.unigram_token_counts(df, **kw).collect()
+    }
+    pat = re.compile(BPE_TOKEN_RE)
+    for i, t in enumerate(texts):
+        ws = pat.findall(t) if t else []
+        assert got[i] == (len(ws), sum(cost[w] for w in ws)), (i, t)
+    ug.release_unigram_cache(spark)
+
+
+def test_unigram_empty_corpus(spark):
+    """Empty / all-NULL corpora flow through without errors (the empty
+    day-partition lane): empty pieces, empty segments, 0/0 counts."""
+    from billing_etl_v1_spark.operators import unigram as ug
+
+    for rows in ([], [(1, None)]):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pieces, segments = ug.unigram_learn(df, vocab_size=4)
+        assert pieces.count() == 0 and segments.count() == 0
+        counts = ug.unigram_token_counts(df, vocab_size=4)
+        assert counts.count() == len(rows)
+        ug.release_unigram_cache(spark)
+
+
+def test_unigram_memo_and_release(spark, docs):
+    from billing_etl_v1_spark.operators import unigram as ug
+
+    p1, s1 = ug.unigram_learn(docs, vocab_size=8)
+    p2, s2 = ug.unigram_learn(docs, vocab_size=8)
+    assert p1 is p2 and s1 is s2, "same corpus+hyperparameters must reuse"
+    p3, _ = ug.unigram_learn(docs, vocab_size=9)
+    assert p3 is not p1, "different vocab_size must retrain"
+    assert ug.release_unigram_cache(spark) >= 2
+    p4, _ = ug.unigram_learn(docs, vocab_size=8)
+    assert p4 is not p1, "release must drop the memo"
+    ug.release_unigram_cache(spark)
