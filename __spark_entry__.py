@@ -31,6 +31,7 @@ from billing_etl_v1_spark.operators import similarity as sim_ops
 from billing_etl_v1_spark.operators import skew as skew_ops
 from billing_etl_v1_spark.operators import text as text_ops
 from billing_etl_v1_spark.operators import timeseries as ts_ops
+from billing_etl_v1_spark.operators import unigram as ug_ops
 from billing_etl_v1_spark.plans import examples as example_plans
 from billing_etl_v1_spark.sources.readers import load_table
 from billing_etl_v1_spark.operators import aggregate as agg_ops
@@ -920,6 +921,24 @@ def _q_docs_shard_manifest(spark, sf_dir):
     return corpus_ops.shard_manifest(load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_unigram_vocab(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer vocabulary:
+    substring-seeded, Viterbi-hard-EM trained, pruned piece table with
+    quantized log probabilities and dense token ids — the r6 VERDICT's
+    top residual (the production tokenizer family BPE doesn't cover).
+    EXECUTES EAGERLY at call time (one bounded piece-table collect per EM
+    round — operators/unigram.py); training is memoized per session, so
+    docs_unigram_tokens reuses it."""
+    return ug_ops.unigram_learn(load_table(spark, sf_dir, "documents"))[0]
+
+
+def _q_docs_unigram_tokens(spark, sf_dir):
+    """Exact per-document token counts under the corpus-trained unigram-LM
+    vocabulary — the Viterbi-segmentation cost of every document, the
+    unigram twin of docs_bpe_tokens (training shared via the memo)."""
+    return ug_ops.unigram_token_counts(load_table(spark, sf_dir, "documents"))
+
+
 def _q_flagship_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: the whole pipeline as ONE spark.sql statement (the reference's
     pure-SQL engine, calculate/sql_template.py) — same oracle as the
@@ -933,112 +952,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Order matters: the driver's correctness harness checks the FIRST 50
     entries only; rotation policy is "every query's latest verdict <= 2
-    rounds old" (age = current round − verdict round). Round 6's window:
-    the 31 entries whose latest verdict is r3 (age 3 if skipped — the
-    mechanically mandatory set the r5 VERDICT names;
+    rounds old" (age = current round − verdict round). Round 7's window:
+    the 36 entries whose latest verdict is r4 (age 3 if skipped — the
+    mechanically mandatory lead set the r6 VERDICT names;
     tests/test_rotation_policy.py re-derives it from the
     CORRECTNESS_r*.json artifacts and goes red if any is missing), then
-    the session's NINE NEW queries (an unverified query may not sit below
-    the fold): the byte-level GPT-2-lineage BPE family the r5 VERDICT
-    named as the top extension (docs_bpe_merges_byte /
-    docs_bpe_tokens_byte), the exported token-id vocabulary at both
-    levels (docs_bpe_vocab / docs_bpe_vocab_byte), per-document token-id
-    sequences and their fixed-size packed training blocks
-    (docs_bpe_token_seq / docs_bpe_pack_ids), per-language tokenizer
-    fertility (docs_bpe_fertility), DSIR importance weights
-    (docs_dsir_weights), and the corpus DQ gate (docs_dq_audit). The
-    remaining 10 discretionary slots all come from the 46-entry age-2
-    (r4-verdict) pool: billing_profile (profile_columns changed this
-    round — day_col validation, ADVICE r5 low) plus the bench's billing
-    headline block (flagships, source aggregates, rule_match,
-    pricing_modes, billing_dq_audit), so the measured numbers always
-    rest on fresh verdicts. 31 + 9 + 10 = 50. The 36 age-2 entries that
-    didn't fit (29 never-picked + 7 displaced by the new queries) sit
-    first below the fold as round 7's mandatory leads (36 < 50, so the
-    rotation stays sustainable — test_rotation_is_sustainable asserts
-    this); the 50 r5-verdict entries follow. Everything below the fold
-    still runs in the local parity mirror (tests/test_oracle_parity.py),
-    and the FULL registry was strict-verified dtype-exact vs its oracles
-    at sf0.01 during round 6 (tests/strict_check.py), so the deferred
-    entries are pre-validated, not just parity-mirrored.
+    the session's TWO NEW queries (an unverified query may not sit below
+    the fold): the unigram-LM (SentencePiece-style) tokenizer vocabulary
+    and per-document token counts (docs_unigram_vocab /
+    docs_unigram_tokens — the r6 VERDICT's top residual). The remaining
+    12 discretionary slots all come from the 50-entry age-2 (r5-verdict)
+    pool, chosen as the bench's EXTENDED_NAMES members so the measured
+    numbers rest on fresh verdicts. 36 + 2 + 12 = 50. Below the fold:
+    the 38 remaining r5-verdict entries sit first as round 8's mandatory
+    leads (38 < 50, so the rotation stays sustainable —
+    test_rotation_is_sustainable asserts this); the 50 r6-verdict
+    entries (age 1, safe until round 8/9) follow. Everything below the
+    fold still runs in the local parity mirror
+    (tests/test_oracle_parity.py), and the FULL registry is
+    strict-verified dtype-exact vs its oracles at sf0.01 each round
+    (tests/strict_check.py), so the deferred entries are pre-validated,
+    not just parity-mirrored.
     """
     return {
-        # --- ROUND-6 WINDOW (first 50; driver checks only these) ---
-        # 31 entries whose latest verdict is r3 (age 3 if skipped) — the
-        # policy-mandatory leads, exactly the set the r5 VERDICT names:
-        "dedup_semantic": _q_dedup_semantic,
-        "multimodal_features": _q_multimodal_features,
-        "billing_credits_pivot": _q_credits_pivot,
-        "billing_dim_rules": _q_dim_rules,
-        "billing_minmax_day": _q_minmax_day,
-        "billing_rollup": _q_billing_rollup,
-        "billing_distinct_accounts": _q_distinct_accounts,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_clusters": _q_dedup_clusters,
-        "events_json_props": _q_events_json,
-        "billing_running_totals": _q_running_totals,
-        "billing_rolling_daily_cost": _q_rolling_daily_cost,
-        "billing_month_reconciliation": _q_month_reconciliation,
-        "billing_month_over_month": _q_month_over_month,
-        "billing_new_usage_lines": _q_new_usage_lines,
-        "billing_repeat_usage_lines": _q_repeat_usage_lines,
-        "billing_gap_fill": _q_gap_fill,
-        "billing_scd2": _q_billing_scd2,
-        "docs_text_stats": _q_text_stats,
-        "docs_lang_id": _q_lang_id,
-        "docs_fingerprint": _q_fingerprint,
-        "docs_pii_scrub": _q_pii_scrub,
-        "docs_sample": _q_docs_sample,
-        "docs_stratified_sample": _q_docs_stratified_sample,
-        "docs_pack_shards": _q_docs_pack_shards,
-        "docs_mixture_sample": _q_docs_mixture_sample,
-        "docs_corpus_build": _q_docs_corpus_build,
-        "docs_dedup_spans": _q_docs_dedup_spans,
-        "docs_decontaminate_fuzzy": _q_docs_decontaminate_fuzzy,
-        "docs_winnow_fingerprints": _q_docs_winnow,
-        # the session's nine NEW queries (byte-level GPT-2-lineage BPE —
-        # the r5 VERDICT's named extension — plus the exported token-id
-        # vocabulary table at both levels, the per-document token-id
-        # SEQUENCES, and the fixed-size packed training blocks over them,
-        # completing the tokenizer surface end-to-end: counts, vocabulary,
-        # model input, data-loader blocks — plus the corpus DQ gate that
-        # makes those operators' data contracts checkable); an unverified
-        # query may not sit below the fold. They displace seven
-        # discretionary age-2 picks (docs_quality_corpus /
-        # docs_repetition / dedup_minhash_lsh / billing_cube /
-        # multimodal_resize / multimodal_frame_sample /
-        # events_salted_user_join), which join round 7's mandatory
-        # leads below:
-        "docs_bpe_merges_byte": _q_docs_bpe_merges_byte,
-        "docs_bpe_tokens_byte": _q_docs_bpe_tokens_byte,
-        "docs_bpe_vocab": _q_docs_bpe_vocab,
-        "docs_bpe_vocab_byte": _q_docs_bpe_vocab_byte,
-        "docs_bpe_token_seq": _q_docs_bpe_token_seq,
-        "docs_bpe_pack_ids": _q_docs_bpe_pack_ids,
-        "docs_dq_audit": _q_docs_dq_audit,
-        "docs_bpe_fertility": _q_docs_bpe_fertility,
-        "docs_dsir_weights": _q_docs_dsir_weights,
-        # 17 discretionary slots, all from the 46-entry age-2 (r4-verdict)
-        # pool so round 7 inherits the smallest possible backlog (29 < 50):
-        # billing_profile first (profile_columns gained day_col validation
-        # this round — a code-touched plan deserves the freshest verdict),
-        # then the three r5-flagged first picks, then the bench's flagship /
-        # headline family, then the remaining bench ext: entries:
-        "billing_profile": _q_billing_profile,
-        "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
-        "billing_flagship": _flagship(None, "detail"),
-        "billing_flagship_production": _flagship(None, "pipeline"),
-        "billing_flagship_sql": _q_flagship_sql,
-        "billing_source_agg": _q_source_agg,
-        "billing_source_agg_detail": _q_source_agg_detail,
-        "billing_rule_match": _q_rule_match,
-        "billing_pricing_modes": _q_pricing_modes,
-        "billing_dq_audit": _q_dq_audit,
-        # --- below the driver fold (local parity still runs ALL) ---
-        # 36 remaining age-2 (r4-verdict) entries (29 deferred + the seven
-        # displaced picks) — round 7 MUST lead with these (they fit:
-        # 36 < 50); kept contiguous so that rotation is a copy-paste:
+        # --- ROUND-7 WINDOW (first 50; driver checks only these) ---
+        # 36 entries whose latest verdict is r4 (age 3 if skipped) — the
+        # policy-mandatory leads, exactly the set the r6 VERDICT names:
         "events_salted_user_join": _q_events_salted_join,
         "multimodal_frame_sample": _q_multimodal_frames,
         "multimodal_resize": _q_multimodal_resize,
@@ -1075,13 +1014,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate": _q_docs_decontaminate,
         "docs_bigram_fluency": _q_docs_fluency,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
-        # age-1 (r5-verdict) entries — safe until round 7/8:
+        # the session's TWO NEW queries — the unigram-LM tokenizer family
+        # (the r6 VERDICT's top residual; an unverified query may not sit
+        # below the fold):
+        "docs_unigram_vocab": _q_docs_unigram_vocab,
+        "docs_unigram_tokens": _q_docs_unigram_tokens,
+        # 12 discretionary slots from the 50-entry age-2 (r5-verdict)
+        # pool — all bench EXTENDED_NAMES members, so the measured numbers
+        # rest on fresh verdicts; the other 38 become round 8's leads:
         "tpch_q1": _q_tpch_q1,
-        "tpch_q2": _q_tpch_q2,
         "tpch_q3": _q_tpch_q3,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q18": _q_tpch_q18,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "sim_topk_ivf": _q_sim_ivf,
+        "sim_topk_quantized": _q_sim_topk_quantized,
+        "docs_tfidf_top_terms": _q_docs_tfidf,
+        "docs_chunk": _q_docs_chunk,
+        "events_sessionize": _q_events_sessionize,
+        "events_user_trend": _q_user_trend,
+        "events_attribution": _q_events_attribution,
+        # --- below the driver fold (local parity still runs ALL) ---
+        # 38 remaining age-2 (r5-verdict) entries — round 8 MUST lead with
+        # these (they fit: 38 < 50); kept contiguous so the rotation is a
+        # copy-paste:
+        "tpch_q2": _q_tpch_q2,
         "tpch_q4": _q_tpch_q4,
         "tpch_q5": _q_tpch_q5,
-        "tpch_q6": _q_tpch_q6,
         "tpch_q7": _q_tpch_q7,
         "tpch_q8": _q_tpch_q8,
         "tpch_q9": _q_tpch_q9,
@@ -1093,7 +1052,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": _q_tpch_q15,
         "tpch_q16": _q_tpch_q16,
         "tpch_q17": _q_tpch_q17,
-        "tpch_q18": _q_tpch_q18,
         "tpch_q19": _q_tpch_q19,
         "tpch_q20": _q_tpch_q20,
         "tpch_q21": _q_tpch_q21,
@@ -1101,31 +1059,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_price_bands": _q_price_bands,
         "tpch_top_customers": _q_top_customers,
         "docs_top_ngrams": _q_docs_top_ngrams,
-        "docs_tfidf_top_terms": _q_docs_tfidf,
         "dedup_lsh_recall": _q_dedup_lsh_recall,
-        "docs_chunk": _q_docs_chunk,
         "events_window_agg": _q_events_window,
-        "events_sessionize": _q_events_sessionize,
         "events_top_types": _q_events_top_types,
         "events_asof_purchase": _q_events_asof,
         "events_type_pivot": _q_event_pivot,
         "events_value_deciles": _q_value_deciles,
-        "events_attribution": _q_events_attribution,
         "events_rfm": _q_events_rfm,
         "events_value_percentiles": _q_value_percentiles,
         "events_approx_stats": _q_approx_stats,
-        "events_user_trend": _q_user_trend,
         "events_anomaly": _q_events_anomaly,
         "sim_topk_bruteforce": _q_sim_bruteforce,
-        "sim_topk_ivf": _q_sim_ivf,
-        "sim_topk_quantized": _q_sim_topk_quantized,
         "sim_hard_negatives": _q_sim_hard_negatives,
         "embeddings_kmeans": _q_embeddings_kmeans,
         "embeddings_quantize": _q_embeddings_quantize,
         "dedup_embedding_cosine": _q_dedup_embedding,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "docs_bpe_merges": _q_docs_bpe_merges,
         "docs_bpe_tokens": _q_docs_bpe_tokens,
+        # age-1 (r6-verdict) entries — safe until round 8/9:
+        "dedup_semantic": _q_dedup_semantic,
+        "multimodal_features": _q_multimodal_features,
+        "billing_credits_pivot": _q_credits_pivot,
+        "billing_dim_rules": _q_dim_rules,
+        "billing_minmax_day": _q_minmax_day,
+        "billing_rollup": _q_billing_rollup,
+        "billing_distinct_accounts": _q_distinct_accounts,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
+        "events_json_props": _q_events_json,
+        "billing_running_totals": _q_running_totals,
+        "billing_rolling_daily_cost": _q_rolling_daily_cost,
+        "billing_month_reconciliation": _q_month_reconciliation,
+        "billing_month_over_month": _q_month_over_month,
+        "billing_new_usage_lines": _q_new_usage_lines,
+        "billing_repeat_usage_lines": _q_repeat_usage_lines,
+        "billing_gap_fill": _q_gap_fill,
+        "billing_scd2": _q_billing_scd2,
+        "docs_text_stats": _q_text_stats,
+        "docs_lang_id": _q_lang_id,
+        "docs_fingerprint": _q_fingerprint,
+        "docs_pii_scrub": _q_pii_scrub,
+        "docs_sample": _q_docs_sample,
+        "docs_stratified_sample": _q_docs_stratified_sample,
+        "docs_pack_shards": _q_docs_pack_shards,
+        "docs_mixture_sample": _q_docs_mixture_sample,
+        "docs_corpus_build": _q_docs_corpus_build,
+        "docs_dedup_spans": _q_docs_dedup_spans,
+        "docs_decontaminate_fuzzy": _q_docs_decontaminate_fuzzy,
+        "docs_winnow_fingerprints": _q_docs_winnow,
+        "docs_bpe_merges_byte": _q_docs_bpe_merges_byte,
+        "docs_bpe_tokens_byte": _q_docs_bpe_tokens_byte,
+        "docs_bpe_vocab": _q_docs_bpe_vocab,
+        "docs_bpe_vocab_byte": _q_docs_bpe_vocab_byte,
+        "docs_bpe_token_seq": _q_docs_bpe_token_seq,
+        "docs_bpe_pack_ids": _q_docs_bpe_pack_ids,
+        "docs_dq_audit": _q_docs_dq_audit,
+        "docs_bpe_fertility": _q_docs_bpe_fertility,
+        "docs_dsir_weights": _q_docs_dsir_weights,
+        "billing_profile": _q_billing_profile,
+        "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
+        "billing_flagship": _flagship(None, "detail"),
+        "billing_flagship_production": _flagship(None, "pipeline"),
+        "billing_flagship_sql": _q_flagship_sql,
+        "billing_source_agg": _q_source_agg,
+        "billing_source_agg_detail": _q_source_agg_detail,
+        "billing_rule_match": _q_rule_match,
+        "billing_pricing_modes": _q_pricing_modes,
+        "billing_dq_audit": _q_dq_audit,
     }
 
 
@@ -1237,6 +1238,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_dq_audit": oracle_ext.corpus_dq_audit_sql(),
         "docs_bpe_fertility": oracle_ext.bpe_fertility_sql(level="byte"),
         "docs_dsir_weights": oracle_ext.dsir_importance_sql(),
+        "docs_unigram_vocab": oracle_ext.unigram_vocab_sql(),
+        "docs_unigram_tokens": oracle_ext.unigram_token_counts_sql(),
         "embeddings_quantize": oracle_ext.quantize_embeddings_sql(),
         "sim_topk_quantized": oracle_ext.sim_topk_quantized_sql(),
         "sim_hard_negatives": oracle_ext.hard_negatives_sql(),

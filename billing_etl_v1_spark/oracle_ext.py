@@ -2873,3 +2873,190 @@ SELECT d.doc_id,
        CAST(coalesce(a.bpe, 0) AS BIGINT) AS n_bpe_tokens
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
+
+
+# --- unigram-LM tokenizer (operators/unigram.py) ---------------------------
+
+
+def _unigram_dp_ctes(r: int, max_piece_len: int, max_word_len: int) -> str:
+    """One Viterbi sweep (round ``r``) unrolled over word positions — the
+    SQL mirror of operators.unigram.viterbi_segment: dp cell j keeps the
+    best (score DESC, piece-length DESC) extension over piece lengths
+    l = 1..min(max_piece_len, j); the row_number tie-break is a total
+    order because l determines the predecessor cell. Each dp CTE is
+    MATERIALIZED (referenced by up to max_piece_len later cells — the
+    _bpe_round_ctes inline-blowup lesson). Scores are BIGINT sums of the
+    integer log-prob grid, so the argmax is exact in both engines."""
+    parts = [
+        f"d{r}_0 AS (SELECT word, freq, CAST(0 AS BIGINT) AS score, "
+        f"CAST([] AS VARCHAR[]) AS segs FROM incap)"
+    ]
+    for j in range(1, max_word_len + 1):
+        branches = "\n      UNION ALL\n".join(
+            f"""      SELECT d.word, d.freq, d.score + p.ilp AS score,
+             d.segs || [p.piece] AS segs, {l} AS plen
+      FROM d{r}_{j - l} d JOIN p{r} p ON p.piece = substr(d.word, {j - l + 1}, {l})
+      WHERE len(d.word) >= {j}"""
+            for l in range(1, min(max_piece_len, j) + 1)
+        )
+        parts.append(
+            f"""d{r}_{j} AS MATERIALIZED (
+  SELECT word, freq, score, segs FROM (
+    SELECT word, freq, score, segs,
+           row_number() OVER (PARTITION BY word ORDER BY score DESC, plen DESC) AS rn
+    FROM (
+{branches}
+    )
+  ) WHERE rn = 1
+)"""
+        )
+    finals = "\n  UNION ALL\n".join(
+        f"  SELECT word, freq, segs FROM d{r}_{j} WHERE len(word) = {j}"
+        for j in range(1, max_word_len + 1)
+    )
+    parts.append(f"f{r} AS MATERIALIZED (\n{finals}\n)")
+    return ",\n".join(parts)
+
+
+def _unigram_train_ctes(
+    vocab_size: int,
+    max_piece_len: int,
+    max_word_len: int,
+    em_rounds: int,
+    seed_multiplier: int,
+) -> str:
+    """The full trainer as chained CTEs (the bpe_merges_sql playbook):
+    substring seeding, em_rounds+1 Viterbi sweeps with recounts (the last
+    under the pruned piece set), alphabet floored at count 1 throughout.
+    Integer-log-prob tables p{r} carry ilp = floor(1e6 * ln(cnt/total))
+    — the identical formula the Spark side evaluates, so DP decisions
+    agree exactly (module docstring of operators/unigram.py, §3)."""
+    pre = _bpe_pre_re_sql("char")
+    n_multi_seed = f"greatest(0, {seed_multiplier * vocab_size} - (SELECT count(*) FROM alpha))"
+    n_multi_keep = f"greatest(0, {vocab_size} - (SELECT count(*) FROM alpha))"
+
+    def floored(src: str) -> str:
+        return f"""(
+  SELECT a.piece, greatest(coalesce(s.cnt, 0), CAST(1 AS BIGINT)) AS cnt
+  FROM alpha a LEFT JOIN (SELECT piece, cnt FROM {src} WHERE len(piece) = 1) s USING (piece)
+  UNION ALL
+  SELECT piece, cnt FROM {src} WHERE len(piece) > 1
+)"""
+
+    def ilp(counts: str) -> str:
+        return f"""(
+  SELECT piece,
+         CAST(floor(1e6 * ln(CAST(cnt AS DOUBLE) / t.total)) AS BIGINT) AS ilp
+  FROM {counts}, (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM {counts}) t
+)"""
+
+    parts = [
+        f"pre AS (SELECT unnest(regexp_extract_all(text, '{pre}')) AS word FROM documents)",
+        "wall AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq "
+        "FROM pre GROUP BY word)",
+        f"incap AS MATERIALIZED (SELECT * FROM wall WHERE len(word) <= {max_word_len})",
+        "alpha AS MATERIALIZED (SELECT DISTINCT "
+        "unnest(regexp_extract_all(word, '.')) AS piece FROM wall)",
+        f"""sub AS MATERIALIZED (
+  SELECT substr(w.word, st.i, l.i) AS piece, CAST(sum(w.freq) AS BIGINT) AS cnt
+  FROM incap w,
+       unnest(range(1, {max_piece_len + 1})) l(i),
+       unnest(range(1, {max_word_len + 1})) st(i)
+  WHERE st.i + l.i - 1 <= len(w.word)
+  GROUP BY 1
+)""",
+        f"""seedm AS (
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+    FROM sub WHERE len(piece) > 1
+  ) WHERE rn <= {n_multi_seed}
+)""",
+        f"""c0 AS MATERIALIZED (SELECT * FROM {floored("(SELECT piece, cnt FROM sub WHERE len(piece) = 1 UNION ALL SELECT piece, cnt FROM seedm) seed0")})""",
+    ]
+    for r in range(em_rounds + 1):
+        if r == em_rounds:
+            parts.append(
+                f"""cp AS MATERIALIZED (
+  SELECT piece, cnt FROM c{r} WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+    FROM c{r} WHERE len(piece) > 1
+  ) WHERE rn <= {n_multi_keep}
+)"""
+            )
+            parts.append(f"p{r} AS MATERIALIZED (SELECT * FROM {ilp('cp')})")
+        else:
+            parts.append(f"p{r} AS MATERIALIZED (SELECT * FROM {ilp(f'c{r}')})")
+        parts.append(_unigram_dp_ctes(r, max_piece_len, max_word_len))
+        parts.append(
+            f"""u{r} AS (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, unnest(segs) AS piece FROM f{r})
+  GROUP BY piece
+)"""
+        )
+        parts.append(f"c{r + 1} AS MATERIALIZED (SELECT * FROM {floored(f'u{r}')})")
+    return ",\n".join(parts)
+
+
+def unigram_vocab_sql(
+    vocab_size: int = 32,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    em_rounds: int = 2,
+    seed_multiplier: int = 4,
+) -> str:
+    """Twin of operators.unigram.unigram_learn's exported piece table:
+    (piece, freq, logprob, token_id). All training decisions are integer
+    (counts, the 1e-6 log-prob grid), so the match is exact; the oracle's
+    plain ordered row_number is the independent formulation of the
+    engine's two-phase distributed rank."""
+    final = f"c{em_rounds + 1}"
+    return f"""
+WITH {_unigram_train_ctes(vocab_size, max_piece_len, max_word_len, em_rounds, seed_multiplier)}
+SELECT piece, cnt AS freq,
+       {_r6("ln(CAST(cnt AS DOUBLE) / t.total)")} AS logprob,
+       CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) - 1 AS INT) AS token_id
+FROM {final}, (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM {final}) t
+"""
+
+
+def unigram_token_counts_sql(
+    vocab_size: int = 32,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    em_rounds: int = 2,
+    seed_multiplier: int = 4,
+) -> str:
+    """Twin of operators.unigram.unigram_token_counts: per-document token
+    counts under the final segmentation — cost-table join (final-round
+    segmentations; over-cap words cost one piece per codepoint), never
+    re-running Viterbi per occurrence."""
+    pre = _bpe_pre_re_sql("char")
+    return f"""
+WITH {_unigram_train_ctes(vocab_size, max_piece_len, max_word_len, em_rounds, seed_multiplier)},
+cost AS (
+  SELECT word, CAST(len(segs) AS BIGINT) AS n_tokens FROM f{em_rounds}
+  UNION ALL
+  SELECT word, CAST(len(word) AS BIGINT) AS n_tokens
+  FROM wall WHERE len(word) > {max_word_len}
+),
+occ AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS occ FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '{pre}')) AS word
+    FROM documents
+  ) GROUP BY doc_id, word
+),
+agg AS (
+  SELECT o.doc_id,
+         CAST(sum(o.occ) AS BIGINT) AS pre,
+         CAST(sum(o.occ * c.n_tokens) AS BIGINT) AS uni
+  FROM occ o JOIN cost c USING (word)
+  GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.pre, 0) AS BIGINT) AS n_pretokens,
+       CAST(coalesce(a.uni, 0) AS BIGINT) AS n_unigram_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""

@@ -2252,3 +2252,36 @@ def test_unigram_memo_and_release(spark, docs):
     p4, _ = ug.unigram_learn(docs, vocab_size=8)
     assert p4 is not p1, "release must drop the memo"
     ug.release_unigram_cache(spark)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab1 .'", min_size=0, max_size=24), min_size=0, max_size=6
+    ),
+    vocab_size=st.integers(min_value=1, max_value=12),
+    em_rounds=st.integers(min_value=0, max_value=2),
+)
+def test_unigram_oracle_matches_reference_property(texts, vocab_size, em_rounds):
+    """The DuckDB twin must equal the sequential reference on random
+    corpora (no Spark needed — this closes the triangle: Spark==ref and
+    oracle==ref imply the driver's hash comparison can only fail on a
+    real defect, not twin drift)."""
+    import duckdb
+
+    from billing_etl_v1_spark import oracle_ext
+
+    kw = dict(
+        vocab_size=vocab_size, max_piece_len=3, max_word_len=8, em_rounds=em_rounds
+    )
+    exp_p, _ = _seq_unigram(texts, **kw)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(texts)) or [(0, None)]
+    )
+    duck = {
+        r[0]: (r[1], float(r[2]), r[3])
+        for r in con.execute(oracle_ext.unigram_vocab_sql(**kw)).fetchall()
+    }
+    assert duck == exp_p
