@@ -114,6 +114,38 @@ def build_parser() -> argparse.ArgumentParser:
         "corpus pass stays distributed)",
     )
 
+    uni = sub.add_parser(
+        "unigram",
+        help="train the unigram-LM (SentencePiece-style) tokenizer, or "
+        "encode documents under a persisted one",
+    )
+    uni.add_argument("action", choices=["train", "encode"])
+    uni.add_argument("--docs", required=True, help="documents parquet path")
+    uni.add_argument(
+        "--tokenizer",
+        required=True,
+        help="tokenizer directory (pieces + segments parquet tables)",
+    )
+    uni.add_argument(
+        "--target", help="encode: output parquet for per-doc token counts"
+    )
+    uni.add_argument(
+        "--vocab-size", type=int, default=32, help="train: final piece budget"
+    )
+    uni.add_argument(
+        "--max-piece-len", type=int, default=4, help="train: longest candidate piece"
+    )
+    uni.add_argument(
+        "--max-word-len",
+        type=int,
+        default=16,
+        help="train: pre-token Viterbi-bypass cap; stored in the artifact "
+        "with --max-piece-len — encode always serves at the stored bounds",
+    )
+    uni.add_argument(
+        "--em-rounds", type=int, default=2, help="train: EM sweeps before the prune"
+    )
+
     # ad-hoc SQL over tables-at-rest (reference README.md:38-45's documented
     # --query/--list-tables surface, dead in its main.py — real here)
     sql = sub.add_parser("sql", help="run ad-hoc SQL over a directory of parquet tables")
@@ -233,6 +265,43 @@ def main(argv: list[str] | None = None) -> int:
             cap = stored_cap if args.max_word_len is None else args.max_word_len
             counts = bpe_ops.bpe_encode(
                 docs, merges, vocab, max_word_len=cap, level=level
+            )
+            counts.write.mode("overwrite").parquet(args.target)
+            n = spark.read.parquet(args.target).count()
+            print(f"encode complete: {n} docs counted at {args.target}")
+        spark.stop()
+        return 0
+    if args.command == "unigram":
+        from billing_etl_v1_spark.operators import unigram as ug_ops
+
+        docs = spark.read.parquet(args.docs)
+        if args.action == "train":
+            pieces, segments = ug_ops.unigram_learn(
+                docs,
+                vocab_size=args.vocab_size,
+                max_piece_len=args.max_piece_len,
+                max_word_len=args.max_word_len,
+                em_rounds=args.em_rounds,
+            )
+            ug_ops.save_unigram(
+                pieces,
+                segments,
+                args.tokenizer,
+                max_piece_len=args.max_piece_len,
+                max_word_len=args.max_word_len,
+            )
+            print(
+                f"unigram tokenizer trained: {pieces.count()} pieces, "
+                f"{segments.count()} words at {args.tokenizer}"
+            )
+        else:
+            if not args.target:
+                print("unigram encode requires --target", file=sys.stderr)
+                spark.stop()
+                return 2
+            pieces, segments, mpl, mwl = ug_ops.load_unigram(spark, args.tokenizer)
+            counts = ug_ops.unigram_encode(
+                docs, pieces, segments, max_piece_len=mpl, max_word_len=mwl
             )
             counts.write.mode("overwrite").parquet(args.target)
             n = spark.read.parquet(args.target).count()

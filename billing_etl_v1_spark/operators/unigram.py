@@ -84,7 +84,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from billing_etl_v1_spark.operators.bpe import word_vocab
+from billing_etl_v1_spark.operators.bpe import _pretokens, word_vocab
 
 # training decisions happen on this integer grid (see module docstring §3)
 ILP_SCALE = 1_000_000
@@ -107,12 +107,23 @@ def release_unigram_cache(spark=None) -> int:
     return dropped
 
 
-def viterbi_segment(word: str, ilp: dict[str, int], max_piece_len: int) -> list[str]:
+def viterbi_segment(
+    word: str,
+    ilp: dict[str, int],
+    max_piece_len: int,
+    unk_ilp: int | None = None,
+) -> list[str]:
     """The shared Viterbi spec (module docstring §4) for ONE word: maximum
     integer-score segmentation, ties toward the longer piece. Pure
-    function so the pandas UDF, the streaming twin, and tests all call
-    the identical code path. Raises KeyError only if the alphabet
-    invariant is broken (a codepoint of ``word`` has no piece)."""
+    function so the pandas UDF, the serving path, and tests all call
+    the identical code path.
+
+    ``unk_ilp=None`` (training): raises KeyError if a codepoint of
+    ``word`` has no piece — during training the alphabet invariant
+    guarantees coverage, so a miss is a bug. Serving a FROZEN vocabulary
+    (:func:`unigram_encode`) passes an integer ``unk_ilp``: codepoints
+    outside the stored alphabet segment as single-char pieces at that
+    score (the SentencePiece <unk> lane, minus the id remap)."""
     n = len(word)
     NEG = float("-inf")
     dp: list = [NEG] * (n + 1)
@@ -125,6 +136,8 @@ def viterbi_segment(word: str, ilp: dict[str, int], max_piece_len: int) -> list[
             if prev == NEG:
                 continue
             s = ilp.get(word[j - l : j])
+            if s is None and l == 1 and unk_ilp is not None:
+                s = unk_ilp
             if s is None:
                 continue
             cand = prev + s
@@ -398,4 +411,144 @@ def unigram_token_counts(
     out = doc_token_counts(
         df, segments.select("word", "n_tokens"), text_col, id_col, level="char"
     )
+    return out.withColumnRenamed("n_bpe_tokens", "n_unigram_tokens")
+
+
+# --- serving path: persist / load / encode under a FROZEN vocabulary ------
+
+# serving score for codepoints outside the stored alphabet: more negative
+# than any real piece's ilp until the vocabulary total exceeds e^100 counts
+# (unreachable), so an unknown char never outbids a real segmentation —
+# but a path through one stays finite and deterministic
+UNK_ILP = -100 * ILP_SCALE
+
+
+def save_unigram(
+    pieces: DataFrame,
+    segments: DataFrame,
+    dir_path: str,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+) -> None:
+    """Persist a trained unigram tokenizer (:func:`unigram_learn`'s
+    outputs) as parquet under ``dir_path`` — the save_bpe twin. Both
+    tables are vocabulary-bounded. ``max_piece_len`` / ``max_word_len``
+    are part of the tokenizer's definition (they bound the Viterbi DP
+    and the bypass lane), so they live IN the artifact (1-row ``meta``)
+    and :func:`load_unigram` hands them back.
+
+    The serving ilp is derived from the stored (freq, total) at load
+    time with the training formula — floor(1e6 * ln(freq/total)) is a
+    pure function of the stored integers, so persisting it separately
+    could only ever disagree."""
+    pieces.write.mode("overwrite").parquet(f"{dir_path}/pieces")
+    segments.write.mode("overwrite").parquet(f"{dir_path}/segments")
+    meta = pieces.sparkSession.createDataFrame(
+        [(int(max_piece_len), int(max_word_len))],
+        "max_piece_len int, max_word_len int",
+    )
+    meta.write.mode("overwrite").parquet(f"{dir_path}/meta")
+
+
+def load_unigram(spark: SparkSession, dir_path: str):
+    """Load a tokenizer saved by :func:`save_unigram`:
+    (pieces, segments, max_piece_len, max_word_len) — lazy parquet scans
+    plus the stored hyperparameters."""
+    meta = spark.read.parquet(f"{dir_path}/meta").first().asDict()
+    return (
+        spark.read.parquet(f"{dir_path}/pieces"),
+        spark.read.parquet(f"{dir_path}/segments"),
+        int(meta["max_piece_len"]),
+        int(meta["max_word_len"]),
+    )
+
+
+def serving_ilp(pieces: DataFrame) -> dict[str, int]:
+    """piece → integer log-prob under the FINAL exported probabilities
+    (freq / Σfreq on the training grid) — what novel words are scored
+    with at serving time. Bounded collect: ≤ vocab_size rows."""
+    with_total = pieces.crossJoin(
+        F.broadcast(pieces.agg(F.sum("freq").cast("double").alias("__total")))
+    )
+    rows = with_total.select(
+        "piece",
+        F.floor(
+            F.lit(float(ILP_SCALE))
+            * F.log(F.col("freq").cast("double") / F.col("__total"))
+        ).cast("long").alias("ilp"),
+    ).collect()
+    return {r["piece"]: r["ilp"] for r in rows}
+
+
+def encode_unigram_words(
+    words: DataFrame,
+    pieces: DataFrame,
+    *,
+    max_piece_len: int,
+    max_word_len: int,
+) -> DataFrame:
+    """word → pieces (array<string>) for words OUTSIDE the stored
+    segmentation table, by Viterbi under the frozen final probabilities
+    — the unigram twin of :func:`bpe.encode_words`. Over-cap words take
+    the bypass lane (one piece per codepoint); codepoints outside the
+    stored alphabet segment as single-char pieces at :data:`UNK_ILP`
+    (see :func:`viterbi_segment`). Cost scales with the input's
+    vocabulary, never a corpus."""
+    ilp = serving_ilp(pieces)
+    base = words.select("word").distinct()
+    incap = base.filter(F.length("word") <= max_word_len)
+    overcap = base.filter(F.length("word") > max_word_len).select(
+        "word", F.split("word", "").alias("pieces")
+    )
+
+    @pandas_udf("array<string>")
+    def _seg(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda w: viterbi_segment(w, ilp, max_piece_len, unk_ilp=UNK_ILP)
+        )
+
+    return incap.withColumn("pieces", _seg(F.col("word"))).unionByName(overcap)
+
+
+def unigram_encode(
+    df: DataFrame,
+    pieces: DataFrame,
+    segments: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_piece_len: int,
+    max_word_len: int,
+) -> DataFrame:
+    """Exact unigram token counts for a NEW batch under a FROZEN trained
+    vocabulary — the serving path (the bpe_encode twin): words already
+    in the stored segmentation table resolve via one equi-join (exact
+    training parity); only the batch's UNSEEN distinct words run Viterbi
+    under the final exported probabilities. Output: (doc_id,
+    n_pretokens, n_unigram_tokens).
+
+    Known vs novel can differ for the SAME string only in the window
+    between the final pre-prune segmentation and the final recount —
+    that drift is a property of unigram-LM EM itself (SentencePiece's
+    final encode also uses the last EM step's probabilities), and the
+    stored-table fast path pins training words to their training cost.
+    ``max_piece_len`` / ``max_word_len`` are REQUIRED keywords — thread
+    the values :func:`load_unigram` returns (the save_bpe cap lesson)."""
+    from billing_etl_v1_spark.operators.bpe import doc_token_counts
+
+    known = segments.select("word", F.col("n_tokens"))
+    unseen = (
+        df.select(F.explode(_pretokens(F.col(text_col), "char")).alias("word"))
+        .distinct()
+        .join(segments.select("word"), "word", "left_anti")
+        .localCheckpoint()
+    )
+    if not unseen.isEmpty():
+        enc = encode_unigram_words(
+            unseen, pieces, max_piece_len=max_piece_len, max_word_len=max_word_len
+        )
+        known = known.unionByName(
+            enc.select("word", F.size("pieces").cast("bigint").alias("n_tokens"))
+        )
+    out = doc_token_counts(df, known, text_col, id_col, level="char")
     return out.withColumnRenamed("n_bpe_tokens", "n_unigram_tokens")

@@ -537,6 +537,113 @@ def streaming_token_meter(
     """
     from billing_etl_v1_spark.operators import bpe as bpe_ops
 
+    def make_batch_ctx(s: SparkSession):
+        merges, vocab, stored_cap, level = bpe_ops.load_bpe(s, tokenizer_dir)
+        cap = stored_cap if max_word_len is None else max_word_len
+        known = vocab.select("word", F.size("tokens").alias("n_tokens"))
+
+        def encode_unseen(unseen: DataFrame) -> DataFrame:
+            return bpe_ops.encode_words(
+                unseen, merges, max_word_len=cap, level=level
+            ).select("word", F.size("tokens").alias("n_tokens"))
+
+        return known, level, encode_unseen, "n_bpe_tokens"
+
+    return _token_meter_stream(
+        spark,
+        docs_dir,
+        docs_schema,
+        counts_out,
+        checkpoint_dir,
+        make_batch_ctx,
+        word_store=word_store,
+        id_col=id_col,
+        text_col=text_col,
+        max_files_per_trigger=max_files_per_trigger,
+        store_compact_every=store_compact_every,
+    )
+
+
+def streaming_unigram_meter(
+    spark: SparkSession,
+    docs_dir: str,
+    docs_schema,
+    tokenizer_dir: str,
+    counts_out: str,
+    checkpoint_dir: str,
+    word_store: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int | None = None,
+    store_compact_every: int | None = None,
+) -> StreamingQuery:
+    """:func:`streaming_token_meter` for a persisted UNIGRAM-LM tokenizer
+    (operators.unigram.save_unigram): identical store/compaction/
+    exactly-once machinery (shared core), with the tokenizer-specific
+    parts swapped — known words resolve against the stored segmentation
+    table at their exact training cost, and novel words Viterbi-segment
+    under the frozen final probabilities (codepoints outside the stored
+    alphabet take the deterministic UNK single-char lane, so a stream
+    can never crash-loop on unexpected script). Counts column:
+    ``n_unigram_tokens``. Hyperparameters come from the artifact's meta
+    — serving under different bounds than training is not expressible."""
+    from billing_etl_v1_spark.operators import unigram as ug_ops
+
+    def make_batch_ctx(s: SparkSession):
+        pieces, segments, max_piece_len, max_word_len_ = ug_ops.load_unigram(
+            s, tokenizer_dir
+        )
+        known = segments.select("word", "n_tokens")
+
+        def encode_unseen(unseen: DataFrame) -> DataFrame:
+            return ug_ops.encode_unigram_words(
+                unseen,
+                pieces,
+                max_piece_len=max_piece_len,
+                max_word_len=max_word_len_,
+            ).select("word", F.size("pieces").cast("bigint").alias("n_tokens"))
+
+        return known, "char", encode_unseen, "n_unigram_tokens"
+
+    return _token_meter_stream(
+        spark,
+        docs_dir,
+        docs_schema,
+        counts_out,
+        checkpoint_dir,
+        make_batch_ctx,
+        word_store=word_store,
+        id_col=id_col,
+        text_col=text_col,
+        max_files_per_trigger=max_files_per_trigger,
+        store_compact_every=store_compact_every,
+    )
+
+
+def _token_meter_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    docs_schema,
+    counts_out: str,
+    checkpoint_dir: str,
+    make_batch_ctx,
+    *,
+    word_store: str | None,
+    id_col: str,
+    text_col: str,
+    max_files_per_trigger: int | None,
+    store_compact_every: int | None,
+) -> StreamingQuery:
+    """Shared meter core for both tokenizer families — ONE copy of the
+    store semantics (missing-path tolerance, duplicate-row dedupe, write
+    ordering, compaction cadence), because that's exactly the logic that
+    has accumulated review findings; the tokenizer-specific surface is
+    ``make_batch_ctx(session) -> (known, level, encode_unseen,
+    count_col)`` where ``known`` is the artifact's (word, n_tokens)
+    table, ``level`` picks the pre-tokenizer, ``encode_unseen`` prices a
+    novel-word frame, and ``count_col`` names the output token column."""
+    from billing_etl_v1_spark.operators import bpe as bpe_ops
+
     reader = spark.readStream.schema(docs_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -546,9 +653,7 @@ def streaming_token_meter(
         if batch_df.isEmpty():
             return
         s = batch_df.sparkSession
-        merges, vocab, stored_cap, level = bpe_ops.load_bpe(s, tokenizer_dir)
-        cap = stored_cap if max_word_len is None else max_word_len
-        known = vocab.select("word", F.size("tokens").alias("n_tokens"))
+        known, level, encode_unseen, count_col = make_batch_ctx(s)
         if word_store is not None:
             try:
                 known = known.unionByName(
@@ -582,11 +687,11 @@ def streaming_token_meter(
         )
         new_costs = None
         if not unseen.isEmpty():
-            new_costs = bpe_ops.encode_words(
-                unseen, merges, max_word_len=cap, level=level
-            ).select("word", F.size("tokens").alias("n_tokens"))
+            new_costs = encode_unseen(unseen)
             known = known.unionByName(new_costs)
         counts = bpe_ops.doc_token_counts(batch_df, known, text_col, id_col, level)
+        if count_col != "n_bpe_tokens":
+            counts = counts.withColumnRenamed("n_bpe_tokens", count_col)
         counts.write.mode("overwrite").parquet(f"{counts_out}/batch_id={batch_id}")
         if word_store is not None and new_costs is not None:
             # store write LAST: `known` reads the store lazily, so

@@ -2285,3 +2285,93 @@ def test_unigram_oracle_matches_reference_property(texts, vocab_size, em_rounds)
         for r in con.execute(oracle_ext.unigram_vocab_sql(**kw)).fetchall()
     }
     assert duck == exp_p
+
+
+def test_unigram_save_load_encode_roundtrip(spark, tmp_path):
+    """The artifact round-trip (save_bpe twin): hyperparameters travel IN
+    the artifact; known words resolve at their stored training cost; a
+    novel word Viterbi-segments under the final probabilities; a word
+    with codepoints outside the stored alphabet takes the UNK single-char
+    lane instead of failing; an over-cap novel word takes the bypass."""
+    from billing_etl_v1_spark.operators import unigram as ug
+
+    train = spark.createDataFrame(
+        [(1, "banana band bandana"), (2, "an ana banana nab")],
+        "doc_id long, text string",
+    )
+    kw = dict(vocab_size=8, max_piece_len=3, max_word_len=16, em_rounds=2)
+    pieces, segments = ug.unigram_learn(train, **kw)
+    tok = str(tmp_path / "unitok")
+    ug.save_unigram(pieces, segments, tok, max_piece_len=3, max_word_len=16)
+    lp, ls, mpl, mwl = ug.load_unigram(spark, tok)
+    assert (mpl, mwl) == (3, 16)
+    assert sorted(map(tuple, lp.collect())) == sorted(map(tuple, pieces.collect()))
+
+    new = spark.createDataFrame(
+        [
+            (10, "banana band"),          # all known words
+            (11, "bananana"),             # novel, all-known chars
+            (12, "bandanaΩband"),         # novel with an unknown codepoint
+            (13, "a" * 20),               # novel over-cap: bypass
+            (14, ""),                     # zero pretokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_pretokens, r.n_unigram_tokens)
+        for r in ug.unigram_encode(
+            new, lp, ls, max_piece_len=mpl, max_word_len=mwl
+        ).collect()
+    }
+    cost = {r["word"]: r["n_tokens"] for r in segments.collect()}
+    assert got[10] == (2, cost["banana"] + cost["band"])
+    # novel word: segmentation must be Viterbi-optimal under the served
+    # ilp — verify against the shared pure function
+    ilp = ug.serving_ilp(pieces)
+    assert got[11] == (1, len(ug.viterbi_segment("bananana", ilp, 3, ug.UNK_ILP)))
+    # the pre-tokenizer splits the non-ASCII codepoint into its own run;
+    # each pre-token segments independently (Ω goes through the UNK lane)
+    import re
+
+    from billing_etl_v1_spark.operators.text import BPE_TOKEN_RE
+
+    words12 = re.compile(BPE_TOKEN_RE).findall("bandanaΩband")
+    assert got[12] == (
+        len(words12),
+        sum(len(ug.viterbi_segment(w, ilp, 3, ug.UNK_ILP)) for w in words12),
+    )
+    assert got[13] == (1, 20)
+    assert got[14] == (0, 0)
+    # determinism: encoding the same batch twice is identical
+    again = {
+        r.doc_id: (r.n_pretokens, r.n_unigram_tokens)
+        for r in ug.unigram_encode(
+            new, lp, ls, max_piece_len=mpl, max_word_len=mwl
+        ).collect()
+    }
+    assert again == got
+    ug.release_unigram_cache(spark)
+
+
+def test_unigram_training_words_roundtrip_through_novel_path(spark):
+    """Every training word routed through the NOVEL path must segment to
+    a VALID segmentation whose score under the final probabilities is >=
+    the stored one (the final model may legitimately improve on the
+    pre-recount segmentation; it must never be worse — that would mean
+    the serving Viterbi is broken)."""
+    from billing_etl_v1_spark.operators import unigram as ug
+
+    train = spark.createDataFrame(
+        [(1, "banana band bandana an ana nab and")], "doc_id long, text string"
+    )
+    pieces, segments = ug.unigram_learn(
+        train, vocab_size=8, max_piece_len=3, max_word_len=16, em_rounds=2
+    )
+    ilp = ug.serving_ilp(pieces)
+    for r in segments.collect():
+        novel = ug.viterbi_segment(r["word"], ilp, 3, ug.UNK_ILP)
+        assert "".join(novel) == r["word"]
+        stored_score = sum(ilp.get(p, ug.UNK_ILP) for p in r["pieces"])
+        novel_score = sum(ilp.get(p, ug.UNK_ILP) for p in novel)
+        assert novel_score >= stored_score, (r["word"], novel, list(r["pieces"]))
+    ug.release_unigram_cache(spark)

@@ -766,3 +766,63 @@ def test_streaming_quarantine_ingest_splits_good_and_bad(spark, tmp_path):
     assert {r.corrupt_record for r in spark.read.parquet(bad2).collect()} == {
         "2,not-ok,extra-field-junk"
     }
+
+
+def test_streaming_unigram_meter_matches_batch_encode(spark, tmp_path):
+    """The unigram meter must equal the batch unigram_encode of everything
+    ingested: known words at stored training cost, novel words (including
+    one with a codepoint outside the stored alphabet — the UNK lane) via
+    frozen-probability Viterbi, recurring novel words resolved from the
+    word store after their first batch."""
+    from billing_etl_v1_spark.operators import unigram as ug
+    from billing_etl_v1_spark.streaming.pipeline import streaming_unigram_meter
+
+    train = spark.createDataFrame(
+        [(100, "banana band bandana"), (101, "an ana nab and")],
+        "doc_id long, text string",
+    )
+    pieces, segments = ug.unigram_learn(
+        train, vocab_size=8, max_piece_len=3, max_word_len=16, em_rounds=2
+    )
+    tok = str(tmp_path / "unitok")
+    ug.save_unigram(pieces, segments, tok, max_piece_len=3, max_word_len=16)
+
+    docs = [
+        (0, "banana band"),           # all known
+        (1, "bananana zebra"),        # novel words
+        (2, "zebra bandΩana"),        # recurring novel + unknown codepoint
+        (3, ""),                      # zero pretokens
+    ]
+    docs_df = spark.createDataFrame(docs, "doc_id long, text string")
+    docs_dir = str(tmp_path / "docs_in")
+    for i, _ in docs:
+        docs_df.filter(F.col("doc_id") == i).coalesce(1).write.mode("append").parquet(
+            docs_dir
+        )
+    counts_out = str(tmp_path / "counts")
+    q = streaming_unigram_meter(
+        spark,
+        docs_dir,
+        spark.read.parquet(docs_dir).schema,
+        tok,
+        counts_out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        word_store=str(tmp_path / "word_store"),
+        max_files_per_trigger=1,
+        store_compact_every=2,
+    )
+    q.awaitTermination(600)
+    assert q.exception() is None
+
+    got = {
+        r.doc_id: (r.n_pretokens, r.n_unigram_tokens)
+        for r in spark.read.parquet(counts_out).collect()
+    }
+    want = {
+        r.doc_id: (r.n_pretokens, r.n_unigram_tokens)
+        for r in ug.unigram_encode(
+            docs_df, pieces, segments, max_piece_len=3, max_word_len=16
+        ).collect()
+    }
+    assert got == want and len(got) == len(docs)
+    ug.release_unigram_cache(spark)
