@@ -49,7 +49,16 @@ table term still small at x64, consistent with the loop being bounded by
 vocabulary rows, not corpus bytes. The driver-side loop
 (:func:`bpe_learn_driver`, identical output) measured 2,000 merges in
 1.15s on the same x64 vocabulary — ~1,700 merges/s including the
-distributed corpus pass, the path for production merge budgets.
+distributed corpus pass, the path for production merge budgets. A FULL
+production-budget train is measured end-to-end in probe_r7.json
+``bpe_train_32k``: 32,768 byte-level merges over a 41,236-word
+vocabulary in 14.2s (~2,300 merges/s), artifact save 1.7s, and a
+5,000-doc held-out ``bpe_encode`` in 0.5s — "32k merges" is seconds,
+not extrapolated minutes. (Sizing note: merge TYPES scale with DISTINCT
+WORDS — each round retires one pair across the whole vocabulary, and
+this corpus exhausts at ~1.04 rounds/word — so sustaining a budget
+needs a vocabulary comparably sized to it, which is why the probe
+suffix-replicates to ~41k words.)
 
 Run-parity merge apply (why per-position flags equal the sequential
 greedy scan): a position matches when (sym, next) = (a, b); two ADJACENT

@@ -93,6 +93,32 @@ def _timed_eager(run, label: str, n: int = 3) -> dict:
     return {"runs_sec": runs, "sec": med, **extras}
 
 
+def _replicate_docs_wide(docs, replication: int):
+    """:func:`_replicate_docs` with ``suffix_words`` for LARGE replication
+    factors: one explode over a sequence column instead of an N-branch
+    union (a 676-deep union plan pays quadratic analysis cost; the
+    explode is one projection). Suffixes match the union variant's
+    per-copy scheme; copy 0 stays unsuffixed."""
+    sfx = F.concat(
+        F.lit("q"),
+        F.char(F.lit(97) + F.col("__i") % 26),
+        F.char(F.lit(97) + F.floor(F.col("__i") / 26).cast("int") % 26),
+    )
+    return (
+        docs.select("*", F.explode(F.sequence(F.lit(0), F.lit(replication - 1))).alias("__i"))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__i").cast("long") * 100_000_000)
+        .withColumn(
+            "text",
+            F.when(F.col("__i") == 0, F.col("text")).otherwise(
+                F.regexp_replace(
+                    "text", F.lit(r"([A-Za-z]+)"), F.concat(F.lit("$1"), sfx)
+                )
+            ),
+        )
+        .drop("__i")
+    )
+
+
 def _replicate_docs(docs, replication: int, suffix_words: bool = False):
     """Union ``replication`` copies with shifted doc_ids (keys genuinely
     grow). With ``suffix_words``, each copy's letter-runs get a per-copy
@@ -376,6 +402,32 @@ def main() -> None:
         }
         bpe_ops.release_bpe_cache(spark)
 
+        # unigram-LM training (r7): same eager posture as BPE — em_rounds+1
+        # Viterbi sweeps with a bounded piece-table collect each; the
+        # encode query reuses the memoized segmentation table
+        from billing_etl_v1_spark.operators import unigram as ug_ops
+
+        def train_unigram():
+            ug_ops.release_unigram_cache(spark)
+            t0 = time.perf_counter()
+            pieces, _segs = ug_ops.unigram_learn(docs)
+            n = pieces.count()
+            return time.perf_counter() - t0, {"pieces": n}
+
+        r = _timed_eager(train_unigram, f"docs_unigram train {label}")
+        enc = _timed(
+            ug_ops.unigram_token_counts(docs), f"docs_unigram encode {label}"
+        )
+        iterative_ops.setdefault("docs_unigram", {})[label] = {
+            "docs": n_docs,
+            "pieces": r["pieces"],
+            "train_sec": r["sec"],
+            "train_runs_sec": r["runs_sec"],
+            "encode_sec": enc["sec"],
+            "encode_cold_sec": enc["cold_sec"],
+        }
+        ug_ops.release_unigram_cache(spark)
+
     # --- BPE training scaling in its own variable: VOCABULARY size ---
     # (r5 VERDICT item 6). Per-copy word suffixes multiply the distinct
     # vocabulary; the merge budget stays fixed, so per-round cost and the
@@ -412,6 +464,28 @@ def main() -> None:
             file=sys.stderr,
         )
         bpe_ops.release_bpe_cache(spark)
+
+        # unigram twin on the SAME corpus: cost per EM sweep should be
+        # bounded by the vocabulary (seed explode + Viterbi UDF + recount
+        # are all vocab-table work), so train time should grow sublinearly
+        # in the word count like BPE's per-round cost does
+        from billing_etl_v1_spark.operators import unigram as ug_ops2
+
+        def train_unigram_scaled():
+            ug_ops2.release_unigram_cache(spark)
+            t0 = time.perf_counter()
+            pieces, _ = ug_ops2.unigram_learn(corpus)
+            n = pieces.count()
+            return time.perf_counter() - t0, {"pieces": n}
+
+        ru = _timed_eager(train_unigram_scaled, f"unigram_train_scaling {label}")
+        bpe_scaling[f"unigram_{label}"] = {
+            "vocab_words": n_vocab,
+            "pieces": ru["pieces"],
+            "train_sec": ru["sec"],
+            "train_runs_sec": ru["runs_sec"],
+        }
+        ug_ops2.release_unigram_cache(spark)
 
     # driver-loop trainer at a production-grade merge budget (the lane the
     # distributed loop cannot reach: ~0.5 s/round x 2000 would be ~17 min;
@@ -451,8 +525,20 @@ def main() -> None:
     # not extrapolated.
     import shutil as _sh
 
+    # x676 (the suffix scheme's maximum): merge TYPES scale with DISTINCT
+    # WORDS, not symbol occurrences — each round merges every occurrence
+    # of the best pair across the whole vocabulary, and this corpus fully
+    # merges at ~1.04 rounds per word (measured: 7,808 words exhausted at
+    # 8,097 merges on an x128 attempt). The synthetic base vocabulary is
+    # 61 byte-level words, so sustaining the full 32,768-merge budget
+    # needs ~41k distinct words = 676 suffix copies (~43k rounds to
+    # exhaustion, ~25% headroom past the budget).
     docs_sf01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    corpus32k = _replicate_docs(docs_sf01, 16, suffix_words=True).localCheckpoint()
+    corpus32k = (
+        _replicate_docs_wide(docs_sf01, 676)
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+        .localCheckpoint()
+    )
     bpe_ops.release_bpe_cache(spark)
     n_vocab32k = int(bpe_ops.word_vocab(corpus32k, level="byte").count())
     t0 = time.perf_counter()
@@ -477,7 +563,7 @@ def main() -> None:
         t_encode = time.perf_counter() - t0
         bpe_scaling["bpe_train_32k"] = {
             "level": "byte",
-            "corpus": "sf0.1 documents x16 word-suffixed",
+            "corpus": "sf0.1 documents x676 word-suffixed",
             "vocab_words": n_vocab32k,
             "merges_requested": 32_768,
             "merges_learned": n_merges32k,
