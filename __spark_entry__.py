@@ -939,6 +939,13 @@ def _q_docs_unigram_tokens(spark, sf_dir):
     return ug_ops.unigram_token_counts(load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_unigram_fertility(spark, sf_dir):
+    """Per-language fertility under the trained unigram-LM vocabulary —
+    the bpe_fertility twin, making the two tokenizer families directly
+    comparable on the same corpus (training shared via the memo)."""
+    return ug_ops.unigram_fertility(load_table(spark, sf_dir, "documents"))
+
+
 def _q_flagship_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: the whole pipeline as ONE spark.sql statement (the reference's
     pure-SQL engine, calculate/sql_template.py) — same oracle as the
@@ -957,15 +964,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     mechanically mandatory lead set the r6 VERDICT names;
     tests/test_rotation_policy.py re-derives it from the
     CORRECTNESS_r*.json artifacts and goes red if any is missing), then
-    the session's TWO NEW queries (an unverified query may not sit below
-    the fold): the unigram-LM (SentencePiece-style) tokenizer vocabulary
-    and per-document token counts (docs_unigram_vocab /
-    docs_unigram_tokens — the r6 VERDICT's top residual). The remaining
-    12 discretionary slots all come from the 50-entry age-2 (r5-verdict)
+    the session's THREE NEW queries (an unverified query may not sit below
+    the fold): the unigram-LM (SentencePiece-style) tokenizer vocabulary,
+    per-document token counts, and per-language fertility
+    (docs_unigram_vocab / docs_unigram_tokens / docs_unigram_fertility —
+    the r6 VERDICT's top residual). The remaining
+    11 discretionary slots all come from the 50-entry age-2 (r5-verdict)
     pool, chosen as the bench's EXTENDED_NAMES members so the measured
-    numbers rest on fresh verdicts. 36 + 2 + 12 = 50. Below the fold:
-    the 38 remaining r5-verdict entries sit first as round 8's mandatory
-    leads (38 < 50, so the rotation stays sustainable —
+    numbers rest on fresh verdicts. 36 + 3 + 11 = 50. Below the fold:
+    the 39 remaining r5-verdict entries sit first as round 8's mandatory
+    leads (39 < 50, so the rotation stays sustainable —
     test_rotation_is_sustainable asserts this); the 50 r6-verdict
     entries (age 1, safe until round 8/9) follow. Everything below the
     fold still runs in the local parity mirror
@@ -1019,9 +1027,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # below the fold):
         "docs_unigram_vocab": _q_docs_unigram_vocab,
         "docs_unigram_tokens": _q_docs_unigram_tokens,
-        # 12 discretionary slots from the 50-entry age-2 (r5-verdict)
+        "docs_unigram_fertility": _q_docs_unigram_fertility,
+        # 11 discretionary slots from the 50-entry age-2 (r5-verdict)
         # pool — all bench EXTENDED_NAMES members, so the measured numbers
-        # rest on fresh verdicts; the other 38 become round 8's leads:
+        # rest on fresh verdicts; the other 39 become round 8's leads:
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q6": _q_tpch_q6,
@@ -1033,11 +1042,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_chunk": _q_docs_chunk,
         "events_sessionize": _q_events_sessionize,
         "events_user_trend": _q_user_trend,
-        "events_attribution": _q_events_attribution,
         # --- below the driver fold (local parity still runs ALL) ---
-        # 38 remaining age-2 (r5-verdict) entries — round 8 MUST lead with
-        # these (they fit: 38 < 50); kept contiguous so the rotation is a
+        # 39 remaining age-2 (r5-verdict) entries — round 8 MUST lead with
+        # these (they fit: 39 < 50); kept contiguous so the rotation is a
         # copy-paste:
+        "events_attribution": _q_events_attribution,
         "tpch_q2": _q_tpch_q2,
         "tpch_q4": _q_tpch_q4,
         "tpch_q5": _q_tpch_q5,
@@ -1240,6 +1249,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_dsir_weights": oracle_ext.dsir_importance_sql(),
         "docs_unigram_vocab": oracle_ext.unigram_vocab_sql(),
         "docs_unigram_tokens": oracle_ext.unigram_token_counts_sql(),
+        "docs_unigram_fertility": oracle_ext.unigram_fertility_sql(),
         "embeddings_quantize": oracle_ext.quantize_embeddings_sql(),
         "sim_topk_quantized": oracle_ext.sim_topk_quantized_sql(),
         "sim_hard_negatives": oracle_ext.hard_negatives_sql(),

@@ -552,3 +552,65 @@ def unigram_encode(
         )
     out = doc_token_counts(df, known, text_col, id_col, level="char")
     return out.withColumnRenamed("n_bpe_tokens", "n_unigram_tokens")
+
+
+def unigram_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    vocab_size: int = 32,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    em_rounds: int = 2,
+    seed_multiplier: int = 4,
+) -> DataFrame:
+    """Tokenizer FERTILITY per ``group_col`` under the corpus-trained
+    unigram-LM vocabulary — the bpe_fertility twin (tokens/pre-token and
+    bytes/token per language, the standard tokenizer-evaluation table,
+    now comparable ACROSS the two tokenizer families on the same
+    corpus). One corpus pass beyond training (the shared
+    :func:`unigram_token_counts` aggregate plus a per-group sum);
+    ratios on the 1e-6 grid, zero denominators → NULL."""
+    from billing_etl_v1_spark.functions import quantize6
+
+    counts = unigram_token_counts(
+        df,
+        text_col,
+        id_col,
+        vocab_size=vocab_size,
+        max_piece_len=max_piece_len,
+        max_word_len=max_word_len,
+        em_rounds=em_rounds,
+        seed_multiplier=seed_multiplier,
+    )
+    joined = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.coalesce(F.octet_length(text_col), F.lit(0)).alias("__bytes"),
+    ).join(counts, id_col)
+    agg = joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__bytes").cast("bigint").alias("total_bytes"),
+        F.sum("n_pretokens").cast("bigint").alias("total_pretokens"),
+        F.sum("n_unigram_tokens").cast("bigint").alias("total_tokens"),
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "total_bytes",
+        "total_pretokens",
+        "total_tokens",
+        quantize6(
+            F.when(
+                F.col("total_pretokens") > 0,
+                F.col("total_tokens") / F.col("total_pretokens"),
+            )
+        ).alias("tokens_per_pretoken"),
+        quantize6(
+            F.when(
+                F.col("total_tokens") > 0,
+                F.col("total_bytes") / F.col("total_tokens"),
+            )
+        ).alias("bytes_per_token"),
+    )

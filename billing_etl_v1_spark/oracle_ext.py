@@ -3060,3 +3060,60 @@ SELECT d.doc_id,
        CAST(coalesce(a.uni, 0) AS BIGINT) AS n_unigram_tokens
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
+
+
+def unigram_fertility_sql(
+    vocab_size: int = 32,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    em_rounds: int = 2,
+    seed_multiplier: int = 4,
+    group_col: str = "lang",
+) -> str:
+    """Twin of operators.unigram.unigram_fertility: per-group fertility
+    under the trained unigram vocabulary — quantized ratios, zero
+    denominators → NULL (the bpe_fertility_sql shape over the unigram
+    cost table)."""
+    pre = _bpe_pre_re_sql("char")
+    return f"""
+WITH {_unigram_train_ctes(vocab_size, max_piece_len, max_word_len, em_rounds, seed_multiplier)},
+cost AS (
+  SELECT word, CAST(len(segs) AS BIGINT) AS n_tokens FROM f{em_rounds}
+  UNION ALL
+  SELECT word, CAST(len(word) AS BIGINT) AS n_tokens
+  FROM wall WHERE len(word) > {max_word_len}
+),
+occ AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS occ FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '{pre}')) AS word
+    FROM documents
+  ) GROUP BY doc_id, word
+),
+perdoc AS (
+  SELECT d.doc_id, d.{group_col},
+         CAST(coalesce(octet_length(encode(d.text)), 0) AS BIGINT) AS b,
+         CAST(coalesce(a.pre, 0) AS BIGINT) AS pre,
+         CAST(coalesce(a.uni, 0) AS BIGINT) AS uni
+  FROM documents d LEFT JOIN (
+    SELECT o.doc_id,
+           CAST(sum(o.occ) AS BIGINT) AS pre,
+           CAST(sum(o.occ * c.n_tokens) AS BIGINT) AS uni
+    FROM occ o JOIN cost c USING (word)
+    GROUP BY o.doc_id
+  ) a USING (doc_id)
+),
+g AS (
+  SELECT {group_col},
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(b) AS BIGINT) AS total_bytes,
+         CAST(sum(pre) AS BIGINT) AS total_pretokens,
+         CAST(sum(uni) AS BIGINT) AS total_tokens
+  FROM perdoc GROUP BY {group_col}
+)
+SELECT {group_col}, n_docs, total_bytes, total_pretokens, total_tokens,
+       {_r6("CASE WHEN total_pretokens > 0 THEN total_tokens / CAST(total_pretokens AS DOUBLE) END")}
+         AS tokens_per_pretoken,
+       {_r6("CASE WHEN total_tokens > 0 THEN total_bytes / CAST(total_tokens AS DOUBLE) END")}
+         AS bytes_per_token
+FROM g
+"""
