@@ -946,6 +946,26 @@ def _q_docs_unigram_fertility(spark, sf_dir):
     return ug_ops.unigram_fertility(load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_unigram_seq(spark, sf_dir):
+    """Per-document TOKEN-ID SEQUENCES under the unigram vocabulary (one
+    row per position — the model-input artifact), completing the second
+    tokenizer family's surface: counts, vocabulary, model input, blocks.
+    Training shared via the memo; machinery shared with the BPE family
+    (the packer/sequencer are tokenizer-blind)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces, segments = ug_ops.unigram_learn(docs)
+    return ug_ops.unigram_token_sequences(docs, pieces, segments)
+
+
+def _q_docs_unigram_pack_ids(spark, sf_dir):
+    """Unigram token-id sequences packed into fixed 128-id training
+    blocks — the data-loader shape (docs cross boundaries, no padding)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces, segments = ug_ops.unigram_learn(docs)
+    seq = ug_ops.unigram_token_sequences(docs, pieces, segments)
+    return ug_ops.unigram_pack_blocks(seq, block_tokens=128)
+
+
 def _q_flagship_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: the whole pipeline as ONE spark.sql statement (the reference's
     pure-SQL engine, calculate/sql_template.py) — same oracle as the
@@ -964,16 +984,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     mechanically mandatory lead set the r6 VERDICT names;
     tests/test_rotation_policy.py re-derives it from the
     CORRECTNESS_r*.json artifacts and goes red if any is missing), then
-    the session's THREE NEW queries (an unverified query may not sit below
-    the fold): the unigram-LM (SentencePiece-style) tokenizer vocabulary,
-    per-document token counts, and per-language fertility
-    (docs_unigram_vocab / docs_unigram_tokens / docs_unigram_fertility —
-    the r6 VERDICT's top residual). The remaining
-    11 discretionary slots all come from the 50-entry age-2 (r5-verdict)
+    the session's FIVE NEW queries (an unverified query may not sit below
+    the fold): the unigram-LM (SentencePiece-style) tokenizer family —
+    vocabulary, per-document token counts, per-language fertility,
+    token-id sequences, and packed training blocks (docs_unigram_vocab /
+    docs_unigram_tokens / docs_unigram_fertility / docs_unigram_seq /
+    docs_unigram_pack_ids — the r6 VERDICT's top residual, at full
+    surface parity with the BPE family). The remaining
+    9 discretionary slots all come from the 50-entry age-2 (r5-verdict)
     pool, chosen as the bench's EXTENDED_NAMES members so the measured
-    numbers rest on fresh verdicts. 36 + 3 + 11 = 50. Below the fold:
-    the 39 remaining r5-verdict entries sit first as round 8's mandatory
-    leads (39 < 50, so the rotation stays sustainable —
+    numbers rest on fresh verdicts. 36 + 5 + 9 = 50. Below the fold:
+    the 41 remaining r5-verdict entries sit first as round 8's mandatory
+    leads (41 < 50, so the rotation stays sustainable —
     test_rotation_is_sustainable asserts this); the 50 r6-verdict
     entries (age 1, safe until round 8/9) follow. Everything below the
     fold still runs in the local parity mirror
@@ -1028,9 +1050,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_unigram_vocab": _q_docs_unigram_vocab,
         "docs_unigram_tokens": _q_docs_unigram_tokens,
         "docs_unigram_fertility": _q_docs_unigram_fertility,
-        # 11 discretionary slots from the 50-entry age-2 (r5-verdict)
+        "docs_unigram_seq": _q_docs_unigram_seq,
+        "docs_unigram_pack_ids": _q_docs_unigram_pack_ids,
+        # 9 discretionary slots from the 50-entry age-2 (r5-verdict)
         # pool — all bench EXTENDED_NAMES members, so the measured numbers
-        # rest on fresh verdicts; the other 39 become round 8's leads:
+        # rest on fresh verdicts; the other 41 become round 8's leads:
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q6": _q_tpch_q6,
@@ -1040,12 +1064,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_quantized": _q_sim_topk_quantized,
         "docs_tfidf_top_terms": _q_docs_tfidf,
         "docs_chunk": _q_docs_chunk,
+        # --- below the driver fold (local parity still runs ALL) ---
+        # 41 remaining age-2 (r5-verdict) entries — round 8 MUST lead with
+        # these (they fit: 41 < 50); kept contiguous so the rotation is a
+        # copy-paste:
         "events_sessionize": _q_events_sessionize,
         "events_user_trend": _q_user_trend,
-        # --- below the driver fold (local parity still runs ALL) ---
-        # 39 remaining age-2 (r5-verdict) entries — round 8 MUST lead with
-        # these (they fit: 39 < 50); kept contiguous so the rotation is a
-        # copy-paste:
         "events_attribution": _q_events_attribution,
         "tpch_q2": _q_tpch_q2,
         "tpch_q4": _q_tpch_q4,
@@ -1250,6 +1274,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_unigram_vocab": oracle_ext.unigram_vocab_sql(),
         "docs_unigram_tokens": oracle_ext.unigram_token_counts_sql(),
         "docs_unigram_fertility": oracle_ext.unigram_fertility_sql(),
+        "docs_unigram_seq": oracle_ext.unigram_token_sequences_sql(),
+        "docs_unigram_pack_ids": oracle_ext.unigram_pack_blocks_sql(128),
         "embeddings_quantize": oracle_ext.quantize_embeddings_sql(),
         "sim_topk_quantized": oracle_ext.sim_topk_quantized_sql(),
         "sim_hard_negatives": oracle_ext.hard_negatives_sql(),

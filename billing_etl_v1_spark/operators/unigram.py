@@ -614,3 +614,35 @@ def unigram_fertility(
             )
         ).alias("bytes_per_token"),
     )
+
+
+def unigram_token_sequences(
+    df: DataFrame,
+    pieces: DataFrame,
+    segments: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document TOKEN-ID SEQUENCES under the trained unigram
+    vocabulary — the model-input artifact, structurally identical to the
+    BPE one: the position/cumsum/join machinery is
+    :func:`bpe.bpe_token_sequences` verbatim (the segmentation table IS
+    a (word → tokens) vocabulary and the piece table IS a (token → id)
+    table; the two families differ only in how those were learned).
+    Coverage note: over-cap words segment per-codepoint and the alphabet
+    spans every observed codepoint, so no training row can drop at the
+    id join. Same unique-doc_id data contract (corpus_dq_audit checks it)."""
+    from billing_etl_v1_spark.operators.bpe import bpe_token_sequences
+
+    vocab = segments.select("word", "freq", F.col("pieces").alias("tokens"))
+    ids = pieces.select(F.col("piece").alias("token"), "token_id")
+    return bpe_token_sequences(df, vocab, ids, text_col, id_col, level="char")
+
+
+def unigram_pack_blocks(seq: DataFrame, block_tokens: int = 128) -> DataFrame:
+    """Fixed-size training blocks over a unigram token-id sequence —
+    :func:`bpe.bpe_pack_blocks` verbatim (the packer is tokenizer-blind:
+    it consumes (doc_id, pos, token_id) rows)."""
+    from billing_etl_v1_spark.operators.bpe import bpe_pack_blocks
+
+    return bpe_pack_blocks(seq, block_tokens=block_tokens)

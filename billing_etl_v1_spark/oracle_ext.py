@@ -3117,3 +3117,79 @@ SELECT {group_col}, n_docs, total_bytes, total_pretokens, total_tokens,
          AS bytes_per_token
 FROM g
 """
+
+
+def unigram_token_sequences_sql(
+    vocab_size: int = 32,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    em_rounds: int = 2,
+    seed_multiplier: int = 4,
+) -> str:
+    """Twin of operators.unigram.unigram_token_sequences: per-document
+    (doc_id, pos, token, token_id) under the trained unigram vocabulary —
+    the bpe_token_sequences_sql shape with the unigram cost/id tables
+    (final-round segmentations + per-codepoint over-cap bypass; ids by
+    (freq DESC, piece ASC) over the final counts)."""
+    pre = _bpe_pre_re_sql("char")
+    final = f"c{em_rounds + 1}"
+    return f"""
+WITH {_unigram_train_ctes(vocab_size, max_piece_len, max_word_len, em_rounds, seed_multiplier)},
+ids AS (
+  SELECT piece AS token,
+         CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) - 1 AS INT) AS token_id
+  FROM {final}
+),
+wseq AS (
+  SELECT doc_id, u.i AS wpos, arr[u.i + 1] AS word
+  FROM (
+    SELECT doc_id, regexp_extract_all(text, '{pre}') AS arr
+    FROM documents
+  ) t, unnest(range(0, len(arr))) u(i)
+),
+cost AS (
+  SELECT word, segs FROM f{em_rounds}
+  UNION ALL
+  SELECT word, regexp_extract_all(word, '.') AS segs
+  FROM wall WHERE len(word) > {max_word_len}
+),
+wbase AS (
+  SELECT w.doc_id, w.wpos, c.segs,
+         sum(len(c.segs)) OVER (PARTITION BY w.doc_id ORDER BY w.wpos)
+           - len(c.segs) AS base
+  FROM wseq w JOIN cost c USING (word)
+)
+SELECT s.doc_id, s.pos, s.token, i.token_id
+FROM (
+  SELECT b.doc_id,
+         CAST(b.base + u.i AS BIGINT) AS pos,
+         b.segs[u.i + 1] AS token
+  FROM wbase b, unnest(range(0, len(b.segs))) u(i)
+) s JOIN ids i ON i.token = s.token
+"""
+
+
+def unigram_pack_blocks_sql(
+    block_tokens: int,
+    vocab_size: int = 32,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    em_rounds: int = 2,
+    seed_multiplier: int = 4,
+) -> str:
+    """Twin of operators.unigram.unigram_pack_blocks: the sequence query
+    as a CTE, then ordered row_number + integer div/mod block arithmetic
+    (the bpe_pack_blocks_sql shape)."""
+    seq = unigram_token_sequences_sql(
+        vocab_size, max_piece_len, max_word_len, em_rounds, seed_multiplier
+    )
+    return f"""
+WITH seq AS ({seq})
+SELECT CAST((row_number() OVER (ORDER BY doc_id, pos) - 1) // {int(block_tokens)} AS BIGINT)
+         AS block_id,
+       CAST((row_number() OVER (ORDER BY doc_id, pos) - 1) % {int(block_tokens)} AS INT)
+         AS "offset",
+       doc_id,
+       token_id
+FROM seq
+"""
