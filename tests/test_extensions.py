@@ -2375,3 +2375,44 @@ def test_unigram_training_words_roundtrip_through_novel_path(spark):
         novel_score = sum(ilp.get(p, ug.UNK_ILP) for p in novel)
         assert novel_score >= stored_score, (r["word"], novel, list(r["pieces"]))
     ug.release_unigram_cache(spark)
+
+
+def test_unigram_sequences_cover_overcap_and_positions(spark):
+    """Token-id sequences must cover EVERY training token — including the
+    over-cap bypass lane (absent from the driver corpus, so the oracle
+    hash-match never exercises it): positions are contiguous 0..n-1 per
+    doc, every position carries a valid token_id, over-cap words appear
+    as per-codepoint pieces, and the packed blocks partition the global
+    sequence exactly."""
+    from billing_etl_v1_spark.operators import unigram as ug
+
+    texts = ["banana band bandana an", "abcdefghijabcdefghijx nab"]  # 21>16: bypass
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    kw = dict(vocab_size=8, max_piece_len=3, max_word_len=16, em_rounds=2)
+    pieces, segments = ug.unigram_learn(df, **kw)
+    seq = ug.unigram_token_sequences(df, pieces, segments)
+    rows = seq.collect()
+    by_doc: dict = {}
+    for r in rows:
+        assert r.token_id is not None and r.token_id >= 0
+        by_doc.setdefault(r.doc_id, []).append((r.pos, r.token))
+    counts = {
+        r.doc_id: r.n_unigram_tokens
+        for r in ug.unigram_token_counts(df, **kw).collect()
+    }
+    for d, toks in by_doc.items():
+        toks.sort()
+        assert [p for p, _ in toks] == list(range(len(toks))), "positions contiguous"
+        assert len(toks) == counts[d], "sequence length == token count"
+    # the over-cap word contributes per-codepoint tokens in order
+    doc1 = "".join(t for _, t in sorted(by_doc[1]))
+    assert doc1 == "abcdefghijabcdefghijxnab"
+    # packed blocks partition the global order exactly
+    packed = ug.unigram_pack_blocks(seq, block_tokens=7).collect()
+    n_total = sum(counts.values())
+    assert len(packed) == n_total
+    slots = sorted((r.block_id, r.offset) for r in packed)
+    assert slots == [(i // 7, i % 7) for i in range(n_total)]
+    ug.release_unigram_cache(spark)
