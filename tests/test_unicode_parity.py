@@ -53,6 +53,14 @@ TEXT_QUERIES = [
     "docs_dq_audit",
     "docs_bpe_fertility",
     "docs_dsir_weights",
+    # unigram-LM: substring seeding + Viterbi DP must index by CODEPOINT
+    # identically in Spark substring()/split-by-empty, DuckDB substr()/
+    # regexp '.' and Python slicing (the sequential reference)
+    "docs_unigram_vocab",
+    "docs_unigram_tokens",
+    "docs_unigram_fertility",
+    "docs_unigram_seq",
+    "docs_unigram_pack_ids",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
