@@ -646,3 +646,141 @@ def unigram_pack_blocks(seq: DataFrame, block_tokens: int = 128) -> DataFrame:
     from billing_etl_v1_spark.operators.bpe import bpe_pack_blocks
 
     return bpe_pack_blocks(seq, block_tokens=block_tokens)
+
+
+# --- subword regularization: sampled segmentations (Kudo 2018 §4) ---------
+
+
+def viterbi_nbest(
+    word: str, ilp: dict[str, int], max_piece_len: int, n: int, unk_ilp: int | None = None
+) -> list[tuple[int, list[str]]]:
+    """Top-``n`` segmentations of one word by integer score — the l-best
+    lattice enumeration subword regularization samples from (Kudo 2018
+    §4.2). Total order (score DESC, piece-list ASC), so the list is
+    deterministic; its top-1 can differ from :func:`viterbi_segment`
+    only on EXACT score ties (which that function breaks positionally).
+    Same UNK contract as viterbi_segment."""
+    nn = len(word)
+    # dp[j]: top-n (score, path) reaching position j
+    dp: list[list[tuple[int, tuple[str, ...]]]] = [[] for _ in range(nn + 1)]
+    dp[0] = [(0, ())]
+    for j in range(1, nn + 1):
+        cands: list[tuple[int, tuple[str, ...]]] = []
+        for l in range(1, min(max_piece_len, j) + 1):
+            piece = word[j - l : j]
+            s = ilp.get(piece)
+            if s is None and l == 1 and unk_ilp is not None:
+                s = unk_ilp
+            if s is None:
+                continue
+            for sc, path in dp[j - l]:
+                cands.append((sc + s, path + (piece,)))
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        dp[j] = cands[:n]
+    if not dp[nn]:
+        raise KeyError(
+            f"unigram alphabet invariant broken: {word!r} not segmentable"
+        )
+    return [(sc, list(path)) for sc, path in dp[nn]]
+
+
+def unigram_sample_segments(
+    df: DataFrame,
+    pieces: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_piece_len: int,
+    max_word_len: int,
+    n_best: int = 4,
+    alpha: float = 0.2,
+    salt: int = 0,
+) -> DataFrame:
+    """SUBWORD REGULARIZATION: per word OCCURRENCE, sample a segmentation
+    from the word's ``n_best`` list with probability ∝ p(seg)^alpha —
+    the data-augmentation trick unigram-LM tokenizers exist for (Kudo
+    2018 §4.2's l-best approximation; alpha=0 → uniform over the n-best,
+    large alpha → the 1-best). Output: one row per word occurrence
+    (id_col, wpos, word, pieces, n_tokens).
+
+    Spark-first split of the work: the n-best LATTICE enumeration (per
+    DISTINCT word — bounded CPU work, the Viterbi posture) runs in an
+    Arrow-batched pandas UDF, while the per-OCCURRENCE choice is pure
+    JVM column math — xxhash64(doc, position, salt) folded to [0,1) and
+    walked through the softmax-alpha cumulative weights with one
+    F.aggregate over the (small, n_best-bounded) candidate array. So
+    sampling is DETERMINISTIC given salt (reproducible training runs,
+    and a new epoch is just a new salt), and the corpus-sized pass never
+    enters Python.
+
+    NOT oracle-registered: the choice math is float softmax over hashes
+    — cross-engine float reduction is exactly what the trainer's integer
+    grid exists to avoid — so this op is property-tested (validity,
+    determinism, distribution) rather than driver-hashed. Over-cap words
+    have one candidate (per-codepoint bypass), so sampling degenerates
+    to the deterministic bypass, matching encode."""
+    if n_best < 1:
+        raise ValueError(f"n_best must be >= 1, got {n_best}")
+    ilp = serving_ilp(pieces)
+
+    @pandas_udf(
+        "array<struct<score: bigint, segs: array<string>>>"
+    )
+    def _nbest(col: pd.Series) -> pd.Series:
+        def run(w: str):
+            if len(w) > max_word_len:
+                return [(sum(ilp.get(c, UNK_ILP) for c in w), list(w))]
+            return viterbi_nbest(w, ilp, max_piece_len, n_best, unk_ilp=UNK_ILP)
+
+        return col.map(run)
+
+    words = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(_pretokens(F.col(text_col), "char")).alias("wpos", "word"),
+        )
+    )
+    nbest = (
+        words.select("word").distinct().withColumn("nbest", _nbest(F.col("word")))
+    )
+    occ = words.join(nbest, "word")
+    nb = F.col("nbest")
+    best_score = F.element_at(nb, 1)["score"]
+    weights = F.transform(
+        nb,
+        lambda c: F.exp(
+            F.lit(float(alpha))
+            * (c["score"] - best_score).cast("double")
+            / F.lit(float(ILP_SCALE))
+        ),
+    )
+    total = F.aggregate(weights, F.lit(0.0), lambda a, x: a + x)
+    u = F.pmod(
+        F.xxhash64(F.col(id_col), F.col("wpos"), F.lit(int(salt))), F.lit(1 << 30)
+    ).cast("double") / F.lit(float(1 << 30))
+    target = u * total
+    # index of the first candidate whose cumulative weight exceeds target
+    # (one left-to-right scan; `done` freezes the index once crossed)
+    pick = F.aggregate(
+        weights,
+        F.struct(
+            F.lit(0.0).alias("cum"), F.lit(0).alias("idx"), F.lit(False).alias("done")
+        ),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x).alias("cum"),
+            F.when(acc["done"] | (acc["cum"] + x > target), acc["idx"])
+            .otherwise(acc["idx"] + 1)
+            .alias("idx"),
+            (acc["done"] | (acc["cum"] + x > target)).alias("done"),
+        ),
+        # float round-off can leave target >= full sum: clamp to the last
+        lambda acc: F.least(acc["idx"], F.size(nb) - 1),
+    )
+    chosen = F.element_at(nb, pick + 1)["segs"]
+    return occ.select(
+        F.col(id_col),
+        F.col("wpos"),
+        F.col("word"),
+        chosen.alias("pieces"),
+        F.size(chosen).cast("bigint").alias("n_tokens"),
+    )

@@ -587,6 +587,53 @@ def main() -> None:
         _sh.rmtree(tok_dir, ignore_errors=True)
     bpe_ops.release_bpe_cache(spark)
 
+    # the unigram twin at a production vocabulary budget, same corpus:
+    # char-level pre-tokens of the suffixed corpus give ~21k distinct
+    # words; vocab_size=16384 with max_piece_len=8 exercises a seed of
+    # ~65k candidate pieces (the per-round bounded collect at production
+    # size) through all EM sweeps plus the frozen-artifact serve
+    from billing_etl_v1_spark.operators import unigram as ug_probe
+
+    ug_probe.release_unigram_cache(spark)
+    n_words_uni = int(bpe_ops.word_vocab(corpus32k).count())
+    t0 = time.perf_counter()
+    pieces16k, segs16k = ug_probe.unigram_learn(
+        corpus32k, vocab_size=16_384, max_piece_len=8, max_word_len=32, em_rounds=2
+    )
+    n_pieces16k = pieces16k.count()
+    t_train_uni = time.perf_counter() - t0
+    utok_dir = "/root/repo/.probe_unitok16k"
+    _sh.rmtree(utok_dir, ignore_errors=True)
+    try:
+        ug_probe.save_unigram(
+            pieces16k, segs16k, utok_dir, max_piece_len=8, max_word_len=32
+        )
+        lp16, ls16, mpl16, mwl16 = ug_probe.load_unigram(spark, utok_dir)
+        t0 = time.perf_counter()
+        n_enc_uni = ug_probe.unigram_encode(
+            docs_sf01, lp16, ls16, max_piece_len=mpl16, max_word_len=mwl16
+        ).count()
+        t_enc_uni = time.perf_counter() - t0
+        bpe_scaling["unigram_train_16k"] = {
+            "corpus": "sf0.1 documents x676 word-suffixed (char-level)",
+            "vocab_words": n_words_uni,
+            "vocab_size": 16_384,
+            "pieces_exported": int(n_pieces16k),
+            "train_sec": round(t_train_uni, 3),
+            "encode_heldout_docs": int(n_enc_uni),
+            "encode_sec": round(t_enc_uni, 3),
+            "timing": "n1",
+        }
+        print(
+            f"# unigram_train_16k: {n_pieces16k} pieces over {n_words_uni} "
+            f"words in {t_train_uni:.1f}s; encode {n_enc_uni} held-out docs "
+            f"{t_enc_uni:.1f}s",
+            file=sys.stderr,
+        )
+    finally:
+        _sh.rmtree(utok_dir, ignore_errors=True)
+    ug_probe.release_unigram_cache(spark)
+
     print(
         json.dumps(
             {

@@ -2416,3 +2416,65 @@ def test_unigram_sequences_cover_overcap_and_positions(spark):
     slots = sorted((r.block_id, r.offset) for r in packed)
     assert slots == [(i // 7, i % 7) for i in range(n_total)]
     ug.release_unigram_cache(spark)
+
+
+def test_unigram_sample_segments_properties(spark):
+    """Subword regularization sampler: every sampled segmentation is a
+    valid member of the word's n-best set and concatenates to the word;
+    sampling is deterministic per salt; large alpha collapses to the
+    1-best; alpha=0 actually explores (multiple variants appear across
+    occurrences); over-cap words degenerate to the per-codepoint bypass."""
+    from billing_etl_v1_spark.operators import unigram as ug
+
+    train = spark.createDataFrame(
+        [(1, "banana band bandana an ana nab and")], "doc_id long, text string"
+    )
+    kw = dict(vocab_size=8, max_piece_len=3, max_word_len=16, em_rounds=2)
+    pieces, _segments = ug.unigram_learn(train, **kw)
+    ilp = ug.serving_ilp(pieces)
+
+    # a corpus with MANY occurrences of the same ambiguous word + an
+    # over-cap word (18 codepoints > 16)
+    docs = spark.createDataFrame(
+        [(i, "banana bandana " + "a" * 18) for i in range(64)],
+        "doc_id long, text string",
+    )
+    out = ug.unigram_sample_segments(
+        docs, pieces, max_piece_len=3, max_word_len=16, n_best=4, alpha=0.0, salt=7
+    ).collect()
+    nbest = {
+        w: [tuple(p) for _s, p in ug.viterbi_nbest(w, ilp, 3, 4, unk_ilp=ug.UNK_ILP)]
+        for w in ("banana", "bandana")
+    }
+    seen: dict = {}
+    for r in out:
+        assert "".join(r.pieces) == r.word
+        assert r.n_tokens == len(r.pieces)
+        if r.word == "a" * 18:
+            assert list(r.pieces) == ["a"] * 18, "over-cap bypass is deterministic"
+        else:
+            assert tuple(r.pieces) in nbest[r.word], (r.word, r.pieces)
+            seen.setdefault(r.word, set()).add(tuple(r.pieces))
+    # alpha=0 = uniform over the n-best: 64 occurrences must explore
+    # beyond a single variant for a word with >1 candidates
+    assert len(nbest["bandana"]) > 1
+    assert len(seen["bandana"]) > 1, "alpha=0 sampler never explored"
+
+    # determinism per salt
+    a = sorted(
+        (r.doc_id, r.wpos, tuple(r.pieces))
+        for r in ug.unigram_sample_segments(
+            docs, pieces, max_piece_len=3, max_word_len=16, n_best=4, alpha=0.0, salt=7
+        ).collect()
+    )
+    b = sorted((r.doc_id, r.wpos, tuple(r.pieces)) for r in out)
+    assert a == b
+
+    # large alpha -> the n-best top-1 everywhere (in-cap words)
+    hard = ug.unigram_sample_segments(
+        docs, pieces, max_piece_len=3, max_word_len=16, n_best=4, alpha=1e6, salt=3
+    ).collect()
+    for r in hard:
+        if r.word != "a" * 18:
+            assert tuple(r.pieces) == nbest[r.word][0], (r.word, r.pieces)
+    ug.release_unigram_cache(spark)
