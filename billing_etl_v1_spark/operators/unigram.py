@@ -784,3 +784,202 @@ def unigram_sample_segments(
         chosen.alias("pieces"),
         F.size(chosen).cast("bigint").alias("n_tokens"),
     )
+
+
+# --- lattice (soft-EM) trainer: the full Kudo algorithm, driver-side ------
+
+
+def unigram_learn_lattice(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 32,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    em_rounds: int = 2,
+    seed_multiplier: int = 4,
+    max_vocab_rows: int = 5_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """The FULL Kudo 2018 trainer — lattice forward-backward soft-EM and
+    likelihood-loss pruning — as the driver-side sibling of
+    :func:`unigram_learn` (the bpe_learn / bpe_learn_driver duality):
+    the corpus-sized pass stays the distributed :func:`word_vocab`
+    aggregate; the EM runs driver-side over the collected bounded
+    vocabulary, because soft expected counts are float sums whose
+    reduction order cross-engine exactness cannot survive — this trainer
+    trades the DuckDB-hashable integer grid for the textbook algorithm,
+    and is therefore property-tested (EM likelihood monotonicity,
+    hard/soft agreement on unambiguous corpora, serving-schema
+    compatibility) instead of oracle-registered.
+
+    Differences from :func:`unigram_learn`, all Kudo-faithful:
+
+    - E-step: expected piece counts from the word lattice
+      (forward-backward over positions; direct probability space —
+      words are <= max_word_len pieces, so products stay far above
+      double underflow), not Viterbi hard counts;
+    - prune: LIKELIHOOD LOSS — a piece's value is
+      count_i * (cost of its best self-segmentation via OTHER pieces −
+      its own log-prob), the SentencePiece estimate of how much corpus
+      log-likelihood removing it costs; alphabet never pruned;
+    - export: identical schema/conventions to :func:`unigram_learn`
+      (freq = expected counts rounded to BIGINT for the artifact,
+      logprob quantized, ids by (freq DESC, piece ASC); segments =
+      final Viterbi under the soft-trained probabilities via the shared
+      :func:`viterbi_segment`), so ``save_unigram`` / ``unigram_encode``
+      / the streaming meter serve either trainer's artifact unchanged.
+
+    Same guarded-collect contract as ``bpe_learn_driver``: the
+    vocabulary is pre-counted with a LIMIT n+1 probe and refuses to
+    collect past ``max_vocab_rows``.
+    """
+    import math
+    from collections import Counter
+
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    if max_piece_len < 1:
+        raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
+    if em_rounds < 0:
+        raise ValueError(f"em_rounds must be >= 0, got {em_rounds}")
+    spark = df.sparkSession
+    vocab_df = word_vocab(df, text_col, level="char").select("word", "freq")
+    if vocab_df.limit(max_vocab_rows + 1).count() > max_vocab_rows:
+        raise ValueError(
+            f"unigram_learn_lattice: vocabulary has more than "
+            f"max_vocab_rows={max_vocab_rows} distinct pre-tokens; train "
+            f"on a corpus sample or use the distributed unigram_learn"
+        )
+    rows = vocab_df.collect()
+    words = {r["word"]: r["freq"] for r in rows}
+    alphabet = sorted({c for w in words for c in w})
+    incap = {w: f for w, f in words.items() if len(w) <= max_word_len}
+
+    # seed: identical spec to the distributed trainer (substring counts,
+    # alphabet floored at 1, top multi-char by (count DESC, piece ASC))
+    sub: Counter = Counter()
+    for w, f in incap.items():
+        for l in range(1, max_piece_len + 1):
+            for st in range(len(w) - l + 1):
+                sub[w[st : st + l]] += f
+    n_multi = max(0, seed_multiplier * vocab_size - len(alphabet))
+    multi = sorted(
+        ((p, c) for p, c in sub.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:n_multi]
+    counts: dict[str, float] = {p: float(c) for p, c in multi}
+    for ch in alphabet:
+        counts[ch] = float(max(sub.get(ch, 0), 1))
+
+    def probs_of(cnt: dict[str, float]) -> dict[str, float]:
+        total = sum(cnt.values())
+        return {p: c / total for p, c in cnt.items()}
+
+    def lattice_expect(w: str, p: dict[str, float]):
+        """(expected piece counts for one occurrence, log-likelihood)."""
+        n = len(w)
+        fwd = [0.0] * (n + 1)
+        fwd[0] = 1.0
+        for j in range(1, n + 1):
+            s = 0.0
+            for l in range(1, min(max_piece_len, j) + 1):
+                pi = p.get(w[j - l : j])
+                if pi:
+                    s += fwd[j - l] * pi
+            fwd[j] = s
+        if fwd[n] <= 0.0:
+            return {}, float("-inf")
+        bwd = [0.0] * (n + 1)
+        bwd[n] = 1.0
+        for i in range(n - 1, -1, -1):
+            s = 0.0
+            for l in range(1, min(max_piece_len, n - i) + 1):
+                pi = p.get(w[i : i + l])
+                if pi:
+                    s += pi * bwd[i + l]
+            bwd[i] = s
+        e: dict[str, float] = {}
+        for i in range(n):
+            for l in range(1, min(max_piece_len, n - i) + 1):
+                piece = w[i : i + l]
+                pi = p.get(piece)
+                if pi:
+                    e[piece] = e.get(piece, 0.0) + fwd[i] * pi * bwd[i + l] / fwd[n]
+        return e, math.log(fwd[n])
+
+    def em_round(cnt: dict[str, float]) -> tuple[dict[str, float], float]:
+        p = probs_of(cnt)
+        new: dict[str, float] = {}
+        ll = 0.0
+        for w, f in incap.items():
+            e, lw = lattice_expect(w, p)
+            ll += f * lw
+            for piece, c in e.items():
+                new[piece] = new.get(piece, 0.0) + f * c
+        out = {p_: c for p_, c in new.items() if len(p_) > 1 and c > 0.0}
+        for ch in alphabet:
+            out[ch] = max(new.get(ch, 0.0), 1.0)
+        return out, ll
+
+    for _ in range(em_rounds):
+        counts, _ll = em_round(counts)
+
+    # likelihood-loss prune (SentencePiece estimate): keep the alphabet
+    # plus the top multi-char pieces by count_i * (best alternative
+    # self-segmentation cost - own logprob) — how much corpus likelihood
+    # removing the piece would cost
+    p = probs_of(counts)
+    ilp_full = {q: math.log(v) for q, v in p.items()}
+
+    def alt_cost(piece: str) -> float:
+        """best log-prob of segmenting `piece` WITHOUT itself."""
+        n = len(piece)
+        NEG = float("-inf")
+        dp = [NEG] * (n + 1)
+        dp[0] = 0.0
+        for j in range(1, n + 1):
+            best = NEG
+            for l in range(1, min(max_piece_len, j) + 1):
+                q = piece[j - l : j]
+                if q == piece:
+                    continue
+                s = ilp_full.get(q)
+                if s is not None and dp[j - l] != NEG:
+                    best = max(best, dp[j - l] + s)
+            dp[j] = best
+        return dp[n]
+
+    n_keep = max(0, vocab_size - len(alphabet))
+    scored = []
+    for q, c in counts.items():
+        if len(q) == 1:
+            continue
+        loss = c * (ilp_full[q] - alt_cost(q))  # >0: keeping it is worth `loss`
+        scored.append((q, loss))
+    kept = sorted(scored, key=lambda t: (-t[1], t[0]))[:n_keep]
+    counts = {q: counts[q] for q, _ in kept}
+    for ch in alphabet:
+        counts[ch] = max(counts.get(ch, 0.0), 1.0)
+
+    # final soft recount under the pruned set, then export
+    counts, _ll = em_round(counts)
+    total = sum(counts.values())
+    ranked = sorted(counts.items(), key=lambda pc: (-pc[1], pc[0]))
+    q6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    pieces_rows = [
+        (q, int(round(c)), q6(math.log(c / total)), i)
+        for i, (q, c) in enumerate(ranked)
+    ]
+    pieces_out = spark.createDataFrame(
+        pieces_rows, "piece string, freq bigint, logprob double, token_id int"
+    )
+    ilp_final = {
+        q: math.floor(ILP_SCALE * math.log(c / total)) for q, c in counts.items()
+    }
+    seg_rows = [
+        (w, f, viterbi_segment(w, ilp_final, max_piece_len)) for w, f in incap.items()
+    ] + [(w, f, list(w)) for w, f in words.items() if len(w) > max_word_len]
+    segments_out = spark.createDataFrame(
+        [(w, f, s, len(s)) for w, f, s in seg_rows],
+        "word string, freq bigint, pieces array<string>, n_tokens bigint",
+    )
+    return pieces_out, segments_out

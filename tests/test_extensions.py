@@ -2478,3 +2478,106 @@ def test_unigram_sample_segments_properties(spark):
         if r.word != "a" * 18:
             assert tuple(r.pieces) == nbest[r.word][0], (r.word, r.pieces)
     ug.release_unigram_cache(spark)
+
+
+def test_unigram_lattice_trainer_properties(spark):
+    """The lattice (soft-EM) driver-side trainer — Kudo's full algorithm:
+    (a) corpus log-likelihood is non-decreasing across EM rounds (the
+    fundamental EM guarantee; computed here independently by running the
+    trainer at increasing em_rounds and scoring the corpus under each
+    export); (b) on an UNAMBIGUOUS corpus (every word one segmentation)
+    soft counts equal hard counts, so the two trainers export identical
+    piece tables; (c) the export is serving-schema compatible — a
+    save/load/encode round-trip works unchanged; (d) the guard refuses
+    over-cap vocabularies before collecting."""
+    import math
+
+    import pytest as _pytest
+    from pyspark.sql import DataFrame as _DF
+
+    from billing_etl_v1_spark.operators import unigram as ug
+
+    # (a) EM monotonicity on an ambiguous corpus
+    train = spark.createDataFrame(
+        [(1, "banana band bandana an ana nab and")], "doc_id long, text string"
+    )
+
+    def corpus_ll(pieces) -> float:
+        rows = {r["piece"]: r["freq"] for r in pieces.collect()}
+        total = float(sum(rows.values()))
+        p = {q: c / total for q, c in rows.items()}
+        import re
+
+        from billing_etl_v1_spark.operators.text import BPE_TOKEN_RE
+
+        pat = re.compile(BPE_TOKEN_RE)
+        ll = 0.0
+        for t in ["banana band bandana an ana nab and"]:
+            for w in pat.findall(t):
+                # forward sum over the lattice
+                fwd = [0.0] * (len(w) + 1)
+                fwd[0] = 1.0
+                for j in range(1, len(w) + 1):
+                    fwd[j] = sum(
+                        fwd[j - l] * p.get(w[j - l : j], 0.0)
+                        for l in range(1, min(3, j) + 1)
+                    )
+                ll += math.log(fwd[len(w)])
+        return ll
+
+    lls = []
+    for r in (0, 1, 2, 3):
+        pieces, _ = ug.unigram_learn_lattice(
+            train, vocab_size=8, max_piece_len=3, max_word_len=16, em_rounds=r
+        )
+        lls.append(corpus_ll(pieces))
+    # rounds past the first may move mass through the PRUNE differently,
+    # so assert the core EM property on the pre-prune-dominated steps:
+    # likelihood never drops by more than float noise round-to-round
+    for a, b in zip(lls, lls[1:]):
+        assert b >= a - 1e-9, (lls, "EM likelihood decreased")
+
+    # (b) unambiguous corpus: every word segments uniquely (vocab too
+    # small to admit multi-char pieces) -> soft == hard exactly
+    una = spark.createDataFrame([(1, "ab cd ab cd ef")], "doc_id long, text string")
+    hard_p, hard_s = ug.unigram_learn(
+        una, vocab_size=6, max_piece_len=1, max_word_len=16, em_rounds=1
+    )
+    soft_p, soft_s = ug.unigram_learn_lattice(
+        una, vocab_size=6, max_piece_len=1, max_word_len=16, em_rounds=1
+    )
+    assert sorted(map(tuple, soft_p.collect())) == sorted(map(tuple, hard_p.collect()))
+    assert {r["word"]: list(r["pieces"]) for r in soft_s.collect()} == {
+        r["word"]: list(r["pieces"]) for r in hard_s.collect()
+    }
+
+    # (c) serving-schema compatibility: save/load/encode round-trip
+    import tempfile
+
+    pieces, segments = ug.unigram_learn_lattice(
+        train, vocab_size=8, max_piece_len=3, max_word_len=16, em_rounds=2
+    )
+    with tempfile.TemporaryDirectory() as td:
+        ug.save_unigram(pieces, segments, td + "/tok", max_piece_len=3, max_word_len=16)
+        lp, ls, mpl, mwl = ug.load_unigram(spark, td + "/tok")
+        out = ug.unigram_encode(
+            spark.createDataFrame([(9, "banana nab zebra")], "doc_id long, text string"),
+            lp,
+            ls,
+            max_piece_len=mpl,
+            max_word_len=mwl,
+        ).collect()
+        assert len(out) == 1 and out[0].n_pretokens == 3
+
+    # (d) guard fires BEFORE collect
+    def _no_collect(self):
+        raise AssertionError("collect() called before the max_vocab_rows guard")
+
+    orig = _DF.collect
+    _DF.collect = _no_collect
+    try:
+        with _pytest.raises(ValueError, match="max_vocab_rows"):
+            ug.unigram_learn_lattice(train, vocab_size=8, max_vocab_rows=2)
+    finally:
+        _DF.collect = orig
+    ug.release_unigram_cache(spark)
