@@ -145,6 +145,14 @@ def build_parser() -> argparse.ArgumentParser:
     uni.add_argument(
         "--em-rounds", type=int, default=2, help="train: EM sweeps before the prune"
     )
+    uni.add_argument(
+        "--lattice",
+        action="store_true",
+        help="train: full Kudo lattice soft-EM + likelihood-loss pruning, "
+        "driver-side over the collected bounded vocabulary (the corpus "
+        "pass stays distributed); default is the distributed Viterbi "
+        "hard-EM trainer",
+    )
 
     # ad-hoc SQL over tables-at-rest (reference README.md:38-45's documented
     # --query/--list-tables surface, dead in its main.py — real here)
@@ -276,7 +284,10 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = spark.read.parquet(args.docs)
         if args.action == "train":
-            pieces, segments = ug_ops.unigram_learn(
+            learn = (
+                ug_ops.unigram_learn_lattice if args.lattice else ug_ops.unigram_learn
+            )
+            pieces, segments = learn(
                 docs,
                 vocab_size=args.vocab_size,
                 max_piece_len=args.max_piece_len,
