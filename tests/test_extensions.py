@@ -2237,6 +2237,8 @@ def test_unigram_empty_corpus(spark):
         assert pieces.count() == 0 and segments.count() == 0
         counts = ug.unigram_token_counts(df, vocab_size=4)
         assert counts.count() == len(rows)
+        lp, ls = ug.unigram_learn_lattice(df, vocab_size=4)
+        assert lp.count() == 0 and ls.count() == 0
         ug.release_unigram_cache(spark)
 
 
