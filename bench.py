@@ -79,11 +79,14 @@ EXTENDED_NAMES = [
     "tpch_q6",
     "tpch_q18",
     "dedup_minhash_lsh",
-    # dedup_clusters and the docs_bpe_* family (merges/tokens/vocab/
-    # token_seq/pack_ids/fertility, char and byte) are excluded: their
-    # iterative loops execute eagerly at DataFrame-construction time
-    # (localCheckpoint per round), so the write-phase timing bench measures
-    # would not include the real work; scale_probe.py prices them instead
+    # dedup_clusters, the docs_bpe_* family (merges/tokens/vocab/
+    # token_seq/pack_ids/fertility, char and byte), the docs_unigram_*
+    # family (vocab/tokens/fertility/seq/pack_ids), and the
+    # docs_wordpiece_* family are excluded for the same reason: their
+    # iterative trainer loops execute eagerly at DataFrame-construction
+    # time (localCheckpoint per EM/merge round), so the write-phase timing
+    # this bench measures would not include the real work;
+    # scale_probe.py prices all three tokenizer families instead
     "dedup_embedding_lsh",
     "dedup_semantic",
     "sim_topk_ivf",
@@ -126,8 +129,52 @@ def _load_stamp() -> dict:
     return stamp
 
 
+def _quiet_gate() -> dict:
+    """Refuse to record on a busy machine (VERDICT r7 #2).
+
+    BENCH_r07 was recorded at loadavg1=2.30 and its +10% headline /
+    +69% detail-agg "regressions" were pure load artifacts that needed a
+    judge re-run to adjudicate — the fourth consecutive round where a
+    recorded number self-convicted. The load stamps prove the problem;
+    this gate prevents it: poll ``os.getloadavg()[0]`` and sleep-retry
+    until it drops below the threshold (default 0.5, override with
+    $SPARK_GRAFT_LOAD_GATE; <=0 disables — stamped in the JSON so a
+    disabled gate is visible, never silent). After the wait cap
+    (default 600s, $SPARK_GRAFT_LOAD_GATE_WAIT) it FAILS LOUDLY rather
+    than committing another self-convicting artifact.
+    """
+    threshold = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "0.5"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_WAIT", "600"))
+    gate = {"threshold": threshold, "max_wait_sec": max_wait, "waited_sec": 0.0}
+    if threshold <= 0:
+        gate["disabled"] = True
+        print("# quiet-gate DISABLED via SPARK_GRAFT_LOAD_GATE", file=sys.stderr)
+        return gate
+    t0 = time.monotonic()
+    while True:
+        load1 = os.getloadavg()[0]
+        waited = time.monotonic() - t0
+        if load1 < threshold:
+            gate["waited_sec"] = round(waited, 1)
+            return gate
+        if waited >= max_wait:
+            raise SystemExit(
+                f"bench.py quiet-gate: loadavg1={load1:.2f} still >= "
+                f"{threshold} after {waited:.0f}s — refusing to record a "
+                f"load-contaminated artifact (set SPARK_GRAFT_LOAD_GATE=0 "
+                f"to override, which stamps the JSON as gate-disabled)"
+            )
+        print(
+            f"# quiet-gate: loadavg1={load1:.2f} >= {threshold}, "
+            f"waiting ({waited:.0f}/{max_wait:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    gate = _quiet_gate()
     load_before = _load_stamp()
     import __spark_entry__ as em
     from billing_etl_v1_spark.session import get_spark
@@ -199,6 +246,10 @@ def main() -> None:
                 # numbers as load artifacts, not regressions
                 "load_before": load_before,
                 "load_after": _load_stamp(),
+                # quiet-gate evidence (VERDICT r7 #2): the run refused to
+                # start until loadavg1 < threshold, so load_before is
+                # clean by construction (unless stamped disabled)
+                "quiet_gate": gate,
             }
         )
     )

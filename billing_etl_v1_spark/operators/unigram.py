@@ -366,11 +366,13 @@ def unigram_learn(
     )
 
     # segments incl. the over-cap bypass lane (one piece per codepoint),
-    # with the encode cost precomputed
+    # with the encode cost precomputed. split-by-empty yields no empty
+    # elements for non-empty strings (verified on Spark 4.1.2), so this
+    # lane is textually identical to the alphabet and serving bypasses.
     overcap = words_all.filter(F.length("word") > max_word_len).select(
         "word",
         "freq",
-        F.filter(F.split("word", ""), lambda s: s != "").alias("pieces"),
+        F.split("word", "").alias("pieces"),
     )
     segments_out = (
         segments.select("word", "freq", "pieces")
@@ -841,6 +843,8 @@ def unigram_learn_lattice(
         raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
     if em_rounds < 0:
         raise ValueError(f"em_rounds must be >= 0, got {em_rounds}")
+    if max_word_len < 1:
+        raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
     spark = df.sparkSession
     vocab_df = word_vocab(df, text_col, level="char").select("word", "freq")
     if vocab_df.limit(max_vocab_rows + 1).count() > max_vocab_rows:
@@ -965,8 +969,11 @@ def unigram_learn_lattice(
     total = sum(counts.values())
     ranked = sorted(counts.items(), key=lambda pc: (-pc[1], pc[0]))
     q6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    # freq floors at 1: a kept piece with expected count < 0.5 would
+    # otherwise export freq=0 and serving_ilp's ln(freq/total) would go
+    # NULL, silently disabling the piece at encode time.
     pieces_rows = [
-        (q, int(round(c)), q6(math.log(c / total)), i)
+        (q, max(1, int(round(c))), q6(math.log(c / total)), i)
         for i, (q, c) in enumerate(ranked)
     ]
     pieces_out = spark.createDataFrame(

@@ -2582,4 +2582,10 @@ def test_unigram_lattice_trainer_properties(spark):
             ug.unigram_learn_lattice(train, vocab_size=8, max_vocab_rows=2)
     finally:
         _DF.collect = orig
+
+    # (e) hyperparameter guards match unigram_learn's: max_word_len < 1
+    # must raise, not silently train an alphabet-only vocabulary through
+    # the all-words-bypass lane (ADVICE r7)
+    with _pytest.raises(ValueError, match="max_word_len"):
+        ug.unigram_learn_lattice(train, vocab_size=8, max_word_len=0)
     ug.release_unigram_cache(spark)
