@@ -32,6 +32,7 @@ from billing_etl_v1_spark.operators import skew as skew_ops
 from billing_etl_v1_spark.operators import text as text_ops
 from billing_etl_v1_spark.operators import timeseries as ts_ops
 from billing_etl_v1_spark.operators import unigram as ug_ops
+from billing_etl_v1_spark.operators import wordpiece as wp_ops
 from billing_etl_v1_spark.plans import examples as example_plans
 from billing_etl_v1_spark.sources.readers import load_table
 from billing_etl_v1_spark.operators import aggregate as agg_ops
@@ -966,6 +967,46 @@ def _q_docs_unigram_pack_ids(spark, sf_dir):
     return ug_ops.unigram_pack_blocks(seq, block_tokens=128)
 
 
+def _q_docs_wordpiece_vocab(spark, sf_dir):
+    """WordPiece (BERT-lineage: Schuster & Nakajima 2012, Devlin 2019)
+    token-id table — [UNK] at id 0, the corpus-observed ##-continuation
+    alphabet, then likelihood-ratio-scored merges — completing the THIRD
+    production tokenizer family (the r7 VERDICT's named extension).
+    EXECUTES EAGERLY at call time (localCheckpoint per scored merge
+    round — operators/wordpiece.py); training is memoized per session,
+    so the other four wordpiece queries reuse it."""
+    return wp_ops.wordpiece_vocab(load_table(spark, sf_dir, "documents"))
+
+
+def _q_docs_wordpiece_tokens(spark, sf_dir):
+    """Exact per-document token counts under the corpus-trained WordPiece
+    vocabulary's GREEDY longest-match-first encode (NOT the trainer's
+    merge state — the family's defining serve path; over-cap or
+    unmatched words cost one [UNK])."""
+    return wp_ops.wordpiece_token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _q_docs_wordpiece_fertility(spark, sf_dir):
+    """Per-language fertility under the trained WordPiece vocabulary —
+    the standard tokenizer-evaluation table, now comparable across ALL
+    THREE families (BPE / unigram / WordPiece) on the same corpus."""
+    return wp_ops.wordpiece_fertility(load_table(spark, sf_dir, "documents"))
+
+
+def _q_docs_wordpiece_seq(spark, sf_dir):
+    """Per-document TOKEN-ID SEQUENCES under the greedy WordPiece
+    segmentations (one row per position — the model-input artifact);
+    machinery shared with BPE/unigram (the sequencer is tokenizer-blind)."""
+    return wp_ops.wordpiece_token_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def _q_docs_wordpiece_pack_ids(spark, sf_dir):
+    """WordPiece token-id sequences packed into fixed 128-id training
+    blocks — the data-loader shape (docs cross boundaries, no padding)."""
+    seq = wp_ops.wordpiece_token_sequences(load_table(spark, sf_dir, "documents"))
+    return wp_ops.wordpiece_pack_blocks(seq, block_tokens=128)
+
+
 def _q_flagship_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: the whole pipeline as ONE spark.sql statement (the reference's
     pure-SQL engine, calculate/sql_template.py) — same oracle as the
@@ -979,25 +1020,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Order matters: the driver's correctness harness checks the FIRST 50
     entries only; rotation policy is "every query's latest verdict <= 2
-    rounds old" (age = current round − verdict round). Round 7's window:
-    the 36 entries whose latest verdict is r4 (age 3 if skipped — the
-    mechanically mandatory lead set the r6 VERDICT names;
+    rounds old" (age = current round − verdict round). Round 8's window:
+    the 41 entries whose latest verdict is r5 (age 3 if skipped — the
+    mechanically mandatory lead set the r7 VERDICT names;
     tests/test_rotation_policy.py re-derives it from the
     CORRECTNESS_r*.json artifacts and goes red if any is missing), then
     the session's FIVE NEW queries (an unverified query may not sit below
-    the fold): the unigram-LM (SentencePiece-style) tokenizer family —
-    vocabulary, per-document token counts, per-language fertility,
-    token-id sequences, and packed training blocks (docs_unigram_vocab /
-    docs_unigram_tokens / docs_unigram_fertility / docs_unigram_seq /
-    docs_unigram_pack_ids — the r6 VERDICT's top residual, at full
-    surface parity with the BPE family). The remaining
-    9 discretionary slots all come from the 50-entry age-2 (r5-verdict)
-    pool, chosen as the bench's EXTENDED_NAMES members so the measured
-    numbers rest on fresh verdicts. 36 + 5 + 9 = 50. Below the fold:
-    the 41 remaining r5-verdict entries sit first as round 8's mandatory
-    leads (41 < 50, so the rotation stays sustainable —
-    test_rotation_is_sustainable asserts this); the 50 r6-verdict
-    entries (age 1, safe until round 8/9) follow. Everything below the
+    the fold): the WordPiece (BERT-lineage) tokenizer family —
+    token-id vocabulary, per-document greedy-encode token counts,
+    per-language fertility, token-id sequences, and packed training
+    blocks (docs_wordpiece_vocab / docs_wordpiece_tokens /
+    docs_wordpiece_fertility / docs_wordpiece_seq /
+    docs_wordpiece_pack_ids — the r7 VERDICT's named extension,
+    completing the third production family at full surface parity with
+    BPE and unigram). The remaining 4 discretionary slots come from the
+    age-1 (r6-verdict) pool: the four bench-HEADLINE billing queries —
+    including billing_source_agg_detail, the r7 load-artifact mover —
+    so the measured numbers rest on fresh verdicts. 41 + 5 + 4 = 50.
+    Below the fold: the 50 r7-verdict entries (age 1, due round 10),
+    then the 46 remaining r6-verdict entries as round 9's mandatory
+    leads (46 < 50, so the rotation stays sustainable —
+    test_rotation_is_sustainable asserts this; at 146 registered
+    queries the 3-round budget is 150, so at most 4 more queries can
+    ever be added without widening the window). Everything below the
     fold still runs in the local parity mirror
     (tests/test_oracle_parity.py), and the FULL registry is
     strict-verified dtype-exact vs its oracles at sf0.01 each round
@@ -1005,69 +1050,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     not just parity-mirrored.
     """
     return {
-        # --- ROUND-7 WINDOW (first 50; driver checks only these) ---
-        # 36 entries whose latest verdict is r4 (age 3 if skipped) — the
-        # policy-mandatory leads, exactly the set the r6 VERDICT names:
-        "events_salted_user_join": _q_events_salted_join,
-        "multimodal_frame_sample": _q_multimodal_frames,
-        "multimodal_resize": _q_multimodal_resize,
-        "billing_cube": _q_billing_cube,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        "docs_repetition": _q_docs_repetition,
-        "docs_quality_corpus": _q_quality_corpus,
-        "docs_pagerank": _q_docs_pagerank,
-        "docs_train_split": _q_docs_train_split,
-        "docs_shard_manifest": _q_docs_shard_manifest,
-        "docs_quality_percentiles": _q_docs_quality_percentiles,
-        "events_transitions": _q_events_transitions,
-        "docs_training_corpus": _q_docs_training_corpus,
-        "docs_vocabulary": _q_docs_vocabulary,
-        "events_hll_merge": _q_events_hll_merge,
-        "events_key_skew": _q_events_key_skew,
-        "billing_forecast": _q_billing_forecast,
-        "docs_cluster_quality": _q_docs_cluster_quality,
-        "events_session_funnel": _q_events_session_funnel,
-        "docs_ccnet_buckets": _q_docs_ccnet_buckets,
-        "events_gap_regularity": _q_events_gap_regularity,
-        "docs_pack_blocks": _q_docs_pack_blocks,
-        "docs_lang_confusion": _q_docs_lang_confusion,
-        "billing_unit_price": _q_billing_unit_price,
-        "docs_source_mix": _q_docs_source_mix,
-        "events_dau_wau": _q_events_dau_wau,
-        "billing_statement": _q_billing_statement,
-        "events_hourly_profile": _q_events_hourly_profile,
-        "billing_weekday_profile": _q_billing_weekday_profile,
-        "events_top_paths": _q_events_top_paths,
-        "events_funnel": _q_events_funnel,
-        "events_retention": _q_events_retention,
-        "multimodal_meta": _q_multimodal_meta,
-        "docs_decontaminate": _q_docs_decontaminate,
-        "docs_bigram_fluency": _q_docs_fluency,
-        "dedup_ngram_jaccard": _q_dedup_jaccard,
-        # the session's TWO NEW queries — the unigram-LM tokenizer family
-        # (the r6 VERDICT's top residual; an unverified query may not sit
-        # below the fold):
-        "docs_unigram_vocab": _q_docs_unigram_vocab,
-        "docs_unigram_tokens": _q_docs_unigram_tokens,
-        "docs_unigram_fertility": _q_docs_unigram_fertility,
-        "docs_unigram_seq": _q_docs_unigram_seq,
-        "docs_unigram_pack_ids": _q_docs_unigram_pack_ids,
-        # 9 discretionary slots from the 50-entry age-2 (r5-verdict)
-        # pool — all bench EXTENDED_NAMES members, so the measured numbers
-        # rest on fresh verdicts; the other 41 become round 8's leads:
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q6": _q_tpch_q6,
-        "tpch_q18": _q_tpch_q18,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "sim_topk_ivf": _q_sim_ivf,
-        "sim_topk_quantized": _q_sim_topk_quantized,
-        "docs_tfidf_top_terms": _q_docs_tfidf,
-        "docs_chunk": _q_docs_chunk,
-        # --- below the driver fold (local parity still runs ALL) ---
-        # 41 remaining age-2 (r5-verdict) entries — round 8 MUST lead with
-        # these (they fit: 41 < 50); kept contiguous so the rotation is a
-        # copy-paste:
+        # --- ROUND-8 WINDOW (first 50; driver checks only these) ---
+        # 41 entries whose latest verdict is r5 (age 3 if skipped) — the
+        # policy-mandatory leads, exactly the set the r7 VERDICT names:
         "events_sessionize": _q_events_sessionize,
         "events_user_trend": _q_user_trend,
         "events_attribution": _q_events_attribution,
@@ -1109,10 +1094,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding,
         "docs_bpe_merges": _q_docs_bpe_merges,
         "docs_bpe_tokens": _q_docs_bpe_tokens,
-        # age-1 (r6-verdict) entries — safe until round 8/9:
+        # the session's FIVE NEW queries — the WordPiece (BERT-lineage)
+        # tokenizer family, completing the third production family (the
+        # r7 VERDICT's named extension; an unverified query may not sit
+        # below the fold):
+        "docs_wordpiece_vocab": _q_docs_wordpiece_vocab,
+        "docs_wordpiece_tokens": _q_docs_wordpiece_tokens,
+        "docs_wordpiece_fertility": _q_docs_wordpiece_fertility,
+        "docs_wordpiece_seq": _q_docs_wordpiece_seq,
+        "docs_wordpiece_pack_ids": _q_docs_wordpiece_pack_ids,
+        # 4 discretionary slots from the age-1 (r6-verdict) pool — the
+        # bench-HEADLINE billing queries (incl. billing_source_agg_detail,
+        # the r7 load-artifact mover), so the measured numbers rest on
+        # fresh verdicts; the other 46 become round 9's leads:
+        "billing_flagship_production": _flagship(None, "pipeline"),
+        "billing_source_agg_detail": _q_source_agg_detail,
+        "billing_credits_pivot": _q_credits_pivot,
+        "billing_rule_match": _q_rule_match,
+        # --- below the driver fold (local parity still runs ALL) ---
+        # 50 r7-verdict entries (age 1, due round 10):
+        "events_salted_user_join": _q_events_salted_join,
+        "multimodal_frame_sample": _q_multimodal_frames,
+        "multimodal_resize": _q_multimodal_resize,
+        "billing_cube": _q_billing_cube,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "docs_repetition": _q_docs_repetition,
+        "docs_quality_corpus": _q_quality_corpus,
+        "docs_pagerank": _q_docs_pagerank,
+        "docs_train_split": _q_docs_train_split,
+        "docs_shard_manifest": _q_docs_shard_manifest,
+        "docs_quality_percentiles": _q_docs_quality_percentiles,
+        "events_transitions": _q_events_transitions,
+        "docs_training_corpus": _q_docs_training_corpus,
+        "docs_vocabulary": _q_docs_vocabulary,
+        "events_hll_merge": _q_events_hll_merge,
+        "events_key_skew": _q_events_key_skew,
+        "billing_forecast": _q_billing_forecast,
+        "docs_cluster_quality": _q_docs_cluster_quality,
+        "events_session_funnel": _q_events_session_funnel,
+        "docs_ccnet_buckets": _q_docs_ccnet_buckets,
+        "events_gap_regularity": _q_events_gap_regularity,
+        "docs_pack_blocks": _q_docs_pack_blocks,
+        "docs_lang_confusion": _q_docs_lang_confusion,
+        "billing_unit_price": _q_billing_unit_price,
+        "docs_source_mix": _q_docs_source_mix,
+        "events_dau_wau": _q_events_dau_wau,
+        "billing_statement": _q_billing_statement,
+        "events_hourly_profile": _q_events_hourly_profile,
+        "billing_weekday_profile": _q_billing_weekday_profile,
+        "events_top_paths": _q_events_top_paths,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "multimodal_meta": _q_multimodal_meta,
+        "docs_decontaminate": _q_docs_decontaminate,
+        "docs_bigram_fluency": _q_docs_fluency,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        # the unigram-LM tokenizer family (r7-verified):
+        "docs_unigram_vocab": _q_docs_unigram_vocab,
+        "docs_unigram_tokens": _q_docs_unigram_tokens,
+        "docs_unigram_fertility": _q_docs_unigram_fertility,
+        "docs_unigram_seq": _q_docs_unigram_seq,
+        "docs_unigram_pack_ids": _q_docs_unigram_pack_ids,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q18": _q_tpch_q18,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "sim_topk_ivf": _q_sim_ivf,
+        "sim_topk_quantized": _q_sim_topk_quantized,
+        "docs_tfidf_top_terms": _q_docs_tfidf,
+        "docs_chunk": _q_docs_chunk,
+        # 46 remaining r6-verdict entries — round 9 MUST lead with these
+        # (they fit: 46 < 50); kept contiguous so the rotation is a
+        # copy-paste:
         "dedup_semantic": _q_dedup_semantic,
         "multimodal_features": _q_multimodal_features,
-        "billing_credits_pivot": _q_credits_pivot,
         "billing_dim_rules": _q_dim_rules,
         "billing_minmax_day": _q_minmax_day,
         "billing_rollup": _q_billing_rollup,
@@ -1153,11 +1209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_profile": _q_billing_profile,
         "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
         "billing_flagship": _flagship(None, "detail"),
-        "billing_flagship_production": _flagship(None, "pipeline"),
         "billing_flagship_sql": _q_flagship_sql,
         "billing_source_agg": _q_source_agg,
-        "billing_source_agg_detail": _q_source_agg_detail,
-        "billing_rule_match": _q_rule_match,
         "billing_pricing_modes": _q_pricing_modes,
         "billing_dq_audit": _q_dq_audit,
     }
@@ -1276,6 +1329,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_unigram_fertility": oracle_ext.unigram_fertility_sql(),
         "docs_unigram_seq": oracle_ext.unigram_token_sequences_sql(),
         "docs_unigram_pack_ids": oracle_ext.unigram_pack_blocks_sql(128),
+        "docs_wordpiece_vocab": oracle_ext.wordpiece_vocab_sql(),
+        "docs_wordpiece_tokens": oracle_ext.wordpiece_token_counts_sql(),
+        "docs_wordpiece_fertility": oracle_ext.wordpiece_fertility_sql(),
+        "docs_wordpiece_seq": oracle_ext.wordpiece_token_sequences_sql(),
+        "docs_wordpiece_pack_ids": oracle_ext.wordpiece_pack_blocks_sql(128),
         "embeddings_quantize": oracle_ext.quantize_embeddings_sql(),
         "sim_topk_quantized": oracle_ext.sim_topk_quantized_sql(),
         "sim_hard_negatives": oracle_ext.hard_negatives_sql(),

@@ -197,11 +197,19 @@ def _best_pair(pos: DataFrame) -> DataFrame:
     )
 
 
-def _apply_merge(pos: DataFrame, best: DataFrame) -> DataFrame:
+def _apply_merge(
+    pos: DataFrame, best: DataFrame, merged_col: Column | None = None
+) -> DataFrame:
     """One merge round over position rows: greedy left-to-right
     non-overlapping replacement of (a, b) via the run-parity flags (see
     module docstring). Start positions take the merged symbol; consumed
     positions (predecessor started a merge) drop.
+
+    ``merged_col``: expression over ``best``'s (a, b) producing the merged
+    symbol — defaults to plain concatenation (BPE); the WordPiece trainer
+    passes ``a || substring(b, 3)`` so the merged symbol keeps ``a``'s
+    position-form and drops ``b``'s '##' continuation marker. The apply
+    mechanics (match/run-parity/renumber) are symbol-blind.
 
     Surviving positions are RENUMBERED densely (0..k-1): the run-parity
     test is "offset within the run is even", which is only equal to
@@ -215,7 +223,9 @@ def _apply_merge(pos: DataFrame, best: DataFrame) -> DataFrame:
         best.select(
             F.col("a").alias("bp_a"),
             F.col("b").alias("bp_b"),
-            F.concat("a", "b").alias("bp_m"),
+            (
+                merged_col if merged_col is not None else F.concat("a", "b")
+            ).alias("bp_m"),
         )
     )
     by_match = Window.partitionBy("word", "mtch").orderBy("pos")

@@ -3193,3 +3193,335 @@ SELECT CAST((row_number() OVER (ORDER BY doc_id, pos) - 1) // {int(block_tokens)
        token_id
 FROM seq
 """
+
+
+# --- WordPiece tokenizer (operators/wordpiece.py) ---------------------------
+
+
+def _wp_round_ctes(i: int) -> str:
+    """One unrolled WordPiece merge round — the _bpe_round_ctes mechanics
+    (run-parity greedy non-overlap apply, MATERIALIZED multi-reference
+    CTEs) with the likelihood-ratio argmax: best pair maximizes
+    ``double(pair_count) / (double(left_count) * double(right_count))``
+    over the CURRENT state's symbol counts. IEEE double *, / are
+    correctly rounded and engine-independent (only transcendentals
+    differ between libm and the JVM), and each count is cast to double
+    BEFORE the product (the BIGINT-overflow-proof order the Spark side
+    uses), so both engines rank every candidate bit-identically; ties
+    break by (a, b) binary string order. The merged symbol keeps the
+    left's position-form and drops the right's '##' marker
+    (``a || b[3:]`` — every right-hand symbol is a continuation)."""
+    return f"""sc{i} AS (
+  SELECT s[u.i + 1] AS sym, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM v{i}, unnest(range(0, len(s))) u(i)
+  GROUP BY 1
+),
+pc{i} AS (
+  SELECT s[u.i + 1] AS a, s[u.i + 2] AS b, CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM v{i}, unnest(range(0, len(s) - 1)) u(i)
+  GROUP BY 1, 2
+),
+b{i} AS MATERIALIZED (
+  SELECT p.a, p.b, p.a || p.b[3:] AS merged, p.pair_count,
+         ca.cnt AS left_count, cb.cnt AS right_count
+  FROM pc{i} p
+  JOIN sc{i} ca ON ca.sym = p.a
+  JOIN sc{i} cb ON cb.sym = p.b
+  ORDER BY CAST(p.pair_count AS DOUBLE)
+             / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)) DESC,
+           p.a ASC, p.b ASC
+  LIMIT 1
+),
+p{i} AS (
+  SELECT word, u.i AS pos, s[u.i + 1] AS sym
+  FROM v{i}, unnest(range(0, len(s))) u(i)
+),
+q{i} AS (
+  SELECT word, pos, sym,
+         coalesce(sym = (SELECT a FROM b{i})
+                  AND lead(sym) OVER (PARTITION BY word ORDER BY pos)
+                      = (SELECT b FROM b{i}), FALSE) AS mtch
+  FROM p{i}
+),
+g{i} AS (
+  SELECT *, CASE WHEN mtch
+    THEN pos - row_number() OVER (PARTITION BY word, mtch ORDER BY pos) END AS grp
+  FROM q{i}
+),
+st{i} AS (
+  SELECT word, pos, sym,
+         mtch AND (pos - min(pos) OVER (PARTITION BY word, grp)) % 2 = 0 AS strt
+  FROM g{i}
+),
+c{i} AS (
+  SELECT word, pos, sym, strt,
+         coalesce(lag(strt) OVER (PARTITION BY word ORDER BY pos), FALSE) AS consumed
+  FROM st{i}
+),
+v{i + 1} AS MATERIALIZED (
+  SELECT c.word, v.freq,
+         list(CASE WHEN c.strt THEN (SELECT merged FROM b{i}) ELSE c.sym END
+              ORDER BY c.pos) FILTER (WHERE NOT c.consumed) AS s
+  FROM c{i} c JOIN v{i} v USING (word)
+  GROUP BY c.word, v.freq
+)"""
+
+
+def _wp_train_ctes(num_merges: int, max_word_len: int) -> str:
+    """Trainer CTE chain: char-level pre-tokens, position-form symbol
+    arrays (raw first codepoint, '##'-prefixed continuations — DuckDB
+    list_transform lambdas index from 1), the codepoint-count cap split,
+    then the unrolled scored merge rounds."""
+    parts = [
+        f"pre AS (SELECT unnest(regexp_extract_all(text, '{_bpe_pre_re_sql('char')}')) AS word FROM documents)",
+        "vall AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq, "
+        "list_transform(regexp_extract_all(word, '.'), "
+        "(c, i) -> CASE WHEN i = 1 THEN c ELSE '##' || c END) AS s "
+        "FROM pre GROUP BY word)",
+        f"v0 AS MATERIALIZED (SELECT * FROM vall WHERE len(s) <= {max_word_len})",
+    ]
+    parts.extend(_wp_round_ctes(i) for i in range(num_merges))
+    return ",\n".join(parts)
+
+
+def _wp_merge_rows(num_merges: int) -> str:
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym, merged, "
+        f"pair_count, left_count, right_count FROM b{i}"
+        for i in range(num_merges)
+    )
+    if not rows:
+        rows = (
+            "SELECT CAST(NULL AS INT) AS merge_rank, '' AS left_sym, "
+            "'' AS right_sym, '' AS merged, CAST(NULL AS BIGINT) AS pair_count, "
+            "CAST(NULL AS BIGINT) AS left_count, CAST(NULL AS BIGINT) AS right_count "
+            "WHERE FALSE"
+        )
+    return rows
+
+
+def _wp_greedy_ctes(num_merges: int, max_word_len: int) -> str:
+    """Greedy longest-match-first encode of every DISTINCT in-cap word —
+    the INDEPENDENT relational formulation of the Spark side's sequential
+    scan: precompute a JUMP TABLE (for each word × start position, the
+    LONGEST vocab piece matching there — a window argmax, no loop), then
+    follow each word's unique chain from position 0 with one recursive
+    CTE over the jump table (pure transitive closure; positions strictly
+    increase, so it terminates). A word whose chain reaches exactly its
+    codepoint count is encoded by the pieces along the chain; a word
+    stuck earlier (no piece matches some position) or over the cap is
+    the single [UNK] token — the HF max_input_chars_per_word semantics.
+    Candidate lengths enumerate EVERY prefix of the remainder (words are
+    capped, so ≤ max_word_len candidates per position), matching the
+    Spark kernel's all-prefixes scan: which candidates MATCH depends
+    only on piece-set membership, so the two formulations agree."""
+    return f"""m AS ({_wp_merge_rows(num_merges)}),
+alpha AS (SELECT DISTINCT unnest(s) AS token FROM vall),
+pieces AS MATERIALIZED (
+  SELECT '[UNK]' AS token
+  UNION ALL SELECT token FROM alpha
+  UNION ALL SELECT merged FROM m
+),
+wincap AS MATERIALIZED (
+  SELECT word, regexp_extract_all(word, '.') AS cp, len(s) AS n
+  FROM vall WHERE len(s) <= {max_word_len}
+),
+cand AS (
+  SELECT w.word, u.p, v.l,
+         CASE WHEN u.p = 0 THEN '' ELSE '##' END
+           || array_to_string(cp[u.p + 1 : u.p + v.l], '') AS piece
+  FROM wincap w,
+       unnest(range(0, n)) u(p),
+       unnest(range(1, {max_word_len} + 1)) v(l)
+  WHERE u.p + v.l <= w.n
+),
+jump AS MATERIALIZED (
+  SELECT word, p, l, piece FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY c.word, c.p ORDER BY c.l DESC) AS rn
+    FROM cand c JOIN pieces ps ON ps.token = c.piece
+  ) WHERE rn = 1
+),
+chain AS (
+  SELECT word, 0 AS pos FROM wincap
+  UNION ALL
+  SELECT c.word, c.pos + j.l
+  FROM chain c JOIN jump j ON j.word = c.word AND j.p = c.pos
+),
+enc AS (
+  SELECT w.word, w.n,
+         CASE WHEN max(c.pos) = w.n
+              THEN list(j.piece ORDER BY c.pos) FILTER (WHERE j.piece IS NOT NULL)
+              ELSE ['[UNK]'] END AS segs
+  FROM wincap w
+  JOIN chain c ON c.word = w.word
+  LEFT JOIN jump j ON j.word = c.word AND j.p = c.pos
+  GROUP BY w.word, w.n
+),
+cost AS (
+  SELECT word, segs FROM enc
+  UNION ALL
+  SELECT word, ['[UNK]'] AS segs FROM vall WHERE len(s) > {max_word_len}
+)"""
+
+
+def wordpiece_vocab_sql(num_merges: int = 8, max_word_len: int = 16) -> str:
+    """Twin of operators.wordpiece.wordpiece_vocab: the exported token-id
+    table — [UNK] at id 0 (vocabulary proper, the BERT convention), the
+    corpus-observed position-form alphabet at 1..n in binary string order
+    (plain ordered row_number — the INDEPENDENT formulation of the
+    engine's two-phase distributed rank), merges at n + 1 + rank. All
+    integers and strings, so the match is exact."""
+    return f"""
+WITH {_wp_train_ctes(num_merges, max_word_len)},
+m AS ({_wp_merge_rows(num_merges)}),
+alpha AS (SELECT DISTINCT unnest(s) AS token FROM vall)
+SELECT '[UNK]' AS token, CAST(0 AS INT) AS token_id, 'special' AS source
+UNION ALL
+SELECT token, CAST(row_number() OVER (ORDER BY token) AS INT) AS token_id,
+       'base' AS source
+FROM alpha
+UNION ALL
+SELECT merged AS token,
+       CAST((SELECT count(*) FROM alpha) + 1 + merge_rank AS INT) AS token_id,
+       'merge' AS source
+FROM m
+"""
+
+
+def wordpiece_token_counts_sql(num_merges: int = 8, max_word_len: int = 16) -> str:
+    """Twin of operators.wordpiece.wordpiece_token_counts: per-document
+    (n_pretokens, n_wordpiece_tokens) under the trained vocabulary's
+    GREEDY encode — cost-table join over distinct words, never re-running
+    the greedy scan per occurrence."""
+    pre = _bpe_pre_re_sql("char")
+    return f"""
+WITH RECURSIVE {_wp_train_ctes(num_merges, max_word_len)},
+{_wp_greedy_ctes(num_merges, max_word_len)},
+occ AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS occ FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '{pre}')) AS word
+    FROM documents
+  ) GROUP BY doc_id, word
+),
+agg AS (
+  SELECT o.doc_id,
+         CAST(sum(o.occ) AS BIGINT) AS pre,
+         CAST(sum(o.occ * len(c.segs)) AS BIGINT) AS wpt
+  FROM occ o JOIN cost c USING (word)
+  GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.pre, 0) AS BIGINT) AS n_pretokens,
+       CAST(coalesce(a.wpt, 0) AS BIGINT) AS n_wordpiece_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def wordpiece_fertility_sql(
+    num_merges: int = 8, max_word_len: int = 16, group_col: str = "lang"
+) -> str:
+    """Twin of operators.wordpiece.wordpiece_fertility: per-group fertility
+    under the greedy-encoded WordPiece vocabulary — quantized ratios, zero
+    denominators → NULL (the unigram_fertility_sql shape over the greedy
+    cost table)."""
+    pre = _bpe_pre_re_sql("char")
+    return f"""
+WITH RECURSIVE {_wp_train_ctes(num_merges, max_word_len)},
+{_wp_greedy_ctes(num_merges, max_word_len)},
+occ AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS occ FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '{pre}')) AS word
+    FROM documents
+  ) GROUP BY doc_id, word
+),
+perdoc AS (
+  SELECT d.doc_id, d.{group_col},
+         CAST(coalesce(octet_length(encode(d.text)), 0) AS BIGINT) AS b,
+         CAST(coalesce(a.pre, 0) AS BIGINT) AS pre,
+         CAST(coalesce(a.wpt, 0) AS BIGINT) AS wpt
+  FROM documents d LEFT JOIN (
+    SELECT o.doc_id,
+           CAST(sum(o.occ) AS BIGINT) AS pre,
+           CAST(sum(o.occ * len(c.segs)) AS BIGINT) AS wpt
+    FROM occ o JOIN cost c USING (word)
+    GROUP BY o.doc_id
+  ) a USING (doc_id)
+),
+g AS (
+  SELECT {group_col},
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(b) AS BIGINT) AS total_bytes,
+         CAST(sum(pre) AS BIGINT) AS total_pretokens,
+         CAST(sum(wpt) AS BIGINT) AS total_tokens
+  FROM perdoc GROUP BY {group_col}
+)
+SELECT {group_col}, n_docs, total_bytes, total_pretokens, total_tokens,
+       {_r6("CASE WHEN total_pretokens > 0 THEN total_tokens / CAST(total_pretokens AS DOUBLE) END")}
+         AS tokens_per_pretoken,
+       {_r6("CASE WHEN total_tokens > 0 THEN total_bytes / CAST(total_tokens AS DOUBLE) END")}
+         AS bytes_per_token
+FROM g
+"""
+
+
+def wordpiece_token_sequences_sql(
+    num_merges: int = 8, max_word_len: int = 16
+) -> str:
+    """Twin of operators.wordpiece.wordpiece_token_sequences: per-document
+    (doc_id, pos, token, token_id) under the greedy segmentations — the
+    unigram_token_sequences_sql shape with the WordPiece cost/id tables
+    ([UNK] id 0, alphabet 1..n, merges after)."""
+    pre = _bpe_pre_re_sql("char")
+    return f"""
+WITH RECURSIVE {_wp_train_ctes(num_merges, max_word_len)},
+{_wp_greedy_ctes(num_merges, max_word_len)},
+ids AS (
+  SELECT '[UNK]' AS token, CAST(0 AS INT) AS token_id
+  UNION ALL
+  SELECT token, CAST(row_number() OVER (ORDER BY token) AS INT) AS token_id
+  FROM alpha
+  UNION ALL
+  SELECT merged AS token,
+         CAST((SELECT count(*) FROM alpha) + 1 + merge_rank AS INT) AS token_id
+  FROM m
+),
+wseq AS (
+  SELECT doc_id, u.i AS wpos, arr[u.i + 1] AS word
+  FROM (
+    SELECT doc_id, regexp_extract_all(text, '{pre}') AS arr
+    FROM documents
+  ) t, unnest(range(0, len(arr))) u(i)
+),
+wbase AS (
+  SELECT w.doc_id, w.wpos, c.segs,
+         sum(len(c.segs)) OVER (PARTITION BY w.doc_id ORDER BY w.wpos)
+           - len(c.segs) AS base
+  FROM wseq w JOIN cost c USING (word)
+)
+SELECT s.doc_id, s.pos, s.token, i.token_id
+FROM (
+  SELECT b.doc_id,
+         CAST(b.base + u.i AS BIGINT) AS pos,
+         b.segs[u.i + 1] AS token
+  FROM wbase b, unnest(range(0, len(b.segs))) u(i)
+) s JOIN ids i ON i.token = s.token
+"""
+
+
+def wordpiece_pack_blocks_sql(
+    block_tokens: int, num_merges: int = 8, max_word_len: int = 16
+) -> str:
+    """Twin of operators.wordpiece.wordpiece_pack_blocks: the sequence
+    query as a CTE, then ordered row_number + exact BIGINT div/mod block
+    arithmetic (the bpe/unigram pack shape)."""
+    seq = wordpiece_token_sequences_sql(num_merges, max_word_len)
+    return f"""
+WITH seq AS ({seq})
+SELECT CAST((row_number() OVER (ORDER BY doc_id, pos) - 1) // {int(block_tokens)} AS BIGINT)
+         AS block_id,
+       CAST((row_number() OVER (ORDER BY doc_id, pos) - 1) % {int(block_tokens)} AS INT)
+         AS "offset",
+       doc_id,
+       token_id
+FROM seq
+"""

@@ -2589,3 +2589,263 @@ def test_unigram_lattice_trainer_properties(spark):
     with _pytest.raises(ValueError, match="max_word_len"):
         ug.unigram_learn_lattice(train, vocab_size=8, max_word_len=0)
     ug.release_unigram_cache(spark)
+
+
+# --- WordPiece (BERT-lineage) tokenizer -------------------------------------
+
+
+def _naive_wordpiece(texts, num_merges: int, max_word_len: int = 16):
+    """Sequential reference WordPiece trainer: position-form symbols (raw
+    first codepoint, '##'-prefixed continuations), likelihood-ratio pair
+    scoring score(a,b) = c_ab / (c_a * c_b) over the CURRENT state's
+    freq-weighted symbol counts, ties by (a, b) UTF-8 byte order, greedy
+    left-to-right non-overlapping apply, merged = a + b[2:]. The score is
+    computed in the engine-identical float op order —
+    float(c_ab) / (float(c_a) * float(c_b)) — so the argmax matches the
+    Spark/DuckDB double arithmetic bit-exactly. Pre-tokens over
+    max_word_len CODEPOINTS bypass training."""
+    import re
+    from collections import Counter
+
+    from billing_etl_v1_spark.operators.text import BPE_TOKEN_RE as pre_re
+
+    wf = Counter(w for t in texts for w in re.findall(pre_re, t))
+    state = {
+        w: [c if i == 0 else "##" + c for i, c in enumerate(w)] for w in wf
+    }
+    capped = {w for w in wf if len(w) > max_word_len}
+    merges = []
+    for rank in range(num_merges):
+        sc: Counter = Counter()
+        pc: Counter = Counter()
+        for w, syms in state.items():
+            if w in capped:
+                continue
+            for s in syms:
+                sc[s] += wf[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wf[w]
+        if not pc:
+            break
+        a, b = min(
+            pc,
+            key=lambda p: (
+                -(float(pc[p]) / (float(sc[p[0]]) * float(sc[p[1]]))),
+                p[0].encode(),
+                p[1].encode(),
+            ),
+        )
+        merges.append((rank, a, b, a + b[2:], pc[(a, b)], sc[a], sc[b]))
+        for w, syms in state.items():
+            if w in capped:
+                continue
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b[2:])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    alphabet = {s for w, syms0 in (
+        (w, [c if i == 0 else "##" + c for i, c in enumerate(w)]) for w in wf
+    ) for s in syms0}
+    pieces = {"[UNK]"} | alphabet | {m[3] for m in merges}
+    return merges, pieces, wf
+
+
+def _naive_greedy(word: str, pieces, max_word_len: int):
+    """Greedy longest-match-first reference encoder (all-prefixes scan,
+    over-cap/unmatched -> single [UNK]) — intentionally a second
+    from-the-paper implementation, not an import of the operator kernel."""
+    n = len(word)
+    if n > max_word_len:
+        return ["[UNK]"]
+    out, pos = [], 0
+    while pos < n:
+        hit = None
+        for ln in range(n - pos, 0, -1):
+            cand = ("##" if pos else "") + word[pos : pos + ln]
+            if cand in pieces:
+                hit = (cand, ln)
+                break
+        if hit is None:
+            return ["[UNK]"]
+        out.append(hit[0])
+        pos += hit[1]
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab#é😀 .", min_size=0, max_size=24), min_size=0, max_size=6
+    ),
+    num_merges=st.integers(min_value=0, max_value=5),
+)
+def test_wordpiece_matches_naive_reference(spark, texts, num_merges):
+    """Spark trainer + greedy segmentation vs the sequential reference on
+    random corpora (the '#' alphabet member exercises the ##-convention
+    ambiguity lanes; the emoji exercises codepoint-vs-UTF-16 capping; cap
+    6 exercises the over-cap [UNK] lane)."""
+    import re
+
+    from billing_etl_v1_spark.operators import wordpiece as wp
+    from billing_etl_v1_spark.operators.text import BPE_TOKEN_RE as pre_re
+
+    cap = 6
+    exp_m, exp_pieces, wf = _naive_wordpiece(texts, num_merges, max_word_len=cap)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, _state = wp.wordpiece_learn(df, num_merges=num_merges, max_word_len=cap)
+    got_m = [
+        (
+            r["merge_rank"],
+            r["left_sym"],
+            r["right_sym"],
+            r["merged"],
+            r["pair_count"],
+            r["left_count"],
+            r["right_count"],
+        )
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    assert got_m == exp_m
+
+    # exported piece set matches, [UNK] holds id 0, ids are dense & unique
+    ids = wp.wordpiece_vocab(df, num_merges=num_merges, max_word_len=cap)
+    rows = ids.collect()
+    assert {r["token"] for r in rows} == exp_pieces
+    by_id = sorted(r["token_id"] for r in rows)
+    assert by_id == list(range(len(rows)))
+    assert [r["token"] for r in rows if r["token_id"] == 0] == ["[UNK]"]
+
+    # per-document counts under greedy encode match the reference encoder
+    got_c = {
+        r["doc_id"]: (r["n_pretokens"], r["n_wordpiece_tokens"])
+        for r in wp.wordpiece_token_counts(
+            df, num_merges=num_merges, max_word_len=cap
+        ).collect()
+    }
+    exp_c = {}
+    for i, t in enumerate(texts):
+        words = re.findall(pre_re, t)
+        exp_c[i] = (
+            len(words),
+            sum(len(_naive_greedy(w, exp_pieces, cap)) for w in words),
+        )
+    assert got_c == exp_c
+    wp.release_wordpiece_cache(spark)
+
+
+def test_wordpiece_greedy_kernel_cases():
+    """The greedy kernel on hand cases: longest-match-first, continuation
+    prefixes, unmatched -> [UNK], over-cap -> [UNK], and the '#'
+    convention lanes."""
+    from billing_etl_v1_spark.operators.wordpiece import greedy_pieces
+
+    pieces = {"[UNK]", "un", "##happ", "##ily", "##y", "h", "##a", "u", "##n"}
+    assert greedy_pieces("unhappily", pieces, 16) == ["un", "##happ", "##ily"]
+    # a match mid-word cannot rescue a later unmatched position: 'u'
+    # matches, then '##h' has no piece -> the WHOLE word is [UNK]
+    assert greedy_pieces("uh", pieces, 16) == ["[UNK]"]
+    # unmatched first position -> [UNK]
+    assert greedy_pieces("zebra", pieces, 16) == ["[UNK]"]
+    # over-cap -> [UNK] without scanning
+    assert greedy_pieces("a" * 17, pieces, 16) == ["[UNK]"]
+    # '#' convention lanes: at pos 0 the raw '###' piece wins whole;
+    # from pos > 0 the same string is reachable as continuation-'#'
+    p2 = {"[UNK]", "#", "###"}
+    assert greedy_pieces("###", p2, 16) == ["###"]
+    assert greedy_pieces("##", p2, 16) == ["#", "###"]
+
+
+def test_wordpiece_serving_roundtrip_and_unk_lanes(spark, tmp_path):
+    """save/load/encode round-trip: an all-known batch equals the trained
+    counter; novel words run greedy under the frozen pieces (zzz has no
+    'z' in the alphabet -> [UNK]); an over-cap monster is one [UNK]; empty
+    and no-pretoken docs count 0/0."""
+    from billing_etl_v1_spark.operators import wordpiece as wp
+
+    train = spark.createDataFrame(
+        [(0, "aaabab banana aab"), (1, "banana aaabab aaaa .")],
+        "doc_id long, text string",
+    )
+    cap = 10
+    _m, ids, segments, _st = wp._learn_full(train, "text", 4, cap)
+    tok = str(tmp_path / "wp")
+    wp.save_wordpiece(ids, segments, tok, max_word_len=cap)
+    ids2, segs2, cap2 = wp.load_wordpiece(spark, tok)
+    assert cap2 == cap
+
+    # all-known batch: equi-join fast path == training counter
+    enc = wp.wordpiece_encode(train, ids2, segs2, max_word_len=cap2)
+    tc = wp.wordpiece_token_counts(train, num_merges=4, max_word_len=cap)
+    assert sorted(map(tuple, enc.collect())) == sorted(map(tuple, tc.collect()))
+
+    # novel batch: known word, novel-but-coverable word, alphabet-miss,
+    # over-cap monster, empty, NULL
+    new = spark.createDataFrame(
+        [(0, "banana bab"), (1, "zzz"), (2, "a" * 25), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_pretokens"], r["n_wordpiece_tokens"])
+        for r in wp.wordpiece_encode(new, ids2, segs2, max_word_len=cap2).collect()
+    }
+    pieces = {r["token"] for r in ids2.collect()}
+    exp = {
+        0: (2, len(_naive_greedy("banana", pieces, cap)) + len(_naive_greedy("bab", pieces, cap))),
+        1: (1, 1),  # zzz -> [UNK]
+        2: (1, 1),  # over-cap -> [UNK]
+        3: (0, 0),
+        4: (0, 0),
+    }
+    assert got == exp
+    wp.release_wordpiece_cache(spark)
+
+
+def test_wordpiece_memo_and_guards(spark):
+    from billing_etl_v1_spark.operators import wordpiece as wp
+
+    df = spark.createDataFrame([(0, "aa ab")], "doc_id long, text string")
+    m1, s1 = wp.wordpiece_learn(df, num_merges=2)
+    m2, s2 = wp.wordpiece_learn(df, num_merges=2)
+    assert m1 is m2 and s1 is s2, "same corpus+budget must reuse training"
+    m3, _ = wp.wordpiece_learn(df, num_merges=3)
+    assert m3 is not m1, "different budget must retrain"
+    assert wp.release_wordpiece_cache(spark) >= 2
+    with pytest.raises(ValueError, match="num_merges"):
+        wp.wordpiece_learn(df, num_merges=-1)
+    with pytest.raises(ValueError, match="max_word_len"):
+        wp.wordpiece_learn(df, max_word_len=0)
+    with pytest.raises(ValueError, match="max_word_len"):
+        wp.wordpiece_segments(df.select(F.lit("x").alias("word")), df.limit(0).select(F.lit("t").alias("token")), max_word_len=0)
+    wp.release_wordpiece_cache(spark)
+
+
+def test_wordpiece_empty_and_null_corpus(spark):
+    """Zero-row and all-NULL corpora: vocabulary is the [UNK] special
+    alone, merges empty, counts 0/0 per doc — no crash anywhere."""
+    from billing_etl_v1_spark.operators import wordpiece as wp
+
+    for df in (
+        spark.createDataFrame([], "doc_id long, text string"),
+        spark.createDataFrame([(0, None), (1, "")], "doc_id long, text string"),
+    ):
+        merges, _state = wp.wordpiece_learn(df, num_merges=3)
+        assert merges.count() == 0
+        ids = wp.wordpiece_vocab(df, num_merges=3)
+        assert [(r["token"], r["token_id"]) for r in ids.collect()] == [("[UNK]", 0)]
+        got = {
+            r["doc_id"]: (r["n_pretokens"], r["n_wordpiece_tokens"])
+            for r in wp.wordpiece_token_counts(df, num_merges=3).collect()
+        }
+        assert all(v == (0, 0) for v in got.values())
+    wp.release_wordpiece_cache(spark)
