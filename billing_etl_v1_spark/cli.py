@@ -73,51 +73,83 @@ def build_parser() -> argparse.ArgumentParser:
 
     tok = sub.add_parser(
         "tokenizer",
-        help="train the exact corpus BPE tokenizer, or encode documents "
-        "under a persisted one",
+        help="train a corpus tokenizer (--family bpe|unigram|wordpiece), "
+        "or encode documents under a persisted one",
     )
     tok.add_argument("action", choices=["train", "encode"])
+    tok.add_argument(
+        "--family",
+        choices=["bpe", "unigram", "wordpiece"],
+        default="bpe",
+        help="tokenizer family: bpe (GPT lineage, default), unigram "
+        "(SentencePiece-style Llama lineage), wordpiece (BERT lineage — "
+        "likelihood-ratio merges, greedy longest-match serve). The "
+        "legacy `unigram` subcommand is an alias for --family unigram",
+    )
     tok.add_argument("--docs", required=True, help="documents parquet path")
     tok.add_argument(
         "--tokenizer",
         required=True,
-        help="tokenizer directory (merges + vocab parquet tables)",
+        help="tokenizer directory (family-specific parquet tables)",
     )
     tok.add_argument(
         "--target", help="encode: output parquet for per-doc token counts"
     )
     tok.add_argument(
-        "--num-merges", type=int, default=8, help="train: merge budget"
+        "--num-merges",
+        type=int,
+        default=8,
+        help="train (bpe/wordpiece): merge budget",
     )
     tok.add_argument(
         "--max-word-len",
         type=int,
         default=None,
-        help="train: pre-token merge-bypass cap (default 256), stored in "
-        "the artifact; encode reads the stored cap — only pass here to "
-        "override it deliberately",
+        help="train: pre-token bypass cap (default 256 for bpe, 16 for "
+        "unigram/wordpiece), stored in the artifact; encode reads the "
+        "stored cap — only pass here to override it deliberately",
     )
     tok.add_argument(
         "--level",
         choices=["char", "byte"],
         default="char",
-        help="train: initial symbols — char (Sennrich codepoints) or byte "
-        "(GPT-2-style UTF-8 bytes); stored in the artifact, encode always "
-        "serves at the stored level",
+        help="train (bpe): initial symbols — char (Sennrich codepoints) or "
+        "byte (GPT-2-style UTF-8 bytes); stored in the artifact, encode "
+        "always serves at the stored level",
     )
     tok.add_argument(
         "--driver-loop",
         action="store_true",
-        help="train: run the merge loop driver-side over the collected "
-        "vocabulary (the subword-nmt architecture — use for production "
-        "merge budgets; identical output, ~1000x faster per merge; the "
-        "corpus pass stays distributed)",
+        help="train (bpe): run the merge loop driver-side over the "
+        "collected vocabulary (the subword-nmt architecture — use for "
+        "production merge budgets; identical output, ~1000x faster per "
+        "merge; the corpus pass stays distributed)",
+    )
+    tok.add_argument(
+        "--vocab-size", type=int, default=32, help="train (unigram): piece budget"
+    )
+    tok.add_argument(
+        "--max-piece-len",
+        type=int,
+        default=4,
+        help="train (unigram): longest candidate piece",
+    )
+    tok.add_argument(
+        "--em-rounds",
+        type=int,
+        default=2,
+        help="train (unigram): EM sweeps before the prune",
+    )
+    tok.add_argument(
+        "--lattice",
+        action="store_true",
+        help="train (unigram): full Kudo lattice soft-EM trainer "
+        "driver-side over the collected bounded vocabulary",
     )
 
     uni = sub.add_parser(
         "unigram",
-        help="train the unigram-LM (SentencePiece-style) tokenizer, or "
-        "encode documents under a persisted one",
+        help="back-compat alias for `tokenizer --family unigram`",
     )
     uni.add_argument("action", choices=["train", "encode"])
     uni.add_argument("--docs", required=True, help="documents parquet path")
@@ -245,75 +277,105 @@ def main(argv: list[str] | None = None) -> int:
         print(f"corpus build complete: {n} docs packed into shards at {args.target}")
         spark.stop()
         return 0
-    if args.command == "tokenizer":
-        from billing_etl_v1_spark.operators import bpe as bpe_ops
-
+    if args.command in ("tokenizer", "unigram"):
+        # ONE tokenizer CLI path (VERDICT r7 #7): `unigram` is a
+        # back-compat alias for `tokenizer --family unigram`; its parser
+        # lacks the bpe/wordpiece-only flags, hence the getattr defaults
+        family = "unigram" if args.command == "unigram" else args.family
         docs = spark.read.parquet(args.docs)
         if args.action == "train":
-            cap = 256 if args.max_word_len is None else args.max_word_len
-            learn = (
-                bpe_ops.bpe_learn_driver if args.driver_loop else bpe_ops.bpe_learn
-            )
-            merges, vocab = learn(
-                docs, num_merges=args.num_merges, max_word_len=cap, level=args.level
-            )
-            bpe_ops.save_bpe(
-                merges, vocab, args.tokenizer, max_word_len=cap, level=args.level
-            )
-            print(
-                f"tokenizer trained: {merges.count()} merges, "
-                f"{vocab.count()} words at {args.tokenizer}"
-            )
+            if family == "bpe":
+                from billing_etl_v1_spark.operators import bpe as bpe_ops
+
+                cap = 256 if args.max_word_len is None else args.max_word_len
+                learn = (
+                    bpe_ops.bpe_learn_driver
+                    if getattr(args, "driver_loop", False)
+                    else bpe_ops.bpe_learn
+                )
+                merges, vocab = learn(
+                    docs,
+                    num_merges=args.num_merges,
+                    max_word_len=cap,
+                    level=args.level,
+                )
+                bpe_ops.save_bpe(
+                    merges, vocab, args.tokenizer, max_word_len=cap, level=args.level
+                )
+                print(
+                    f"tokenizer trained: {merges.count()} merges, "
+                    f"{vocab.count()} words at {args.tokenizer}"
+                )
+            elif family == "unigram":
+                from billing_etl_v1_spark.operators import unigram as ug_ops
+
+                mwl = 16 if args.max_word_len is None else args.max_word_len
+                learn = (
+                    ug_ops.unigram_learn_lattice
+                    if getattr(args, "lattice", False)
+                    else ug_ops.unigram_learn
+                )
+                pieces, segments = learn(
+                    docs,
+                    vocab_size=args.vocab_size,
+                    max_piece_len=args.max_piece_len,
+                    max_word_len=mwl,
+                    em_rounds=args.em_rounds,
+                )
+                ug_ops.save_unigram(
+                    pieces,
+                    segments,
+                    args.tokenizer,
+                    max_piece_len=args.max_piece_len,
+                    max_word_len=mwl,
+                )
+                print(
+                    f"unigram tokenizer trained: {pieces.count()} pieces, "
+                    f"{segments.count()} words at {args.tokenizer}"
+                )
+            else:
+                from billing_etl_v1_spark.operators import wordpiece as wp_ops
+
+                cap = 16 if args.max_word_len is None else args.max_word_len
+                merges, ids, segments = wp_ops.wordpiece_artifacts(
+                    docs, num_merges=args.num_merges, max_word_len=cap
+                )
+                wp_ops.save_wordpiece(ids, segments, args.tokenizer, max_word_len=cap)
+                print(
+                    f"wordpiece tokenizer trained: {merges.count()} merges, "
+                    f"{ids.count()} pieces at {args.tokenizer}"
+                )
         else:
             if not args.target:
                 print("tokenizer encode requires --target", file=sys.stderr)
                 spark.stop()
                 return 2
-            merges, vocab, stored_cap, level = bpe_ops.load_bpe(spark, args.tokenizer)
-            cap = stored_cap if args.max_word_len is None else args.max_word_len
-            counts = bpe_ops.bpe_encode(
-                docs, merges, vocab, max_word_len=cap, level=level
-            )
-            counts.write.mode("overwrite").parquet(args.target)
-            n = spark.read.parquet(args.target).count()
-            print(f"encode complete: {n} docs counted at {args.target}")
-        spark.stop()
-        return 0
-    if args.command == "unigram":
-        from billing_etl_v1_spark.operators import unigram as ug_ops
+            if family == "bpe":
+                from billing_etl_v1_spark.operators import bpe as bpe_ops
 
-        docs = spark.read.parquet(args.docs)
-        if args.action == "train":
-            learn = (
-                ug_ops.unigram_learn_lattice if args.lattice else ug_ops.unigram_learn
-            )
-            pieces, segments = learn(
-                docs,
-                vocab_size=args.vocab_size,
-                max_piece_len=args.max_piece_len,
-                max_word_len=args.max_word_len,
-                em_rounds=args.em_rounds,
-            )
-            ug_ops.save_unigram(
-                pieces,
-                segments,
-                args.tokenizer,
-                max_piece_len=args.max_piece_len,
-                max_word_len=args.max_word_len,
-            )
-            print(
-                f"unigram tokenizer trained: {pieces.count()} pieces, "
-                f"{segments.count()} words at {args.tokenizer}"
-            )
-        else:
-            if not args.target:
-                print("unigram encode requires --target", file=sys.stderr)
-                spark.stop()
-                return 2
-            pieces, segments, mpl, mwl = ug_ops.load_unigram(spark, args.tokenizer)
-            counts = ug_ops.unigram_encode(
-                docs, pieces, segments, max_piece_len=mpl, max_word_len=mwl
-            )
+                merges, vocab, stored_cap, level = bpe_ops.load_bpe(
+                    spark, args.tokenizer
+                )
+                cap = stored_cap if args.max_word_len is None else args.max_word_len
+                counts = bpe_ops.bpe_encode(
+                    docs, merges, vocab, max_word_len=cap, level=level
+                )
+            elif family == "unigram":
+                from billing_etl_v1_spark.operators import unigram as ug_ops
+
+                pieces, segments, mpl, mwl = ug_ops.load_unigram(
+                    spark, args.tokenizer
+                )
+                counts = ug_ops.unigram_encode(
+                    docs, pieces, segments, max_piece_len=mpl, max_word_len=mwl
+                )
+            else:
+                from billing_etl_v1_spark.operators import wordpiece as wp_ops
+
+                ids, segments, mwl = wp_ops.load_wordpiece(spark, args.tokenizer)
+                counts = wp_ops.wordpiece_encode(
+                    docs, ids, segments, max_word_len=mwl
+                )
             counts.write.mode("overwrite").parquet(args.target)
             n = spark.read.parquet(args.target).count()
             print(f"encode complete: {n} docs counted at {args.target}")

@@ -185,6 +185,19 @@ def wordpiece_learn(
     return merges, state
 
 
+def wordpiece_artifacts(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    max_word_len: int = 16,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train and return the full serving artifact set in one memoized
+    call: ``(merges, token_ids, segments)`` — what
+    :func:`save_wordpiece` persists (the CLI's train path)."""
+    merges, ids, segments, _state = _learn_full(df, text_col, num_merges, max_word_len)
+    return merges, ids, segments
+
+
 def _learn_full(
     df: DataFrame, text_col: str, num_merges: int, max_word_len: int
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:

@@ -620,6 +620,57 @@ def streaming_unigram_meter(
     )
 
 
+def streaming_wordpiece_meter(
+    spark: SparkSession,
+    docs_dir: str,
+    docs_schema,
+    tokenizer_dir: str,
+    counts_out: str,
+    checkpoint_dir: str,
+    word_store: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int | None = None,
+    store_compact_every: int | None = None,
+) -> StreamingQuery:
+    """:func:`streaming_token_meter` for a persisted WORDPIECE tokenizer
+    (operators.wordpiece.save_wordpiece): identical store/compaction/
+    exactly-once machinery (shared core), with the tokenizer-specific
+    parts swapped — known words resolve against the stored greedy
+    segmentation table, and novel words run the greedy longest-match
+    scan under the frozen piece set (over-cap or unmatched words take
+    the deterministic single-[UNK] lane, so a stream can never
+    crash-loop on unexpected script). Counts column:
+    ``n_wordpiece_tokens``. The cap comes from the artifact's meta —
+    serving under a different cap than training is not expressible."""
+    from billing_etl_v1_spark.operators import wordpiece as wp_ops
+
+    def make_batch_ctx(s: SparkSession):
+        token_ids, segments, max_word_len_ = wp_ops.load_wordpiece(s, tokenizer_dir)
+        known = segments.select("word", "n_tokens")
+
+        def encode_unseen(unseen: DataFrame) -> DataFrame:
+            return wp_ops.wordpiece_segments(
+                unseen, token_ids, max_word_len=max_word_len_
+            ).select("word", "n_tokens")
+
+        return known, "char", encode_unseen, "n_wordpiece_tokens"
+
+    return _token_meter_stream(
+        spark,
+        docs_dir,
+        docs_schema,
+        counts_out,
+        checkpoint_dir,
+        make_batch_ctx,
+        word_store=word_store,
+        id_col=id_col,
+        text_col=text_col,
+        max_files_per_trigger=max_files_per_trigger,
+        store_compact_every=store_compact_every,
+    )
+
+
 def _token_meter_stream(
     spark: SparkSession,
     docs_dir: str,

@@ -2778,7 +2778,7 @@ def test_wordpiece_serving_roundtrip_and_unk_lanes(spark, tmp_path):
         "doc_id long, text string",
     )
     cap = 10
-    _m, ids, segments, _st = wp._learn_full(train, "text", 4, cap)
+    ids, segments = wp.wordpiece_artifacts(train, num_merges=4, max_word_len=cap)[1:]
     tok = str(tmp_path / "wp")
     wp.save_wordpiece(ids, segments, tok, max_word_len=cap)
     ids2, segs2, cap2 = wp.load_wordpiece(spark, tok)

@@ -826,3 +826,62 @@ def test_streaming_unigram_meter_matches_batch_encode(spark, tmp_path):
     }
     assert got == want and len(got) == len(docs)
     ug.release_unigram_cache(spark)
+
+
+def test_streaming_wordpiece_meter_matches_batch_encode(spark, tmp_path):
+    """The WordPiece meter must equal the batch wordpiece_encode of
+    everything ingested: known words at stored greedy cost, novel words
+    greedy-scanned under the frozen piece set (including an
+    alphabet-miss and an over-cap monster — both single-[UNK] lanes),
+    recurring novel words resolved from the word store after their
+    first batch."""
+    from billing_etl_v1_spark.operators import wordpiece as wp
+    from billing_etl_v1_spark.streaming.pipeline import streaming_wordpiece_meter
+
+    train = spark.createDataFrame(
+        [(100, "banana band bandana"), (101, "an ana nab and")],
+        "doc_id long, text string",
+    )
+    ids, segments = wp.wordpiece_artifacts(train, num_merges=4, max_word_len=16)[1:]
+    tok = str(tmp_path / "wptok")
+    wp.save_wordpiece(ids, segments, tok, max_word_len=16)
+
+    docs = [
+        (0, "banana band"),            # all known
+        (1, "bananana zebra"),         # novel: coverable + alphabet-miss
+        (2, "zebra ba" + "n" * 20),    # recurring novel + over-cap monster
+        (3, ""),                       # zero pretokens
+    ]
+    docs_df = spark.createDataFrame(docs, "doc_id long, text string")
+    docs_dir = str(tmp_path / "docs_in")
+    for i, _ in docs:
+        docs_df.filter(F.col("doc_id") == i).coalesce(1).write.mode("append").parquet(
+            docs_dir
+        )
+    counts_out = str(tmp_path / "counts")
+    q = streaming_wordpiece_meter(
+        spark,
+        docs_dir,
+        spark.read.parquet(docs_dir).schema,
+        tok,
+        counts_out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        word_store=str(tmp_path / "word_store"),
+        max_files_per_trigger=1,
+        store_compact_every=2,
+    )
+    q.awaitTermination(600)
+    assert q.exception() is None
+
+    got = {
+        r.doc_id: (r.n_pretokens, r.n_wordpiece_tokens)
+        for r in spark.read.parquet(counts_out).collect()
+    }
+    want = {
+        r.doc_id: (r.n_pretokens, r.n_wordpiece_tokens)
+        for r in wp.wordpiece_encode(
+            docs_df, ids, segments, max_word_len=16
+        ).collect()
+    }
+    assert got == want and len(got) == len(docs)
+    wp.release_wordpiece_cache(spark)

@@ -804,3 +804,72 @@ def test_json_quarantine_splits_good_and_bad_rows(spark, tmp_path):
     good, bad = read_json_quarantine(spark, path, schema)
     assert {r.id for r in good.collect()} == {1, 3}
     assert [r.corrupt_record for r in bad.collect()] == ["this is not json"]
+
+
+def test_cli_tokenizer_family_flag_wordpiece_and_unigram_alias(
+    spark, tmp_path, monkeypatch
+):
+    """The unified tokenizer CLI (VERDICT r7 #7): --family wordpiece
+    trains/serves the third family end-to-end, and --family unigram
+    produces the identical artifact as the legacy `unigram` subcommand
+    (back-compat alias)."""
+    from billing_etl_v1_spark import cli
+    from billing_etl_v1_spark.operators import unigram as ug_ops
+    from billing_etl_v1_spark.operators import wordpiece as wp_ops
+
+    train_path = str(tmp_path / "train_docs")
+    new_path = str(tmp_path / "new_docs")
+    spark.createDataFrame(
+        [(0, "aaabab banana aab"), (1, "banana aaabab aaaa .")],
+        "doc_id long, text string",
+    ).write.parquet(train_path)
+    new_df = spark.createDataFrame(
+        [(0, "banana bandana aa"), (1, "zzz .")], "doc_id long, text string"
+    )
+    new_df.write.parquet(new_path)
+    monkeypatch.setattr("billing_etl_v1_spark.session.get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    # wordpiece: train, then encode under the stored cap
+    wtok = str(tmp_path / "wtok")
+    wtarget = str(tmp_path / "wcounts")
+    rc = cli.main(
+        ["tokenizer", "train", "--family", "wordpiece", "--docs", train_path,
+         "--tokenizer", wtok, "--num-merges", "4"]
+    )
+    assert rc == 0
+    rc = cli.main(
+        ["tokenizer", "encode", "--family", "wordpiece", "--docs", new_path,
+         "--tokenizer", wtok, "--target", wtarget]
+    )
+    assert rc == 0
+    ids, segs, cap = wp_ops.load_wordpiece(spark, wtok)
+    assert cap == 16  # family train default, stored in the artifact
+    got = sorted(map(tuple, spark.read.parquet(wtarget).collect()))
+    exp = sorted(
+        map(
+            tuple,
+            wp_ops.wordpiece_encode(new_df, ids, segs, max_word_len=cap).collect(),
+        )
+    )
+    assert got == exp
+
+    # unigram via --family == legacy `unigram` subcommand, artifact-identical
+    utok1, utok2 = str(tmp_path / "utok1"), str(tmp_path / "utok2")
+    rc = cli.main(
+        ["tokenizer", "train", "--family", "unigram", "--docs", train_path,
+         "--tokenizer", utok1, "--vocab-size", "8"]
+    )
+    assert rc == 0
+    rc = cli.main(
+        ["unigram", "train", "--docs", train_path, "--tokenizer", utok2,
+         "--vocab-size", "8"]
+    )
+    assert rc == 0
+    p1, s1, mpl1, mwl1 = ug_ops.load_unigram(spark, utok1)
+    p2, s2, mpl2, mwl2 = ug_ops.load_unigram(spark, utok2)
+    assert (mpl1, mwl1) == (mpl2, mwl2)
+    assert sorted(map(tuple, p1.collect())) == sorted(map(tuple, p2.collect()))
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+    wp_ops.release_wordpiece_cache(spark)
+    ug_ops.release_unigram_cache(spark)
