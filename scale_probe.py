@@ -428,6 +428,34 @@ def main() -> None:
         }
         ug_ops.release_unigram_cache(spark)
 
+        # WordPiece training (r8): the scored-merge loop has the BPE
+        # eager posture (2 vocab-sized jobs per round plus the per-round
+        # symbol-count aggregate); encode = one greedy pandas-UDF pass
+        # over DISTINCT words + the shared counts join, memoized with
+        # training
+        from billing_etl_v1_spark.operators import wordpiece as wp_ops
+
+        def train_wordpiece():
+            wp_ops.release_wordpiece_cache(spark)
+            t0 = time.perf_counter()
+            merges, _state = wp_ops.wordpiece_learn(docs)
+            n = merges.count()
+            return time.perf_counter() - t0, {"merges": n}
+
+        r = _timed_eager(train_wordpiece, f"docs_wordpiece train {label}")
+        enc = _timed(
+            wp_ops.wordpiece_token_counts(docs), f"docs_wordpiece encode {label}"
+        )
+        iterative_ops.setdefault("docs_wordpiece", {})[label] = {
+            "docs": n_docs,
+            "merges": r["merges"],
+            "train_sec": r["sec"],
+            "train_runs_sec": r["runs_sec"],
+            "encode_sec": enc["sec"],
+            "encode_cold_sec": enc["cold_sec"],
+        }
+        wp_ops.release_wordpiece_cache(spark)
+
     # --- BPE training scaling in its own variable: VOCABULARY size ---
     # (r5 VERDICT item 6). Per-copy word suffixes multiply the distinct
     # vocabulary; the merge budget stays fixed, so per-round cost and the
@@ -486,6 +514,28 @@ def main() -> None:
             "train_runs_sec": ru["runs_sec"],
         }
         ug_ops2.release_unigram_cache(spark)
+
+        # wordpiece twin on the SAME corpus: per-round cost = pair counts
+        # + symbol counts + the scored argmax, all vocabulary-bounded, so
+        # the curve should track BPE's rounds/s shape
+        from billing_etl_v1_spark.operators import wordpiece as wp_ops2
+
+        def train_wordpiece_scaled():
+            wp_ops2.release_wordpiece_cache(spark)
+            t0 = time.perf_counter()
+            merges, _ = wp_ops2.wordpiece_learn(corpus)
+            n = merges.count()
+            return time.perf_counter() - t0, {"merges": n}
+
+        rw = _timed_eager(train_wordpiece_scaled, f"wordpiece_train_scaling {label}")
+        bpe_scaling[f"wordpiece_{label}"] = {
+            "vocab_words": n_vocab,
+            "merges": rw["merges"],
+            "train_sec": rw["sec"],
+            "train_runs_sec": rw["runs_sec"],
+            "rounds_per_sec": round(rw["merges"] / max(rw["sec"], 1e-9), 2),
+        }
+        wp_ops2.release_wordpiece_cache(spark)
 
     # driver-loop trainer at a production-grade merge budget (the lane the
     # distributed loop cannot reach: ~0.5 s/round x 2000 would be ~17 min;
@@ -587,51 +637,135 @@ def main() -> None:
         _sh.rmtree(tok_dir, ignore_errors=True)
     bpe_ops.release_bpe_cache(spark)
 
-    # the unigram twin at a production vocabulary budget, same corpus:
-    # char-level pre-tokens of the suffixed corpus give ~21k distinct
-    # words; vocab_size=16384 with max_piece_len=8 exercises a seed of
-    # ~65k candidate pieces (the per-round bounded collect at production
-    # size) through all EM sweeps plus the frozen-artifact serve
+    # --- unigram at production budgets, same corpus (VERDICT r7 #5:
+    # bring the second family to the BPE evidence standard). Char-level
+    # pre-tokens of the suffixed corpus give ~21k distinct words.
     from billing_etl_v1_spark.operators import unigram as ug_probe
 
     ug_probe.release_unigram_cache(spark)
     n_words_uni = int(bpe_ops.word_vocab(corpus32k).count())
-    t0 = time.perf_counter()
-    pieces16k, segs16k = ug_probe.unigram_learn(
-        corpus32k, vocab_size=16_384, max_piece_len=8, max_word_len=32, em_rounds=2
-    )
-    n_pieces16k = pieces16k.count()
-    t_train_uni = time.perf_counter() - t0
+
+    # (a) PIECE-BUDGET scaling curve beyond 32 pieces: vocab_size sweeps
+    # 256 -> 2048 -> 16384 at fixed corpus/max_piece_len, median-of-3
+    # each — per-sweep cost should be driven by the seed size
+    # (seed_multiplier x vocab_size candidate pieces), not the budget
+    # alone, mirroring bpe_train_scaling's fixed-budget discipline
+    last_frames = {}
+    for vs in (256, 2_048, 16_384):
+
+        def train_budget():
+            ug_probe.release_unigram_cache(spark)
+            t0 = time.perf_counter()
+            p, s = ug_probe.unigram_learn(
+                corpus32k,
+                vocab_size=vs,
+                max_piece_len=8,
+                max_word_len=32,
+                em_rounds=2,
+            )
+            n = p.count()
+            last_frames["pieces"], last_frames["segments"] = p, s
+            return time.perf_counter() - t0, {"pieces": n}
+
+        rv = _timed_eager(train_budget, f"unigram_budget_scaling vocab{vs}")
+        bpe_scaling[f"unigram_budget_{vs}"] = {
+            "corpus": "sf0.1 documents x676 word-suffixed (char-level)",
+            "vocab_words": n_words_uni,
+            "vocab_size": vs,
+            "pieces_exported": rv["pieces"],
+            "train_sec": rv["sec"],
+            "train_runs_sec": rv["runs_sec"],
+        }
+
+    # (b) the 16k production lane keeps its name for cross-round
+    # comparability, now with median-of-3 train evidence (r7 was n1) and
+    # the frozen-artifact serve path measured from the final train
+    bpe_scaling["unigram_train_16k"] = dict(bpe_scaling["unigram_budget_16384"])
+    bpe_scaling["unigram_train_16k"]["timing"] = "median3"
     utok_dir = "/root/repo/.probe_unitok16k"
     _sh.rmtree(utok_dir, ignore_errors=True)
     try:
+        t0 = time.perf_counter()
         ug_probe.save_unigram(
-            pieces16k, segs16k, utok_dir, max_piece_len=8, max_word_len=32
+            last_frames["pieces"],
+            last_frames["segments"],
+            utok_dir,
+            max_piece_len=8,
+            max_word_len=32,
         )
+        t_save_uni = time.perf_counter() - t0
         lp16, ls16, mpl16, mwl16 = ug_probe.load_unigram(spark, utok_dir)
         t0 = time.perf_counter()
         n_enc_uni = ug_probe.unigram_encode(
             docs_sf01, lp16, ls16, max_piece_len=mpl16, max_word_len=mwl16
         ).count()
         t_enc_uni = time.perf_counter() - t0
-        bpe_scaling["unigram_train_16k"] = {
-            "corpus": "sf0.1 documents x676 word-suffixed (char-level)",
-            "vocab_words": n_words_uni,
-            "vocab_size": 16_384,
-            "pieces_exported": int(n_pieces16k),
-            "train_sec": round(t_train_uni, 3),
-            "encode_heldout_docs": int(n_enc_uni),
-            "encode_sec": round(t_enc_uni, 3),
-            "timing": "n1",
-        }
+        bpe_scaling["unigram_train_16k"].update(
+            save_sec=round(t_save_uni, 3),
+            encode_heldout_docs=int(n_enc_uni),
+            encode_sec=round(t_enc_uni, 3),
+        )
         print(
-            f"# unigram_train_16k: {n_pieces16k} pieces over {n_words_uni} "
-            f"words in {t_train_uni:.1f}s; encode {n_enc_uni} held-out docs "
-            f"{t_enc_uni:.1f}s",
+            f"# unigram_train_16k: {bpe_scaling['unigram_train_16k']['pieces_exported']} "
+            f"pieces over {n_words_uni} words, train median "
+            f"{bpe_scaling['unigram_train_16k']['train_sec']}s; save "
+            f"{t_save_uni:.1f}s; encode {n_enc_uni} held-out docs {t_enc_uni:.1f}s",
             file=sys.stderr,
         )
     finally:
         _sh.rmtree(utok_dir, ignore_errors=True)
+    ug_probe.release_unigram_cache(spark)
+
+    # (c) the LATTICE trainer at a production budget (VERDICT r7 #5): the
+    # full Kudo soft-EM sibling at vocab_size=32768 on the same corpus —
+    # driver-side over the collected bounded vocabulary (the subword-nmt
+    # architecture twin), export schema-identical, so the SAME serving
+    # path prices a held-out encode from its artifact. n=1 by design
+    # (minute-scale single train; load stamps adjudicate noise).
+    t0 = time.perf_counter()
+    lat_p, lat_s = ug_probe.unigram_learn_lattice(
+        corpus32k,
+        vocab_size=32_768,
+        max_piece_len=8,
+        max_word_len=32,
+        em_rounds=2,
+    )
+    n_lat_pieces = int(lat_p.count())
+    t_train_lat = time.perf_counter() - t0
+    lattok_dir = "/root/repo/.probe_lattok32k"
+    _sh.rmtree(lattok_dir, ignore_errors=True)
+    try:
+        t0 = time.perf_counter()
+        ug_probe.save_unigram(
+            lat_p, lat_s, lattok_dir, max_piece_len=8, max_word_len=32
+        )
+        t_save_lat = time.perf_counter() - t0
+        lpl, lsl, mpll, mwll = ug_probe.load_unigram(spark, lattok_dir)
+        t0 = time.perf_counter()
+        n_enc_lat = ug_probe.unigram_encode(
+            docs_sf01, lpl, lsl, max_piece_len=mpll, max_word_len=mwll
+        ).count()
+        t_enc_lat = time.perf_counter() - t0
+        bpe_scaling["unigram_lattice_32k"] = {
+            "corpus": "sf0.1 documents x676 word-suffixed (char-level)",
+            "vocab_words": n_words_uni,
+            "vocab_size": 32_768,
+            "pieces_exported": n_lat_pieces,
+            "train_sec": round(t_train_lat, 3),
+            "save_sec": round(t_save_lat, 3),
+            "encode_heldout_docs": int(n_enc_lat),
+            "encode_sec": round(t_enc_lat, 3),
+            "timing": "n1",
+        }
+        print(
+            f"# unigram_lattice_32k: {n_lat_pieces} pieces over "
+            f"{n_words_uni} words in {t_train_lat:.1f}s (driver soft-EM); "
+            f"save {t_save_lat:.1f}s; encode {n_enc_lat} held-out docs "
+            f"{t_enc_lat:.1f}s",
+            file=sys.stderr,
+        )
+    finally:
+        _sh.rmtree(lattok_dir, ignore_errors=True)
     ug_probe.release_unigram_cache(spark)
 
     print(
