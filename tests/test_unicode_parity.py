@@ -61,6 +61,15 @@ TEXT_QUERIES = [
     "docs_unigram_fertility",
     "docs_unigram_seq",
     "docs_unigram_pack_ids",
+    # WordPiece: the ##-form symbol split, double-ratio argmax, and the
+    # greedy jump-table/pandas-UDF pair must index by CODEPOINT
+    # identically in Spark split-by-empty/substring, DuckDB regexp '.'/
+    # list slicing, and Python string slicing
+    "docs_wordpiece_vocab",
+    "docs_wordpiece_tokens",
+    "docs_wordpiece_fertility",
+    "docs_wordpiece_seq",
+    "docs_wordpiece_pack_ids",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
