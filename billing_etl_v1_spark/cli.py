@@ -120,8 +120,8 @@ def build_parser() -> argparse.ArgumentParser:
     tok.add_argument(
         "--driver-loop",
         action="store_true",
-        help="train (bpe): run the merge loop driver-side over the "
-        "collected vocabulary (the subword-nmt architecture — use for "
+        help="train (bpe/wordpiece): run the merge loop driver-side over "
+        "the collected vocabulary (the subword-nmt architecture — use for "
         "production merge budgets; identical output, ~1000x faster per "
         "merge; the corpus pass stays distributed)",
     )
@@ -337,7 +337,12 @@ def main(argv: list[str] | None = None) -> int:
                 from billing_etl_v1_spark.operators import wordpiece as wp_ops
 
                 cap = 16 if args.max_word_len is None else args.max_word_len
-                merges, ids, segments = wp_ops.wordpiece_artifacts(
+                build = (
+                    wp_ops.wordpiece_artifacts_driver
+                    if getattr(args, "driver_loop", False)
+                    else wp_ops.wordpiece_artifacts
+                )
+                merges, ids, segments = build(
                     docs, num_merges=args.num_merges, max_word_len=cap
                 )
                 wp_ops.save_wordpiece(ids, segments, args.tokenizer, max_word_len=cap)

@@ -469,6 +469,185 @@ def wordpiece_pack_blocks(seq: DataFrame, block_tokens: int = 128) -> DataFrame:
     return bpe_pack_blocks(seq, block_tokens=block_tokens)
 
 
+def wordpiece_learn_driver(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    max_word_len: int = 16,
+    max_vocab_rows: int = 5_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`wordpiece_learn` for PRODUCTION merge budgets (a 30k-piece
+    BERT-style vocabulary) — same algorithm, same outputs (property-
+    tested identical), different loop placement: the corpus-sized pass
+    stays the distributed :func:`wp_word_vocab` aggregate, the merge
+    loop runs driver-side over the collected vocabulary — the
+    bpe_learn_driver architecture, with one twist the likelihood-ratio
+    score forces: a merge of (a, b) lowers the symbol counts of ``a``
+    and ``b``, which RAISES the score of every other pair containing
+    them (smaller denominator), so BPE's skip-stale lazy max-heap is
+    unsound here — a stale-LOW entry would pop too late. Instead every
+    pair whose score an applied merge changes (pairs whose pair_count
+    moved, plus every pair listed under ``a``, ``b``, or the merged
+    symbol in a symbol→pairs index) gets a FRESH heap entry at its new
+    score, and pops validate the stored (pair_count, left_count,
+    right_count) triple against the live counters — an exact integer
+    staleness check, no float equality. The heap then always holds a
+    current entry for every live pair, so pop-max is the true argmax.
+
+    Scores are ``float(pc) / (float(ca) * float(cb))`` — the identical
+    IEEE op order as the distributed trainer and the DuckDB twin, so
+    all three rank candidates bit-identically; ties break by (a, b)
+    UTF-8 byte order. The collect is the documented GUARDED exception
+    (vocabulary-bounded; ``max_vocab_rows`` pre-counts with a LIMIT n+1
+    probe BEFORE collecting).
+    """
+    import heapq
+    from collections import Counter, defaultdict
+
+    if num_merges < 0:
+        raise ValueError(f"num_merges must be >= 0, got {num_merges}")
+    if max_word_len < 1:
+        raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
+    spark = df.sparkSession
+    vocab_df = wp_word_vocab(df, text_col).select("word", "freq")
+    if vocab_df.limit(max_vocab_rows + 1).count() > max_vocab_rows:
+        raise ValueError(
+            f"wordpiece_learn_driver: vocabulary has more than "
+            f"max_vocab_rows={max_vocab_rows} distinct pre-tokens; train "
+            f"on a corpus sample or use the distributed wordpiece_learn"
+        )
+    rows = vocab_df.collect()
+
+    state: dict[str, list[str]] = {}
+    freq: dict[str, int] = {}
+    capped: set[str] = set()
+    for r in rows:
+        s = [c if i == 0 else "##" + c for i, c in enumerate(r["word"])]
+        state[r["word"]] = s
+        freq[r["word"]] = r["freq"]
+        if len(s) > max_word_len:
+            capped.add(r["word"])
+
+    pc: Counter = Counter()  # pair -> freq-weighted adjacent count
+    sc: Counter = Counter()  # symbol -> freq-weighted occurrence count
+    index: defaultdict = defaultdict(set)  # pair -> words containing it
+    sym_pairs: defaultdict = defaultdict(set)  # symbol -> pairs containing it
+    for w, s in state.items():
+        if w in capped:
+            continue
+        f = freq[w]
+        for sym in s:
+            sc[sym] += f
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            pc[p] += f
+            index[p].add(w)
+            sym_pairs[p[0]].add(p)
+            sym_pairs[p[1]].add(p)
+
+    heap: list = []
+
+    def push(p: tuple[str, str]) -> None:
+        c = pc.get(p, 0)
+        if c > 0:
+            ca, cb = sc[p[0]], sc[p[1]]
+            score = float(c) / (float(ca) * float(cb))
+            heapq.heappush(heap, (-score, p[0].encode(), p[1].encode(), p, c, ca, cb))
+
+    for p in pc:
+        push(p)
+
+    merges: list[tuple[int, str, str, str, int, int, int]] = []
+    for rank in range(num_merges):
+        best = None
+        while heap:
+            _negs, _ab, _bb, p, c0, ca0, cb0 = heapq.heappop(heap)
+            if pc.get(p, 0) == c0 and sc[p[0]] == ca0 and sc[p[1]] == cb0:
+                best = (p, c0, ca0, cb0)
+                break
+        if best is None:
+            break  # fully merged before the budget ran out
+        (a, b), cnt, ca, cb = best
+        m = a + b[2:]
+        merges.append((rank, a, b, m, cnt, ca, cb))
+        affected = list(index.pop((a, b), ()))
+        changed: set = {(a, b)}
+        for w in affected:
+            s = state[w]
+            f = freq[w]
+            for sym in s:
+                sc[sym] -= f
+                if sc[sym] <= 0:
+                    sc.pop(sym, None)
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pc[p] -= f
+                if pc[p] <= 0:
+                    pc.pop(p, None)
+                changed.add(p)
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            state[w] = out
+            for sym in out:
+                sc[sym] += f
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pc[p] = pc.get(p, 0) + f
+                index[p].add(w)
+                sym_pairs[p[0]].add(p)
+                sym_pairs[p[1]].add(p)
+                changed.add(p)
+        # every pair whose score moved: counts of a/b/m changed, so every
+        # pair listed under them re-scores (the sets hold dead pairs too —
+        # push() skips them via the pc > 0 check, a harmless lazy cleanup)
+        for sym in (a, b, m):
+            changed.update(sym_pairs.get(sym, ()))
+        for p in changed:
+            push(p)
+
+    merges_df = spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, merged string, "
+        "pair_count bigint, left_count bigint, right_count bigint",
+    )
+    state_df = spark.createDataFrame(
+        [(w, freq[w], state[w]) for w in state],
+        "word string, freq bigint, tokens array<string>",
+    )
+    return merges_df, state_df
+
+
+def wordpiece_artifacts_driver(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    max_word_len: int = 16,
+    max_vocab_rows: int = 5_000_000,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(merges, token_ids, segments) via the DRIVER-side trainer — the
+    production-budget twin of :func:`wordpiece_artifacts`. The id and
+    segmentation tables are derived from the trainer's own collected
+    vocabulary re-lifted into a DataFrame (vocabulary-bounded — the
+    corpus is NOT re-read), so ``save_wordpiece`` persists the identical
+    artifact shape either trainer produces."""
+    merges, state = wordpiece_learn_driver(
+        df, text_col, num_merges, max_word_len, max_vocab_rows
+    )
+    base = state.select("word", "freq").withColumn("s", _wp_symbols(F.col("word")))
+    token_ids = _token_ids(merges, base)
+    segments = wordpiece_segments(
+        state.select("word", "freq"), token_ids, max_word_len=max_word_len
+    )
+    return merges, token_ids, segments
+
+
 # --- serving path: persist / load / encode under a FROZEN vocabulary ------
 
 

@@ -771,6 +771,55 @@ def main() -> None:
         _sh.rmtree(lattok_dir, ignore_errors=True)
     ug_probe.release_unigram_cache(spark)
 
+    # --- WordPiece at a production budget (r8): the driver-loop trainer
+    # (fresh-entry heap over mutable likelihood-ratio scores) at a 16k
+    # merge budget on the same corpus, then the full artifact derive +
+    # save + held-out serve. n=1 by design (minute-scale single train).
+    from billing_etl_v1_spark.operators import wordpiece as wp_probe
+
+    wp_probe.release_wordpiece_cache(spark)
+    t0 = time.perf_counter()
+    wpm, wpi, wps = wp_probe.wordpiece_artifacts_driver(
+        corpus32k, num_merges=16_384, max_word_len=32
+    )
+    n_wp_merges = int(wpm.count())
+    t_train_wp = time.perf_counter() - t0
+    wptok_dir = "/root/repo/.probe_wptok16k"
+    _sh.rmtree(wptok_dir, ignore_errors=True)
+    try:
+        t0 = time.perf_counter()
+        wp_probe.save_wordpiece(wpi, wps, wptok_dir, max_word_len=32)
+        t_save_wp = time.perf_counter() - t0
+        lwi, lws, lwcap = wp_probe.load_wordpiece(spark, wptok_dir)
+        t0 = time.perf_counter()
+        n_enc_wp = wp_probe.wordpiece_encode(
+            docs_sf01, lwi, lws, max_word_len=lwcap
+        ).count()
+        t_enc_wp = time.perf_counter() - t0
+        bpe_scaling["wordpiece_train_16k"] = {
+            "corpus": "sf0.1 documents x676 word-suffixed (char-level)",
+            "vocab_words": n_words_uni,
+            "merges_requested": 16_384,
+            "merges_learned": n_wp_merges,
+            "train_sec": round(t_train_wp, 3),
+            "merges_per_sec": round(n_wp_merges / max(t_train_wp, 1e-9), 1),
+            "save_sec": round(t_save_wp, 3),
+            "encode_heldout_docs": int(n_enc_wp),
+            "encode_sec": round(t_enc_wp, 3),
+            "timing": "n1",
+        }
+        print(
+            f"# wordpiece_train_16k: {n_wp_merges} merges over "
+            f"{n_words_uni} words in {t_train_wp:.1f}s "
+            f"({bpe_scaling['wordpiece_train_16k']['merges_per_sec']} merges/s, "
+            f"driver loop); save {t_save_wp:.1f}s; encode {n_enc_wp} "
+            f"held-out docs {t_enc_wp:.1f}s",
+            file=sys.stderr,
+        )
+    finally:
+        _sh.rmtree(wptok_dir, ignore_errors=True)
+    wp_probe.release_wordpiece_cache(spark)
+
     print(
         json.dumps(
             {

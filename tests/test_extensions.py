@@ -2741,6 +2741,27 @@ def test_wordpiece_matches_naive_reference(spark, texts, num_merges):
             sum(len(_naive_greedy(w, exp_pieces, cap)) for w in words),
         )
     assert got_c == exp_c
+
+    # the DRIVER-side trainer (fresh-entry heap over mutable scores) must
+    # be bit-identical to the distributed loop AND the reference — ties,
+    # rising scores after unrelated merges, cap bypass, all of it
+    dm, dstate = wp.wordpiece_learn_driver(df, num_merges=num_merges, max_word_len=cap)
+    got_dm = [
+        (
+            r["merge_rank"],
+            r["left_sym"],
+            r["right_sym"],
+            r["merged"],
+            r["pair_count"],
+            r["left_count"],
+            r["right_count"],
+        )
+        for r in dm.orderBy("merge_rank").collect()
+    ]
+    assert got_dm == exp_m
+    _st = {r["word"]: list(r["tokens"]) for r in wp.wordpiece_learn(
+        df, num_merges=num_merges, max_word_len=cap)[1].collect()}
+    assert {r["word"]: list(r["tokens"]) for r in dstate.collect()} == _st
     wp.release_wordpiece_cache(spark)
 
 
@@ -2848,4 +2869,60 @@ def test_wordpiece_empty_and_null_corpus(spark):
             for r in wp.wordpiece_token_counts(df, num_merges=3).collect()
         }
         assert all(v == (0, 0) for v in got.values())
+    wp.release_wordpiece_cache(spark)
+
+
+def test_wordpiece_driver_artifacts_serve_identically(spark, tmp_path):
+    """wordpiece_artifacts_driver must produce the identical artifact
+    tables (ids, segments) as the distributed path, persist through
+    save_wordpiece, and serve a novel batch identically — the
+    production-budget train->artifact->serve story. Also: the guard
+    pre-counts BEFORE collecting, and a big budget exhausts cleanly."""
+    import pytest as _pytest
+    from pyspark.sql import DataFrame as _DF
+
+    from billing_etl_v1_spark.operators import wordpiece as wp
+
+    train = spark.createDataFrame(
+        [(0, "aaabab banana aab"), (1, "banana aaabab aaaa .")],
+        "doc_id long, text string",
+    )
+    cap = 10
+    m1, ids1, segs1 = wp.wordpiece_artifacts(train, num_merges=4, max_word_len=cap)
+    m2, ids2, segs2 = wp.wordpiece_artifacts_driver(
+        train, num_merges=4, max_word_len=cap
+    )
+    assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m2.collect()))
+    assert sorted(map(tuple, ids1.collect())) == sorted(map(tuple, ids2.collect()))
+    assert {r["word"]: list(r["pieces"]) for r in segs1.collect()} == {
+        r["word"]: list(r["pieces"]) for r in segs2.collect()
+    }
+
+    # budget beyond exhaustion: the loop must stop when no pair remains
+    mx, _sx = wp.wordpiece_learn_driver(train, num_merges=10_000, max_word_len=cap)
+    nx = mx.count()
+    assert 0 < nx < 10_000
+
+    # serve a novel batch from the driver-trained persisted artifact
+    tok = str(tmp_path / "wpd")
+    wp.save_wordpiece(ids2, segs2, tok, max_word_len=cap)
+    li, ls, lcap = wp.load_wordpiece(spark, tok)
+    new = spark.createDataFrame(
+        [(0, "banana bab zzz")], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, wp.wordpiece_encode(new, li, ls, max_word_len=lcap).collect()))
+    b = sorted(map(tuple, wp.wordpiece_encode(new, ids1, segs1, max_word_len=cap).collect()))
+    assert a == b
+
+    # guard fires BEFORE collect (the r6 bpe lesson, applied to new code)
+    def _no_collect(self):
+        raise AssertionError("collect() called before the max_vocab_rows guard")
+
+    orig = _DF.collect
+    _DF.collect = _no_collect
+    try:
+        with _pytest.raises(ValueError, match="max_vocab_rows"):
+            wp.wordpiece_learn_driver(train, max_vocab_rows=2)
+    finally:
+        _DF.collect = orig
     wp.release_wordpiece_cache(spark)

@@ -854,6 +854,19 @@ def test_cli_tokenizer_family_flag_wordpiece_and_unigram_alias(
     )
     assert got == exp
 
+    # --driver-loop wordpiece: the production-budget trainer persists the
+    # identical artifact (operator-level equality is property-tested;
+    # this asserts the CLI wiring reaches it)
+    dtok = str(tmp_path / "wdtok")
+    rc = cli.main(
+        ["tokenizer", "train", "--family", "wordpiece", "--docs", train_path,
+         "--tokenizer", dtok, "--num-merges", "4", "--driver-loop"]
+    )
+    assert rc == 0
+    di, ds, dcap = wp_ops.load_wordpiece(spark, dtok)
+    assert dcap == cap
+    assert sorted(map(tuple, di.collect())) == sorted(map(tuple, ids.collect()))
+
     # unigram via --family == legacy `unigram` subcommand, artifact-identical
     utok1, utok2 = str(tmp_path / "utok1"), str(tmp_path / "utok2")
     rc = cli.main(
