@@ -1,0 +1,199 @@
+"""Interval-overlap join for two LARGE interval sets — bin decomposition.
+
+The engine already covers the small-side case (broadcast non-equi join,
+plans/examples.py price_bands) and the ordered point-lookup case (as-of
+join, operators/events.py). What was missing — and explicitly called out
+as the remaining shape in plans/examples.py:108-110 — is the overlap join
+where BOTH sides are large interval sets: sessions × outage windows,
+usage periods × rate periods, span annotations × span annotations. A
+naive `a.start <= b.end AND b.start <= a.end` join has no equi-key, so
+Spark would plan a cartesian / broadcast-nested-loop — quadratic and
+undriveable at 100 TB.
+
+The scale-correct decomposition (the same banding idea as the LSH pair
+join in operators/dedup.py, applied to the time axis):
+
+1. Pick a bin width ``w``. Replicate every interval to each bin its
+   span touches: ``explode(sequence(floor(start/w), floor(end/w)))`` —
+   replication factor is interval_length/w + 1, chosen by the caller to
+   match interval scale.
+2. Equi-join on the bin id (plus any caller equi-keys) — a plain hash
+   shuffle join Spark executes at any scale, AQE-skew-splittable.
+3. Keep a pair only where the exact overlap predicate holds AND the join
+   bin is the FIRST bin the two intervals share:
+   ``bin == greatest(floor(l_start/w), floor(r_start/w))``. Every
+   overlapping pair shares exactly that bin (max of the two start bins
+   is <= both end bins whenever the intervals overlap, floor being
+   monotone), so each pair surfaces EXACTLY ONCE — no `distinct`
+   de-duplication shuffle afterwards.
+
+Endpoints are numeric (use epoch seconds for time — integer-exact in
+both engines; `F.window`-free so the DuckDB oracle reproduces bins
+bit-for-bit). Intervals are CLOSED on both ends: touching endpoints
+(l_end == r_start) count as overlap, matching the SQL predicate the
+oracle runs verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["interval_join", "activity_spans", "session_type_overlap"]
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """All (left, right) row pairs whose closed intervals overlap:
+    ``l_start <= r_end AND r_start <= l_end`` (plus equality on ``keys``
+    when given), via the bin decomposition described in the module
+    docstring — one equi-shuffle, no cartesian, each pair exactly once.
+
+    Rows with a NULL endpoint are excluded from BOTH sides (a NULL bound
+    can anchor no bin range, and SQL's overlap predicate would silently
+    drop them anyway — excluding them here makes the contract explicit),
+    as are malformed rows with ``end < start``. Column names must be
+    disjoint across the two sides except for ``keys``; the output carries
+    every column of both inputs.
+
+    ``bin_width`` trades replication for join fan-in: replication factor
+    is interval_length/bin_width + 1, rows-per-bin grows as bin_width
+    does. Pick it near the TYPICAL interval length so both stay O(1).
+    """
+    if bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
+    keys = list(keys or [])
+    overlap_cols = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap_cols:
+        raise ValueError(
+            f"left/right column names must be disjoint apart from keys; "
+            f"shared: {sorted(overlap_cols)}"
+        )
+    for side, s_col, e_col in ((left, l_start, l_end), (right, r_start, r_end)):
+        missing = {s_col, e_col, *keys} - set(side.columns)
+        if missing:
+            raise ValueError(f"missing interval/key columns: {sorted(missing)}")
+
+    def _binned(df: DataFrame, s: str, e: str, bin_col: str, sb_col: str) -> DataFrame:
+        well_formed = (
+            F.col(s).isNotNull() & F.col(e).isNotNull() & (F.col(e) >= F.col(s))
+        )
+        sb = F.floor(F.col(s) / F.lit(bin_width)).cast("bigint")
+        eb = F.floor(F.col(e) / F.lit(bin_width)).cast("bigint")
+        return (
+            df.filter(well_formed)
+            .withColumn(sb_col, sb)
+            .withColumn(bin_col, F.explode(F.sequence(sb, eb)))
+        )
+
+    lb = _binned(left, l_start, l_end, "_ij_bin", "_ij_l_sb")
+    rb = _binned(right, r_start, r_end, "_ij_bin", "_ij_r_sb")
+    joined = lb.join(rb, on=["_ij_bin", *keys], how="inner")
+    exact = (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
+    first_shared_bin = F.col("_ij_bin") == F.greatest("_ij_l_sb", "_ij_r_sb")
+    return joined.filter(exact & first_shared_bin).drop(
+        "_ij_bin", "_ij_l_sb", "_ij_r_sb"
+    )
+
+
+def activity_spans(
+    events: DataFrame,
+    part_col: str,
+    gap_s: int = 3600,
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Contiguous activity spans per ``part_col``: the gap rule of
+    :func:`operators.events.sessionize`, generalized from user_id to any
+    partition column, with bounds in floored epoch seconds (BIGINT) so
+    downstream interval math is integer-exact in both engines.
+
+    Output: one row per (part, span_idx) with span_start_s, span_end_s,
+    n_events. NULL-ts rows are excluded (the engines disagree on where
+    NULL sorts — the standing sessionize rationale); NULL partition keys
+    are excluded too (both engines pool them into ONE span stream, which
+    is never the analytic intent for an unknown key).
+    """
+    fep = F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp"))).cast("bigint")
+    base = (
+        events.filter(F.col(ts_col).isNotNull() & F.col(part_col).isNotNull())
+        .withColumn("_ep", fep)
+    )
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w = Window.partitionBy(part_col).orderBy(*order)
+    new_span = F.when(
+        F.lag("_ep").over(w).isNull() | ((F.col("_ep") - F.lag("_ep").over(w)) > gap_s),
+        1,
+    ).otherwise(0)
+    wsum = (
+        Window.partitionBy(part_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("span_idx", F.sum(new_span).over(wsum))
+        .groupBy(part_col, "span_idx")
+        .agg(
+            F.min("_ep").alias("span_start_s"),
+            F.max("_ep").alias("span_end_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def session_type_overlap(
+    events: DataFrame,
+    session_gap_s: int = 1800,
+    span_gap_s: int = 3600,
+    bin_width_s: int = 21600,
+) -> DataFrame:
+    """Which event-type activity spans did each user's sessions overlap,
+    and for how long — the two-large-sides interval join exercised
+    end-to-end: per-user sessions (gap 30 min) overlap-joined against
+    per-event-type activity spans (gap 60 min), aggregated to one row per
+    (user_id, event_type) with the pair count, distinct spans touched,
+    and total overlap seconds.
+
+    Both sides GROW with the data (sessions with users × time, spans
+    with types × time), which is exactly the shape the broadcast
+    interval join of plans/examples.py cannot take at scale; the bin
+    decomposition keeps it one equi-shuffle. All interval math is on
+    floored epoch seconds — BIGINT in both engines, so the DuckDB twin
+    (oracle_ext.session_type_overlap_sql) hash-matches without float
+    tolerance anywhere.
+    """
+    from billing_etl_v1_spark.operators.events import with_session_idx
+
+    fep = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp"))).cast("bigint")
+    sessions = (
+        with_session_idx(events, gap_s=session_gap_s)
+        .withColumn("_ep", fep)
+        .groupBy("user_id", "session_idx")
+        .agg(F.min("_ep").alias("s_start"), F.max("_ep").alias("s_end"))
+    )
+    spans = activity_spans(events, "event_type", gap_s=span_gap_s).select(
+        "event_type",
+        "span_idx",
+        F.col("span_start_s").alias("p_start"),
+        F.col("span_end_s").alias("p_end"),
+    )
+    pairs = interval_join(
+        sessions, spans, "s_start", "s_end", "p_start", "p_end", bin_width_s
+    )
+    overlap_s = F.least("s_end", "p_end") - F.greatest("s_start", "p_start")
+    return (
+        pairs.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.countDistinct("span_idx").alias("n_spans"),
+            F.sum(overlap_s).alias("overlap_s"),
+        )
+    )

@@ -1,0 +1,197 @@
+"""interval_join: the bucketed large×large overlap join vs a naive
+cross-join reference, plus its edge lanes (exactly-once across bin
+widths, NULL/malformed endpoint exclusion, keyed restriction, empty
+inputs, contract validation) and the session×type-span registry query
+on a hand-computable fixture.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from billing_etl_v1_spark.operators.intervals import (
+    activity_spans,
+    interval_join,
+    session_type_overlap,
+)
+
+ISCHEMA = T.StructType(
+    [
+        T.StructField("lid", T.LongType()),
+        T.StructField("key", T.LongType()),
+        T.StructField("ls", T.LongType()),
+        T.StructField("le", T.LongType()),
+    ]
+)
+RSCHEMA = T.StructType(
+    [
+        T.StructField("rid", T.LongType()),
+        T.StructField("key", T.LongType()),
+        T.StructField("rs", T.LongType()),
+        T.StructField("re", T.LongType()),
+    ]
+)
+
+
+def _random_intervals(seed: int, n: int, span_max: int, axis: int):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        s = rng.randrange(-axis, axis)
+        rows.append((i, rng.randrange(3), s, s + rng.randrange(span_max)))
+    return rows
+
+
+def _naive_pairs(spark, left, right, keyed: bool):
+    cond = (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le"))
+    if keyed:
+        j = left.join(right, on="key", how="inner").filter(cond)
+    else:
+        j = left.crossJoin(right.drop("key")).filter(cond)
+    return {tuple(r) for r in j.select("lid", "rid").collect()}
+
+
+@pytest.mark.parametrize("bin_width", [1, 7, 100, 10**6])
+def test_matches_naive_cross_join(spark, bin_width):
+    """Every overlap the quadratic reference finds — exactly once — for
+    bin widths from degenerate (1: max replication) to one-bin-fits-all
+    (1e6: degenerates to the naive join)."""
+    left = spark.createDataFrame(_random_intervals(11, 150, 50, 500), ISCHEMA)
+    right = spark.createDataFrame(
+        [(i, k, s, e) for i, k, s, e in _random_intervals(23, 150, 50, 500)], RSCHEMA
+    )
+    got_rows = interval_join(
+        left, right.drop("key"), "ls", "le", "rs", "re", bin_width
+    ).select("lid", "rid").collect()
+    got = [tuple(r) for r in got_rows]
+    assert len(got) == len(set(got)), "pair surfaced more than once"
+    assert set(got) == _naive_pairs(spark, left, right, keyed=False)
+
+
+def test_keyed_join_matches_naive(spark):
+    left = spark.createDataFrame(_random_intervals(5, 120, 40, 300), ISCHEMA)
+    right = spark.createDataFrame(_random_intervals(9, 120, 40, 300), RSCHEMA)
+    got_rows = interval_join(
+        left, right, "ls", "le", "rs", "re", 32, keys=["key"]
+    ).select("lid", "rid").collect()
+    got = [tuple(r) for r in got_rows]
+    assert len(got) == len(set(got))
+    assert set(got) == _naive_pairs(spark, left, right, keyed=True)
+
+
+def test_long_intervals_still_exactly_once(spark):
+    """Intervals spanning hundreds of bins dedupe via the first-shared-bin
+    rule, not a distinct() — the pair count stays exact."""
+    left = spark.createDataFrame([(0, 0, -1000, 1000), (1, 0, 500, 2000)], ISCHEMA)
+    right = spark.createDataFrame([(0, 0, -500, 1500)], RSCHEMA)
+    out = interval_join(left, right.drop("key"), "ls", "le", "rs", "re", 10)
+    assert sorted(tuple(r) for r in out.select("lid", "rid").collect()) == [
+        (0, 0),
+        (1, 0),
+    ]
+
+
+def test_null_and_malformed_endpoints_excluded(spark):
+    left = spark.createDataFrame(
+        [(0, 0, 0, 10), (1, 0, None, 10), (2, 0, 5, None), (3, 0, 9, 4)], ISCHEMA
+    )
+    right = spark.createDataFrame([(0, 0, 0, 100)], RSCHEMA)
+    out = interval_join(left, right.drop("key"), "ls", "le", "rs", "re", 8)
+    assert [r["lid"] for r in out.collect()] == [0]
+
+
+def test_touching_endpoints_count_as_overlap(spark):
+    left = spark.createDataFrame([(0, 0, 0, 10)], ISCHEMA)
+    right = spark.createDataFrame(
+        [(0, 0, 10, 20), (1, 0, 11, 20), (2, 0, -5, 0)], RSCHEMA
+    )
+    out = interval_join(left, right.drop("key"), "ls", "le", "rs", "re", 4)
+    assert sorted(r["rid"] for r in out.collect()) == [0, 2]
+
+
+def test_empty_sides(spark):
+    empty_l = spark.createDataFrame([], ISCHEMA)
+    right = spark.createDataFrame([(0, 0, 0, 10)], RSCHEMA)
+    assert interval_join(
+        empty_l, right.drop("key"), "ls", "le", "rs", "re", 8
+    ).count() == 0
+    empty_r = spark.createDataFrame([], RSCHEMA)
+    left = spark.createDataFrame([(0, 0, 0, 10)], ISCHEMA)
+    assert interval_join(
+        left, empty_r.drop("key"), "ls", "le", "rs", "re", 8
+    ).count() == 0
+
+
+def test_contract_validation(spark):
+    left = spark.createDataFrame([(0, 0, 0, 10)], ISCHEMA)
+    right = spark.createDataFrame([(0, 0, 0, 10)], RSCHEMA)
+    with pytest.raises(ValueError, match="bin_width"):
+        interval_join(left, right.drop("key"), "ls", "le", "rs", "re", 0)
+    with pytest.raises(ValueError, match="disjoint"):
+        # 'key' shared but NOT declared as an equi-key
+        interval_join(left, right, "ls", "le", "rs", "re", 8)
+    with pytest.raises(ValueError, match="missing"):
+        interval_join(left, right.drop("key"), "ls", "le", "nope", "re", 8)
+
+
+def test_activity_spans_gap_rule(spark):
+    rows = [
+        # type a: events at 0, 100, 5000 -> spans [0,100] and [5000,5000]
+        (0, "2024-01-01 00:00:00", "a"),
+        (1, "2024-01-01 00:01:40", "a"),
+        (2, "2024-01-01 01:23:20", "a"),
+        # type b: single event; NULL type and NULL ts excluded
+        (3, "2024-01-01 00:00:30", "b"),
+        (4, "2024-01-01 00:00:40", None),
+        (5, None, "a"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        (r["event_type"], r["span_idx"]): (
+            r["span_start_s"],
+            r["span_end_s"],
+            r["n_events"],
+        )
+        for r in activity_spans(df, "event_type", gap_s=3600).collect()
+    }
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert out == {
+        ("a", 1): (base, base + 100, 2),
+        ("a", 2): (base + 5000, base + 5000, 1),
+        ("b", 1): (base + 30, base + 30, 1),
+    }
+
+
+def test_session_type_overlap_hand_case(spark):
+    """One user with one session [0, 600]; type spans 'a' [0, 300] and
+    'b' [9000, 9600] -> only 'a' overlaps, for 300 floored seconds."""
+    rows = [
+        (0, "2024-01-01 00:00:00", 1, "a", 1.0),
+        (1, "2024-01-01 00:05:00", 1, "a", 1.0),
+        (2, "2024-01-01 00:10:00", 1, "b", 1.0),
+        (3, "2024-01-01 02:30:00", 2, "b", 1.0),
+        (4, "2024-01-01 02:40:00", 2, "b", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r["user_id"], r["event_type"]): (r["n_overlaps"], r["n_spans"], r["overlap_s"])
+        for r in session_type_overlap(
+            df, session_gap_s=1800, span_gap_s=3600, bin_width_s=600
+        ).collect()
+    }
+    # user 1 session [0,600]: overlaps a-span [0,300] (300 s) and the
+    # first b-span [600,600] (touching endpoint, 0 s). user 2 session
+    # [9000,9600] overlaps the second b-span [9000,9600] fully.
+    assert out == {
+        (1, "a"): (1, 1, 300),
+        (1, "b"): (1, 1, 0),
+        (2, "b"): (1, 1, 600),
+    }
