@@ -26,6 +26,8 @@ from billing_etl_v1_spark.operators import bpe as bpe_ops
 from billing_etl_v1_spark.operators import corpus as corpus_ops
 from billing_etl_v1_spark.operators import dedup as dedup_ops
 from billing_etl_v1_spark.operators import events as event_ops
+from billing_etl_v1_spark.operators import intervals as interval_ops
+from billing_etl_v1_spark.operators import layout as layout_ops
 from billing_etl_v1_spark.operators import multimodal as mm_ops
 from billing_etl_v1_spark.operators import similarity as sim_ops
 from billing_etl_v1_spark.operators import skew as skew_ops
@@ -1015,6 +1017,22 @@ def _q_flagship_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(oracle.flagship_sql(dialect="spark"))
 
 
+def _q_events_session_type_overlap(spark, sf_dir):
+    """Bucketed large×large interval-overlap join (operators.intervals):
+    per-user sessions × per-event-type activity spans, aggregated to
+    (user_id, event_type) pair counts and total overlap seconds."""
+    return interval_ops.session_type_overlap(load_table(spark, sf_dir, "events"))
+
+
+def _q_events_zorder_stats(spark, sf_dir):
+    """Z-order clustering quality (operators.layout): per-Z-prefix-bucket
+    extents of (user_id, value) — the stats a footer-pruning reader skips
+    files by under a Morton layout."""
+    return layout_ops.zorder_stats(
+        load_table(spark, sf_dir, "events"), "user_id", "value", bits=8, prefix_bits=6
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -1033,15 +1051,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     docs_wordpiece_fertility / docs_wordpiece_seq /
     docs_wordpiece_pack_ids — the r7 VERDICT's named extension,
     completing the third production family at full surface parity with
-    BPE and unigram). The remaining 4 discretionary slots come from the
-    age-1 (r6-verdict) pool: the four bench-HEADLINE billing queries —
+    BPE and unigram), then TWO more new queries from the round-8 engine
+    extensions: events_session_type_overlap (the bucketed large×large
+    interval-overlap join) and events_zorder_stats (Morton-clustering
+    quality report). The remaining 2 discretionary slots come from the
+    age-1 (r6-verdict) pool: the two bench-HEADLINE billing queries —
     including billing_source_agg_detail, the r7 load-artifact mover —
-    so the measured numbers rest on fresh verdicts. 41 + 5 + 4 = 50.
+    so the measured numbers rest on fresh verdicts. 41 + 5 + 2 + 2 = 50.
     Below the fold: the 50 r7-verdict entries (age 1, due round 10),
-    then the 46 remaining r6-verdict entries as round 9's mandatory
-    leads (46 < 50, so the rotation stays sustainable —
-    test_rotation_is_sustainable asserts this; at 146 registered
-    queries the 3-round budget is 150, so at most 4 more queries can
+    then the 48 remaining r6-verdict entries as round 9's mandatory
+    leads (48 < 50, so the rotation stays sustainable —
+    test_rotation_is_sustainable asserts this; at 148 registered
+    queries the 3-round budget is 150, so at most 2 more queries can
     ever be added without widening the window). Everything below the
     fold still runs in the local parity mirror
     (tests/test_oracle_parity.py), and the FULL registry is
@@ -1103,14 +1124,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_wordpiece_fertility": _q_docs_wordpiece_fertility,
         "docs_wordpiece_seq": _q_docs_wordpiece_seq,
         "docs_wordpiece_pack_ids": _q_docs_wordpiece_pack_ids,
-        # 4 discretionary slots from the age-1 (r6-verdict) pool — the
+        # TWO MORE NEW queries — the round-8 engine extensions (an
+        # unverified query may not sit below the fold): the bucketed
+        # large×large interval-overlap join and the Z-order clustering
+        # report:
+        "events_session_type_overlap": _q_events_session_type_overlap,
+        "events_zorder_stats": _q_events_zorder_stats,
+        # 2 discretionary slots from the age-1 (r6-verdict) pool — the two
         # bench-HEADLINE billing queries (incl. billing_source_agg_detail,
         # the r7 load-artifact mover), so the measured numbers rest on
-        # fresh verdicts; the other 46 become round 9's leads:
+        # fresh verdicts; the other 48 become round 9's leads:
         "billing_flagship_production": _flagship(None, "pipeline"),
         "billing_source_agg_detail": _q_source_agg_detail,
-        "billing_credits_pivot": _q_credits_pivot,
-        "billing_rule_match": _q_rule_match,
         # --- below the driver fold (local parity still runs ALL) ---
         # 50 r7-verdict entries (age 1, due round 10):
         "events_salted_user_join": _q_events_salted_join,
@@ -1164,9 +1189,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_quantized": _q_sim_topk_quantized,
         "docs_tfidf_top_terms": _q_docs_tfidf,
         "docs_chunk": _q_docs_chunk,
-        # 46 remaining r6-verdict entries — round 9 MUST lead with these
-        # (they fit: 46 < 50); kept contiguous so the rotation is a
-        # copy-paste:
+        # 48 remaining r6-verdict entries — round 9 MUST lead with these
+        # (they fit: 48 < 50); kept contiguous so the rotation is a
+        # copy-paste (the first two were round 8's displaced discretionary
+        # slots — age 1 now, mandatory next round):
+        "billing_credits_pivot": _q_credits_pivot,
+        "billing_rule_match": _q_rule_match,
         "dedup_semantic": _q_dedup_semantic,
         "multimodal_features": _q_multimodal_features,
         "billing_dim_rules": _q_dim_rules,
@@ -1334,6 +1362,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_wordpiece_fertility": oracle_ext.wordpiece_fertility_sql(),
         "docs_wordpiece_seq": oracle_ext.wordpiece_token_sequences_sql(),
         "docs_wordpiece_pack_ids": oracle_ext.wordpiece_pack_blocks_sql(128),
+        "events_session_type_overlap": oracle_ext.session_type_overlap_sql(),
+        "events_zorder_stats": oracle_ext.zorder_stats_sql(),
         "embeddings_quantize": oracle_ext.quantize_embeddings_sql(),
         "sim_topk_quantized": oracle_ext.sim_topk_quantized_sql(),
         "sim_hard_negatives": oracle_ext.hard_negatives_sql(),

@@ -110,6 +110,8 @@ EXTENDED_NAMES = [
     "events_funnel",
     "events_user_trend",
     "events_salted_user_join",
+    "events_session_type_overlap",
+    "events_zorder_stats",
 ]
 
 

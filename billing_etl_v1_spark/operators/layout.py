@@ -22,12 +22,17 @@ codegen, no Python in the hot path):
   Z-key prefix and measure each bucket's per-dimension extents. Tight
   extents on BOTH dimensions are precisely what makes footer-stats
   skipping work; this is the registry-verified face of the operator.
-- :func:`write_zordered` — range-partition + sort by the Z-key and write
-  parquet, the layout step itself (eager, exercised by tests/probes).
 - :func:`file_skip_stats` — per-file min/max manifest of a written
   layout (the same stats parquet footers carry) plus how many files a
   box predicate could skip; the measurable evidence that the Z-layout
   beats a single-column sort on cross-dimension predicates.
+
+The layout WRITE step itself — range-partition + sort by the Morton key
+— already exists as the k-column ``sources.writers.write_zordered`` sink
+(round 3); this module adds the queryable faces around it. The 2-D cell
+and interleave expressions here are deliberately fixed-form (not the
+k-column loop) because they must mirror ``oracle_ext.zorder_stats_sql``
+text-for-text so every cell boundary rounds identically in both engines.
 """
 
 from __future__ import annotations
@@ -37,7 +42,7 @@ from pyspark.sql import functions as F
 
 from billing_etl_v1_spark.functions import finite_or_null, quantize6
 
-__all__ = ["morton_key", "zorder_stats", "write_zordered", "file_skip_stats"]
+__all__ = ["morton_key", "zorder_stats", "file_skip_stats"]
 
 
 def _interleave(x, y, bits: int):
@@ -137,33 +142,6 @@ def zorder_stats(
         )
         .withColumn("span_1", quantize6(F.col("max_1") - F.col("min_1")))
         .withColumn("span_2", quantize6(F.col("max_2") - F.col("min_2")))
-    )
-
-
-def write_zordered(
-    df: DataFrame,
-    path: str,
-    c1: str,
-    c2: str,
-    bits: int = 16,
-    n_files: int = 8,
-) -> None:
-    """Write ``df`` as parquet laid out along the Z-curve of (c1, c2):
-    range-partition by the Morton key into ``n_files`` output files and
-    sort within each, so every file covers a contiguous curve segment —
-    a small box in the plane — and its footer min/max stats become
-    selective on BOTH dimensions. The key is layout-only and not written.
-
-    Range boundaries come from Spark's sampling partitioner — fine for a
-    layout decision (any boundary choice preserves the skipping property);
-    correctness-facing outputs never depend on them."""
-    keyed = _with_morton(df, c1, c2, bits, "_zkey")
-    (
-        keyed.repartitionByRange(n_files, "_zkey")
-        .sortWithinPartitions("_zkey")
-        .drop("_zkey")
-        .write.mode("overwrite")
-        .parquet(path)
     )
 
 

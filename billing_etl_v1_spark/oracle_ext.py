@@ -3525,3 +3525,109 @@ SELECT CAST((row_number() OVER (ORDER BY doc_id, pos) - 1) // {int(block_tokens)
        token_id
 FROM seq
 """
+
+
+def session_type_overlap_sql(
+    session_gap_s: int = 1800, span_gap_s: int = 3600
+) -> str:
+    """Twin of operators.intervals.session_type_overlap. DuckDB runs the
+    overlap as a plain inequality join (IEJoin) — the bin decomposition is
+    Spark's execution strategy, not part of the semantics — over the same
+    two derived interval sets: per-user sessions (sessionize gap rule,
+    NULL-ts rows excluded at the shared chokepoint) and per-event-type
+    activity spans (same rule partitioned by type, NULL types excluded).
+    All interval math on floored epoch seconds — BIGINT in both engines,
+    no float tolerance anywhere."""
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, ts, floor(epoch(ts))::BIGINT AS ep
+  FROM events WHERE ts IS NOT NULL
+),
+sm AS (
+  SELECT *, CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > {session_gap_s}
+                 THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_idx,
+         ep
+  FROM sm
+),
+sgrp AS (
+  SELECT user_id, session_idx, min(ep) AS s_start, max(ep) AS s_end
+  FROM sess GROUP BY 1, 2
+),
+t AS (SELECT event_id, event_type, ts, ep FROM e WHERE event_type IS NOT NULL),
+tm AS (
+  SELECT *, CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > {span_gap_s}
+                 THEN 1 ELSE 0 END AS ns
+  FROM t WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+tspan AS (
+  SELECT event_type,
+         sum(ns) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS span_idx,
+         ep
+  FROM tm
+),
+span AS (
+  SELECT event_type, span_idx, min(ep) AS p_start, max(ep) AS p_end
+  FROM tspan GROUP BY 1, 2
+)
+SELECT s.user_id, p.event_type,
+       count(*)::BIGINT AS n_overlaps,
+       count(DISTINCT p.span_idx)::BIGINT AS n_spans,
+       sum(least(s.s_end, p.p_end) - greatest(s.s_start, p.p_start))::BIGINT
+         AS overlap_s
+FROM sgrp s JOIN span p ON s.s_start <= p.p_end AND p.p_start <= s.s_end
+GROUP BY 1, 2
+"""
+
+
+def zorder_stats_sql(bits: int = 8, prefix_bits: int = 6) -> str:
+    """Twin of operators.layout.zorder_stats over events (user_id, value).
+
+    The Morton cell ids use the SAME double expression text as the Spark
+    side — (v - mn) / (mx - mn) * 2^bits, floored, clamped — so cell
+    boundaries round bit-identically; the bit interleave is generated by
+    the same Python loop shape as layout._interleave. Value sanitization
+    via the shared _EVF envelope (= functions.finite_or_null)."""
+    scale = float(1 << bits)
+    cap = (1 << bits) - 1
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((c1 >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((c2 >> {i}) & 1) << {2 * i + 1})")
+    interleave = " | ".join(terms)
+    shift = 2 * bits - prefix_bits
+    return f"""
+WITH e AS (
+  SELECT user_id::DOUBLE AS x, value AS y FROM {_EVF}
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+),
+st AS (SELECT min(x) AS mn1, max(x) AS mx1, min(y) AS mn2, max(y) AS mx2 FROM e),
+k AS (
+  SELECT x, y,
+    CASE WHEN mx1 > mn1
+         THEN least(floor((x - mn1) / (mx1 - mn1) * {scale})::BIGINT, {cap})
+         ELSE 0 END AS c1,
+    CASE WHEN mx2 > mn2
+         THEN least(floor((y - mn2) / (mx2 - mn2) * {scale})::BIGINT, {cap})
+         ELSE 0 END AS c2
+  FROM e CROSS JOIN st
+),
+z AS (SELECT x, y, ({interleave})::BIGINT AS zkey FROM k),
+g AS (
+  SELECT (zkey >> {shift})::BIGINT AS zbucket,
+         count(*)::BIGINT AS n_rows,
+         {_r6('min(x)')} AS min_1, {_r6('max(x)')} AS max_1,
+         {_r6('min(y)')} AS min_2, {_r6('max(y)')} AS max_2
+  FROM z GROUP BY 1
+)
+SELECT zbucket, n_rows, min_1, max_1, min_2, max_2,
+       {_r6('max_1 - min_1')} AS span_1,
+       {_r6('max_2 - min_2')} AS span_2
+FROM g
+"""

@@ -16,9 +16,9 @@ from pyspark.sql import functions as F
 from billing_etl_v1_spark.operators.layout import (
     file_skip_stats,
     morton_key,
-    write_zordered,
     zorder_stats,
 )
+from billing_etl_v1_spark.sources.writers import write_zordered
 
 
 def _ref_cell(v: float, mn: float, mx: float, bits: int) -> int:
@@ -107,7 +107,7 @@ def test_zorder_layout_beats_single_column_sort_for_skipping(spark, tmp_path):
     df = spark.createDataFrame(rows, ["rid", "x", "y"])
     zpath = str(tmp_path / "zorder")
     spath = str(tmp_path / "xsort")
-    write_zordered(df, zpath, "x", "y", bits=16, n_files=16)
+    write_zordered(df, zpath, ("x", "y"), bits=16, num_files=16)
     df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(spath)
 
     assert spark.read.parquet(zpath).count() == 4000
