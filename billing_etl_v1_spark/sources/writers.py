@@ -388,3 +388,103 @@ def rollback_version(spark: SparkSession, table_dir: str, version: int) -> None:
     if version not in list_versions(spark, table_dir):
         raise ValueError(f"version {version} does not exist at {table_dir}")
     _point_latest(spark, table_dir, version)
+
+
+def vacuum_versions(
+    spark: SparkSession, table_dir: str, keep_last: int = 3
+) -> list[int]:
+    """Delete snapshots older than the newest ``keep_last`` — the storage
+    half of the versioned-snapshot contract (every write lands a COMPLETE
+    copy, so retention is the only thing keeping a dim's footprint from
+    growing linearly with write count). Returns the versions removed.
+
+    The snapshot ``_LATEST`` points at is NEVER deleted, even when older
+    than the retention horizon — after a :func:`rollback_version` the
+    current table contents may be an old version, and vacuuming the
+    rollback target would turn a retention sweep into data loss. Pinned
+    readers of other vacuumed versions lose time travel to them; that is
+    the documented trade (real expiry bookkeeping — snapshot refs, audit
+    holds — is where Delta/Iceberg start, same honesty line as
+    write_versioned)."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    versions = list_versions(spark, table_dir)
+    current = current_version(spark, table_dir)
+    keep = set(versions[-keep_last:])
+    if current is not None:
+        keep.add(current)
+    fs, _ = _hadoop_fs(spark, table_dir)
+    jvm = spark._jvm
+    removed = []
+    for v in versions:
+        if v in keep:
+            continue
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{table_dir}/v={v}"), True)
+        removed.append(v)
+    return removed
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table_dir: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two snapshots of a versioned table: one row
+    per key that was ``added``, ``removed``, or ``changed`` between
+    ``v_from`` and ``v_to`` (unchanged keys are dropped), with the full
+    ``before`` / ``after`` rows as struct columns (NULL on the side the
+    key does not exist). The CDC-lite readout a lineage audit wants from
+    "what did yesterday's dim write actually do" — computable AFTER the
+    fact precisely because snapshots stay byte-stable.
+
+    One key-partitioned full-outer shuffle join; change detection is
+    null-safe column equality (NULL -> NULL is unchanged) over the
+    comparable columns both snapshots share — MapType-bearing columns
+    (not order-comparable) are excluded from change DETECTION but still
+    carried in the structs. Keys must uniquely identify rows in each
+    snapshot (the dim/mart contract these tables hold by construction);
+    duplicate keys fan out through the join as in any CDC diff."""
+    before = read_versioned(spark, table_dir, v_from)
+    after = read_versioned(spark, table_dir, v_to)
+    missing = (set(key_cols) - set(before.columns)) | (
+        set(key_cols) - set(after.columns)
+    )
+    if missing:
+        raise ValueError(f"key columns missing from snapshots: {sorted(missing)}")
+    shared = [
+        c
+        for c in before.columns
+        if c in set(after.columns) and c not in set(key_cols)
+    ]
+    comparable = set(_hashable_columns(before)) & set(_hashable_columns(after))
+    compare = [c for c in shared if c in comparable]
+
+    b = before.select(
+        *[F.col(k).alias(f"_k_{k}") for k in key_cols],
+        F.struct(*before.columns).alias("before"),
+    )
+    a = after.select(
+        *[F.col(k).alias(f"_k_{k}") for k in key_cols],
+        F.struct(*after.columns).alias("after"),
+    )
+    joined = b.join(a, on=[f"_k_{k}" for k in key_cols], how="full_outer")
+    same = F.lit(True)
+    for c in compare:
+        same = same & F.col(f"before.{c}").eqNullSafe(F.col(f"after.{c}"))
+    change = (
+        F.when(F.col("before").isNull(), F.lit("added"))
+        .when(F.col("after").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[F.col(f"_k_{k}").alias(k) for k in key_cols],
+            "change_type",
+            "before",
+            "after",
+        )
+    )

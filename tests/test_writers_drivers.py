@@ -654,6 +654,80 @@ def test_versioned_writes_time_travel_and_rollback(spark, tmp_path):
         rollback_version(spark, d, 99)
 
 
+def test_vacuum_versions_retention_and_rollback_safety(spark, tmp_path):
+    """Retention sweep deletes only snapshots past keep_last, never the
+    one _LATEST points at — a vacuum after rollback must not become data
+    loss."""
+    import pytest
+
+    from billing_etl_v1_spark.sources.writers import (
+        list_versions,
+        read_versioned,
+        rollback_version,
+        vacuum_versions,
+        write_versioned,
+    )
+
+    d = str(tmp_path / "dim_vacuum")
+    for v in range(1, 6):
+        assert write_versioned(spark.range(v * 10), d) == v
+    assert vacuum_versions(spark, d, keep_last=2) == [1, 2, 3]
+    assert list_versions(spark, d) == [4, 5]
+    assert read_versioned(spark, d).count() == 50  # latest untouched
+
+    # rollback to the oldest survivor, then vacuum keep_last=1: the
+    # rollback target survives even though it is past the horizon
+    rollback_version(spark, d, 4)
+    assert vacuum_versions(spark, d, keep_last=1) == []
+    assert list_versions(spark, d) == [4, 5]
+    assert read_versioned(spark, d).count() == 40
+
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum_versions(spark, d, keep_last=0)
+
+
+def test_snapshot_diff_added_removed_changed(spark, tmp_path):
+    """CDC-lite between two snapshots: added/removed/changed per key with
+    null-safe change detection (NULL->NULL unchanged, NULL->value
+    changed); unchanged keys dropped."""
+    import pytest
+
+    from billing_etl_v1_spark.sources.writers import snapshot_diff, write_versioned
+
+    d = str(tmp_path / "dim_diff")
+    rows_v1 = [
+        (1, "a", 10.0),
+        (2, "b", None),
+        (3, "c", 30.0),
+        (4, "d", None),
+    ]
+    rows_v2 = [
+        (1, "a", 10.0),  # unchanged
+        (2, "b", 20.0),  # NULL -> value
+        (4, "d", None),  # NULL -> NULL: unchanged
+        (5, "e", 50.0),  # added
+    ]
+    schema = ["k", "name", "score"]
+    assert write_versioned(spark.createDataFrame(rows_v1, schema), d) == 1
+    assert write_versioned(spark.createDataFrame(rows_v2, schema), d) == 2
+
+    out = {
+        r["k"]: r
+        for r in snapshot_diff(spark, d, 1, 2, key_cols=["k"]).collect()
+    }
+    assert {k: r["change_type"] for k, r in out.items()} == {
+        2: "changed",
+        3: "removed",
+        5: "added",
+    }
+    assert out[2]["before"]["score"] is None and out[2]["after"]["score"] == 20.0
+    assert out[3]["after"] is None and out[3]["before"]["name"] == "c"
+    assert out[5]["before"] is None and out[5]["after"]["name"] == "e"
+
+    with pytest.raises(ValueError, match="key columns"):
+        snapshot_diff(spark, d, 1, 2, key_cols=["nope"])
+
+
 def test_csv_quarantine_splits_good_and_bad_rows(spark, tmp_path):
     """PERMISSIVE + corrupt-record capture: malformed rows land in the
     quarantine frame as raw text, fully-parsed rows come back typed and
