@@ -188,6 +188,22 @@ def build_parser() -> argparse.ArgumentParser:
 
     # ad-hoc SQL over tables-at-rest (reference README.md:38-45's documented
     # --query/--list-tables surface, dead in its main.py — real here)
+    ver = sub.add_parser(
+        "versions",
+        help="operate a versioned snapshot table (list/vacuum/diff/rollback)",
+    )
+    ver.add_argument("action", choices=["list", "vacuum", "diff", "rollback"])
+    ver.add_argument("--table", required=True, help="versioned table directory")
+    ver.add_argument(
+        "--keep-last", type=int, default=3, help="vacuum: snapshots to retain"
+    )
+    ver.add_argument("--from", dest="v_from", type=int, help="diff: older version")
+    ver.add_argument("--to", dest="v_to", type=int, help="diff/rollback: version")
+    ver.add_argument("--keys", help="diff: comma-separated key columns")
+    ver.add_argument(
+        "--max-rows", type=int, default=100, help="diff: max rows to print"
+    )
+
     sql = sub.add_parser("sql", help="run ad-hoc SQL over a directory of parquet tables")
     sql.add_argument(
         "--tables",
@@ -254,6 +270,39 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         else:
             queries[args.name](spark, args.tables).explain("formatted")
+        spark.stop()
+        return 0
+    if args.command == "versions":
+        from billing_etl_v1_spark.sources.writers import (
+            current_version,
+            list_versions,
+            rollback_version,
+            snapshot_diff,
+            vacuum_versions,
+        )
+
+        if args.action == "list":
+            cur = current_version(spark, args.table)
+            for v in list_versions(spark, args.table):
+                print(f"v={v}" + ("  <- _LATEST" if v == cur else ""))
+        elif args.action == "vacuum":
+            removed = vacuum_versions(spark, args.table, keep_last=args.keep_last)
+            print(f"vacuumed {len(removed)} snapshot(s): {removed}")
+        elif args.action == "rollback":
+            if args.v_to is None:
+                print("rollback requires --to", file=sys.stderr)
+                spark.stop()
+                return 2
+            rollback_version(spark, args.table, args.v_to)
+            print(f"_LATEST -> v={args.v_to}")
+        else:  # diff
+            if args.v_from is None or args.v_to is None or not args.keys:
+                print("diff requires --from, --to and --keys", file=sys.stderr)
+                spark.stop()
+                return 2
+            snapshot_diff(
+                spark, args.table, args.v_from, args.v_to, args.keys.split(",")
+            ).show(n=args.max_rows, truncate=False)
         spark.stop()
         return 0
     if args.command == "schema":

@@ -39,7 +39,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["interval_join", "activity_spans", "session_type_overlap"]
+__all__ = [
+    "interval_join",
+    "point_in_interval_join",
+    "activity_spans",
+    "session_type_overlap",
+]
 
 
 def interval_join(
@@ -102,6 +107,37 @@ def interval_join(
     return joined.filter(exact & first_shared_bin).drop(
         "_ij_bin", "_ij_l_sb", "_ij_r_sb"
     )
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    p_col: str,
+    i_start: str,
+    i_end: str,
+    bin_width: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-interval containment join — the billing-native special
+    case (usage events × rate periods) of :func:`interval_join` where the
+    left intervals are degenerate ``[p, p]``: a point replicates to ONE
+    bin, so the left side carries no replication cost at all and the
+    exactly-once rule holds trivially. Matches where
+    ``i_start <= p <= i_end`` (closed)."""
+    tmp = "_pij_end"
+    if tmp in points.columns or tmp in intervals.columns:
+        raise ValueError(f"column name {tmp!r} is reserved")
+    out = interval_join(
+        points.withColumn(tmp, F.col(p_col)),
+        intervals,
+        p_col,
+        tmp,
+        i_start,
+        i_end,
+        bin_width,
+        keys=keys,
+    )
+    return out.drop(tmp)
 
 
 def activity_spans(

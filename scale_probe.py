@@ -820,6 +820,62 @@ def main() -> None:
         _sh.rmtree(wptok_dir, ignore_errors=True)
     wp_probe.release_wordpiece_cache(spark)
 
+    # --- r8 engine extensions: interval-overlap join + z-order report ---
+    # Each replica is shifted 31 days (the data spans 30) with renamed
+    # users/events, so sessions AND type spans grow linearly and copies
+    # never overlap each other: the pair count scales with the data — the
+    # honest xN for an overlap join (timestamp-identical replication would
+    # price an artificial xN^2 pair explosion instead of the plan).
+    from billing_etl_v1_spark.operators import intervals as iv_ops
+    from billing_etl_v1_spark.operators import layout as layout_ops
+
+    def _replicate_events(ev, rep: int):
+        out = None
+        for i in range(rep):
+            c = (
+                ev.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {31 * i} DAYS"))
+                .withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000))
+                .withColumn(
+                    "event_id", F.col("event_id") + F.lit(i * 1_000_000_000)
+                )
+            )
+            out = c if out is None else out.unionByName(c)
+        return out
+
+    engine_ext = {}
+    ev01 = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    ev1 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    ev16 = _replicate_events(ev1, 16).localCheckpoint()
+    ext_fns = [
+        ("events_session_type_overlap", iv_ops.session_type_overlap),
+        (
+            "events_zorder_stats",
+            lambda d: layout_ops.zorder_stats(
+                d, "user_id", "value", bits=8, prefix_bits=6
+            ),
+        ),
+    ]
+    for qlabel, fn in ext_fns:
+        runs = {}
+        for label, ev in [("sf0.01", ev01), ("sf0.1", ev1), ("sf0.1 x16", ev16)]:
+            n_events = ev.count()
+            r = _timed(fn(ev), f"{qlabel} {label}")
+            runs[label] = {"events": n_events, **r}
+            if qlabel == "events_session_type_overlap":
+                runs[label]["result_rows"] = fn(ev).count()
+        tr = runs["sf0.1 x16"]["sec"] / max(runs["sf0.1"]["sec"], 1e-9)
+        runs["sf0.1->x16"] = {
+            "rows_ratio": 16.0,
+            "time_ratio": round(tr, 2),
+            "time_ratio_over_rows_ratio": round(tr / 16.0, 2),
+        }
+        print(
+            f"# {qlabel} sf0.1->x16: time x{tr:.1f} for rows x16 "
+            f"(normalized {tr / 16.0:.2f})",
+            file=sys.stderr,
+        )
+        engine_ext[qlabel] = runs
+
     print(
         json.dumps(
             {
@@ -829,6 +885,7 @@ def main() -> None:
                 "text_ops": text_ops,
                 "iterative_ops": iterative_ops,
                 "bpe_train_scaling": bpe_scaling,
+                "engine_ext": engine_ext,
                 # self-adjudication (VERDICT r6 #2): load_before.loadavg[0]
                 # >> 0 means the machine was busy at start — treat drifted
                 # numbers as load artifacts, not regressions

@@ -16,6 +16,7 @@ from pyspark.sql import types as T
 from billing_etl_v1_spark.operators.intervals import (
     activity_spans,
     interval_join,
+    point_in_interval_join,
     session_type_overlap,
 )
 
@@ -136,6 +137,29 @@ def test_contract_validation(spark):
         interval_join(left, right, "ls", "le", "rs", "re", 8)
     with pytest.raises(ValueError, match="missing"):
         interval_join(left, right.drop("key"), "ls", "le", "nope", "re", 8)
+
+
+def test_point_in_interval_join_matches_naive(spark):
+    rng = random.Random(41)
+    pts = spark.createDataFrame(
+        [(i, rng.randrange(-300, 300)) for i in range(200)], ["pid", "p"]
+    )
+    ivs = spark.createDataFrame(
+        [(i, k, s, e) for i, k, s, e in _random_intervals(43, 100, 60, 300)], RSCHEMA
+    ).drop("key")
+    got_rows = point_in_interval_join(pts, ivs, "p", "rs", "re", 16).select(
+        "pid", "rid"
+    ).collect()
+    got = [tuple(r) for r in got_rows]
+    naive = {
+        tuple(r)
+        for r in pts.crossJoin(ivs)
+        .filter((F.col("rs") <= F.col("p")) & (F.col("p") <= F.col("re")))
+        .select("pid", "rid")
+        .collect()
+    }
+    assert len(got) == len(set(got))
+    assert set(got) == naive
 
 
 def test_activity_spans_gap_rule(spark):

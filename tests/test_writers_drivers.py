@@ -728,6 +728,42 @@ def test_snapshot_diff_added_removed_changed(spark, tmp_path):
         snapshot_diff(spark, d, 1, 2, key_cols=["nope"])
 
 
+def test_cli_versions_surface(spark, tmp_path, monkeypatch, capsys):
+    """The versions subcommand drives list/vacuum/diff/rollback over a
+    versioned table end-to-end."""
+    from billing_etl_v1_spark import cli
+    from billing_etl_v1_spark.sources.writers import list_versions, write_versioned
+
+    d = str(tmp_path / "dim_cli")
+    for v in range(1, 4):
+        write_versioned(
+            spark.createDataFrame([(k, v) for k in range(5 * v)], ["k", "ver"]), d
+        )
+    monkeypatch.setattr(
+        "billing_etl_v1_spark.session.get_spark", lambda *a, **k: spark
+    )
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    assert cli.main(["versions", "list", "--table", d]) == 0
+    out = capsys.readouterr().out
+    assert "v=3  <- _LATEST" in out and "v=1" in out
+
+    assert cli.main(
+        ["versions", "diff", "--table", d, "--from", "1", "--to", "2", "--keys", "k"]
+    ) == 0
+    assert "added" in capsys.readouterr().out
+
+    assert cli.main(["versions", "rollback", "--table", d, "--to", "2"]) == 0
+    assert cli.main(["versions", "vacuum", "--table", d, "--keep-last", "1"]) == 0
+    # v=2 survives as the rollback target, v=3 as the newest
+    assert list_versions(spark, d) == [2, 3]
+
+    # diff without keys is a usage error, not a crash
+    assert cli.main(
+        ["versions", "diff", "--table", d, "--from", "2", "--to", "3"]
+    ) == 2
+
+
 def test_csv_quarantine_splits_good_and_bad_rows(spark, tmp_path):
     """PERMISSIVE + corrupt-record capture: malformed rows land in the
     quarantine frame as raw text, fully-parsed rows come back typed and
