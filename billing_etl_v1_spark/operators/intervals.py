@@ -185,6 +185,67 @@ def activity_spans(
     )
 
 
+def concurrency_profile(
+    intervals: DataFrame,
+    s_col: str,
+    e_col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """How many intervals are active at once — the step function of the
+    classic boundary sweep (+1 at start, −1 at end+1 for closed integer
+    intervals), distributed: capacity planning over sessions, overlap
+    audits over rate periods.
+
+    Output: one row per distinct boundary time (per key group when
+    ``keys`` is given) with ``concurrency`` = active intervals on
+    [t, next boundary). Peak concurrency is ``max(concurrency)`` —
+    ties-at-a-boundary are handled exactly because ends retire BEFORE
+    starts land at the same tick (end+1 encoding), so touching intervals
+    [0,5], [6,10] never read as concurrent.
+
+    Scale shape: boundaries aggregate per tick first (map-side combine),
+    then the running sum needs a TOTAL order — per key group that is an
+    ordinary key-partitioned window; globally it is the same two-phase
+    distributed prefix sum every ranked operator here uses
+    (:func:`operators.events.distributed_total_rank` — range-partitioned
+    parallel sorts + a broadcast offset join, NO single-task global
+    sort). NULL/malformed intervals are excluded as in
+    :func:`interval_join`.
+    """
+    from billing_etl_v1_spark.operators.events import distributed_total_rank
+
+    keys = list(keys or [])
+    well_formed = (
+        F.col(s_col).isNotNull() & F.col(e_col).isNotNull()
+        & (F.col(e_col) >= F.col(s_col))
+    )
+    base = intervals.filter(well_formed)
+    if keys:
+        base = base.na.drop(subset=keys)
+    bounds = base.select(
+        *keys, F.col(s_col).cast("bigint").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        base.select(
+            *keys,
+            (F.col(e_col).cast("bigint") + F.lit(1)).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    net = bounds.groupBy(*keys, "t").agg(F.sum("delta").alias("_net"))
+    if keys:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("t").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = net.withColumn("concurrency", F.sum("_net").over(w).cast("bigint"))
+        return out.select(*keys, "t", "concurrency")
+    ranked = distributed_total_rank(
+        net, order_cols=["t"], sum_col="_net", cum_col="concurrency"
+    )
+    return ranked.select("t", "concurrency")
+
+
 def session_type_overlap(
     events: DataFrame,
     session_gap_s: int = 1800,

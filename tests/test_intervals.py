@@ -15,6 +15,7 @@ from pyspark.sql import types as T
 
 from billing_etl_v1_spark.operators.intervals import (
     activity_spans,
+    concurrency_profile,
     interval_join,
     point_in_interval_join,
     session_type_overlap,
@@ -190,6 +191,66 @@ def test_activity_spans_gap_rule(spark):
         ("a", 2): (base + 5000, base + 5000, 1),
         ("b", 1): (base + 30, base + 30, 1),
     }
+
+
+def _naive_profile(rows):
+    """Sequential sweep reference: {t: active_count} at every boundary."""
+    from collections import Counter
+
+    deltas = Counter()
+    for s, e in rows:
+        deltas[s] += 1
+        deltas[e + 1] -= 1
+    out, run = {}, 0
+    for t in sorted(deltas):
+        run += deltas[t]
+        out[t] = run
+    return out
+
+
+def test_concurrency_profile_matches_naive_sweep(spark):
+    rng = random.Random(77)
+    rows = []
+    for _ in range(300):
+        s = rng.randrange(0, 500)
+        rows.append((s, s + rng.randrange(0, 80)))
+    df = spark.createDataFrame(rows, ["s", "e"])
+    got = {
+        r["t"]: r["concurrency"]
+        for r in concurrency_profile(df, "s", "e").collect()
+    }
+    assert got == _naive_profile(rows)
+    assert max(got.values()) > 1  # the fixture genuinely overlaps
+
+
+def test_concurrency_touching_intervals_not_concurrent(spark):
+    df = spark.createDataFrame([(0, 5), (6, 10)], ["s", "e"])
+    prof = {
+        r["t"]: r["concurrency"]
+        for r in concurrency_profile(df, "s", "e").collect()
+    }
+    assert max(prof.values()) == 1
+    assert prof[11] == 0  # everything retired past the last end
+
+
+def test_concurrency_keyed_and_malformed(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 0, 10),
+            ("a", 5, 15),
+            ("b", 0, 3),
+            ("b", None, 9),  # malformed: excluded
+            (None, 0, 9),  # NULL key: excluded in keyed mode
+        ],
+        ["k", "s", "e"],
+    )
+    out = {
+        (r["k"], r["t"]): r["concurrency"]
+        for r in concurrency_profile(df, "s", "e", keys=["k"]).collect()
+    }
+    assert out[("a", 5)] == 2 and out[("a", 11)] == 1 and out[("a", 16)] == 0
+    assert out[("b", 0)] == 1 and out[("b", 4)] == 0
+    assert not any(k is None for k, _t in out)
 
 
 def test_session_type_overlap_hand_case(spark):
