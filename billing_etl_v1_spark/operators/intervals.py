@@ -146,6 +146,7 @@ def activity_spans(
     gap_s: int = 3600,
     ts_col: str = "ts",
     tiebreak_col: str = "event_id",
+    bucket_s: int | None = None,
 ) -> DataFrame:
     """Contiguous activity spans per ``part_col``: the gap rule of
     :func:`operators.events.sessionize`, generalized from user_id to any
@@ -157,6 +158,21 @@ def activity_spans(
     NULL sorts — the standing sessionize rationale); NULL partition keys
     are excluded too (both engines pool them into ONE span stream, which
     is never the analytic intent for an unknown key).
+
+    ``part_col`` is often LOW-cardinality (event types, tenants), which
+    makes the single window partition a one-task sort of a whole type —
+    fine at test scale, a bottleneck at 100 TB. ``bucket_s`` (must be
+    > gap_s) turns on the two-level formulation: the gap rule runs per
+    (part, floor(ep/bucket_s)) — bounded partitions — emitting local
+    spans, then the SAME gap rule stitches the per-part local spans
+    ordered by start. Equivalence is exact, not approximate: within a
+    bucket consecutive gaps <= gap_s are already merged, and the gap
+    between adjacent local spans IS the true inter-event gap (span end =
+    last event, next span start = next event), so stitching with the
+    identical predicate reproduces the event-level spans — and the
+    stitch window runs over the SPAN table, whose size is bounded by
+    real_spans + time_range/bucket_s, never by event count
+    (property-tested equal to the single-level form).
     """
     fep = F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp"))).cast("bigint")
     base = (
@@ -164,23 +180,64 @@ def activity_spans(
         .withColumn("_ep", fep)
     )
     order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
-    w = Window.partitionBy(part_col).orderBy(*order)
-    new_span = F.when(
-        F.lag("_ep").over(w).isNull() | ((F.col("_ep") - F.lag("_ep").over(w)) > gap_s),
+
+    def _gap_spans(df: DataFrame, parts: list[str]) -> DataFrame:
+        w = Window.partitionBy(*parts).orderBy(*order)
+        new_span = F.when(
+            F.lag("_ep").over(w).isNull()
+            | ((F.col("_ep") - F.lag("_ep").over(w)) > gap_s),
+            1,
+        ).otherwise(0)
+        wsum = (
+            Window.partitionBy(*parts)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            df.withColumn("_span", F.sum(new_span).over(wsum))
+            .groupBy(*parts, "_span")
+            .agg(
+                F.min("_ep").alias("span_start_s"),
+                F.max("_ep").alias("span_end_s"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        )
+
+    if bucket_s is None:
+        out = _gap_spans(base, [part_col])
+        return out.select(
+            part_col,
+            F.col("_span").alias("span_idx"),
+            "span_start_s",
+            "span_end_s",
+            "n_events",
+        )
+
+    if bucket_s <= gap_s:
+        raise ValueError(
+            f"bucket_s must exceed gap_s ({gap_s}), got {bucket_s} — a gap "
+            f"can otherwise span a whole bucket and the stitch misses it"
+        )
+    local = _gap_spans(
+        base.withColumn("_bkt", F.floor(F.col("_ep") / F.lit(bucket_s))),
+        [part_col, "_bkt"],
+    )
+    # stitch: the identical gap predicate over per-part local spans in
+    # start order (starts are unique per part: local spans never overlap)
+    ws = Window.partitionBy(part_col).orderBy(F.col("span_start_s").asc())
+    new_chain = F.when(
+        F.lag("span_end_s").over(ws).isNull()
+        | ((F.col("span_start_s") - F.lag("span_end_s").over(ws)) > gap_s),
         1,
     ).otherwise(0)
-    wsum = (
-        Window.partitionBy(part_col)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    wc = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        base.withColumn("span_idx", F.sum(new_span).over(wsum))
+        local.withColumn("span_idx", F.sum(new_chain).over(wc))
         .groupBy(part_col, "span_idx")
         .agg(
-            F.min("_ep").alias("span_start_s"),
-            F.max("_ep").alias("span_end_s"),
-            F.count(F.lit(1)).alias("n_events"),
+            F.min("span_start_s").alias("span_start_s"),
+            F.max("span_end_s").alias("span_end_s"),
+            F.sum("n_events").alias("n_events"),
         )
     )
 
@@ -251,6 +308,7 @@ def session_type_overlap(
     session_gap_s: int = 1800,
     span_gap_s: int = 3600,
     bin_width_s: int = 21600,
+    span_bucket_s: int = 86400,
 ) -> DataFrame:
     """Which event-type activity spans did each user's sessions overlap,
     and for how long — the two-large-sides interval join exercised
@@ -276,7 +334,12 @@ def session_type_overlap(
         .groupBy("user_id", "session_idx")
         .agg(F.min("_ep").alias("s_start"), F.max("_ep").alias("s_end"))
     )
-    spans = activity_spans(events, "event_type", gap_s=span_gap_s).select(
+    # span side: event_type is LOW-cardinality, so the spans come from the
+    # two-level bucketed gap rule (bounded window partitions at any scale;
+    # provably identical output — see activity_spans)
+    spans = activity_spans(
+        events, "event_type", gap_s=span_gap_s, bucket_s=span_bucket_s
+    ).select(
         "event_type",
         "span_idx",
         F.col("span_start_s").alias("p_start"),

@@ -140,6 +140,48 @@ def test_contract_validation(spark):
         interval_join(left, right.drop("key"), "ls", "le", "nope", "re", 8)
 
 
+def test_activity_spans_bucketed_equals_single_level(spark):
+    """The two-level (bucket-local + stitch) formulation is EXACTLY the
+    single-window gap rule — random timestamps engineered to straddle
+    bucket boundaries, multiple keys, several gap/bucket combinations."""
+    rng = random.Random(3)
+    rows = []
+    eid = 0
+    for part in ("a", "b", "c"):
+        t = 0
+        for _ in range(200):
+            # mix sub-gap steps with occasional big jumps
+            t += rng.choice([1, 5, 40, 70, 250, 900])
+            rows.append((eid, t, part))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ep", "event_type"]).withColumn(
+        "ts", F.timestamp_seconds(F.col("ep"))
+    )
+    for gap_s, bucket_s in [(60, 100), (60, 61), (300, 1000), (60, 10_000_000)]:
+        single = {
+            (r["event_type"], r["span_idx"]): (
+                r["span_start_s"],
+                r["span_end_s"],
+                r["n_events"],
+            )
+            for r in activity_spans(df, "event_type", gap_s=gap_s).collect()
+        }
+        two_level = {
+            (r["event_type"], r["span_idx"]): (
+                r["span_start_s"],
+                r["span_end_s"],
+                r["n_events"],
+            )
+            for r in activity_spans(
+                df, "event_type", gap_s=gap_s, bucket_s=bucket_s
+            ).collect()
+        }
+        assert two_level == single, (gap_s, bucket_s)
+
+    with pytest.raises(ValueError, match="bucket_s"):
+        activity_spans(df, "event_type", gap_s=60, bucket_s=60)
+
+
 def test_point_in_interval_join_matches_naive(spark):
     rng = random.Random(41)
     pts = spark.createDataFrame(
