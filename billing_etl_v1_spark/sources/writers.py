@@ -446,6 +446,13 @@ def snapshot_diff(
     carried in the structs. Keys must uniquely identify rows in each
     snapshot (the dim/mart contract these tables hold by construction);
     duplicate keys fan out through the join as in any CDC diff."""
+    have = set(list_versions(spark, table_dir))
+    absent = [v for v in (v_from, v_to) if v not in have]
+    if absent:
+        raise ValueError(
+            f"version(s) {absent} do not exist at {table_dir} "
+            f"(present: {sorted(have)})"
+        )
     before = read_versioned(spark, table_dir, v_from)
     after = read_versioned(spark, table_dir, v_to)
     missing = (set(key_cols) - set(before.columns)) | (

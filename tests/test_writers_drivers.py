@@ -726,6 +726,8 @@ def test_snapshot_diff_added_removed_changed(spark, tmp_path):
 
     with pytest.raises(ValueError, match="key columns"):
         snapshot_diff(spark, d, 1, 2, key_cols=["nope"])
+    with pytest.raises(ValueError, match="do not exist"):
+        snapshot_diff(spark, d, 1, 99, key_cols=["k"])
 
 
 def test_cli_versions_surface(spark, tmp_path, monkeypatch, capsys):
