@@ -43,8 +43,11 @@ __all__ = [
     "interval_join",
     "point_in_interval_join",
     "activity_spans",
+    "concurrency_profile",
     "session_type_overlap",
 ]
+
+_RESERVED = ("_ij_bin", "_ij_l_sb", "_ij_r_sb")
 
 
 def interval_join(
@@ -86,6 +89,9 @@ def interval_join(
         missing = {s_col, e_col, *keys} - set(side.columns)
         if missing:
             raise ValueError(f"missing interval/key columns: {sorted(missing)}")
+        reserved = set(_RESERVED) & set(side.columns)
+        if reserved:
+            raise ValueError(f"column names {sorted(reserved)} are reserved")
 
     def _binned(df: DataFrame, s: str, e: str, bin_col: str, sb_col: str) -> DataFrame:
         well_formed = (

@@ -138,6 +138,12 @@ def test_contract_validation(spark):
         interval_join(left, right, "ls", "le", "rs", "re", 8)
     with pytest.raises(ValueError, match="missing"):
         interval_join(left, right.drop("key"), "ls", "le", "nope", "re", 8)
+    with pytest.raises(ValueError, match="reserved"):
+        interval_join(
+            left.withColumn("_ij_bin", F.lit(0)),
+            right.drop("key"),
+            "ls", "le", "rs", "re", 8,
+        )
 
 
 def test_activity_spans_bucketed_equals_single_level(spark):

@@ -730,6 +730,28 @@ def test_snapshot_diff_added_removed_changed(spark, tmp_path):
         snapshot_diff(spark, d, 1, 99, key_cols=["k"])
 
 
+def test_snapshot_diff_across_schema_evolution(spark, tmp_path):
+    """Snapshots may not share a schema (columns added between writes):
+    change detection runs over the SHARED columns only, and the
+    before/after structs each keep their own snapshot's full shape."""
+    from billing_etl_v1_spark.sources.writers import snapshot_diff, write_versioned
+
+    d = str(tmp_path / "dim_evolve")
+    write_versioned(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "name"]), d)
+    write_versioned(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "B", 20)], ["k", "name", "extra"]
+        ),
+        d,
+    )
+    out = {r["k"]: r for r in snapshot_diff(spark, d, 1, 2, key_cols=["k"]).collect()}
+    # k=1: shared columns equal -> NOT reported even though v2 adds a column
+    assert set(out) == {2}
+    assert out[2]["change_type"] == "changed"
+    assert out[2]["after"]["extra"] == 20
+    assert "extra" not in out[2]["before"].asDict()
+
+
 def test_cli_versions_surface(spark, tmp_path, monkeypatch, capsys):
     """The versions subcommand drives list/vacuum/diff/rollback over a
     versioned table end-to-end."""
