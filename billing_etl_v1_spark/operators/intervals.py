@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "interval_join",
+    "interval_join_left",
     "point_in_interval_join",
     "activity_spans",
     "concurrency_profile",
@@ -113,6 +114,50 @@ def interval_join(
     return joined.filter(exact & first_shared_bin).drop(
         "_ij_bin", "_ij_l_sb", "_ij_r_sb"
     )
+
+
+def interval_join_left(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Left-outer overlap join: every well-formed left row appears — with
+    the matching right columns where intervals overlap, with NULL right
+    columns where nothing does (usage periods that hit no rate period are
+    the billing exceptions report, not rows to silently drop).
+
+    The matched part is exactly :func:`interval_join`; the unmatched part
+    is one broadcast-friendly left-anti join of ``left`` against the
+    DISTINCT matched ``left_id``s. ``left_id`` must uniquely identify
+    left rows — outer semantics need row identity, and deriving one
+    internally (monotonically_increasing_id) would be retry-unstable at
+    scale, so the contract makes the caller name it. Left rows excluded
+    by the well-formedness rule (NULL/inverted endpoints) stay excluded —
+    they are corrupt input, not unmatched intervals.
+    """
+    if left_id not in left.columns:
+        raise ValueError(f"left_id column {left_id!r} missing from left")
+    matched = interval_join(
+        left, right, l_start, l_end, r_start, r_end, bin_width, keys=keys
+    )
+    well_formed = (
+        F.col(l_start).isNotNull()
+        & F.col(l_end).isNotNull()
+        & (F.col(l_end) >= F.col(l_start))
+    )
+    unmatched = left.filter(well_formed).join(
+        matched.select(left_id).distinct(), on=left_id, how="left_anti"
+    )
+    for f in matched.schema.fields:
+        if f.name not in left.columns:
+            unmatched = unmatched.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return matched.unionByName(unmatched.select(*matched.columns))
 
 
 def point_in_interval_join(

@@ -17,6 +17,7 @@ from billing_etl_v1_spark.operators.intervals import (
     activity_spans,
     concurrency_profile,
     interval_join,
+    interval_join_left,
     point_in_interval_join,
     session_type_overlap,
 )
@@ -144,6 +145,38 @@ def test_contract_validation(spark):
             right.drop("key"),
             "ls", "le", "rs", "re", 8,
         )
+
+
+def test_interval_join_left_matches_naive_outer(spark):
+    """Left-outer overlap: matched pairs equal the naive join; every
+    well-formed unmatched left row appears once with NULL right columns;
+    corrupt left rows stay excluded."""
+    left = spark.createDataFrame(
+        _random_intervals(61, 80, 30, 400) + [(900, 0, None, 5), (901, 0, 9, 2)],
+        ISCHEMA,
+    )
+    right = spark.createDataFrame(_random_intervals(67, 40, 30, 400), RSCHEMA).drop(
+        "key"
+    )
+    out = interval_join_left(
+        left, right, "lid", "ls", "le", "rs", "re", 64
+    ).collect()
+    naive = _naive_pairs(spark, left, right.withColumn("key", F.lit(0)), keyed=False)
+    got_pairs = {(r["lid"], r["rid"]) for r in out if r["rid"] is not None}
+    assert got_pairs == naive
+    matched_lids = {l for l, _ in naive}
+    null_rows = [r for r in out if r["rid"] is None]
+    well_formed_lids = {
+        r["lid"] for r in left.collect()
+        if r["ls"] is not None and r["le"] is not None and r["le"] >= r["ls"]
+    }
+    assert {r["lid"] for r in null_rows} == well_formed_lids - matched_lids
+    assert len(null_rows) == len(well_formed_lids - matched_lids)  # once each
+    assert all(r["rs"] is None and r["re"] is None for r in null_rows)
+    assert not any(r["lid"] in (900, 901) for r in out)  # corrupt stays out
+
+    with pytest.raises(ValueError, match="left_id"):
+        interval_join_left(left, right, "nope", "ls", "le", "rs", "re", 64)
 
 
 def test_activity_spans_bucketed_equals_single_level(spark):
