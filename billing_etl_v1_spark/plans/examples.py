@@ -106,8 +106,9 @@ def price_band_summary(part: DataFrame) -> DataFrame:
     broadcast nested-loop join — each part row scans 4 in-memory band rows,
     no shuffle of the big side and no cartesian blow-up. This is the
     idiomatic Spark shape for interval/banding joins whenever one side is
-    small; only two LARGE interval sides would need the bucketed
-    interval-overlap decomposition (as in operators.dedup's LSH band join).
+    small; two LARGE interval sides take the bucketed interval-overlap
+    decomposition instead — implemented as operators.intervals.interval_join
+    (r8; same banding idea as operators.dedup's LSH pair join).
     """
     spark = part.sparkSession
     bands = spark.createDataFrame(
