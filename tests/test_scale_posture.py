@@ -333,3 +333,28 @@ def test_winnow_hashes_once_inside_codegen(spark):
         if args == "hashpartitioning"
     }
     assert len(hash_exchanges) <= 1, plan
+
+
+def test_interval_overlap_join_is_hash_equi(spark):
+    """The bucketed decomposition must plan as a plain (shuffled or
+    AQE-broadcast) EQUI join on the bin id — never the nested-loop or
+    cartesian shape the raw non-equi predicate would force — and no
+    Python eval anywhere (all bin/overlap math is JVM expressions)."""
+    plan = plan_of(spark, "events_session_type_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert nodes(plan, "BroadcastHashJoin") or nodes(plan, "SortMergeJoin") or nodes(
+        plan, "ShuffledHashJoin"
+    )
+
+
+def test_zorder_stats_single_broadcast_bounds(spark):
+    """The global min/max bounds attach as a broadcast nested-loop over a
+    ONE-ROW aggregate (the repo's 1-row totals idiom) — the big side must
+    not shuffle for it, and the Morton bit math stays in codegen."""
+    plan = plan_of(spark, "events_zorder_stats")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly one broadcast exchange: the 1-row bounds relation
+    assert len(nodes(plan, "BroadcastExchange")) == 1
