@@ -334,6 +334,51 @@ def test_concurrency_keyed_and_malformed(spark):
     assert not any(k is None for k, _t in out)
 
 
+def test_concurrency_profile_matches_duckdb_on_sessions(spark, duck):
+    """Cross-engine exactness without a registry slot: the distributed
+    prefix-sum concurrency profile over per-user session intervals equals
+    DuckDB's windowed boundary sweep on the sf0.001 events table."""
+    from billing_etl_v1_spark.operators.events import with_session_idx
+    from tests.conftest import SF_SMALL
+
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    fep = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp"))).cast("bigint")
+    sessions = (
+        with_session_idx(events, gap_s=1800)
+        .withColumn("_ep", fep)
+        .groupBy("user_id", "session_idx")
+        .agg(F.min("_ep").alias("s"), F.max("_ep").alias("e"))
+    )
+    got = {
+        r["t"]: r["concurrency"]
+        for r in concurrency_profile(sessions, "s", "e").collect()
+    }
+    want = {
+        int(t): int(c)
+        for t, c in duck.execute(
+            """
+WITH e AS (SELECT event_id, user_id, ts, floor(epoch(ts))::BIGINT AS ep
+           FROM events WHERE ts IS NOT NULL),
+sm AS (SELECT *, CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > 1800
+                      THEN 1 ELSE 0 END AS ns
+       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (SELECT user_id, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_idx, ep
+         FROM sm),
+sgrp AS (SELECT user_id, session_idx, min(ep) AS s, max(ep) AS e
+         FROM sess GROUP BY 1, 2),
+b AS (SELECT s AS t, 1 AS delta FROM sgrp
+      UNION ALL SELECT e + 1, -1 FROM sgrp),
+n AS (SELECT t, sum(delta) AS net FROM b GROUP BY 1)
+SELECT t, sum(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)::BIGINT AS c
+FROM n
+"""
+        ).fetchall()
+    }
+    assert got == want
+    assert max(got.values()) > 1  # the fixture genuinely overlaps
+
+
 def test_session_type_overlap_hand_case(spark):
     """One user with one session [0, 600]; type spans 'a' [0, 300] and
     'b' [9000, 9600] -> only 'a' overlaps, for 300 floored seconds."""
