@@ -1033,166 +1033,70 @@ def _q_events_zorder_stats(spark, sf_dir):
     )
 
 
+def _q_events_session_purchase_left(spark, sf_dir):
+    """LEFT-OUTER interval-overlap join (operators.intervals
+    session_type_overlap_left → interval_join_left): every per-user
+    session annotated with the 'purchase' activity spans it overlapped —
+    sessions overlapping NO span survive as n_spans = 0 rows (the
+    exceptions population the inner overlap join cannot produce; the
+    usage-period-hits-no-rate-period billing shape)."""
+    return interval_ops.session_type_overlap_left(
+        load_table(spark, sf_dir, "events"), "purchase"
+    )
+
+
+def _q_events_concurrency_profile(spark, sf_dir):
+    """Global session-concurrency step function (operators.intervals
+    concurrency_profile over per-user sessions): +1/−1 boundary sweep,
+    exact closed-interval tie handling, running sum via the two-phase
+    distributed prefix sum — no single-task global sort."""
+    return interval_ops.session_concurrency(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Order matters: the driver's correctness harness checks the FIRST 50
     entries only; rotation policy is "every query's latest verdict <= 2
-    rounds old" (age = current round − verdict round). Round 8's window:
-    the 41 entries whose latest verdict is r5 (age 3 if skipped — the
-    mechanically mandatory lead set the r7 VERDICT names;
+    rounds old" (age = current round − verdict round). Round 9's window:
+    the 48 entries whose latest verdict is r6 (age 3 if skipped — the
+    mechanically mandatory lead set the r8 VERDICT names;
     tests/test_rotation_policy.py re-derives it from the
     CORRECTNESS_r*.json artifacts and goes red if any is missing), then
-    the session's FIVE NEW queries (an unverified query may not sit below
-    the fold): the WordPiece (BERT-lineage) tokenizer family —
-    token-id vocabulary, per-document greedy-encode token counts,
-    per-language fertility, token-id sequences, and packed training
-    blocks (docs_wordpiece_vocab / docs_wordpiece_tokens /
-    docs_wordpiece_fertility / docs_wordpiece_seq /
-    docs_wordpiece_pack_ids — the r7 VERDICT's named extension,
-    completing the third production family at full surface parity with
-    BPE and unigram), then TWO more new queries from the round-8 engine
-    extensions: events_session_type_overlap (the bucketed large×large
-    interval-overlap join) and events_zorder_stats (Morton-clustering
-    quality report). The remaining 2 discretionary slots come from the
-    age-1 (r6-verdict) pool: the two bench-HEADLINE billing queries —
-    including billing_source_agg_detail, the r7 load-artifact mover —
-    so the measured numbers rest on fresh verdicts. 41 + 5 + 2 + 2 = 50.
-    Below the fold: the 50 r7-verdict entries (age 1, due round 10),
-    then the 48 remaining r6-verdict entries as round 9's mandatory
-    leads (48 < 50, so the rotation stays sustainable —
-    test_rotation_is_sustainable asserts this; at 148 registered
-    queries the 3-round budget is 150, so at most 2 more queries can
-    ever be added without widening the window). Everything below the
-    fold still runs in the local parity mirror
-    (tests/test_oracle_parity.py), and the FULL registry is
+    the session's TWO NEW queries — the LAST TWO registry slots, spent
+    exactly as the r8 VERDICT sanctioned: events_session_purchase_left
+    (the LEFT-OUTER bucketed interval-overlap join, interval_join_left's
+    driver-verified face — sessions overlapping no 'purchase' span
+    survive as zero-count rows) and events_concurrency_profile (the
+    boundary-sweep concurrency step function on the two-phase
+    distributed prefix sum). Both carried exact cross-engine tests since
+    r8 (tests/test_intervals.py) but no driver verdict. 48 + 2 = 50.
+
+    THE REGISTRY IS NOW CLOSED AT 150 — a deliberate budget decision,
+    not drift: the driver window is 50/round and the 3-round max-age
+    policy caps the sustainable registry at exactly 50 × 3 = 150. From
+    round 10 onward the rotation is a pure steady-state 3-cycle (50
+    entries verified each round, by age), and NO new oracle queries can
+    ever be registered without widening the window or breaking the age
+    invariant. New operator families from round 10 on get their
+    correctness evidence the way the r8 interval faces did pre-registry:
+    exact cross-engine pytest twins (same DuckDB-vs-Spark hash
+    discipline, run by the judge) — the driver registry is closed, the
+    verification discipline is not.
+
+    Below the fold: the 50 r7-verdict entries (age 2) — round 10's
+    mandatory leads, exactly 50, kept contiguous so the rotation is a
+    copy-paste — then the 50 r8-verdict entries (age 1, round 11's
+    leads). Everything below the fold still runs in the local parity
+    mirror (tests/test_oracle_parity.py), and the FULL registry is
     strict-verified dtype-exact vs its oracles at sf0.01 each round
     (tests/strict_check.py), so the deferred entries are pre-validated,
     not just parity-mirrored.
     """
     return {
-        # --- ROUND-8 WINDOW (first 50; driver checks only these) ---
-        # 41 entries whose latest verdict is r5 (age 3 if skipped) — the
-        # policy-mandatory leads, exactly the set the r7 VERDICT names:
-        "events_sessionize": _q_events_sessionize,
-        "events_user_trend": _q_user_trend,
-        "events_attribution": _q_events_attribution,
-        "tpch_q2": _q_tpch_q2,
-        "tpch_q4": _q_tpch_q4,
-        "tpch_q5": _q_tpch_q5,
-        "tpch_q7": _q_tpch_q7,
-        "tpch_q8": _q_tpch_q8,
-        "tpch_q9": _q_tpch_q9,
-        "tpch_q10": _q_tpch_q10,
-        "tpch_q11": _q_tpch_q11,
-        "tpch_q12": _q_tpch_q12,
-        "tpch_q13": _q_tpch_q13,
-        "tpch_q14": _q_tpch_q14,
-        "tpch_q15": _q_tpch_q15,
-        "tpch_q16": _q_tpch_q16,
-        "tpch_q17": _q_tpch_q17,
-        "tpch_q19": _q_tpch_q19,
-        "tpch_q20": _q_tpch_q20,
-        "tpch_q21": _q_tpch_q21,
-        "tpch_q22": _q_tpch_q22,
-        "tpch_price_bands": _q_price_bands,
-        "tpch_top_customers": _q_top_customers,
-        "docs_top_ngrams": _q_docs_top_ngrams,
-        "dedup_lsh_recall": _q_dedup_lsh_recall,
-        "events_window_agg": _q_events_window,
-        "events_top_types": _q_events_top_types,
-        "events_asof_purchase": _q_events_asof,
-        "events_type_pivot": _q_event_pivot,
-        "events_value_deciles": _q_value_deciles,
-        "events_rfm": _q_events_rfm,
-        "events_value_percentiles": _q_value_percentiles,
-        "events_approx_stats": _q_approx_stats,
-        "events_anomaly": _q_events_anomaly,
-        "sim_topk_bruteforce": _q_sim_bruteforce,
-        "sim_hard_negatives": _q_sim_hard_negatives,
-        "embeddings_kmeans": _q_embeddings_kmeans,
-        "embeddings_quantize": _q_embeddings_quantize,
-        "dedup_embedding_cosine": _q_dedup_embedding,
-        "docs_bpe_merges": _q_docs_bpe_merges,
-        "docs_bpe_tokens": _q_docs_bpe_tokens,
-        # the session's FIVE NEW queries — the WordPiece (BERT-lineage)
-        # tokenizer family, completing the third production family (the
-        # r7 VERDICT's named extension; an unverified query may not sit
-        # below the fold):
-        "docs_wordpiece_vocab": _q_docs_wordpiece_vocab,
-        "docs_wordpiece_tokens": _q_docs_wordpiece_tokens,
-        "docs_wordpiece_fertility": _q_docs_wordpiece_fertility,
-        "docs_wordpiece_seq": _q_docs_wordpiece_seq,
-        "docs_wordpiece_pack_ids": _q_docs_wordpiece_pack_ids,
-        # TWO MORE NEW queries — the round-8 engine extensions (an
-        # unverified query may not sit below the fold): the bucketed
-        # large×large interval-overlap join and the Z-order clustering
-        # report:
-        "events_session_type_overlap": _q_events_session_type_overlap,
-        "events_zorder_stats": _q_events_zorder_stats,
-        # 2 discretionary slots from the age-1 (r6-verdict) pool — the two
-        # bench-HEADLINE billing queries (incl. billing_source_agg_detail,
-        # the r7 load-artifact mover), so the measured numbers rest on
-        # fresh verdicts; the other 48 become round 9's leads:
-        "billing_flagship_production": _flagship(None, "pipeline"),
-        "billing_source_agg_detail": _q_source_agg_detail,
-        # --- below the driver fold (local parity still runs ALL) ---
-        # 50 r7-verdict entries (age 1, due round 10):
-        "events_salted_user_join": _q_events_salted_join,
-        "multimodal_frame_sample": _q_multimodal_frames,
-        "multimodal_resize": _q_multimodal_resize,
-        "billing_cube": _q_billing_cube,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        "docs_repetition": _q_docs_repetition,
-        "docs_quality_corpus": _q_quality_corpus,
-        "docs_pagerank": _q_docs_pagerank,
-        "docs_train_split": _q_docs_train_split,
-        "docs_shard_manifest": _q_docs_shard_manifest,
-        "docs_quality_percentiles": _q_docs_quality_percentiles,
-        "events_transitions": _q_events_transitions,
-        "docs_training_corpus": _q_docs_training_corpus,
-        "docs_vocabulary": _q_docs_vocabulary,
-        "events_hll_merge": _q_events_hll_merge,
-        "events_key_skew": _q_events_key_skew,
-        "billing_forecast": _q_billing_forecast,
-        "docs_cluster_quality": _q_docs_cluster_quality,
-        "events_session_funnel": _q_events_session_funnel,
-        "docs_ccnet_buckets": _q_docs_ccnet_buckets,
-        "events_gap_regularity": _q_events_gap_regularity,
-        "docs_pack_blocks": _q_docs_pack_blocks,
-        "docs_lang_confusion": _q_docs_lang_confusion,
-        "billing_unit_price": _q_billing_unit_price,
-        "docs_source_mix": _q_docs_source_mix,
-        "events_dau_wau": _q_events_dau_wau,
-        "billing_statement": _q_billing_statement,
-        "events_hourly_profile": _q_events_hourly_profile,
-        "billing_weekday_profile": _q_billing_weekday_profile,
-        "events_top_paths": _q_events_top_paths,
-        "events_funnel": _q_events_funnel,
-        "events_retention": _q_events_retention,
-        "multimodal_meta": _q_multimodal_meta,
-        "docs_decontaminate": _q_docs_decontaminate,
-        "docs_bigram_fluency": _q_docs_fluency,
-        "dedup_ngram_jaccard": _q_dedup_jaccard,
-        # the unigram-LM tokenizer family (r7-verified):
-        "docs_unigram_vocab": _q_docs_unigram_vocab,
-        "docs_unigram_tokens": _q_docs_unigram_tokens,
-        "docs_unigram_fertility": _q_docs_unigram_fertility,
-        "docs_unigram_seq": _q_docs_unigram_seq,
-        "docs_unigram_pack_ids": _q_docs_unigram_pack_ids,
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q6": _q_tpch_q6,
-        "tpch_q18": _q_tpch_q18,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "sim_topk_ivf": _q_sim_ivf,
-        "sim_topk_quantized": _q_sim_topk_quantized,
-        "docs_tfidf_top_terms": _q_docs_tfidf,
-        "docs_chunk": _q_docs_chunk,
-        # 48 remaining r6-verdict entries — round 9 MUST lead with these
-        # (they fit: 48 < 50); kept contiguous so the rotation is a
-        # copy-paste (the first two were round 8's displaced discretionary
-        # slots — age 1 now, mandatory next round):
+        # --- ROUND-9 WINDOW (first 50; driver checks only these) ---
+        # 48 entries whose latest verdict is r6 (age 3 if skipped) — the
+        # policy-mandatory leads, exactly the set the r8 VERDICT names:
         "billing_credits_pivot": _q_credits_pivot,
         "billing_rule_match": _q_rule_match,
         "dedup_semantic": _q_dedup_semantic,
@@ -1241,6 +1145,116 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_source_agg": _q_source_agg,
         "billing_pricing_modes": _q_pricing_modes,
         "billing_dq_audit": _q_dq_audit,
+        # the session's TWO NEW queries — the LAST TWO registry slots,
+        # spent on the r8 interval faces that had exact cross-engine
+        # tests but no driver verdict (the r8 VERDICT's sanctioned
+        # spend); the registry is now CLOSED at 150 (see docstring):
+        "events_session_purchase_left": _q_events_session_purchase_left,
+        "events_concurrency_profile": _q_events_concurrency_profile,
+        # --- below the driver fold (local parity still runs ALL) ---
+        # 50 r7-verdict entries (age 2) — round 10's mandatory leads,
+        # kept contiguous so the rotation is a copy-paste:
+        "events_salted_user_join": _q_events_salted_join,
+        "multimodal_frame_sample": _q_multimodal_frames,
+        "multimodal_resize": _q_multimodal_resize,
+        "billing_cube": _q_billing_cube,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "docs_repetition": _q_docs_repetition,
+        "docs_quality_corpus": _q_quality_corpus,
+        "docs_pagerank": _q_docs_pagerank,
+        "docs_train_split": _q_docs_train_split,
+        "docs_shard_manifest": _q_docs_shard_manifest,
+        "docs_quality_percentiles": _q_docs_quality_percentiles,
+        "events_transitions": _q_events_transitions,
+        "docs_training_corpus": _q_docs_training_corpus,
+        "docs_vocabulary": _q_docs_vocabulary,
+        "events_hll_merge": _q_events_hll_merge,
+        "events_key_skew": _q_events_key_skew,
+        "billing_forecast": _q_billing_forecast,
+        "docs_cluster_quality": _q_docs_cluster_quality,
+        "events_session_funnel": _q_events_session_funnel,
+        "docs_ccnet_buckets": _q_docs_ccnet_buckets,
+        "events_gap_regularity": _q_events_gap_regularity,
+        "docs_pack_blocks": _q_docs_pack_blocks,
+        "docs_lang_confusion": _q_docs_lang_confusion,
+        "billing_unit_price": _q_billing_unit_price,
+        "docs_source_mix": _q_docs_source_mix,
+        "events_dau_wau": _q_events_dau_wau,
+        "billing_statement": _q_billing_statement,
+        "events_hourly_profile": _q_events_hourly_profile,
+        "billing_weekday_profile": _q_billing_weekday_profile,
+        "events_top_paths": _q_events_top_paths,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "multimodal_meta": _q_multimodal_meta,
+        "docs_decontaminate": _q_docs_decontaminate,
+        "docs_bigram_fluency": _q_docs_fluency,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "docs_unigram_vocab": _q_docs_unigram_vocab,
+        "docs_unigram_tokens": _q_docs_unigram_tokens,
+        "docs_unigram_fertility": _q_docs_unigram_fertility,
+        "docs_unigram_seq": _q_docs_unigram_seq,
+        "docs_unigram_pack_ids": _q_docs_unigram_pack_ids,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q18": _q_tpch_q18,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "sim_topk_ivf": _q_sim_ivf,
+        "sim_topk_quantized": _q_sim_topk_quantized,
+        "docs_tfidf_top_terms": _q_docs_tfidf,
+        "docs_chunk": _q_docs_chunk,
+        # 50 r8-verdict entries (age 1) — round 11's mandatory leads:
+        "events_sessionize": _q_events_sessionize,
+        "events_user_trend": _q_user_trend,
+        "events_attribution": _q_events_attribution,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
+        "tpch_price_bands": _q_price_bands,
+        "tpch_top_customers": _q_top_customers,
+        "docs_top_ngrams": _q_docs_top_ngrams,
+        "dedup_lsh_recall": _q_dedup_lsh_recall,
+        "events_window_agg": _q_events_window,
+        "events_top_types": _q_events_top_types,
+        "events_asof_purchase": _q_events_asof,
+        "events_type_pivot": _q_event_pivot,
+        "events_value_deciles": _q_value_deciles,
+        "events_rfm": _q_events_rfm,
+        "events_value_percentiles": _q_value_percentiles,
+        "events_approx_stats": _q_approx_stats,
+        "events_anomaly": _q_events_anomaly,
+        "sim_topk_bruteforce": _q_sim_bruteforce,
+        "sim_hard_negatives": _q_sim_hard_negatives,
+        "embeddings_kmeans": _q_embeddings_kmeans,
+        "embeddings_quantize": _q_embeddings_quantize,
+        "dedup_embedding_cosine": _q_dedup_embedding,
+        "docs_bpe_merges": _q_docs_bpe_merges,
+        "docs_bpe_tokens": _q_docs_bpe_tokens,
+        "docs_wordpiece_vocab": _q_docs_wordpiece_vocab,
+        "docs_wordpiece_tokens": _q_docs_wordpiece_tokens,
+        "docs_wordpiece_fertility": _q_docs_wordpiece_fertility,
+        "docs_wordpiece_seq": _q_docs_wordpiece_seq,
+        "docs_wordpiece_pack_ids": _q_docs_wordpiece_pack_ids,
+        "events_session_type_overlap": _q_events_session_type_overlap,
+        "events_zorder_stats": _q_events_zorder_stats,
+        "billing_flagship_production": _flagship(None, "pipeline"),
+        "billing_source_agg_detail": _q_source_agg_detail,
     }
 
 
@@ -1364,6 +1378,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_wordpiece_pack_ids": oracle_ext.wordpiece_pack_blocks_sql(128),
         "events_session_type_overlap": oracle_ext.session_type_overlap_sql(),
         "events_zorder_stats": oracle_ext.zorder_stats_sql(),
+        "events_session_purchase_left": oracle_ext.session_type_overlap_left_sql(
+            "purchase"
+        ),
+        "events_concurrency_profile": oracle_ext.session_concurrency_sql(),
         "embeddings_quantize": oracle_ext.quantize_embeddings_sql(),
         "sim_topk_quantized": oracle_ext.sim_topk_quantized_sql(),
         "sim_hard_negatives": oracle_ext.hard_negatives_sql(),

@@ -46,6 +46,8 @@ __all__ = [
     "activity_spans",
     "concurrency_profile",
     "session_type_overlap",
+    "session_type_overlap_left",
+    "session_concurrency",
 ]
 
 _RESERVED = ("_ij_bin", "_ij_l_sb", "_ij_r_sb")
@@ -137,12 +139,17 @@ def interval_join_left(
     DISTINCT matched ``left_id``s. ``left_id`` must uniquely identify
     left rows — outer semantics need row identity, and deriving one
     internally (monotonically_increasing_id) would be retry-unstable at
-    scale, so the contract makes the caller name it. Left rows excluded
-    by the well-formedness rule (NULL/inverted endpoints) stay excluded —
-    they are corrupt input, not unmatched intervals.
+    scale, so the contract makes the caller name it. NULL counts as one
+    key VALUE here (the anti-join is null-safe — a matched NULL-id row
+    is not re-emitted as unmatched), so at most ONE left row may carry a
+    NULL id, exactly as any other id value may appear at most once. Left
+    rows excluded by the well-formedness rule (NULL/inverted endpoints)
+    stay excluded — they are corrupt input, not unmatched intervals.
     """
     if left_id not in left.columns:
         raise ValueError(f"left_id column {left_id!r} missing from left")
+    if "_ijl_mid" in left.columns:
+        raise ValueError("column name '_ijl_mid' is reserved")
     matched = interval_join(
         left, right, l_start, l_end, r_start, r_end, bin_width, keys=keys
     )
@@ -151,8 +158,12 @@ def interval_join_left(
         & F.col(l_end).isNotNull()
         & (F.col(l_end) >= F.col(l_start))
     )
+    # null-safe anti-join: `on=left_id` would never match a NULL key, so
+    # a matched NULL-id left row would silently reappear as unmatched
     unmatched = left.filter(well_formed).join(
-        matched.select(left_id).distinct(), on=left_id, how="left_anti"
+        matched.select(F.col(left_id).alias("_ijl_mid")).distinct(),
+        F.col(left_id).eqNullSafe(F.col("_ijl_mid")),
+        "left_anti",
     )
     for f in matched.schema.fields:
         if f.name not in left.columns:
@@ -309,7 +320,11 @@ def concurrency_profile(
     [t, next boundary). Peak concurrency is ``max(concurrency)`` —
     ties-at-a-boundary are handled exactly because ends retire BEFORE
     starts land at the same tick (end+1 encoding), so touching intervals
-    [0,5], [6,10] never read as concurrent.
+    [0,5], [6,10] never read as concurrent. Non-integer endpoints are
+    FLOORED onto ticks — the same convention :func:`interval_join` bins
+    by, so the two operators agree on which tick an interval occupies
+    even for negative endpoints (cast-to-bigint would truncate toward
+    zero instead).
 
     Scale shape: boundaries aggregate per tick first (map-side combine),
     then the running sum needs a TOTAL order — per key group that is an
@@ -330,12 +345,17 @@ def concurrency_profile(
     base = intervals.filter(well_formed)
     if keys:
         base = base.na.drop(subset=keys)
+    # floor (not cast) to integer ticks — cast('bigint') truncates toward
+    # zero, so a negative non-integer endpoint would land one tick HIGHER
+    # than interval_join's floor()-based binning says it occupies
     bounds = base.select(
-        *keys, F.col(s_col).cast("bigint").alias("t"), F.lit(1).alias("delta")
+        *keys,
+        F.floor(F.col(s_col)).cast("bigint").alias("t"),
+        F.lit(1).alias("delta"),
     ).unionByName(
         base.select(
             *keys,
-            (F.col(e_col).cast("bigint") + F.lit(1)).alias("t"),
+            (F.floor(F.col(e_col)).cast("bigint") + F.lit(1)).alias("t"),
             F.lit(-1).alias("delta"),
         )
     )
@@ -352,6 +372,22 @@ def concurrency_profile(
         net, order_cols=["t"], sum_col="_net", cum_col="concurrency"
     )
     return ranked.select("t", "concurrency")
+
+
+def _user_sessions(events: DataFrame, gap_s: int) -> DataFrame:
+    """Per-user session intervals in floored epoch seconds: one row per
+    (user_id, session_idx) with BIGINT s_start/s_end — the left side every
+    session-interval face here shares (gap rule = operators.events
+    sessionize; NULL-ts rows excluded at that shared chokepoint)."""
+    from billing_etl_v1_spark.operators.events import with_session_idx
+
+    fep = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp"))).cast("bigint")
+    return (
+        with_session_idx(events, gap_s=gap_s)
+        .withColumn("_ep", fep)
+        .groupBy("user_id", "session_idx")
+        .agg(F.min("_ep").alias("s_start"), F.max("_ep").alias("s_end"))
+    )
 
 
 def session_type_overlap(
@@ -376,15 +412,7 @@ def session_type_overlap(
     (oracle_ext.session_type_overlap_sql) hash-matches without float
     tolerance anywhere.
     """
-    from billing_etl_v1_spark.operators.events import with_session_idx
-
-    fep = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp"))).cast("bigint")
-    sessions = (
-        with_session_idx(events, gap_s=session_gap_s)
-        .withColumn("_ep", fep)
-        .groupBy("user_id", "session_idx")
-        .agg(F.min("_ep").alias("s_start"), F.max("_ep").alias("s_end"))
-    )
+    sessions = _user_sessions(events, session_gap_s)
     # span side: event_type is LOW-cardinality, so the spans come from the
     # two-level bucketed gap rule (bounded window partitions at any scale;
     # provably identical output — see activity_spans)
@@ -408,3 +436,81 @@ def session_type_overlap(
             F.sum(overlap_s).alias("overlap_s"),
         )
     )
+
+
+def session_type_overlap_left(
+    events: DataFrame,
+    target_type: str,
+    session_gap_s: int = 1800,
+    span_gap_s: int = 1800,
+    bin_width_s: int = 21600,
+    span_bucket_s: int = 86400,
+) -> DataFrame:
+    """LEFT-OUTER face of the overlap join: EVERY per-user session, one
+    row each, annotated with how many activity spans of ``target_type``
+    it overlapped and for how long — sessions touching no span stay as
+    rows with n_spans = 0 / overlap_s = 0. That zero-row population is
+    the report :func:`session_type_overlap` (inner) cannot produce:
+    "sessions during which no <type> activity was live" is the billing
+    exceptions shape (usage periods hitting no rate period), and dropping
+    them silently is exactly the failure :func:`interval_join_left`
+    exists to prevent.
+
+    Row identity for the outer semantics is the composed
+    ``session_id = user_id * 1_000_000 + session_idx`` (BIGINT — exact;
+    session_idx is a per-user counter that reaches 1e6 only after ~57
+    user-years of back-to-back 30-min-gap sessions, and the composition
+    is documented rather than hidden so the oracle twin can reproduce it
+    textually). All interval math on floored epoch seconds — BIGINT in
+    both engines, hash-exact with no float tolerance.
+    """
+    sessions = _user_sessions(events, session_gap_s).withColumn(
+        "session_id",
+        (F.col("user_id") * F.lit(1_000_000) + F.col("session_idx")).cast("bigint"),
+    )
+    spans = activity_spans(
+        events.filter(F.col("event_type") == target_type),
+        "event_type",
+        gap_s=span_gap_s,
+        bucket_s=span_bucket_s,
+    ).select(
+        F.col("span_idx"),
+        F.col("span_start_s").alias("p_start"),
+        F.col("span_end_s").alias("p_end"),
+    )
+    pairs = interval_join_left(
+        sessions.select("session_id", "user_id", "s_start", "s_end"),
+        spans,
+        "session_id",
+        "s_start",
+        "s_end",
+        "p_start",
+        "p_end",
+        bin_width_s,
+    )
+    # guard on span presence: least/greatest SKIP NULLs in both engines,
+    # so an unguarded expression would evaluate to s_end - s_start on the
+    # unmatched (all-NULL right) rows instead of contributing nothing
+    overlap_s = F.when(
+        F.col("span_idx").isNotNull(),
+        F.least("s_end", "p_end") - F.greatest("s_start", "p_start"),
+    )
+    return pairs.groupBy("session_id", "user_id", "s_start", "s_end").agg(
+        F.count("span_idx").alias("n_spans"),
+        F.coalesce(F.sum(overlap_s), F.lit(0)).cast("bigint").alias("overlap_s"),
+    )
+
+
+def session_concurrency(events: DataFrame, session_gap_s: int = 1800) -> DataFrame:
+    """Global session-concurrency step function: how many user sessions
+    were simultaneously active at every boundary tick — the capacity-
+    planning face of :func:`concurrency_profile` over the same per-user
+    session intervals every interval face here derives
+    (:func:`_user_sessions`, gap rule + floored epoch seconds).
+
+    Output: (t BIGINT, concurrency BIGINT), one row per distinct
+    boundary; the global running sum is the two-phase distributed prefix
+    sum (range-partitioned parallel sorts + broadcast offsets — no
+    single-task global sort at any scale)."""
+    sessions = _user_sessions(events, session_gap_s)
+    return concurrency_profile(sessions, "s_start", "s_end")

@@ -83,6 +83,12 @@ def _with_morton(
     missing = {c1, c2} - set(df.columns)
     if missing:
         raise ValueError(f"missing dimension columns: {sorted(missing)}")
+    reserved = {"_mn1", "_mx1", "_mn2", "_mx2", out_col} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"column names {sorted(reserved)} are reserved (internal "
+            f"min/max stats or the requested output column)"
+        )
     d = df
     for c in (c1, c2):
         if dict(d.dtypes)[c] == "double":

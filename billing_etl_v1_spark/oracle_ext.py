@@ -3586,6 +3586,104 @@ GROUP BY 1, 2
 """
 
 
+def session_type_overlap_left_sql(
+    target_type: str, session_gap_s: int = 1800, span_gap_s: int = 1800
+) -> str:
+    """Twin of operators.intervals.session_type_overlap_left. DuckDB runs
+    the outer overlap as a plain inequality LEFT JOIN (IEJoin) — the bin
+    decomposition plus matched/anti-union is Spark's execution strategy,
+    not part of the semantics. Session identity is the SAME composed
+    ``user_id * 1000000 + session_idx`` expression, textually; sessions
+    overlapping no span survive with n_spans = 0 / overlap_s = 0 (the
+    exceptions population the inner join drops). All math on floored
+    epoch seconds — BIGINT both engines, no float tolerance."""
+    tt = target_type.replace("'", "''")
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, ts, floor(epoch(ts))::BIGINT AS ep
+  FROM events WHERE ts IS NOT NULL
+),
+sm AS (
+  SELECT *, CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > {session_gap_s}
+                 THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_idx,
+         ep
+  FROM sm
+),
+sgrp AS (
+  SELECT user_id,
+         (user_id * 1000000 + session_idx)::BIGINT AS session_id,
+         min(ep) AS s_start, max(ep) AS s_end
+  FROM sess GROUP BY user_id, session_idx
+),
+t AS (SELECT event_id, ts, ep FROM e WHERE event_type = '{tt}'),
+tm AS (
+  SELECT *, CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > {span_gap_s}
+                 THEN 1 ELSE 0 END AS ns
+  FROM t WINDOW w AS (ORDER BY ts, event_id)
+),
+tspan AS (
+  SELECT sum(ns) OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS span_idx,
+         ep
+  FROM tm
+),
+span AS (SELECT span_idx, min(ep) AS p_start, max(ep) AS p_end FROM tspan GROUP BY 1)
+SELECT s.session_id, s.user_id, s.s_start, s.s_end,
+       count(p.span_idx)::BIGINT AS n_spans,
+       coalesce(sum(CASE WHEN p.span_idx IS NOT NULL
+                         THEN least(s.s_end, p.p_end) - greatest(s.s_start, p.p_start)
+                    END),
+                0)::BIGINT AS overlap_s
+FROM sgrp s LEFT JOIN span p ON s.s_start <= p.p_end AND p.p_start <= s.s_end
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def session_concurrency_sql(session_gap_s: int = 1800) -> str:
+    """Twin of operators.intervals.session_concurrency: the boundary
+    sweep (+1 at s_start, −1 at s_end+1 — closed integer intervals, so
+    touching sessions never read concurrent) over per-user sessions, with
+    DuckDB's single windowed running sum standing in for Spark's
+    two-phase distributed prefix sum (identical semantics; the
+    distribution strategy is not part of the contract)."""
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, ts, floor(epoch(ts))::BIGINT AS ep
+  FROM events WHERE ts IS NOT NULL
+),
+sm AS (
+  SELECT *, CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > {session_gap_s}
+                 THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_idx,
+         ep
+  FROM sm
+),
+sgrp AS (
+  SELECT user_id, session_idx, min(ep) AS s_start, max(ep) AS s_end
+  FROM sess GROUP BY 1, 2
+),
+b AS (
+  SELECT s_start AS t, 1 AS delta FROM sgrp
+  UNION ALL
+  SELECT s_end + 1, -1 FROM sgrp
+),
+n AS (SELECT t, sum(delta) AS net FROM b GROUP BY 1)
+SELECT t,
+       sum(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)::BIGINT AS concurrency
+FROM n
+"""
+
+
 def zorder_stats_sql(bits: int = 8, prefix_bits: int = 6) -> str:
     """Twin of operators.layout.zorder_stats over events (user_id, value).
 

@@ -72,13 +72,31 @@ def _noop(df) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def _timed(df, label: str) -> dict:
-    """Cold + median-of-3-warm for a LAZY plan (the bench protocol)."""
-    cold = _noop(df)
+def _timed(df, label: str, count_rows: bool = False) -> dict:
+    """Cold + median-of-3-warm for a LAZY plan (the bench protocol).
+
+    ``count_rows`` captures result_rows FROM the cold run via
+    ``Dataset.observe`` (a CollectMetrics count riding the noop write —
+    the write sinks every column, so nothing is pruned and no separate
+    ``df.count()`` re-executes the plan; VERDICT-r8 ADVICE flagged the
+    old double-execution)."""
+    extra = {}
+    if count_rows:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        t0 = time.perf_counter()
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        cold = round(time.perf_counter() - t0, 3)
+        extra["result_rows"] = int(obs.get["n"])
+    else:
+        cold = _noop(df)
     warm = [_noop(df) for _ in range(3)]
     med = sorted(warm)[1]
     print(f"# {label}: {med}s (cold {cold}s, warm {warm})", file=sys.stderr)
-    return {"cold_sec": cold, "warm_sec": warm, "sec": med}
+    return {"cold_sec": cold, "warm_sec": warm, "sec": med, **extra}
 
 
 def _timed_eager(run, label: str, n: int = 3) -> dict:
@@ -640,6 +658,28 @@ def main() -> None:
         _sh.rmtree(tok_dir, ignore_errors=True)
     bpe_ops.release_bpe_cache(spark)
 
+    # like-for-like 16k lane (r9): the WordPiece/BPE merges-per-sec ratio
+    # is only meaningful at the SAME merge budget — the 32k lane amortizes
+    # the fixed corpus pass over 2x the merges, flattering BPE by ~1.3x
+    t0 = time.perf_counter()
+    m16, _v16 = bpe_ops.bpe_learn_driver(corpus32k, num_merges=16_384, level="byte")
+    n16 = int(m16.count())
+    t16 = time.perf_counter() - t0
+    bpe_scaling["bpe_train_16k"] = {
+        "level": "byte",
+        "corpus": "sf0.1 documents x676 word-suffixed",
+        "merges_learned": n16,
+        "train_sec": round(t16, 3),
+        "merges_per_sec": round(n16 / max(t16, 1e-9), 1),
+        "timing": "n1",
+    }
+    print(
+        f"# bpe_train_16k: {n16} merges in {t16:.1f}s "
+        f"({bpe_scaling['bpe_train_16k']['merges_per_sec']} merges/s)",
+        file=sys.stderr,
+    )
+    bpe_ops.release_bpe_cache(spark)
+
     # --- unigram at production budgets, same corpus (VERDICT r7 #5:
     # bring the second family to the BPE evidence standard). Char-level
     # pre-tokens of the suffixed corpus give ~21k distinct words.
@@ -845,7 +885,8 @@ def main() -> None:
     engine_ext = {}
     ev01 = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
     ev1 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-    ev16 = _replicate_events(ev1, 16).localCheckpoint()
+    ev_big = _replicate_events(ev1, replication).localCheckpoint()
+    big_label = f"sf0.1 x{replication}"
     ext_fns = [
         ("events_session_type_overlap", iv_ops.session_type_overlap),
         (
@@ -857,24 +898,73 @@ def main() -> None:
     ]
     for qlabel, fn in ext_fns:
         runs = {}
-        for label, ev in [("sf0.01", ev01), ("sf0.1", ev1), ("sf0.1 x16", ev16)]:
+        for label, ev in [("sf0.01", ev01), ("sf0.1", ev1), (big_label, ev_big)]:
             n_events = ev.count()
-            r = _timed(fn(ev), f"{qlabel} {label}")
+            # result_rows rides the timed cold run (Observation) — the
+            # old separate fn(ev).count() re-executed the most expensive
+            # query once more per scale point (VERDICT-r8 ADVICE)
+            r = _timed(fn(ev), f"{qlabel} {label}", count_rows=True)
             runs[label] = {"events": n_events, **r}
-            if qlabel == "events_session_type_overlap":
-                runs[label]["result_rows"] = fn(ev).count()
-        tr = runs["sf0.1 x16"]["sec"] / max(runs["sf0.1"]["sec"], 1e-9)
-        runs["sf0.1->x16"] = {
-            "rows_ratio": 16.0,
+        tr = runs[big_label]["sec"] / max(runs["sf0.1"]["sec"], 1e-9)
+        runs[f"sf0.1->x{replication}"] = {
+            "rows_ratio": float(replication),
             "time_ratio": round(tr, 2),
-            "time_ratio_over_rows_ratio": round(tr / 16.0, 2),
+            "time_ratio_over_rows_ratio": round(tr / replication, 2),
         }
         print(
-            f"# {qlabel} sf0.1->x16: time x{tr:.1f} for rows x16 "
-            f"(normalized {tr / 16.0:.2f})",
+            f"# {qlabel} sf0.1->x{replication}: time x{tr:.1f} for rows "
+            f"x{replication} (normalized {tr / replication:.2f})",
             file=sys.stderr,
         )
         engine_ext[qlabel] = runs
+
+    # bin_width_s sweep at the replicated scale (VERDICT r8 #3): the pair
+    # count is bin-width-INVARIANT (first-shared-bin rule emits each pair
+    # exactly once), so the sweep prices the real trade — narrow bins
+    # replicate intervals to more bins (binned_rows grows), wide bins pack
+    # more rows per bin (join fan-in grows). binned_rows for all widths
+    # comes from ONE aggregate per side over the derived interval tables;
+    # the timed runs are the full query at each width.
+    from billing_etl_v1_spark.operators.intervals import (
+        _user_sessions,
+        activity_spans,
+    )
+
+    widths = [3600, 21600, 86400]
+    sess_big = _user_sessions(ev_big, 1800)
+    spans_big = activity_spans(ev_big, "event_type", gap_s=3600, bucket_s=86400)
+
+    def _binned_rows(df, s, e):
+        aggs = [
+            F.sum(
+                F.floor(F.col(e) / F.lit(w)) - F.floor(F.col(s) / F.lit(w)) + 1
+            ).alias(f"w{w}")
+            for w in widths
+        ]
+        row = df.agg(F.count(F.lit(1)).alias("n"), *aggs).collect()[0]
+        return int(row["n"]), {str(w): int(row[f"w{w}"]) for w in widths}
+
+    n_sess, sess_binned = _binned_rows(sess_big, "s_start", "s_end")
+    n_spans, spans_binned = _binned_rows(spans_big, "span_start_s", "span_end_s")
+    sweep = {
+        "intervals": {
+            "sessions": n_sess,
+            "type_spans": n_spans,
+            "binned_rows_sessions": sess_binned,
+            "binned_rows_spans": spans_binned,
+        }
+    }
+    for w in widths:
+        r = _timed(
+            iv_ops.session_type_overlap(ev_big, bin_width_s=w),
+            f"session_type_overlap {big_label} bin={w}s",
+            count_rows=True,
+        )
+        sweep[str(w)] = r
+    engine_ext["session_type_overlap_bin_width_sweep"] = {
+        "scale": big_label,
+        **sweep,
+    }
 
     print(
         json.dumps(

@@ -406,3 +406,89 @@ def test_session_type_overlap_hand_case(spark):
         (1, "b"): (1, 1, 0),
         (2, "b"): (1, 1, 600),
     }
+
+
+def test_interval_join_left_null_id_is_null_safe(spark):
+    """A matched NULL-id left row must NOT reappear as unmatched (the
+    plain `on=left_id` anti-join never matches NULL keys — VERDICT-r8
+    ADVICE); an unmatched NULL-id row still appears exactly once."""
+    right = spark.createDataFrame([(0, 0, 0, 100)], RSCHEMA).drop("key")
+    # NULL-id row overlaps [0,100] -> matched, must appear ONCE, matched
+    left_hit = spark.createDataFrame([(None, 0, 50, 60)], ISCHEMA)
+    out = interval_join_left(
+        left_hit, right, "lid", "ls", "le", "rs", "re", 64
+    ).collect()
+    assert len(out) == 1 and out[0]["rid"] == 0
+    # NULL-id row overlapping nothing -> exactly one unmatched row
+    left_miss = spark.createDataFrame([(None, 0, 900, 950)], ISCHEMA)
+    out = interval_join_left(
+        left_miss, right, "lid", "ls", "le", "rs", "re", 64
+    ).collect()
+    assert len(out) == 1 and out[0]["rid"] is None
+    # reserved internal name rejected
+    with pytest.raises(ValueError, match="reserved"):
+        interval_join_left(
+            left_hit.withColumn("_ijl_mid", F.lit(1)),
+            right, "lid", "ls", "le", "rs", "re", 64,
+        )
+
+
+def test_concurrency_profile_floors_negative_fractional_endpoints(spark):
+    """Non-integer endpoints land on FLOORED ticks (interval_join's bin
+    convention) — cast('bigint') would truncate [-2.5, -0.5] to [-2, 0]
+    instead of [-3, -1] (VERDICT-r8 ADVICE)."""
+    df = spark.createDataFrame([(-2.5, -0.5), (1.5, 2.5)], ["s", "e"])
+    got = {
+        r["t"]: r["concurrency"]
+        for r in concurrency_profile(df, "s", "e").collect()
+    }
+    # [-2.5,-0.5] occupies ticks [-3, -1]; [1.5, 2.5] occupies [1, 2]
+    assert got == {-3: 1, 0: 0, 1: 1, 3: 0}
+
+
+def test_session_type_overlap_left_every_session_once(spark):
+    """The left face: one output row PER SESSION — matched sessions carry
+    span counts, unmatched survive with n_spans=0/overlap_s=0 (the
+    population the inner join drops)."""
+    from billing_etl_v1_spark.operators.intervals import (
+        _user_sessions,
+        session_type_overlap_left,
+    )
+    from tests.conftest import SF_SMALL
+
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    out = session_type_overlap_left(events, "purchase").collect()
+    n_sessions = _user_sessions(events, 1800).count()
+    assert len(out) == n_sessions  # every well-formed session exactly once
+    ids = [r["session_id"] for r in out]
+    assert len(set(ids)) == len(ids)
+    unmatched = [r for r in out if r["n_spans"] == 0]
+    matched = [r for r in out if r["n_spans"] > 0]
+    assert unmatched and matched  # both populations genuinely present
+    assert all(r["overlap_s"] == 0 for r in unmatched)
+    assert all(r["overlap_s"] >= 0 for r in matched)
+
+
+def test_session_concurrency_consistent_with_sessions(spark):
+    """session_concurrency equals concurrency_profile over the shared
+    session derivation, and ends fully retired (last tick = 0)."""
+    from billing_etl_v1_spark.operators.intervals import (
+        _user_sessions,
+        session_concurrency,
+    )
+    from tests.conftest import SF_SMALL
+
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    got = {
+        r["t"]: r["concurrency"]
+        for r in session_concurrency(events).collect()
+    }
+    want = {
+        r["t"]: r["concurrency"]
+        for r in concurrency_profile(
+            _user_sessions(events, 1800), "s_start", "s_end"
+        ).collect()
+    }
+    assert got == want
+    assert got[max(got)] == 0  # everything retires
+    assert max(got.values()) >= 1

@@ -95,6 +95,23 @@ def test_contract_validation(spark):
         zorder_stats(df, "x", "y", bits=4, prefix_bits=9)
 
 
+def test_reserved_internal_names_rejected(spark):
+    """An input already carrying an internal stats column or the requested
+    output column must fail loudly, not drop/overwrite it silently
+    (VERDICT-r8 ADVICE — intervals had this guard, layout didn't)."""
+    import pyspark.sql.functions as F
+
+    base = spark.createDataFrame([(1.0, 2.0)], ["x", "y"])
+    for clash in ("_mn1", "_mx1", "_mn2", "_mx2", "zkey"):
+        with pytest.raises(ValueError, match="reserved"):
+            morton_key(base.withColumn(clash, F.lit(0)), "x", "y", 4)
+    with pytest.raises(ValueError, match="reserved"):
+        zorder_stats(base.withColumn("_zkey", F.lit(0)), "x", "y", bits=4)
+    # a user column named like the NON-default out_col also clashes
+    with pytest.raises(ValueError, match="reserved"):
+        morton_key(base.withColumn("mk", F.lit(0)), "x", "y", 4, out_col="mk")
+
+
 def test_zorder_layout_beats_single_column_sort_for_skipping(spark, tmp_path):
     """The point of the whole module: on a uniform plane, a y-dimension
     box predicate lets a stats reader skip most z-ordered files but NO
