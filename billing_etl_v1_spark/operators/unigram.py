@@ -846,7 +846,11 @@ def unigram_learn_lattice(
     if max_word_len < 1:
         raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
     spark = df.sparkSession
-    vocab_df = word_vocab(df, text_col, level="char").select("word", "freq")
+    # ONE corpus pass (r9): checkpoint the bounded vocabulary so the guard
+    # count and the collect don't each re-run the corpus aggregate
+    vocab_df = (
+        word_vocab(df, text_col, level="char").select("word", "freq").localCheckpoint()
+    )
     if vocab_df.limit(max_vocab_rows + 1).count() > max_vocab_rows:
         raise ValueError(
             f"unigram_learn_lattice: vocabulary has more than "

@@ -110,9 +110,13 @@ def wp_word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     training (explode + groupBy map-side combines; every later round runs
     on this bounded table). Pre-tokenizer is the char-level
     ``BPE_TOKEN_RE`` (letter/digit/symbol runs), shared across all three
-    families so fertility numbers compare on the same denominator."""
+    families so fertility numbers compare on the same denominator (and
+    the corpus pass shares bpe._vocab_word_stream's whitespace-run-fast
+    explode — multiset-identical to _pretokens, ~10x faster JVM regex)."""
+    from billing_etl_v1_spark.operators.bpe import _vocab_word_stream
+
     return (
-        df.select(F.explode(_pretokens(F.col(text_col), "char")).alias("word"))
+        _vocab_word_stream(df, text_col, "char")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .withColumn("s", _wp_symbols(F.col("word")))
@@ -469,14 +473,21 @@ def wordpiece_pack_blocks(seq: DataFrame, block_tokens: int = 128) -> DataFrame:
     return bpe_pack_blocks(seq, block_tokens=block_tokens)
 
 
-def wordpiece_learn_driver(
+def _learn_driver_py(
     df: DataFrame,
-    text_col: str = "text",
-    num_merges: int = 8,
-    max_word_len: int = 16,
-    max_vocab_rows: int = 5_000_000,
-) -> tuple[DataFrame, DataFrame]:
-    """:func:`wordpiece_learn` for PRODUCTION merge budgets (a 30k-piece
+    text_col: str,
+    num_merges: int,
+    max_word_len: int,
+    max_vocab_rows: int,
+) -> tuple[list, dict, dict]:
+    """Python core of :func:`wordpiece_learn_driver`: one corpus pass for
+    the vocabulary (checkpointed — guard count and collect both read the
+    materialized bounded table), then the fresh-entry-heap merge loop.
+    Returns ``(merges, state, freq)`` as plain Python structures so
+    :func:`wordpiece_artifacts_driver` can derive the id/segment tables
+    without any further Spark round-trips.
+
+    :func:`wordpiece_learn` for PRODUCTION merge budgets (a 30k-piece
     BERT-style vocabulary) — same algorithm, same outputs (property-
     tested identical), different loop placement: the corpus-sized pass
     stays the distributed :func:`wp_word_vocab` aggregate, the merge
@@ -508,8 +519,10 @@ def wordpiece_learn_driver(
         raise ValueError(f"num_merges must be >= 0, got {num_merges}")
     if max_word_len < 1:
         raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
-    spark = df.sparkSession
-    vocab_df = wp_word_vocab(df, text_col).select("word", "freq")
+    # ONE corpus pass (r9): checkpoint the bounded vocabulary so the guard
+    # count and the collect don't each re-run the corpus aggregate (the
+    # r8-probe 214 merges/s was 92% corpus re-scans, 8% merge loop)
+    vocab_df = wp_word_vocab(df, text_col).select("word", "freq").localCheckpoint()
     if vocab_df.limit(max_vocab_rows + 1).count() > max_vocab_rows:
         raise ValueError(
             f"wordpiece_learn_driver: vocabulary has more than "
@@ -546,13 +559,22 @@ def wordpiece_learn_driver(
             sym_pairs[p[1]].add(p)
 
     heap: list = []
+    enc: dict[str, bytes] = {}  # tie-break byte forms, computed once per symbol
+
+    def _e(x: str) -> bytes:
+        b = enc.get(x)
+        if b is None:
+            b = enc[x] = x.encode()
+        return b
+
+    hpush = heapq.heappush
 
     def push(p: tuple[str, str]) -> None:
         c = pc.get(p, 0)
         if c > 0:
             ca, cb = sc[p[0]], sc[p[1]]
             score = float(c) / (float(ca) * float(cb))
-            heapq.heappush(heap, (-score, p[0].encode(), p[1].encode(), p, c, ca, cb))
+            hpush(heap, (-score, _e(p[0]), _e(p[1]), p, c, ca, cb))
 
     for p in pc:
         push(p)
@@ -571,6 +593,8 @@ def wordpiece_learn_driver(
         m = a + b[2:]
         merges.append((rank, a, b, m, cnt, ca, cb))
         affected = list(index.pop((a, b), ()))
+        sym_pairs[a].discard((a, b))
+        sym_pairs[b].discard((a, b))
         changed: set = {(a, b)}
         for w in affected:
             s = state[w]
@@ -584,6 +608,15 @@ def wordpiece_learn_driver(
                 pc[p] -= f
                 if pc[p] <= 0:
                     pc.pop(p, None)
+                    # dead pair: deregister from every index NOW (r9 —
+                    # pc[p] == 0 means NO word contains p, so the stale
+                    # registrations only feed no-op pushes; the fan-out
+                    # sets stayed O(history) instead of O(live) and 75%
+                    # of all heap pushes were for dead pairs. A revived
+                    # pair re-registers in the rewrite loop below.)
+                    index.pop(p, None)
+                    sym_pairs[p[0]].discard(p)
+                    sym_pairs[p[1]].discard(p)
                 changed.add(p)
             out: list[str] = []
             i = 0
@@ -605,13 +638,32 @@ def wordpiece_learn_driver(
                 sym_pairs[p[1]].add(p)
                 changed.add(p)
         # every pair whose score moved: counts of a/b/m changed, so every
-        # pair listed under them re-scores (the sets hold dead pairs too —
-        # push() skips them via the pc > 0 check, a harmless lazy cleanup)
+        # pair listed under them re-scores (the sets hold LIVE pairs only
+        # — dead pairs deregister at pc == 0 above; push()'s pc > 0 check
+        # still guards the races within this very loop)
         for sym in (a, b, m):
             changed.update(sym_pairs.get(sym, ()))
         for p in changed:
             push(p)
 
+    return merges, state, freq
+
+
+def wordpiece_learn_driver(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    max_word_len: int = 16,
+    max_vocab_rows: int = 5_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """(merges, state) as DataFrames via the driver-side trainer — see
+    :func:`_learn_driver_py` for the algorithm, guard, and determinism
+    contract (bit-identical to the distributed :func:`wordpiece_learn`,
+    property-tested)."""
+    merges, state, freq = _learn_driver_py(
+        df, text_col, num_merges, max_word_len, max_vocab_rows
+    )
+    spark = df.sparkSession
     merges_df = spark.createDataFrame(
         merges,
         "merge_rank int, left_sym string, right_sym string, merged string, "
@@ -633,19 +685,47 @@ def wordpiece_artifacts_driver(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(merges, token_ids, segments) via the DRIVER-side trainer — the
     production-budget twin of :func:`wordpiece_artifacts`. The id and
-    segmentation tables are derived from the trainer's own collected
-    vocabulary re-lifted into a DataFrame (vocabulary-bounded — the
-    corpus is NOT re-read), so ``save_wordpiece`` persists the identical
-    artifact shape either trainer produces."""
-    merges, state = wordpiece_learn_driver(
+    segmentation tables are derived IN PYTHON from the trainer's own
+    collected vocabulary (vocabulary-bounded — the corpus is NOT re-read
+    and, r9, no Spark jobs run between collect and the final
+    createDataFrame: the old re-lift spent ~5 s of fixed job overhead on
+    21k-row tables). Identity with :func:`wordpiece_artifacts` is exact
+    and property-tested: the alphabet sort key is UTF-8 bytes (= Spark's
+    UTF8String order in :func:`_token_ids`), greedy segmentation calls
+    the SAME :func:`greedy_pieces` kernel the distributed Arrow UDF maps,
+    and the id layout ([UNK]=0, base 1..n in byte order, merge r at
+    n+1+r) mirrors :func:`_token_ids` line for line."""
+    merges, state, freq = _learn_driver_py(
         df, text_col, num_merges, max_word_len, max_vocab_rows
     )
-    base = state.select("word", "freq").withColumn("s", _wp_symbols(F.col("word")))
-    token_ids = _token_ids(merges, base)
-    segments = wordpiece_segments(
-        state.select("word", "freq"), token_ids, max_word_len=max_word_len
+    spark = df.sparkSession
+    merges_df = spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, merged string, "
+        "pair_count bigint, left_count bigint, right_count bigint",
     )
-    return merges, token_ids, segments
+    # id table: the _token_ids convention over the INITIAL position-form
+    # alphabet of ALL words (over-cap included), byte-ordered
+    alpha = sorted(
+        {c if i == 0 else "##" + c for w in state for i, c in enumerate(w)},
+        key=lambda t: t.encode("utf-8"),
+    )
+    id_rows = [(WP_UNK, 0, "special")]
+    id_rows += [(t, i + 1, "base") for i, t in enumerate(alpha)]
+    n = len(alpha) + 1
+    id_rows += [(m[3], n + m[0], "merge") for m in merges]
+    token_ids = spark.createDataFrame(
+        id_rows, "token string, token_id int, source string"
+    )
+    piece_set = frozenset(t for t, _i, _s in id_rows)
+    seg_rows = []
+    for w in state:
+        pieces = greedy_pieces(w, piece_set, max_word_len)
+        seg_rows.append((w, freq[w], pieces, len(pieces)))
+    segments = spark.createDataFrame(
+        seg_rows, "word string, freq bigint, pieces array<string>, n_tokens bigint"
+    )
+    return merges_df, token_ids, segments
 
 
 # --- serving path: persist / load / encode under a FROZEN vocabulary ------

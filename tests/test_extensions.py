@@ -2926,3 +2926,48 @@ def test_wordpiece_driver_artifacts_serve_identically(spark, tmp_path):
     finally:
         _DF.collect = orig
     wp.release_wordpiece_cache(spark)
+
+
+def test_vocab_word_stream_multiset_equals_pretokens(spark):
+    """The whitespace-run-fast vocabulary explode (r9 — the trainer's
+    corpus pass) must return EXACTLY the _pretokens multiset on
+    adversarial text: ws runs incl. \\x0B, unicode, digit/letter/punct
+    boundaries, empty and NULL docs, ws-only docs."""
+    from billing_etl_v1_spark.operators.bpe import _pretokens, _vocab_word_stream
+
+    texts = [
+        "hello  world\t\tfoo\x0b\x0bbar",
+        "a1b2c3 .. !! ..",
+        "  leading and trailing   ",
+        "\t\n\f\r\x0b",
+        "",
+        None,
+        "héllo wörld 東京 2024!",
+        "x" * 500 + " " * 50 + "9" * 40,
+        "mixed\x0bws\truns \n\n here",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    from collections import Counter
+
+    fast = Counter(
+        r["word"] for r in _vocab_word_stream(df, "text", "char").collect()
+    )
+    plain = Counter(
+        r["w"]
+        for r in df.select(
+            F.explode(_pretokens(F.col("text"), "char")).alias("w")
+        ).collect()
+    )
+    assert fast == plain
+    assert sum(fast.values()) > 0
+    # byte level passes through untouched
+    fast_b = Counter(
+        r["word"] for r in _vocab_word_stream(df, "text", "byte").collect()
+    )
+    plain_b = Counter(
+        r["w"]
+        for r in df.select(
+            F.explode(_pretokens(F.col("text"), "byte")).alias("w")
+        ).collect()
+    )
+    assert fast_b == plain_b
