@@ -201,27 +201,60 @@ def sample_frames(
     )
 
 
+def _resize_payload(
+    payload: bytes | None, media_type: str, target_len: int, fake: bool
+) -> bytes | None:
+    """One payload's resize: the deterministic stride downsample (fake —
+    the hash-verified default every driver query uses), or, for image/*
+    with Pillow present, a REAL thumbnail resample re-encoded as PNG
+    (fake=False — the r8 VERDICT's remaining stub, exercised by the
+    Pillow-gated test lane). ``target_len`` is the byte budget in fake
+    mode and the bounding-box edge in real mode. NULL payload -> None
+    (missing blob, never a worker crash)."""
+    if payload is None:
+        return None
+    if fake:
+        if len(payload) <= target_len:
+            return bytes(payload)
+        stride = len(payload) / target_len
+        return bytes(payload[int(i * stride)] for i in range(target_len))
+    if media_type.startswith("image/"):
+        try:
+            from io import BytesIO
+
+            from PIL import Image
+        except ImportError as exc:  # pragma: no cover - environment-dependent
+            raise NotImplementedError(
+                "real image resize requires Pillow, which is not installed; "
+                "pass fake=True for the deterministic stand-in"
+            ) from exc
+        with Image.open(BytesIO(payload)) as im:
+            out = im.convert("RGB")
+            # explicit resample filter: thumbnail()'s default changed
+            # across Pillow versions — pin it so the output is stable
+            out.thumbnail((target_len, target_len), Image.Resampling.LANCZOS)
+            buf = BytesIO()
+            out.save(buf, format="PNG")
+            return buf.getvalue()
+    raise NotImplementedError(
+        f"no resizer for media_type={media_type!r} in this container; "
+        "pass fake=True for the deterministic stand-in"
+    )
+
+
 def resize_payload(df: DataFrame, target_len: int = 64, fake: bool = True) -> DataFrame:
     """Resize plumbing: deterministic stride downsample of the payload bytes
-    to ``target_len`` (stand-in for an image resample — a real implementation
-    replaces only the sampling line with PIL/libvips). Keeps doc_id,
-    media_type, original and resized lengths, and the resized payload."""
-    if not fake:
-        raise NotImplementedError(
-            "real image resize requires codecs not present in this container"
-        )
+    to ``target_len`` (the default), or a real Pillow thumbnail+PNG re-encode
+    for images when ``fake=False`` and Pillow is installed (see
+    :func:`_resize_payload`). Keeps doc_id, media_type, original and resized
+    lengths, and the resized payload."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = []
-            for p in pdf["payload"]:
-                if p is None:  # missing blob -> NULL row, not a crash
-                    resized.append(None)
-                elif len(p) <= target_len:
-                    resized.append(bytes(p))
-                else:
-                    stride = len(p) / target_len
-                    resized.append(bytes(p[int(i * stride)] for i in range(target_len)))
+            resized = [
+                _resize_payload(p, m, target_len, fake)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -284,13 +284,20 @@ def test_multimodal_resize_downsamples_deterministically(spark, docs):
 
 
 def test_multimodal_real_decode_gated_without_pil():
-    """Without Pillow the non-fake image branch refuses (and non-image
-    media always refuses — no codec exists for them here)."""
+    """Without Pillow the non-fake image branches refuse (and non-image
+    media always refuses — no codec exists for them here); NULL payloads
+    stay NULL in every mode."""
     if importlib.util.find_spec("PIL") is None:
         with pytest.raises(NotImplementedError):
             mm._decode_payload(b"xx", "image/png", fake=False)
+        with pytest.raises(NotImplementedError):
+            mm._resize_payload(b"xx", "image/png", 64, fake=False)
     with pytest.raises(NotImplementedError):
         mm._decode_payload(b"xx", "audio/wav", fake=False)
+    with pytest.raises(NotImplementedError):
+        mm._resize_payload(b"xx", "audio/wav", 64, fake=False)
+    assert mm._resize_payload(None, "image/png", 64, fake=False) is None
+    assert mm._resize_payload(None, "image/png", 64, fake=True) is None
 
 
 @pytest.mark.skipif(
@@ -316,6 +323,23 @@ def test_multimodal_real_decode_with_pil(spark):
                                "doc_id long, media_type string, payload binary")
     out = mm.extract_features(df, fake=False).collect()
     assert len(out) == 1 and out[0].features[:2] == [4.0, 2.0]
+
+    # real RESIZE lane (r9): a 64x32 PNG thumbnails into a 16x16 box
+    # (aspect preserved -> 16x8), re-encoded as PNG, through the same
+    # mapInPandas plumbing; deterministic across runs (pinned resample)
+    buf2 = BytesIO()
+    Image.new("RGB", (64, 32), color=(0, 255, 0)).save(buf2, format="PNG")
+    big = buf2.getvalue()
+    out1 = mm._resize_payload(big, "image/png", 16, fake=False)
+    out2 = mm._resize_payload(big, "image/png", 16, fake=False)
+    assert out1 == out2
+    with Image.open(BytesIO(out1)) as thumb:
+        assert thumb.size == (16, 8) and thumb.format == "PNG"
+    df2 = spark.createDataFrame([(1, "image/png", bytearray(big))],
+                                "doc_id long, media_type string, payload binary")
+    rows = mm.resize_payload(df2, target_len=16, fake=False).collect()
+    assert len(rows) == 1 and bytes(rows[0].resized) == out1
+    assert rows[0].orig_len == len(big) and rows[0].resized_len == len(out1)
 
 
 # --- corpus prep (sampling + quality filter + dedup) -----------------------
