@@ -112,6 +112,8 @@ EXTENDED_NAMES = [
     "events_salted_user_join",
     "events_session_type_overlap",
     "events_zorder_stats",
+    "events_session_purchase_left",
+    "events_concurrency_profile",
 ]
 
 
