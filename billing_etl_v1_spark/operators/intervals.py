@@ -53,6 +53,24 @@ __all__ = [
 _RESERVED = ("_ij_bin", "_ij_l_sb", "_ij_r_sb")
 
 
+def _binned(
+    df: DataFrame, s: str, e: str, bin_col: str, sb_col: str, bin_width: int
+) -> DataFrame:
+    """Well-formed rows replicated to every bin their [s, e] span touches,
+    carrying the start bin in ``sb_col`` (the exactly-once rule joins on
+    it) — the shared decomposition step of every interval face here."""
+    well_formed = (
+        F.col(s).isNotNull() & F.col(e).isNotNull() & (F.col(e) >= F.col(s))
+    )
+    sb = F.floor(F.col(s) / F.lit(bin_width)).cast("bigint")
+    eb = F.floor(F.col(e) / F.lit(bin_width)).cast("bigint")
+    return (
+        df.filter(well_formed)
+        .withColumn(sb_col, sb)
+        .withColumn(bin_col, F.explode(F.sequence(sb, eb)))
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -96,20 +114,8 @@ def interval_join(
         if reserved:
             raise ValueError(f"column names {sorted(reserved)} are reserved")
 
-    def _binned(df: DataFrame, s: str, e: str, bin_col: str, sb_col: str) -> DataFrame:
-        well_formed = (
-            F.col(s).isNotNull() & F.col(e).isNotNull() & (F.col(e) >= F.col(s))
-        )
-        sb = F.floor(F.col(s) / F.lit(bin_width)).cast("bigint")
-        eb = F.floor(F.col(e) / F.lit(bin_width)).cast("bigint")
-        return (
-            df.filter(well_formed)
-            .withColumn(sb_col, sb)
-            .withColumn(bin_col, F.explode(F.sequence(sb, eb)))
-        )
-
-    lb = _binned(left, l_start, l_end, "_ij_bin", "_ij_l_sb")
-    rb = _binned(right, r_start, r_end, "_ij_bin", "_ij_r_sb")
+    lb = _binned(left, l_start, l_end, "_ij_bin", "_ij_l_sb", bin_width)
+    rb = _binned(right, r_start, r_end, "_ij_bin", "_ij_r_sb", bin_width)
     joined = lb.join(rb, on=["_ij_bin", *keys], how="inner")
     exact = (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
     first_shared_bin = F.col("_ij_bin") == F.greatest("_ij_l_sb", "_ij_r_sb")
@@ -145,6 +151,14 @@ def interval_join_left(
     NULL id, exactly as any other id value may appear at most once. Left
     rows excluded by the well-formedness rule (NULL/inverted endpoints)
     stay excluded — they are corrupt input, not unmatched intervals.
+
+    Scale note: ``matched`` is referenced twice (output rows + the
+    anti-join id set) and Catalyst does not share subtrees across union
+    branches, so the join computes twice. That is the honest cost of
+    ROW-LEVEL outer pairs; a consumer that aggregates per left row
+    should instead fold the outer semantics into one binned left-outer
+    join with conditional aggregation — :func:`session_type_overlap_left`
+    is the worked example.
     """
     if left_id not in left.columns:
         raise ValueError(f"left_id column {left_id!r} missing from left")
@@ -338,6 +352,8 @@ def concurrency_profile(
     from billing_etl_v1_spark.operators.events import distributed_total_rank
 
     keys = list(keys or [])
+    if "_b" in keys:
+        raise ValueError("key name '_b' is reserved")
     well_formed = (
         F.col(s_col).isNotNull() & F.col(e_col).isNotNull()
         & (F.col(e_col) >= F.col(s_col))
@@ -347,18 +363,26 @@ def concurrency_profile(
         base = base.na.drop(subset=keys)
     # floor (not cast) to integer ticks — cast('bigint') truncates toward
     # zero, so a negative non-integer endpoint would land one tick HIGHER
-    # than interval_join's floor()-based binning says it occupies
+    # than interval_join's floor()-based binning says it occupies.
+    # Both boundaries emit from ONE explode, not a two-branch union: the
+    # input here is typically itself an aggregate (sessions = a window
+    # over events), and Catalyst does not share subtrees across union
+    # branches — the union form computed the whole upstream twice (r9).
     bounds = base.select(
         *keys,
-        F.floor(F.col(s_col)).cast("bigint").alias("t"),
-        F.lit(1).alias("delta"),
-    ).unionByName(
-        base.select(
-            *keys,
-            (F.floor(F.col(e_col)).cast("bigint") + F.lit(1)).alias("t"),
-            F.lit(-1).alias("delta"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.floor(F.col(s_col)).cast("bigint").alias("t"),
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(
+                    (F.floor(F.col(e_col)).cast("bigint") + F.lit(1)).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("_b"),
+    ).select(*keys, F.col("_b.t").alias("t"), F.col("_b.delta").alias("delta"))
     net = bounds.groupBy(*keys, "t").agg(F.sum("delta").alias("_net"))
     if keys:
         w = (
@@ -453,8 +477,12 @@ def session_type_overlap_left(
     the report :func:`session_type_overlap` (inner) cannot produce:
     "sessions during which no <type> activity was live" is the billing
     exceptions shape (usage periods hitting no rate period), and dropping
-    them silently is exactly the failure :func:`interval_join_left`
-    exists to prevent.
+    them silently is exactly the failure left-outer overlap semantics
+    exist to prevent. Because this face aggregates per session, the
+    outer semantics come from ONE binned left-outer equi-join with
+    conditional aggregation (see the inline note) rather than
+    :func:`interval_join_left`'s matched-union-anti shape, which is for
+    consumers that need the row-level pairs.
 
     Row identity for the outer semantics is the composed
     ``session_id = user_id * 1_000_000 + session_idx`` (BIGINT — exact;
@@ -478,25 +506,37 @@ def session_type_overlap_left(
         F.col("span_start_s").alias("p_start"),
         F.col("span_end_s").alias("p_end"),
     )
-    pairs = interval_join_left(
+    # ONE binned LEFT-OUTER equi-join + conditional aggregation, NOT
+    # interval_join_left: the generic matched-union-anti formulation
+    # references the matched join twice and Catalyst does not share
+    # subtrees across union branches — the whole join (and the session
+    # window beneath it) computed twice (r9; bench showed this face at
+    # ~2x the inner join's cost). Because this face AGGREGATES per
+    # session anyway, outer semantics fall out of one pass: every
+    # session-bin row survives the left join, a (session, span) pair
+    # counts only where the exact-overlap predicate holds on its first
+    # shared bin (exactly once — interval_join's rule), and sessions
+    # with no valid pair aggregate to n_spans = 0 / overlap_s = 0.
+    lb = _binned(
         sessions.select("session_id", "user_id", "s_start", "s_end"),
-        spans,
-        "session_id",
         "s_start",
         "s_end",
-        "p_start",
-        "p_end",
+        "_ij_bin",
+        "_ij_l_sb",
         bin_width_s,
     )
-    # guard on span presence: least/greatest SKIP NULLs in both engines,
-    # so an unguarded expression would evaluate to s_end - s_start on the
-    # unmatched (all-NULL right) rows instead of contributing nothing
-    overlap_s = F.when(
-        F.col("span_idx").isNotNull(),
-        F.least("s_end", "p_end") - F.greatest("s_start", "p_start"),
+    rb = _binned(spans, "p_start", "p_end", "_ij_bin", "_ij_r_sb", bin_width_s)
+    j = lb.join(rb, on="_ij_bin", how="left")
+    pair_ok = (
+        (F.col("s_start") <= F.col("p_end"))
+        & (F.col("p_start") <= F.col("s_end"))
+        & (F.col("_ij_bin") == F.greatest("_ij_l_sb", "_ij_r_sb"))
     )
-    return pairs.groupBy("session_id", "user_id", "s_start", "s_end").agg(
-        F.count("span_idx").alias("n_spans"),
+    overlap_s = F.when(
+        pair_ok, F.least("s_end", "p_end") - F.greatest("s_start", "p_start")
+    )
+    return j.groupBy("session_id", "user_id", "s_start", "s_end").agg(
+        F.count(F.when(pair_ok, F.col("span_idx"))).alias("n_spans"),
         F.coalesce(F.sum(overlap_s), F.lit(0)).cast("bigint").alias("overlap_s"),
     )
 

@@ -358,3 +358,29 @@ def test_zorder_stats_single_broadcast_bounds(spark):
     assert "CartesianProduct" not in plan
     # exactly one broadcast exchange: the 1-row bounds relation
     assert len(nodes(plan, "BroadcastExchange")) == 1
+
+
+def test_registry_closing_interval_faces_are_single_pass(spark):
+    """The r9 registry-closing faces must not recompute their upstream:
+    Catalyst shares no subtrees across union branches, so the old
+    two-branch shapes scanned events once per branch. One-pass pins:
+    events_concurrency_profile emits both sweep boundaries from ONE
+    explode — its three remaining events scans are the documented
+    two-phase distributed_total_rank shape (ranked output + the tiny
+    offsets metadata referenced on both sides of its self-join), where
+    the old two-branch union DOUBLED each to six;
+    events_session_purchase_left folds outer semantics into one binned
+    left-outer join (exactly two events scans — sessions + spans — not
+    the matched-union-anti five). No Python eval in either."""
+    plan = plan_of(spark, "events_concurrency_profile")
+    assert "EvalPython" not in plan
+    assert len(nodes(plan, "Scan parquet")) == 3, plan[:2000]
+
+    plan = plan_of(spark, "events_session_purchase_left")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(nodes(plan, "Scan parquet")) == 2, plan[:2000]
+    assert nodes(plan, "BroadcastHashJoin") or nodes(plan, "SortMergeJoin") or nodes(
+        plan, "ShuffledHashJoin"
+    )
