@@ -492,3 +492,61 @@ def test_session_concurrency_consistent_with_sessions(spark):
     assert got == want
     assert got[max(got)] == 0  # everything retires
     assert max(got.values()) >= 1
+
+
+def test_point_in_interval_join_matches_duckdb(spark, duck):
+    """Exact cross-engine check without a registry slot (the closed-
+    registry discipline — the r8 VERDICT's last interval face with no
+    engine-vs-engine evidence): every event timestamp as a point,
+    contained-in-joined against the 'purchase' activity spans, equals
+    DuckDB's plain non-equi containment join, pair for pair."""
+    from billing_etl_v1_spark.operators.intervals import point_in_interval_join
+    from tests.conftest import SF_SMALL
+
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    fep = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp"))).cast("bigint")
+    points = events.filter(F.col("ts").isNotNull()).select(
+        "event_id", fep.alias("p")
+    )
+    spans = activity_spans(
+        events.filter(F.col("event_type") == "purchase"),
+        "event_type",
+        gap_s=1800,
+        bucket_s=86400,
+    ).select("span_idx", "span_start_s", "span_end_s")
+    got = {
+        (r["event_id"], r["span_idx"])
+        for r in point_in_interval_join(
+            points, spans, "p", "span_start_s", "span_end_s", 21600
+        ).collect()
+    }
+    want = {
+        (int(e), int(s))
+        for e, s in duck.execute(
+            """
+WITH e AS (SELECT event_id, ts, floor(epoch(ts))::BIGINT AS ep
+           FROM events WHERE ts IS NOT NULL),
+tp AS (SELECT event_id, ts, ep FROM e
+       WHERE event_id IN (SELECT event_id FROM events WHERE event_type = 'purchase')),
+tm AS (SELECT *, CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > 1800
+                      THEN 1 ELSE 0 END AS ns
+       FROM tp WINDOW w AS (ORDER BY ts, event_id)),
+tspan AS (SELECT sum(ns) OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                 AS span_idx, ep FROM tm),
+span AS (SELECT span_idx, min(ep) AS s, max(ep) AS e2 FROM tspan GROUP BY 1)
+SELECT p.event_id, sp.span_idx
+FROM e p JOIN span sp ON sp.s <= p.ep AND p.ep <= sp.e2
+"""
+        ).fetchall()
+    }
+    assert got == want
+    assert got  # the fixture genuinely produces containments
+    # and every purchase event is inside one of its own spans
+    n_purchase = events.filter(
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+    ).count()
+    purchase_ids = {
+        r["event_id"]
+        for r in events.filter(F.col("event_type") == "purchase").collect()
+    }
+    assert len({e for e, _s in got if e in purchase_ids}) == n_purchase
