@@ -149,28 +149,40 @@ def _quiet_gate() -> dict:
     """
     threshold = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "0.5"))
     max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_WAIT", "600"))
-    gate = {"threshold": threshold, "max_wait_sec": max_wait, "waited_sec": 0.0}
+    # r9: also gate on the 5-minute average. Two r9 recordings passed the
+    # loadavg1-only gate right after heavy jobs finished (loadavg1 0.01
+    # but loadavg5 1.0-2.8) and drifted +20-50% on sub-0.5s queries; the
+    # clean recording started at loadavg5 0.09. 4x the 1-min threshold
+    # blocks the just-finished-work case without demanding a long idle.
+    threshold5 = threshold * 4
+    gate = {
+        "threshold": threshold,
+        "threshold5": threshold5,
+        "max_wait_sec": max_wait,
+        "waited_sec": 0.0,
+    }
     if threshold <= 0:
         gate["disabled"] = True
         print("# quiet-gate DISABLED via SPARK_GRAFT_LOAD_GATE", file=sys.stderr)
         return gate
     t0 = time.monotonic()
     while True:
-        load1 = os.getloadavg()[0]
+        load1, load5, _l15 = os.getloadavg()
         waited = time.monotonic() - t0
-        if load1 < threshold:
+        if load1 < threshold and load5 < threshold5:
             gate["waited_sec"] = round(waited, 1)
             return gate
         if waited >= max_wait:
             raise SystemExit(
-                f"bench.py quiet-gate: loadavg1={load1:.2f} still >= "
-                f"{threshold} after {waited:.0f}s — refusing to record a "
-                f"load-contaminated artifact (set SPARK_GRAFT_LOAD_GATE=0 "
-                f"to override, which stamps the JSON as gate-disabled)"
+                f"bench.py quiet-gate: loadavg1={load1:.2f}/loadavg5="
+                f"{load5:.2f} still >= {threshold}/{threshold5} after "
+                f"{waited:.0f}s — refusing to record a load-contaminated "
+                f"artifact (set SPARK_GRAFT_LOAD_GATE=0 to override, which "
+                f"stamps the JSON as gate-disabled)"
             )
         print(
-            f"# quiet-gate: loadavg1={load1:.2f} >= {threshold}, "
-            f"waiting ({waited:.0f}/{max_wait:.0f}s)",
+            f"# quiet-gate: loadavg1={load1:.2f}/loadavg5={load5:.2f} >= "
+            f"{threshold}/{threshold5}, waiting ({waited:.0f}/{max_wait:.0f}s)",
             file=sys.stderr,
         )
         time.sleep(15)
