@@ -1058,19 +1058,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Order matters: the driver's correctness harness checks the FIRST 50
     entries only; rotation policy is "every query's latest verdict <= 2
-    rounds old" (age = current round − verdict round). Round 9's window:
-    the 48 entries whose latest verdict is r6 (age 3 if skipped — the
-    mechanically mandatory lead set the r8 VERDICT names;
+    rounds old" (age = current round − verdict round). Round 10's
+    window: exactly the 50 entries whose latest verdict is r7 (age 3 if
+    skipped — the mechanically mandatory lead set the r9 VERDICT names;
     tests/test_rotation_policy.py re-derives it from the
-    CORRECTNESS_r*.json artifacts and goes red if any is missing), then
-    the session's TWO NEW queries — the LAST TWO registry slots, spent
-    exactly as the r8 VERDICT sanctioned: events_session_purchase_left
-    (the LEFT-OUTER bucketed interval-overlap join, interval_join_left's
-    driver-verified face — sessions overlapping no 'purchase' span
-    survive as zero-count rows) and events_concurrency_profile (the
-    boundary-sweep concurrency step function on the two-phase
-    distributed prefix sum). Both carried exact cross-engine tests since
-    r8 (tests/test_intervals.py) but no driver verdict. 48 + 2 = 50.
+    CORRECTNESS_r*.json artifacts and goes red if any is missing). This
+    is the first window of the pure steady-state 3-cycle: no new
+    queries, just the age-ordered rotation of the closed registry.
 
     THE REGISTRY IS NOW CLOSED AT 150 — a deliberate budget decision,
     not drift: the driver window is 50/round and the 3-round max-age
@@ -1084,76 +1078,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     discipline, run by the judge) — the driver registry is closed, the
     verification discipline is not.
 
-    Below the fold: the 50 r7-verdict entries (age 2) — round 10's
-    mandatory leads, exactly 50, kept contiguous so the rotation is a
-    copy-paste — then the 50 r8-verdict entries (age 1, round 11's
-    leads). Everything below the fold still runs in the local parity
-    mirror (tests/test_oracle_parity.py), and the FULL registry is
-    strict-verified dtype-exact vs its oracles at sf0.01 each round
-    (tests/strict_check.py), so the deferred entries are pre-validated,
-    not just parity-mirrored.
+    Below the fold: the 50 r8-verdict entries (age 2 at round 11 —
+    round 11's mandatory leads), then the 50 r9-verdict entries (round
+    12's leads); both blocks kept contiguous so each rotation is a
+    copy-paste. Everything below the fold still runs in the local
+    parity mirror (tests/test_oracle_parity.py), and the FULL registry
+    is strict-verified dtype-exact vs its oracles at sf0.01 each round
+    — from round 10 on as a committed artifact, STRICT_r{N}.json,
+    emitted by `python tests/strict_check.py --json STRICT_rN.json 150`
+    — so the deferred entries are pre-validated, not just
+    parity-mirrored.
     """
     return {
-        # --- ROUND-9 WINDOW (first 50; driver checks only these) ---
-        # 48 entries whose latest verdict is r6 (age 3 if skipped) — the
-        # policy-mandatory leads, exactly the set the r8 VERDICT names:
-        "billing_credits_pivot": _q_credits_pivot,
-        "billing_rule_match": _q_rule_match,
-        "dedup_semantic": _q_dedup_semantic,
-        "multimodal_features": _q_multimodal_features,
-        "billing_dim_rules": _q_dim_rules,
-        "billing_minmax_day": _q_minmax_day,
-        "billing_rollup": _q_billing_rollup,
-        "billing_distinct_accounts": _q_distinct_accounts,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_clusters": _q_dedup_clusters,
-        "events_json_props": _q_events_json,
-        "billing_running_totals": _q_running_totals,
-        "billing_rolling_daily_cost": _q_rolling_daily_cost,
-        "billing_month_reconciliation": _q_month_reconciliation,
-        "billing_month_over_month": _q_month_over_month,
-        "billing_new_usage_lines": _q_new_usage_lines,
-        "billing_repeat_usage_lines": _q_repeat_usage_lines,
-        "billing_gap_fill": _q_gap_fill,
-        "billing_scd2": _q_billing_scd2,
-        "docs_text_stats": _q_text_stats,
-        "docs_lang_id": _q_lang_id,
-        "docs_fingerprint": _q_fingerprint,
-        "docs_pii_scrub": _q_pii_scrub,
-        "docs_sample": _q_docs_sample,
-        "docs_stratified_sample": _q_docs_stratified_sample,
-        "docs_pack_shards": _q_docs_pack_shards,
-        "docs_mixture_sample": _q_docs_mixture_sample,
-        "docs_corpus_build": _q_docs_corpus_build,
-        "docs_dedup_spans": _q_docs_dedup_spans,
-        "docs_decontaminate_fuzzy": _q_docs_decontaminate_fuzzy,
-        "docs_winnow_fingerprints": _q_docs_winnow,
-        "docs_bpe_merges_byte": _q_docs_bpe_merges_byte,
-        "docs_bpe_tokens_byte": _q_docs_bpe_tokens_byte,
-        "docs_bpe_vocab": _q_docs_bpe_vocab,
-        "docs_bpe_vocab_byte": _q_docs_bpe_vocab_byte,
-        "docs_bpe_token_seq": _q_docs_bpe_token_seq,
-        "docs_bpe_pack_ids": _q_docs_bpe_pack_ids,
-        "docs_dq_audit": _q_docs_dq_audit,
-        "docs_bpe_fertility": _q_docs_bpe_fertility,
-        "docs_dsir_weights": _q_docs_dsir_weights,
-        "billing_profile": _q_billing_profile,
-        "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
-        "billing_flagship": _flagship(None, "detail"),
-        "billing_flagship_sql": _q_flagship_sql,
-        "billing_source_agg": _q_source_agg,
-        "billing_pricing_modes": _q_pricing_modes,
-        "billing_dq_audit": _q_dq_audit,
-        # the session's TWO NEW queries — the LAST TWO registry slots,
-        # spent on the r8 interval faces that had exact cross-engine
-        # tests but no driver verdict (the r8 VERDICT's sanctioned
-        # spend); the registry is now CLOSED at 150 (see docstring):
-        "events_session_purchase_left": _q_events_session_purchase_left,
-        "events_concurrency_profile": _q_events_concurrency_profile,
-        # --- below the driver fold (local parity still runs ALL) ---
-        # 50 r7-verdict entries (age 2) — round 10's mandatory leads,
-        # kept contiguous so the rotation is a copy-paste:
+        # --- ROUND-10 WINDOW (first 50; driver checks only these) ---
+        # the 50 entries whose latest verdict is r7 (age 3 if skipped) —
+        # the policy-mandatory leads, exactly the set the r9 VERDICT
+        # names; steady-state 3-cycle, window 1 of 3:
         "events_salted_user_join": _q_events_salted_join,
         "multimodal_frame_sample": _q_multimodal_frames,
         "multimodal_resize": _q_multimodal_resize,
@@ -1204,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_quantized": _q_sim_topk_quantized,
         "docs_tfidf_top_terms": _q_docs_tfidf,
         "docs_chunk": _q_docs_chunk,
+        # --- below the driver fold (local parity still runs ALL) ---
         # 50 r8-verdict entries (age 1) — round 11's mandatory leads:
         "events_sessionize": _q_events_sessionize,
         "events_user_trend": _q_user_trend,
@@ -1255,6 +1196,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder_stats": _q_events_zorder_stats,
         "billing_flagship_production": _flagship(None, "pipeline"),
         "billing_source_agg_detail": _q_source_agg_detail,
+        # 50 r9-verdict entries (age 0) — round 12's mandatory leads:
+        "billing_credits_pivot": _q_credits_pivot,
+        "billing_rule_match": _q_rule_match,
+        "dedup_semantic": _q_dedup_semantic,
+        "multimodal_features": _q_multimodal_features,
+        "billing_dim_rules": _q_dim_rules,
+        "billing_minmax_day": _q_minmax_day,
+        "billing_rollup": _q_billing_rollup,
+        "billing_distinct_accounts": _q_distinct_accounts,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
+        "events_json_props": _q_events_json,
+        "billing_running_totals": _q_running_totals,
+        "billing_rolling_daily_cost": _q_rolling_daily_cost,
+        "billing_month_reconciliation": _q_month_reconciliation,
+        "billing_month_over_month": _q_month_over_month,
+        "billing_new_usage_lines": _q_new_usage_lines,
+        "billing_repeat_usage_lines": _q_repeat_usage_lines,
+        "billing_gap_fill": _q_gap_fill,
+        "billing_scd2": _q_billing_scd2,
+        "docs_text_stats": _q_text_stats,
+        "docs_lang_id": _q_lang_id,
+        "docs_fingerprint": _q_fingerprint,
+        "docs_pii_scrub": _q_pii_scrub,
+        "docs_sample": _q_docs_sample,
+        "docs_stratified_sample": _q_docs_stratified_sample,
+        "docs_pack_shards": _q_docs_pack_shards,
+        "docs_mixture_sample": _q_docs_mixture_sample,
+        "docs_corpus_build": _q_docs_corpus_build,
+        "docs_dedup_spans": _q_docs_dedup_spans,
+        "docs_decontaminate_fuzzy": _q_docs_decontaminate_fuzzy,
+        "docs_winnow_fingerprints": _q_docs_winnow,
+        "docs_bpe_merges_byte": _q_docs_bpe_merges_byte,
+        "docs_bpe_tokens_byte": _q_docs_bpe_tokens_byte,
+        "docs_bpe_vocab": _q_docs_bpe_vocab,
+        "docs_bpe_vocab_byte": _q_docs_bpe_vocab_byte,
+        "docs_bpe_token_seq": _q_docs_bpe_token_seq,
+        "docs_bpe_pack_ids": _q_docs_bpe_pack_ids,
+        "docs_dq_audit": _q_docs_dq_audit,
+        "docs_bpe_fertility": _q_docs_bpe_fertility,
+        "docs_dsir_weights": _q_docs_dsir_weights,
+        "billing_profile": _q_billing_profile,
+        "billing_flagship_month": _flagship(oracle.FLAGSHIP_MONTH, "detail"),
+        "billing_flagship": _flagship(None, "detail"),
+        "billing_flagship_sql": _q_flagship_sql,
+        "billing_source_agg": _q_source_agg,
+        "billing_pricing_modes": _q_pricing_modes,
+        "billing_dq_audit": _q_dq_audit,
+        # (the r9 registry-closing pair — the LAST TWO slots ever spent;
+        # the registry is CLOSED at 150, see docstring):
+        "events_session_purchase_left": _q_events_session_purchase_left,
+        "events_concurrency_profile": _q_events_concurrency_profile,
     }
 
 
