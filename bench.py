@@ -188,6 +188,31 @@ def _quiet_gate() -> dict:
         time.sleep(15)
 
 
+DRIFT_RATIO = 1.2  # >20% over baseline triggers adjudication
+DRIFT_ABS_SEC = 0.05  # ...but only if the move is also >50ms (noise floor)
+
+
+def _drifted_names(timings: dict[str, float], base: dict[str, float]) -> list[str]:
+    """Queries slower than the baseline artifact by both >20% and >50ms.
+
+    Pure decision logic, unit-tested without Spark
+    (tests/test_bench_protocol.py). Improvements never trigger."""
+    return [
+        n
+        for n, sec in timings.items()
+        if n in base
+        and sec > base[n] * DRIFT_RATIO
+        and sec - base[n] > DRIFT_ABS_SEC
+    ]
+
+
+def _ab_verdict(rerun_best: float, baseline_sec: float) -> str:
+    """load-drift: the best HEAD re-run reaches within 20% of baseline —
+    HEAD can still hit the old speed, so the recorded number was
+    environment. regression: even the best re-run stays >20% over."""
+    return "load-drift" if rerun_best <= baseline_sec * DRIFT_RATIO else "regression"
+
+
 def _adjudicate(
     baseline_path: str,
     timings: dict[str, float],
@@ -222,11 +247,7 @@ def _adjudicate(
     except (OSError, ValueError) as exc:
         print(f"# --ab: cannot read {baseline_path}: {exc}", file=sys.stderr)
         return None
-    drifted = [
-        n
-        for n, sec in timings.items()
-        if n in base and sec > base[n] * 1.2 and sec - base[n] > 0.05
-    ]
+    drifted = _drifted_names(timings, base)
     if not drifted:
         return None
     print(
@@ -249,7 +270,7 @@ def _adjudicate(
     block = {"baseline": baseline_path, "queries": {}}
     for n in drifted:
         best = min(reruns[n])
-        verdict = "load-drift" if best <= base[n] * 1.2 else "regression"
+        verdict = _ab_verdict(best, base[n])
         block["queries"][n] = {
             "baseline_sec": base[n],
             "recorded_sec": timings[n],
@@ -262,17 +283,22 @@ def _adjudicate(
     return block
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # --ab BASELINE_JSON: adjudicate >20% moves against that artifact;
-    # defaults to the committed gate-clean snapshot so the driver's plain
-    # `python bench.py` recording self-adjudicates; `--ab none` disables.
+def _ab_baseline(argv: list[str]) -> str | None:
+    """--ab BASELINE_JSON: adjudicate >20% moves against that artifact;
+    defaults to the committed gate-clean snapshot so the driver's plain
+    `python bench.py` recording self-adjudicates; `--ab none` (or a
+    missing file) disables."""
     ab_path = "bench_snapshot.json"
-    argv = sys.argv[1:]
     if "--ab" in argv:
         ab_path = argv[argv.index("--ab") + 1]
     if ab_path.lower() == "none" or not os.path.exists(ab_path):
-        ab_path = None
+        return None
+    return ab_path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ab_path = _ab_baseline(sys.argv[1:])
     gate = _quiet_gate()
     load_before = _load_stamp()
     import __spark_entry__ as em

@@ -1,0 +1,98 @@
+"""The bench protocol's pure decision logic — no SparkSession needed.
+
+Round 9 needed two discarded recordings and a by-hand HEAD-vs-prior-commit
+A/B to call 16 sub-0.5 s "+20-67%" moves load drift; round 10 automated the
+call (``bench.py --ab``, on by default against the committed snapshot).
+These tests pin the two decision rules so a future tweak to the thresholds
+or the comparison direction is a deliberate, red-test-visible act:
+
+- which queries get adjudicated (``_drifted_names``): slower than baseline
+  by BOTH >20% and >50 ms; improvements and sub-noise moves never trigger;
+- what the re-runs mean (``_ab_verdict``): the BEST interleaved HEAD re-run
+  reaching within 20% of baseline proves the recorded number was
+  environment (load-drift); anything else is a real regression.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_spec = importlib.util.spec_from_file_location("bench", os.path.join(REPO, "bench.py"))
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+
+def test_drifted_names_thresholds():
+    base = {"a": 1.0, "b": 0.10, "c": 2.0, "d": 0.5}
+    timings = {
+        "a": 1.30,  # +30%, +0.30s -> drifted
+        "b": 0.14,  # +40% but only +0.04s -> below the 50ms noise floor
+        "c": 1.0,  # faster -> never adjudicated
+        "d": 0.57,  # +14% -> under the 20% ratio
+        "e": 99.0,  # not in baseline -> skipped
+    }
+    assert bench._drifted_names(timings, base) == ["a"]
+
+
+def test_drifted_names_boundary_needs_both_conditions():
+    # exactly 20% over / exactly 50ms over are NOT drift (strict >)
+    assert bench._drifted_names({"a": 1.2}, {"a": 1.0}) == []
+    assert bench._drifted_names({"a": 0.25}, {"a": 0.20}) == []  # +25% but =50ms
+    # just past both -> drift
+    assert bench._drifted_names({"a": 1.26}, {"a": 1.0}) == ["a"]
+
+
+def test_ab_verdict():
+    assert bench._ab_verdict(rerun_best=1.1, baseline_sec=1.0) == "load-drift"
+    assert bench._ab_verdict(rerun_best=1.2, baseline_sec=1.0) == "load-drift"
+    assert bench._ab_verdict(rerun_best=1.21, baseline_sec=1.0) == "regression"
+
+
+def test_committed_snapshot_parses_and_carries_gate_evidence():
+    """The --ab default baseline must stay loadable and gate-clean: a
+    contaminated or malformed snapshot would silently poison every future
+    adjudication."""
+    path = os.path.join(REPO, "bench_snapshot.json")
+    with open(path) as fh:
+        snap = json.load(fh)
+    assert snap["queries"], "snapshot has no per-query timings"
+    gate = snap.get("quiet_gate", {})
+    assert not gate.get("disabled"), "committed snapshot was recorded gate-disabled"
+    load1 = snap["load_before"]["loadavg_1_5_15"][0]
+    assert load1 < gate.get("threshold", 0.5), (
+        f"committed snapshot recorded at loadavg1={load1} — not gate-clean"
+    )
+
+
+def test_strict_artifact_green_and_full_registry():
+    """The committed STRICT_r*.json artifacts (VERDICT r9 #2) must each
+    record a full-registry 150/150 run — an artifact claiming less would
+    quietly weaken the closed registry's below-the-fold safety net."""
+    import glob
+
+    paths = glob.glob(os.path.join(REPO, "STRICT_r*.json"))
+    assert paths, "no STRICT_r*.json committed (round >= 10 must emit one)"
+    for path in paths:
+        with open(path) as fh:
+            art = json.load(fh)
+        assert art["checked"] == 150, f"{path}: checked {art['checked']} != 150"
+        assert art["strict_ok"] == 150, f"{path}: {art['failures']}"
+        assert len(art["queries"]) == 150
+
+
+def test_bench_ab_flag_none_and_missing_file(tmp_path, monkeypatch):
+    """`--ab none` and a nonexistent path both disable adjudication; the
+    default is the committed snapshot (relative — resolved in the repo
+    root, where the driver runs bench.py)."""
+    monkeypatch.chdir(REPO)
+    assert bench._ab_baseline(["--ab", "none"]) is None
+    assert bench._ab_baseline(["--ab", "NONE"]) is None
+    assert bench._ab_baseline(["--ab", str(tmp_path / "missing.json")]) is None
+    assert bench._ab_baseline([]) == "bench_snapshot.json"
+    other = tmp_path / "other.json"
+    other.write_text("{}")
+    assert bench._ab_baseline(["--ab", str(other)]) == str(other)
