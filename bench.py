@@ -148,13 +148,19 @@ def _quiet_gate() -> dict:
     than committing another self-convicting artifact.
     """
     threshold = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "0.5"))
-    max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_WAIT", "600"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_WAIT", "1200"))
     # r9: also gate on the 5-minute average. Two r9 recordings passed the
     # loadavg1-only gate right after heavy jobs finished (loadavg1 0.01
     # but loadavg5 1.0-2.8) and drifted +20-50% on sub-0.5s queries; the
-    # clean recording started at loadavg5 0.09. 4x the 1-min threshold
-    # blocks the just-finished-work case without demanding a long idle.
-    threshold5 = threshold * 4
+    # clean recording started at loadavg5 0.09. r10: tightened 4x -> 3x —
+    # the r9 DRIVER recording started at loadavg5 1.91, slid under the 2.0
+    # bar, and still read 5% hot with 16 queries >20% (the judge's one
+    # cosmetic finding). 1.5 would have blocked it. loadavg5 decays on a
+    # ~5-min time constant, so the wait cap doubles to 1200s (env
+    # overridable) to let a post-correctness-sweep machine drain rather
+    # than fail the recording outright; the --ab adjudication remains the
+    # backstop for anything that still slips through.
+    threshold5 = threshold * 3
     gate = {
         "threshold": threshold,
         "threshold5": threshold5,
