@@ -148,7 +148,7 @@ def _quiet_gate() -> dict:
     than committing another self-convicting artifact.
     """
     threshold = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "0.5"))
-    max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_WAIT", "1200"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_WAIT", "1800"))
     # r9: also gate on the 5-minute average. Two r9 recordings passed the
     # loadavg1-only gate right after heavy jobs finished (loadavg1 0.01
     # but loadavg5 1.0-2.8) and drifted +20-50% on sub-0.5s queries; the
@@ -161,9 +161,19 @@ def _quiet_gate() -> dict:
     # than fail the recording outright; the --ab adjudication remains the
     # backstop for anything that still slips through.
     threshold5 = threshold * 3
+    # r10: gate the 15-minute average too. The first r10 recording started
+    # at loadavg1 0.07 / loadavg5 0.17 — clean by both existing bars —
+    # but loadavg15 1.9 (17 min after a 27-min full-load pytest), and read
+    # +25-90% on a dozen untouched queries with adjudication re-runs WORSE
+    # than the recording (the whole session was hot). loadavg15 is the
+    # signal that predicted it; same 3x bar. Decay math: loadavg15 falls
+    # e-fold every 15 min, so the 1800s default cap rides out the
+    # post-correctness-sweep case without failing the recording.
+    threshold15 = threshold * 3
     gate = {
         "threshold": threshold,
         "threshold5": threshold5,
+        "threshold15": threshold15,
         "max_wait_sec": max_wait,
         "waited_sec": 0.0,
     }
@@ -173,22 +183,23 @@ def _quiet_gate() -> dict:
         return gate
     t0 = time.monotonic()
     while True:
-        load1, load5, _l15 = os.getloadavg()
+        load1, load5, load15 = os.getloadavg()
         waited = time.monotonic() - t0
-        if load1 < threshold and load5 < threshold5:
+        if load1 < threshold and load5 < threshold5 and load15 < threshold15:
             gate["waited_sec"] = round(waited, 1)
             return gate
         if waited >= max_wait:
             raise SystemExit(
-                f"bench.py quiet-gate: loadavg1={load1:.2f}/loadavg5="
-                f"{load5:.2f} still >= {threshold}/{threshold5} after "
-                f"{waited:.0f}s — refusing to record a load-contaminated "
-                f"artifact (set SPARK_GRAFT_LOAD_GATE=0 to override, which "
-                f"stamps the JSON as gate-disabled)"
+                f"bench.py quiet-gate: loadavg={load1:.2f}/{load5:.2f}/"
+                f"{load15:.2f} still >= {threshold}/{threshold5}/"
+                f"{threshold15} after {waited:.0f}s — refusing to record a "
+                f"load-contaminated artifact (set SPARK_GRAFT_LOAD_GATE=0 "
+                f"to override, which stamps the JSON as gate-disabled)"
             )
         print(
-            f"# quiet-gate: loadavg1={load1:.2f}/loadavg5={load5:.2f} >= "
-            f"{threshold}/{threshold5}, waiting ({waited:.0f}/{max_wait:.0f}s)",
+            f"# quiet-gate: loadavg={load1:.2f}/{load5:.2f}/{load15:.2f} >= "
+            f"{threshold}/{threshold5}/{threshold15}, waiting "
+            f"({waited:.0f}/{max_wait:.0f}s)",
             file=sys.stderr,
         )
         time.sleep(15)
@@ -217,6 +228,14 @@ def _ab_verdict(rerun_best: float, baseline_sec: float) -> str:
     HEAD can still hit the old speed, so the recorded number was
     environment. regression: even the best re-run stays >20% over."""
     return "load-drift" if rerun_best <= baseline_sec * DRIFT_RATIO else "regression"
+
+
+def _session_suspect(n_drifted: int, n_compared: int) -> bool:
+    """True when drift is too broad to be code: >=20% of the compared
+    queries (and at least 4) moved past the drift thresholds at once. A
+    plan regression is localized to the queries sharing the changed code;
+    a hot session lifts a broad band uniformly."""
+    return n_drifted >= max(4, (n_compared + 4) // 5)
 
 
 def _adjudicate(
@@ -253,6 +272,7 @@ def _adjudicate(
     except (OSError, ValueError) as exc:
         print(f"# --ab: cannot read {baseline_path}: {exc}", file=sys.stderr)
         return None
+    compared = [n for n in timings if n in base]
     drifted = _drifted_names(timings, base)
     if not drifted:
         return None
@@ -273,7 +293,27 @@ def _adjudicate(
             t0 = time.perf_counter()
             plans[n].write.format("noop").mode("overwrite").save()
             reruns[n].append(round(time.perf_counter() - t0, 3))
-    block = {"baseline": baseline_path, "queries": {}}
+    # Breadth check (r10): when drift is BROAD — many unrelated queries hot
+    # at once — the session itself is suspect (post-heavy-load residue the
+    # loadavg gate can't see: cache/thermal/host effects), and per-query
+    # "regression" verdicts are unreliable because the re-runs execute in
+    # the same hot session and cannot exonerate. The r10 first recording
+    # proved this: gate-clean start (loadavg1 0.07 / loadavg5 0.17, but
+    # loadavg15 1.9), 12+ untouched queries +20-90%, re-runs WORSE than
+    # recorded. A real plan regression moves the queries that share the
+    # changed code, not a broad uniform band.
+    suspect = _session_suspect(len(drifted), len(compared))
+    block = {
+        "baseline": baseline_path,
+        "session_suspect": suspect,
+        "note": (
+            "broad drift across unrelated queries — discard and re-record "
+            "after a long true idle; per-query verdicts unreliable"
+            if suspect
+            else None
+        ),
+        "queries": {},
+    }
     for n in drifted:
         best = min(reruns[n])
         verdict = _ab_verdict(best, base[n])

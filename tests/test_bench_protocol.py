@@ -52,6 +52,18 @@ def test_ab_verdict():
     assert bench._ab_verdict(rerun_best=1.21, baseline_sec=1.0) == "regression"
 
 
+def test_session_suspect_breadth():
+    """Broad drift (>=20% of compared, min 4) marks the whole session
+    suspect — per-query regression verdicts from a hot session are
+    unreliable because the re-runs execute in the same hot session."""
+    assert not bench._session_suspect(3, 40)  # 3 is never suspect
+    assert not bench._session_suspect(4, 40)  # 4/40 = 10% < 20%
+    assert bench._session_suspect(8, 40)  # 20% of 40
+    assert not bench._session_suspect(7, 40)
+    assert bench._session_suspect(4, 10)  # small fleets: min-4 floor
+    assert not bench._session_suspect(0, 40)
+
+
 def test_committed_snapshot_parses_and_carries_gate_evidence():
     """The --ab default baseline must stay loadable and gate-clean: a
     contaminated or malformed snapshot would silently poison every future
