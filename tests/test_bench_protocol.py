@@ -52,6 +52,33 @@ def test_ab_verdict():
     assert bench._ab_verdict(rerun_best=1.21, baseline_sec=1.0) == "regression"
 
 
+def test_adjudicate_warm_min_self_exoneration(tmp_path):
+    """A query whose recorded MEDIAN drifted >20% but whose warm MIN is
+    already within 20% of baseline is exonerated from the recording's own
+    samples — no re-runs, evidence stamped (r10 run-3: billing_credits_pivot
+    flipped past 20% on variance and the tail-biased re-runs convicted it
+    falsely). With every flagged query self-exonerating, _adjudicate never
+    touches Spark (dfs/queries/spark are unused)."""
+    baseline = tmp_path / "base.json"
+    baseline.write_text(json.dumps({"queries": {"q": 0.20, "other": 1.0}}))
+    block = bench._adjudicate(
+        str(baseline),
+        timings={"q": 0.28, "other": 1.01},  # q: +40% median
+        samples={"q": [0.28, 0.19, 0.31, 0.29, 0.28]},  # min 0.19 < 0.24
+        queries=None,
+        dfs=None,
+        spark=None,
+        sf_dir="unused",
+    )
+    v = block["queries"]["q"]
+    assert v["verdict"] == "load-drift"
+    assert v["evidence"] == "recording-warm-min"
+    assert v["recording_warm_min"] == 0.19
+    assert "reruns" not in v
+    assert block["session_suspect"] is False
+    assert "other" not in block["queries"]
+
+
 def test_session_suspect_breadth():
     """Broad drift (>=20% of compared, min 4) marks the whole session
     suspect — per-query regression verdicts from a hot session are
