@@ -148,7 +148,7 @@ def _quiet_gate() -> dict:
     than committing another self-convicting artifact.
     """
     threshold = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "0.5"))
-    max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_WAIT", "1800"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_WAIT", "2400"))
     # r9: also gate on the 5-minute average. Two r9 recordings passed the
     # loadavg1-only gate right after heavy jobs finished (loadavg1 0.01
     # but loadavg5 1.0-2.8) and drifted +20-50% on sub-0.5s queries; the
@@ -160,16 +160,22 @@ def _quiet_gate() -> dict:
     # overridable) to let a post-correctness-sweep machine drain rather
     # than fail the recording outright; the --ab adjudication remains the
     # backstop for anything that still slips through.
-    threshold5 = threshold * 3
-    # r10: gate the 15-minute average too. The first r10 recording started
-    # at loadavg1 0.07 / loadavg5 0.17 — clean by both existing bars —
-    # but loadavg15 1.9 (17 min after a 27-min full-load pytest), and read
-    # +25-90% on a dozen untouched queries with adjudication re-runs WORSE
-    # than the recording (the whole session was hot). loadavg15 is the
-    # signal that predicted it; same 3x bar. Decay math: loadavg15 falls
-    # e-fold every 15 min, so the 1800s default cap rides out the
-    # post-correctness-sweep case without failing the recording.
-    threshold15 = threshold * 3
+    # r10 calibrated the 5- and 15-minute bars from four same-day
+    # recordings of identical code:
+    #   0.07/0.17/1.90 -> +40% hot (the 27-min pytest 17 min earlier)
+    #   0.08/0.05/0.51 -> clean (8.73s)
+    #   0.01/0.04/0.15 -> clean, day floor (8.39s)
+    #   0.11/1.09/1.39 -> +22% hot (a bench 10 min earlier)
+    # The separating values: every hot start had loadavg5 >= 1.0 or
+    # loadavg15 >= 1.3; every clean start had loadavg5 <= 0.2 AND
+    # loadavg15 <= 0.6. Bars sit between: 2x (1.0) and 1.5x (0.75) of
+    # the 1-min threshold. Decay math: loadavg falls e-fold per its
+    # window, so post-correctness-sweep (peak ~4 for ~5 min) clears
+    # 0.75 on the 15-min bar in ~25 min — inside the 2400s default cap;
+    # a full-suite pytest needs ~36 min, so run bench FIRST or raise
+    # $SPARK_GRAFT_LOAD_GATE_WAIT.
+    threshold5 = threshold * 2
+    threshold15 = threshold * 1.5
     gate = {
         "threshold": threshold,
         "threshold5": threshold5,
