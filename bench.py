@@ -130,6 +130,21 @@ def _load_stamp() -> dict:
             stamp["uptime_sec"] = float(fh.read().split()[0])
     except OSError:
         pass
+    # Hypervisor steal (r10): this box runs on a shared host, and vCPU
+    # time stolen by other tenants is INVISIBLE to loadavg — the r10
+    # run-5 recording started at loadavg 0.21/0.19/0.75 (gate-clean) yet
+    # measured shuffle-wide queries 1.5-4x slower with tight warm spreads
+    # while narrow queries were unaffected; a /proc/stat probe during the
+    # same window showed ~9% steal under load. The before/after tick
+    # stamps let any consumer compute the steal share OVER the run — the
+    # definitive environment-vs-code discriminator when loadavg is clean.
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        stamp["cpu_steal_ticks"] = int(parts[8])
+        stamp["cpu_total_ticks"] = sum(int(x) for x in parts[1:])
+    except (OSError, ValueError, IndexError):
+        pass
     return stamp
 
 
@@ -446,6 +461,12 @@ def main() -> None:
         if ab_path
         else None
     )
+    load_after = _load_stamp()
+    steal_share = None
+    if "cpu_steal_ticks" in load_before and "cpu_steal_ticks" in load_after:
+        dt = load_after["cpu_total_ticks"] - load_before["cpu_total_ticks"]
+        ds = load_after["cpu_steal_ticks"] - load_before["cpu_steal_ticks"]
+        steal_share = round(ds / dt, 4) if dt > 0 else None
     print(
         json.dumps(
             {
@@ -467,7 +488,14 @@ def main() -> None:
                 # >> 0 means the machine was busy at start — treat drifted
                 # numbers as load artifacts, not regressions
                 "load_before": load_before,
-                "load_after": _load_stamp(),
+                "load_after": load_after,
+                # fraction of ALL vCPU capacity stolen by the hypervisor
+                # during this run (from /proc/stat ticks): the
+                # environment-vs-code discriminator loadavg cannot see —
+                # >2-3% on a 32-way box means wide shuffle stages ran
+                # materially understaffed and drifted numbers are steal,
+                # not regressions
+                "cpu_steal_share": steal_share,
                 # quiet-gate evidence (VERDICT r7 #2): the run refused to
                 # start until loadavg1 < threshold, so load_before is
                 # clean by construction (unless stamped disabled)

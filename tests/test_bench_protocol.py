@@ -79,6 +79,17 @@ def test_adjudicate_warm_min_self_exoneration(tmp_path):
     assert "other" not in block["queries"]
 
 
+def test_load_stamp_carries_steal_ticks():
+    """The steal stamp (r10): /proc/stat before/after tick pairs let any
+    consumer compute the hypervisor-steal share over a run — the signal
+    that explained run-5's selective 1.5-4x drift when loadavg was clean."""
+    stamp = bench._load_stamp()
+    assert "loadavg_1_5_15" in stamp
+    if os.path.exists("/proc/stat"):  # linux
+        assert stamp["cpu_steal_ticks"] >= 0
+        assert stamp["cpu_total_ticks"] > 0
+
+
 def test_session_suspect_breadth():
     """Broad drift (>=20% of compared, min 4) marks the whole session
     suspect — per-query regression verdicts from a hot session are
