@@ -36,8 +36,13 @@ oracle runs verbatim.
 
 from __future__ import annotations
 
+import math
+
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from billing_etl_v1_spark.operators import _memo
 
 __all__ = [
     "interval_join",
@@ -48,7 +53,21 @@ __all__ = [
     "session_type_overlap",
     "session_type_overlap_left",
     "session_concurrency",
+    "suggest_bin_width",
+    "release_boundary_cache",
 ]
+
+_NET_CACHE: _memo.Registry = {}
+
+
+def release_boundary_cache(spark=None) -> int:
+    """Unpersist the memoized net-delta boundary tables
+    :func:`concurrency_profile` caches ahead of its two-phase prefix sum
+    (for ``spark`` only, or all sessions); returns how many were
+    released. Call between pipeline generations — the same contract as
+    ``dedup.release_signature_cache``."""
+    return _memo.release(_NET_CACHE, spark)
+
 
 _RESERVED = ("_ij_bin", "_ij_l_sb", "_ij_r_sb")
 
@@ -323,6 +342,7 @@ def concurrency_profile(
     s_col: str,
     e_col: str,
     keys: list[str] | None = None,
+    persist_net: bool = True,
 ) -> DataFrame:
     """How many intervals are active at once — the step function of the
     classic boundary sweep (+1 at start, −1 at end+1 for closed integer
@@ -346,8 +366,15 @@ def concurrency_profile(
     distributed prefix sum every ranked operator here uses
     (:func:`operators.events.distributed_total_rank` — range-partitioned
     parallel sorts + a broadcast offset join, NO single-task global
-    sort). NULL/malformed intervals are excluded as in
-    :func:`interval_join`.
+    sort). The rank references its input three times (ranked output +
+    both sides of the offsets self-join), so the global path
+    memo-persists the tiny post-aggregate ``net`` table first
+    (``persist_net=True``): the expensive upstream — typically a
+    sessionize window over raw events — computes ONCE instead of three
+    times (r10; one events scan in the plan, pinned by
+    tests/test_scale_posture.py). Call :func:`release_boundary_cache`
+    between pipeline generations. NULL/malformed intervals are excluded
+    as in :func:`interval_join`.
     """
     from billing_etl_v1_spark.operators.events import distributed_total_rank
 
@@ -392,6 +419,17 @@ def concurrency_profile(
         )
         out = net.withColumn("concurrency", F.sum("_net").over(w).cast("bigint"))
         return out.select(*keys, "t", "concurrency")
+    # The two-phase rank references its input twice (ranked output + the
+    # offsets metadata), and Catalyst shares no subtrees across those
+    # references — without a persist the whole upstream (typically a
+    # sessionize window over raw events) computes once per reference.
+    # `net` is tiny after the map-side aggregate (one row per distinct
+    # boundary tick), so memoize it: upstream runs once, the second
+    # reference reads the cached table. release_boundary_cache() frees it;
+    # persist_net=False keeps the pure lazy plan (A/B probes, callers that
+    # embed this in a larger DAG with their own persistence policy).
+    if persist_net:
+        net = _memo.memo_persist(net, _NET_CACHE, StorageLevel.MEMORY_AND_DISK)
     ranked = distributed_total_rank(
         net, order_cols=["t"], sum_col="_net", cum_col="concurrency"
     )
@@ -554,3 +592,51 @@ def session_concurrency(events: DataFrame, session_gap_s: int = 1800) -> DataFra
     single-task global sort at any scale)."""
     sessions = _user_sessions(events, session_gap_s)
     return concurrency_profile(sessions, "s_start", "s_end")
+
+
+def suggest_bin_width(df: DataFrame, s_col: str, e_col: str) -> int:
+    """Data-derived ``bin_width`` for the interval faces: the median
+    well-formed interval length, rounded UP to the nearest friendly
+    1-2-5 x 10^k value (1, 2, 5, 10, 20, 50, ...).
+
+    Why the median: a bin of one typical interval length caps the
+    replication factor of :func:`_binned` near 2 (length/width + 1)
+    while keeping per-bin fan-in bounded. Why rounding is safe: the
+    measured bin-width sweep (probe_r9_x64.json / probe_r10.json
+    ``session_type_overlap_bin_width_sweep``) shows the
+    replication-vs-fan-in trade is FLAT across 1 h / 6 h / 24 h bins at
+    session-scale interval lengths (~1.4-1.7 s at sf0.1 x16 for all
+    three), so any value within an order of magnitude of the interval
+    scale is fine — the helper just removes the hand-picked 21600 at
+    100 TB, it does not need to be exact.
+
+    One ``percentile_approx`` aggregate (map-side sketch merge, one
+    driver-side row — the layout.py diagnostics idiom, not a collect of
+    data). Degenerate inputs: all-point intervals (median length 0)
+    suggest 1; no well-formed rows raise ValueError rather than guess.
+    """
+    well_formed = (
+        F.col(s_col).isNotNull() & F.col(e_col).isNotNull()
+        & (F.col(e_col) >= F.col(s_col))
+    )
+    row = (
+        df.filter(well_formed)
+        .agg(
+            F.percentile_approx(
+                F.col(e_col) - F.col(s_col), F.lit(0.5)
+            ).alias("_med")
+        )
+        .first()
+    )
+    med = row["_med"] if row is not None else None
+    if med is None:
+        raise ValueError("suggest_bin_width: no well-formed intervals")
+    med = float(med)
+    if med < 1.0:
+        return 1
+    exp = math.floor(math.log10(med))
+    for mult in (1, 2, 5, 10):
+        cand = mult * 10**exp
+        if cand >= med:
+            return int(cand)
+    raise AssertionError("unreachable: 10 * 10^floor(log10(med)) >= med")

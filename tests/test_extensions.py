@@ -964,6 +964,14 @@ def test_named_release_wrappers_drop_their_caches(spark):
     assert sim_ops.release_vector_cache(spark) > 0
     assert sim_ops._VEC_CACHE == {}
 
+    from billing_etl_v1_spark.operators import intervals as interval_ops
+
+    events = load_table(spark, SF_SMALL, "events")
+    interval_ops.session_concurrency(events).count()
+    assert len(interval_ops._NET_CACHE) > 0
+    assert interval_ops.release_boundary_cache(spark) > 0
+    assert interval_ops._NET_CACHE == {}
+
 
 def test_multimodal_ops_null_payloads_propagate_not_crash(spark):
     """A missing/corrupt blob is a NULL payload — routine at 100 TB, and it

@@ -20,6 +20,7 @@ from billing_etl_v1_spark.operators.intervals import (
     interval_join_left,
     point_in_interval_join,
     session_type_overlap,
+    suggest_bin_width,
 )
 
 ISCHEMA = T.StructType(
@@ -558,3 +559,72 @@ FROM e p JOIN span sp ON sp.s <= p.ep AND p.ep <= sp.e2
         for r in events.filter(F.col("event_type") == "purchase").collect()
     }
     assert len({e for e, _s in got if e in purchase_ids}) == n_purchase
+
+
+def test_suggest_bin_width_rounds_up_on_125_ladder(spark):
+    """The helper returns the median well-formed interval length rounded
+    UP to the nearest 1-2-5 x 10^k value — the data-derived replacement
+    for hand-picking 21600, safe because the measured bin-width sweep
+    (probe_r10.json session_type_overlap_bin_width_sweep) is flat within
+    an order of magnitude of the interval scale."""
+    # 5 intervals of length 1300 -> median 1300 -> rounds up to 2000
+    df = spark.createDataFrame([(i * 10_000, i * 10_000 + 1300) for i in range(5)], ["s", "e"])
+    assert suggest_bin_width(df, "s", "e") == 2000
+
+    # exact ladder value stays put (length 100 -> 100)
+    df = spark.createDataFrame([(0, 100)], ["s", "e"])
+    assert suggest_bin_width(df, "s", "e") == 100
+
+    # 7000 -> next ladder step is 10000 (the 10x10^k rung)
+    df = spark.createDataFrame([(0, 7000)], ["s", "e"])
+    assert suggest_bin_width(df, "s", "e") == 10_000
+
+    # session-scale fixture: median ~30 min -> 2000s, inside the flat
+    # 1 h/6 h/24 h sweep band (same order of magnitude)
+    df = spark.createDataFrame(
+        [(0, 1800), (10_000, 11_700), (50_000, 51_900)], ["s", "e"]
+    )
+    assert suggest_bin_width(df, "s", "e") == 2000
+
+
+def test_suggest_bin_width_degenerate_inputs(spark):
+    # all-point intervals: median length 0 -> minimum legal width 1
+    df = spark.createDataFrame([(5, 5), (9, 9)], ["s", "e"])
+    assert suggest_bin_width(df, "s", "e") == 1
+
+    # malformed/NULL rows are excluded before the median, same rule as
+    # interval_join; here only the (0, 40) row is well-formed
+    df = spark.createDataFrame(
+        [(0, 40), (100, 50), (None, 10), (3, None)],
+        T.StructType(
+            [T.StructField("s", T.LongType()), T.StructField("e", T.LongType())]
+        ),
+    )
+    assert suggest_bin_width(df, "s", "e") == 50
+
+    # nothing well-formed -> explicit error, never a guessed default
+    empty = spark.createDataFrame([(100, 50)], ["s", "e"])
+    with pytest.raises(ValueError, match="no well-formed"):
+        suggest_bin_width(empty, "s", "e")
+
+
+def test_suggest_bin_width_feeds_interval_join(spark):
+    """End-to-end: the suggested width is a legal bin_width and the join
+    built with it matches the naive cross-join oracle."""
+    rng = random.Random(11)
+    lrows = [(i, 0, s := rng.randrange(0, 3000), s + rng.randrange(0, 900)) for i in range(40)]
+    rrows = [(i, 0, s := rng.randrange(0, 3000), s + rng.randrange(0, 900)) for i in range(40)]
+    left = spark.createDataFrame(lrows, ["lid", "key", "ls", "le"])
+    right = spark.createDataFrame(rrows, ["rid", "rkey", "rs", "re"])
+    w = suggest_bin_width(left, "ls", "le")
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_join(left, right.drop("rkey"), "ls", "le", "rs", "re", w).collect()
+    }
+    want = {
+        (lid, rid)
+        for (lid, _, ls, le) in lrows
+        for (rid, _, rs, re) in rrows
+        if ls <= re and rs <= le
+    }
+    assert got == want and len(want) > 0

@@ -14,6 +14,7 @@ import re
 import pytest
 
 import __spark_entry__ as em
+from billing_etl_v1_spark.operators import intervals as interval_ops
 from tests.conftest import SF_SMALL
 
 
@@ -365,16 +366,22 @@ def test_registry_closing_interval_faces_are_single_pass(spark):
     Catalyst shares no subtrees across union branches, so the old
     two-branch shapes scanned events once per branch. One-pass pins:
     events_concurrency_profile emits both sweep boundaries from ONE
-    explode — its three remaining events scans are the documented
-    two-phase distributed_total_rank shape (ranked output + the tiny
-    offsets metadata referenced on both sides of its self-join), where
-    the old two-branch union DOUBLED each to six;
+    explode, and (r10) memo-persists the tiny net-delta table ahead of
+    the two-phase rank, so the sessionize/explode/aggregate upstream —
+    and the events parquet scan under it — appears EXACTLY ONCE; the
+    three InMemoryTableScans are the documented two-phase
+    distributed_total_rank shape (ranked output + the tiny offsets
+    metadata referenced on both sides of its self-join), where r9 paid
+    three full upstream recomputations for the same shape and the
+    pre-r9 two-branch union DOUBLED those to six;
     events_session_purchase_left folds outer semantics into one binned
     left-outer join (exactly two events scans — sessions + spans — not
     the matched-union-anti five). No Python eval in either."""
     plan = plan_of(spark, "events_concurrency_profile")
     assert "EvalPython" not in plan
-    assert len(nodes(plan, "Scan parquet")) == 3, plan[:2000]
+    assert len(nodes(plan, "Scan parquet")) == 1, plan[:2000]
+    assert len(nodes(plan, "InMemoryTableScan")) == 3, plan[:2000]
+    interval_ops.release_boundary_cache(spark)
 
     plan = plan_of(spark, "events_session_purchase_left")
     assert "EvalPython" not in plan
