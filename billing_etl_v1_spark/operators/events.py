@@ -292,6 +292,7 @@ def distributed_total_rank(
     rank_col: str = "__rank",
     sum_col: str | None = None,
     cum_col: str = "__cum",
+    memo=None,
 ) -> DataFrame:
     """Exact global row_number() over a total order WITHOUT a single-task
     sort: range-repartition on the order columns (partitions are globally
@@ -306,6 +307,18 @@ def distributed_total_rank(
     order must be a total order (include a tiebreaker column) for the
     result to be partitioning-proof. Output keeps a ``__total`` column
     (grand row count) since it falls out of the same aggregate for free.
+
+    The windowed ``local`` table is referenced by BOTH the ranked output
+    and the per-partition counts metadata (itself on both sides of the
+    offsets self-join), and Catalyst shares no subtrees across the
+    references — each one recomputes ``df``'s lineage plus the
+    range-shuffle and windows. ``memo`` (an ``operators._memo.Registry``)
+    opts into memo-persisting ``local`` so all three references read one
+    cached table and the upstream computes once; the caller owns the
+    registry and its release wrapper (``concurrency_profile`` /
+    ``release_boundary_cache`` is the worked example). Default None keeps
+    the pure lazy plan — right for the callers whose input is already a
+    persisted/checkpointed relation (the tokenizer artifact builders).
     """
     order = [F.col(c).asc() for c in order_cols]
     wp = Window.partitionBy("__pid")
@@ -326,6 +339,12 @@ def distributed_total_rank(
             "__psum", F.sum(sum_col).over(wp)
         )
         meta_cols.append("__psum")
+    if memo is not None:
+        from pyspark import StorageLevel
+
+        from billing_etl_v1_spark.operators import _memo
+
+        local = _memo.memo_persist(local, memo, StorageLevel.MEMORY_AND_DISK)
     # per-partition counts fall out of the SAME windowed pass (distinct over
     # P rows after map-side partial), so the big relation is scanned exactly
     # twice — once for this metadata branch, once for the ranked output —

@@ -38,7 +38,6 @@ from __future__ import annotations
 
 import math
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -61,10 +60,10 @@ _NET_CACHE: _memo.Registry = {}
 
 
 def release_boundary_cache(spark=None) -> int:
-    """Unpersist the memoized net-delta boundary tables
-    :func:`concurrency_profile` caches ahead of its two-phase prefix sum
-    (for ``spark`` only, or all sessions); returns how many were
-    released. Call between pipeline generations — the same contract as
+    """Unpersist the memoized boundary-rank tables
+    :func:`concurrency_profile` hands to its two-phase prefix sum (for
+    ``spark`` only, or all sessions); returns how many were released.
+    Call between pipeline generations — the same contract as
     ``dedup.release_signature_cache``."""
     return _memo.release(_NET_CACHE, spark)
 
@@ -366,15 +365,15 @@ def concurrency_profile(
     distributed prefix sum every ranked operator here uses
     (:func:`operators.events.distributed_total_rank` — range-partitioned
     parallel sorts + a broadcast offset join, NO single-task global
-    sort). The rank references its input three times (ranked output +
-    both sides of the offsets self-join), so the global path
-    memo-persists the tiny post-aggregate ``net`` table first
-    (``persist_net=True``): the expensive upstream — typically a
-    sessionize window over raw events — computes ONCE instead of three
-    times (r10; one events scan in the plan, pinned by
-    tests/test_scale_posture.py). Call :func:`release_boundary_cache`
-    between pipeline generations. NULL/malformed intervals are excluded
-    as in :func:`interval_join`.
+    sort). The rank references its windowed input three times (ranked
+    output + both sides of the offsets self-join), so the global path
+    hands the rank a memo registry (``persist_net=True``): the rank
+    memo-persists its windowed table, and the expensive upstream —
+    typically a sessionize window over raw events — plus the rank's own
+    range-shuffle/windows compute ONCE instead of three times (r10; one
+    events scan in the plan, pinned by tests/test_scale_posture.py).
+    Call :func:`release_boundary_cache` between pipeline generations.
+    NULL/malformed intervals are excluded as in :func:`interval_join`.
     """
     from billing_etl_v1_spark.operators.events import distributed_total_rank
 
@@ -419,19 +418,23 @@ def concurrency_profile(
         )
         out = net.withColumn("concurrency", F.sum("_net").over(w).cast("bigint"))
         return out.select(*keys, "t", "concurrency")
-    # The two-phase rank references its input twice (ranked output + the
-    # offsets metadata), and Catalyst shares no subtrees across those
-    # references — without a persist the whole upstream (typically a
-    # sessionize window over raw events) computes once per reference.
-    # `net` is tiny after the map-side aggregate (one row per distinct
-    # boundary tick), so memoize it: upstream runs once, the second
-    # reference reads the cached table. release_boundary_cache() frees it;
+    # The two-phase rank references its windowed input three times (ranked
+    # output + both sides of the offsets self-join) and Catalyst shares no
+    # subtrees across references — without a persist the whole upstream
+    # (typically a sessionize window over raw events) PLUS the rank's own
+    # range-shuffle and windows compute once per reference. The memo is
+    # handed to the rank so it caches AFTER its windowed pass (persisting
+    # `net` alone measured 1.7x at sf0.1 but parity at x16, where the
+    # double window over the grown net table dominated — probe_r10.json
+    # concurrency_profile_memo_ab). release_boundary_cache() frees it;
     # persist_net=False keeps the pure lazy plan (A/B probes, callers that
     # embed this in a larger DAG with their own persistence policy).
-    if persist_net:
-        net = _memo.memo_persist(net, _NET_CACHE, StorageLevel.MEMORY_AND_DISK)
     ranked = distributed_total_rank(
-        net, order_cols=["t"], sum_col="_net", cum_col="concurrency"
+        net,
+        order_cols=["t"],
+        sum_col="_net",
+        cum_col="concurrency",
+        memo=_NET_CACHE if persist_net else None,
     )
     return ranked.select("t", "concurrency")
 
@@ -579,7 +582,9 @@ def session_type_overlap_left(
     )
 
 
-def session_concurrency(events: DataFrame, session_gap_s: int = 1800) -> DataFrame:
+def session_concurrency(
+    events: DataFrame, session_gap_s: int = 1800, persist_net: bool = True
+) -> DataFrame:
     """Global session-concurrency step function: how many user sessions
     were simultaneously active at every boundary tick — the capacity-
     planning face of :func:`concurrency_profile` over the same per-user
@@ -591,7 +596,7 @@ def session_concurrency(events: DataFrame, session_gap_s: int = 1800) -> DataFra
     sum (range-partitioned parallel sorts + broadcast offsets — no
     single-task global sort at any scale)."""
     sessions = _user_sessions(events, session_gap_s)
-    return concurrency_profile(sessions, "s_start", "s_end")
+    return concurrency_profile(sessions, "s_start", "s_end", persist_net=persist_net)
 
 
 def suggest_bin_width(df: DataFrame, s_col: str, e_col: str) -> int:

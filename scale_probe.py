@@ -117,6 +117,21 @@ def _timed_eager(run, label: str, n: int = 3) -> dict:
     return {"runs_sec": runs, "sec": med, **extras}
 
 
+def _replicate_events(ev, rep: int):
+    """Each replica is shifted 31 days (the data spans 30) with renamed
+    users/events, so sessions and spans grow linearly and copies never
+    overlap each other — the honest xN for the interval lanes."""
+    out = None
+    for i in range(rep):
+        c = (
+            ev.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {31 * i} DAYS"))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000))
+            .withColumn("event_id", F.col("event_id") + F.lit(i * 1_000_000_000))
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
 def _replicate_docs_wide(docs, replication: int):
     """:func:`_replicate_docs` with ``suffix_words`` for LARGE replication
     factors: one explode over a sequence column instead of an N-branch
@@ -875,19 +890,6 @@ def main() -> None:
     from billing_etl_v1_spark.operators import intervals as iv_ops
     from billing_etl_v1_spark.operators import layout as layout_ops
 
-    def _replicate_events(ev, rep: int):
-        out = None
-        for i in range(rep):
-            c = (
-                ev.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {31 * i} DAYS"))
-                .withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000))
-                .withColumn(
-                    "event_id", F.col("event_id") + F.lit(i * 1_000_000_000)
-                )
-            )
-            out = c if out is None else out.unionByName(c)
-        return out
-
     engine_ext = {}
     ev01 = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
     ev1 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
@@ -996,5 +998,64 @@ def main() -> None:
     spark.stop()
 
 
+def concurrency_ab(replication: int = 16) -> None:
+    """A/B the r10 memo-persist of concurrency_profile's net-delta table
+    (VERDICT r9 #6): per fresh execution, persist_net=True computes the
+    sessionize upstream ONCE vs three times without it.
+
+    Protocol: eager-style median-of-3 — each run releases the boundary
+    cache first, so every timed run pays the full upstream + (for the ON
+    arm) the persist itself; a lazy cold/warm split would time memo HITS
+    in the warm runs, which is a different (also reported) number:
+    ``memo_warm_sec`` is the steady-state repeat-call time with the cache
+    left in place, the production profile for dashboards that poll the
+    profile. Prints one JSON line to merge under
+    probe_r{N}.json engine_ext.concurrency_profile_memo_ab.
+    """
+    from bench import _load_stamp, _quiet_gate
+    from billing_etl_v1_spark.operators import intervals as iv_ops
+    from billing_etl_v1_spark.session import get_spark
+
+    gate = _quiet_gate()
+    load_before = _load_stamp()
+    spark = get_spark("concurrency-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ev1 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    ev_big = _replicate_events(ev1, replication).localCheckpoint()
+    out = {"protocol": "median3-fresh-executions, cache released between"}
+    for label, ev in [("sf0.1", ev1), (f"sf0.1 x{replication}", ev_big)]:
+        n_events = ev.count()
+        arms = {}
+        for persist in (False, True):
+            def run():
+                iv_ops.release_boundary_cache(spark)
+                df = iv_ops.session_concurrency(ev, persist_net=persist)
+                return _noop(df), {}
+
+            arm = _timed_eager(
+                run, f"concurrency {label} persist_net={persist}"
+            )
+            if persist:
+                # steady-state repeat call: memo left in place from the
+                # last timed run, downstream rank reads the cached table
+                warm = [_noop(iv_ops.session_concurrency(ev)) for _ in range(3)]
+                arm["memo_warm_sec"] = sorted(warm)[1]
+                iv_ops.release_boundary_cache(spark)
+            arms["persist_on" if persist else "persist_off"] = arm
+        speedup = arms["persist_off"]["sec"] / max(arms["persist_on"]["sec"], 1e-9)
+        out[label] = {"events": n_events, **arms, "speedup": round(speedup, 2)}
+        print(f"# {label}: x{speedup:.2f} speedup from persist_net", file=sys.stderr)
+    out["load_before"] = load_before
+    out["load_after"] = _load_stamp()
+    out["quiet_gate"] = gate
+    print(json.dumps({"concurrency_profile_memo_ab": out}))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if "--concurrency-ab" in sys.argv:
+        argv = [a for a in sys.argv[1:] if a != "--concurrency-ab"]
+        concurrency_ab(int(argv[0]) if argv else 16)
+    else:
+        main()
