@@ -1023,31 +1023,43 @@ def concurrency_ab(replication: int = 16) -> None:
 
     ev1 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
     ev_big = _replicate_events(ev1, replication).localCheckpoint()
-    out = {"protocol": "median3-fresh-executions, cache released between"}
+    # arms INTERLEAVED off/on x3 (the bench's rotation discipline): a GC
+    # pause or hypervisor-steal burst mid-run then lands on both arms
+    # instead of silently skewing whichever arm it hit (the first
+    # recording's 13.8 s outlier sat entirely in one arm's median)
+    out = {"protocol": "median3-fresh-executions interleaved off/on, cache released between"}
     for label, ev in [("sf0.1", ev1), (f"sf0.1 x{replication}", ev_big)]:
         n_events = ev.count()
+        runs = {False: [], True: []}
+        for _ in range(3):
+            for persist in (False, True):
+                iv_ops.release_boundary_cache(spark)
+                sec = _noop(iv_ops.session_concurrency(ev, persist_net=persist))
+                runs[persist].append(sec)
+        # steady-state repeat call: memo left in place from the last
+        # persist_on run, downstream rank reads the cached table
+        warm = [_noop(iv_ops.session_concurrency(ev)) for _ in range(3)]
+        iv_ops.release_boundary_cache(spark)
         arms = {}
         for persist in (False, True):
-            def run():
-                iv_ops.release_boundary_cache(spark)
-                df = iv_ops.session_concurrency(ev, persist_net=persist)
-                return _noop(df), {}
-
-            arm = _timed_eager(
-                run, f"concurrency {label} persist_net={persist}"
-            )
-            if persist:
-                # steady-state repeat call: memo left in place from the
-                # last timed run, downstream rank reads the cached table
-                warm = [_noop(iv_ops.session_concurrency(ev)) for _ in range(3)]
-                arm["memo_warm_sec"] = sorted(warm)[1]
-                iv_ops.release_boundary_cache(spark)
-            arms["persist_on" if persist else "persist_off"] = arm
+            r = runs[persist]
+            arms["persist_on" if persist else "persist_off"] = {
+                "runs_sec": r,
+                "sec": sorted(r)[1],
+            }
+            print(f"# concurrency {label} persist_net={persist}: "
+                  f"{sorted(r)[1]}s (runs {r})", file=sys.stderr)
+        arms["persist_on"]["memo_warm_sec"] = sorted(warm)[1]
         speedup = arms["persist_off"]["sec"] / max(arms["persist_on"]["sec"], 1e-9)
         out[label] = {"events": n_events, **arms, "speedup": round(speedup, 2)}
         print(f"# {label}: x{speedup:.2f} speedup from persist_net", file=sys.stderr)
     out["load_before"] = load_before
-    out["load_after"] = _load_stamp()
+    load_after = _load_stamp()
+    out["load_after"] = load_after
+    if "cpu_steal_ticks" in load_before and "cpu_steal_ticks" in load_after:
+        dt = load_after["cpu_total_ticks"] - load_before["cpu_total_ticks"]
+        ds = load_after["cpu_steal_ticks"] - load_before["cpu_steal_ticks"]
+        out["cpu_steal_share"] = round(ds / dt, 4) if dt > 0 else None
     out["quiet_gate"] = gate
     print(json.dumps({"concurrency_profile_memo_ab": out}))
     spark.stop()
