@@ -13,6 +13,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from billing_etl_v1_spark.functions import finite_or_null, quantize6
+from billing_etl_v1_spark.operators import _memo
+
+# shared registry for rank consumers that opt into memo-persisting the
+# two-phase rank's windowed table (value_deciles here; quality_percentiles,
+# vocabulary_coverage, ccnet_buckets in operators/text.py). One registry —
+# entries are keyed by plan, so distinct queries never collide, and ONE
+# release call frees a whole pipeline generation. concurrency_profile keeps
+# its own registry (release_boundary_cache) for interval-face lifecycles.
+_RANK_CACHE: _memo.Registry = {}
+
+
+def release_rank_cache(spark=None) -> int:
+    """Unpersist every memoized rank table (for ``spark`` only, or all
+    sessions); returns how many were released. Call between pipeline
+    generations — the same contract as ``dedup.release_signature_cache``."""
+    return _memo.release(_RANK_CACHE, spark)
 
 
 def _epoch(col) -> F.Column:
@@ -342,8 +358,6 @@ def distributed_total_rank(
     if memo is not None:
         from pyspark import StorageLevel
 
-        from billing_etl_v1_spark.operators import _memo
-
         local = _memo.memo_persist(local, memo, StorageLevel.MEMORY_AND_DISK)
     # per-partition counts fall out of the SAME windowed pass (distinct over
     # P rows after map-side partial), so the big relation is scanned exactly
@@ -381,7 +395,9 @@ def distributed_total_rank(
     return out.drop(*drop)
 
 
-def value_deciles(events: DataFrame, n_tiles: int = 10) -> DataFrame:
+def value_deciles(
+    events: DataFrame, n_tiles: int = 10, persist: bool = True
+) -> DataFrame:
     """Global decile assignment, summarized per decile.
 
     Round 2 shipped this as an unpartitioned ``ntile(10)`` window — the
@@ -398,6 +414,11 @@ def value_deciles(events: DataFrame, n_tiles: int = 10) -> DataFrame:
 
     — identical output to the ntile oracle, no global single-task sort.
     Integer DIV keeps the math exact at any n (no double ceil).
+
+    ``persist=True`` memo-persists the rank's windowed table (shared
+    ``_RANK_CACHE``; :func:`release_rank_cache` frees it) so the events
+    scan + range-shuffle/window compute once, not once per rank
+    reference — the r10 concurrency-profile finding applied here.
     """
     events = events.withColumn("value", finite_or_null("value"))
 
@@ -408,6 +429,7 @@ def value_deciles(events: DataFrame, n_tiles: int = 10) -> DataFrame:
     ranked = distributed_total_rank(
         events.filter(F.col("value").isNotNull()).select("value", "event_id"),
         ["value", "event_id"],
+        memo=_RANK_CACHE if persist else None,
     ).withColumnRenamed("__total", "__n")
     k = n_tiles
     # q = rows per small tile, r = number of big (q+1-row) tiles; greatest()

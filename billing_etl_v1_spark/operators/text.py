@@ -836,7 +836,9 @@ def corpus_dq_audit(df: DataFrame, text_col: str = "text") -> DataFrame:
     return melted
 
 
-def quality_percentiles(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_percentiles(
+    df: DataFrame, text_col: str = "text", persist: bool = True
+) -> DataFrame:
     """Rank-normalized document quality: every doc's exact global rank and
     percentile bucket (1-100) over the (quality_score, doc_id) total
     order. Absolute quality scores drift with corpus mix; percentile
@@ -849,8 +851,15 @@ def quality_percentiles(df: DataFrame, text_col: str = "text") -> DataFrame:
     machinery is generic: NO single-task global sort here either. The
     bucket is pure integer arithmetic off (rank, n), so the oracle's
     plain-window formulation is value-identical.
+
+    ``persist=True`` memo-persists the rank's windowed table (shared
+    ``events._RANK_CACHE``; ``events.release_rank_cache`` frees it) so
+    the text_stats upstream computes once, not once per rank reference.
     """
-    from billing_etl_v1_spark.operators.events import distributed_total_rank
+    from billing_etl_v1_spark.operators.events import (
+        _RANK_CACHE,
+        distributed_total_rank,
+    )
 
     # doc_id is the rank tiebreaker: NULL ids sort FIRST on Spark and LAST
     # on DuckDB, so an identity-less doc would shift every rank after it
@@ -858,7 +867,11 @@ def quality_percentiles(df: DataFrame, text_col: str = "text") -> DataFrame:
     scored = text_stats(df.filter(F.col("doc_id").isNotNull()), text_col).select(
         "doc_id", "quality_score"
     )
-    ranked = distributed_total_rank(scored, ["quality_score", "doc_id"])
+    ranked = distributed_total_rank(
+        scored,
+        ["quality_score", "doc_id"],
+        memo=_RANK_CACHE if persist else None,
+    )
     return ranked.select(
         "doc_id",
         "quality_score",
@@ -869,7 +882,7 @@ def quality_percentiles(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def vocabulary_coverage(
-    df: DataFrame, text_col: str = "text", min_freq: int = 1
+    df: DataFrame, text_col: str = "text", min_freq: int = 1, persist: bool = True
 ) -> DataFrame:
     """Corpus vocabulary with coverage curve: every distinct token's
     frequency, global frequency rank, and the cumulative fraction of all
@@ -882,8 +895,15 @@ def vocabulary_coverage(
     extension) over the (-freq, token) total order — exact integers, no
     unpartitioned window, no second sort. The coverage fraction is a
     single division of exact BIGINTs (quantized).
+
+    ``persist=True`` memo-persists the rank's windowed table (shared
+    ``events._RANK_CACHE``) so the corpus-wide token explode+count
+    computes once, not once per rank reference.
     """
-    from billing_etl_v1_spark.operators.events import distributed_total_rank
+    from billing_etl_v1_spark.operators.events import (
+        _RANK_CACHE,
+        distributed_total_rank,
+    )
 
     counts = (
         df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
@@ -893,7 +913,11 @@ def vocabulary_coverage(
         .withColumn("__negfreq", -F.col("freq"))
     )
     ranked = distributed_total_rank(
-        counts, ["__negfreq", "token"], rank_col="rank", sum_col="freq"
+        counts,
+        ["__negfreq", "token"],
+        rank_col="rank",
+        sum_col="freq",
+        memo=_RANK_CACHE if persist else None,
     )
     return ranked.select(
         "token",
@@ -904,7 +928,9 @@ def vocabulary_coverage(
     )
 
 
-def ccnet_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
+def ccnet_buckets(
+    df: DataFrame, text_col: str = "text", persist: bool = True
+) -> DataFrame:
     """CCNet's head/middle/tail partition, model-free: rank every document
     by corpus-frequency fluency (the perplexity proxy of
     :func:`bigram_fluency` — higher mean bigram frequency reads as lower
@@ -915,9 +941,14 @@ def ccnet_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     The global ordering uses the two-phase distributed rank (no
     single-task sort); the third-assignment is exact integer arithmetic
-    off (rank, n).
+    off (rank, n). ``persist=True`` memo-persists the rank's windowed
+    table (shared ``events._RANK_CACHE``) so the bigram_fluency upstream
+    — the costliest stage — computes once, not once per rank reference.
     """
-    from billing_etl_v1_spark.operators.events import distributed_total_rank
+    from billing_etl_v1_spark.operators.events import (
+        _RANK_CACHE,
+        distributed_total_rank,
+    )
 
     scored = bigram_fluency(df, text_col).select(
         "doc_id", "lang", "source", "avg_bigram_freq"
@@ -926,6 +957,7 @@ def ccnet_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
         scored.withColumn("__negf", -F.col("avg_bigram_freq")),
         ["__negf", "doc_id"],
         rank_col="rank",
+        memo=_RANK_CACHE if persist else None,
     )
     bucket = F.expr("CAST((rank - 1) * 3 div __total + 1 AS INT)")
     label = (

@@ -972,6 +972,13 @@ def test_named_release_wrappers_drop_their_caches(spark):
     assert interval_ops.release_boundary_cache(spark) > 0
     assert interval_ops._NET_CACHE == {}
 
+    from billing_etl_v1_spark.operators import events as event_ops
+
+    event_ops.value_deciles(events).count()
+    assert len(event_ops._RANK_CACHE) > 0
+    assert event_ops.release_rank_cache(spark) > 0
+    assert event_ops._RANK_CACHE == {}
+
 
 def test_multimodal_ops_null_payloads_propagate_not_crash(spark):
     """A missing/corrupt blob is a NULL payload — routine at 100 TB, and it
