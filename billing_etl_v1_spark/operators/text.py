@@ -837,7 +837,7 @@ def corpus_dq_audit(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def quality_percentiles(
-    df: DataFrame, text_col: str = "text", persist: bool = True
+    df: DataFrame, text_col: str = "text", persist: bool = False
 ) -> DataFrame:
     """Rank-normalized document quality: every doc's exact global rank and
     percentile bucket (1-100) over the (quality_score, doc_id) total
@@ -853,8 +853,10 @@ def quality_percentiles(
     plain-window formulation is value-identical.
 
     ``persist=True`` memo-persists the rank's windowed table (shared
-    ``events._RANK_CACHE``; ``events.release_rank_cache`` frees it) so
-    the text_stats upstream computes once, not once per rank reference.
+    ``events._RANK_CACHE``; ``events.release_rank_cache`` frees it).
+    Default OFF by measurement: the probe_r10 rank_memo_ab lane reads
+    0.95-0.99x at sf0.1 AND x16 — the text_stats upstream is too cheap
+    relative to the persist overhead at any measured scale.
     """
     from billing_etl_v1_spark.operators.events import (
         _RANK_CACHE,
@@ -882,7 +884,7 @@ def quality_percentiles(
 
 
 def vocabulary_coverage(
-    df: DataFrame, text_col: str = "text", min_freq: int = 1, persist: bool = True
+    df: DataFrame, text_col: str = "text", min_freq: int = 1, persist: bool = False
 ) -> DataFrame:
     """Corpus vocabulary with coverage curve: every distinct token's
     frequency, global frequency rank, and the cumulative fraction of all
@@ -897,8 +899,11 @@ def vocabulary_coverage(
     single division of exact BIGINTs (quantized).
 
     ``persist=True`` memo-persists the rank's windowed table (shared
-    ``events._RANK_CACHE``) so the corpus-wide token explode+count
-    computes once, not once per rank reference.
+    ``events._RANK_CACHE``). Default OFF by measurement: persisting the
+    full token-vocabulary table costs MORE than recomputing the
+    explode+count per rank reference (probe_r10 rank_memo_ab: 0.97x at
+    sf0.1, 0.85x at x16 — the one lane where the persisted table grows
+    with the vocabulary, not the doc count).
     """
     from billing_etl_v1_spark.operators.events import (
         _RANK_CACHE,
@@ -929,7 +934,7 @@ def vocabulary_coverage(
 
 
 def ccnet_buckets(
-    df: DataFrame, text_col: str = "text", persist: bool = True
+    df: DataFrame, text_col: str = "text", persist: bool = False
 ) -> DataFrame:
     """CCNet's head/middle/tail partition, model-free: rank every document
     by corpus-frequency fluency (the perplexity proxy of
@@ -942,8 +947,10 @@ def ccnet_buckets(
     The global ordering uses the two-phase distributed rank (no
     single-task sort); the third-assignment is exact integer arithmetic
     off (rank, n). ``persist=True`` memo-persists the rank's windowed
-    table (shared ``events._RANK_CACHE``) so the bigram_fluency upstream
-    — the costliest stage — computes once, not once per rank reference.
+    table (shared ``events._RANK_CACHE``). Default OFF by measurement:
+    1.04-1.11x at sf0.1/x16 (probe_r10 rank_memo_ab) — a wash; the
+    bigram_fluency cost sits in shuffle stages the re-references appear
+    to amortize already, so the persist buys ~nothing here.
     """
     from billing_etl_v1_spark.operators.events import (
         _RANK_CACHE,

@@ -1065,13 +1065,16 @@ def concurrency_ab(replication: int = 16) -> None:
     spark.stop()
 
 
-def rank_memo_ab() -> None:
+def rank_memo_ab(replication: int = 16) -> None:
     """A/B the shared rank memo (``events._RANK_CACHE``) across the four
     registered queries that opted in after the concurrency-profile
     finding: fresh-execution cost with persist off vs on, interleaved
-    median-of-3 with the cache released between runs, at sf0.1. Prints
-    one JSON line to merge under probe_r{N}.json
-    engine_ext.rank_memo_ab."""
+    median-of-3 with the cache released between runs — at sf0.1 AND at
+    xN replication, because the memo's payoff is upstream-cost-relative:
+    the persisted table is stats-sized (one small row per doc/token/
+    event) at every scale, while the tripled upstream grows with the
+    data, so the sf0.1 verdict alone would under-price it. Prints one
+    JSON line to merge under probe_r{N}.json engine_ext.rank_memo_ab."""
     from bench import _load_stamp, _quiet_gate
     from billing_etl_v1_spark.operators import events as event_ops
     from billing_etl_v1_spark.operators import text as text_ops
@@ -1084,38 +1087,42 @@ def rank_memo_ab() -> None:
 
     ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    lanes = [
-        ("events_value_deciles", lambda p: event_ops.value_deciles(ev, persist=p)),
-        (
-            "docs_quality_percentiles",
-            lambda p: text_ops.quality_percentiles(docs, persist=p),
-        ),
-        ("docs_vocabulary", lambda p: text_ops.vocabulary_coverage(docs, persist=p)),
-        ("docs_ccnet_buckets", lambda p: text_ops.ccnet_buckets(docs, persist=p)),
-    ]
+    ev_big = _replicate_events(ev, replication).localCheckpoint()
+    docs_big = _replicate_docs(docs, replication).localCheckpoint()
     out = {
         "protocol": "median3-fresh-executions interleaved off/on, cache released between",
-        "sf": 0.1,
     }
-    for name, build in lanes:
-        runs = {False: [], True: []}
-        for _ in range(3):
-            for persist in (False, True):
-                event_ops.release_rank_cache(spark)
-                runs[persist].append(_noop(build(persist)))
-        event_ops.release_rank_cache(spark)
-        arms = {
-            ("persist_on" if p else "persist_off"): {
-                "runs_sec": runs[p],
-                "sec": sorted(runs[p])[1],
+    for scale, e, d in [("sf0.1", ev, docs), (f"sf0.1 x{replication}", ev_big, docs_big)]:
+        lanes = [
+            ("events_value_deciles", lambda p: event_ops.value_deciles(e, persist=p)),
+            (
+                "docs_quality_percentiles",
+                lambda p: text_ops.quality_percentiles(d, persist=p),
+            ),
+            ("docs_vocabulary", lambda p: text_ops.vocabulary_coverage(d, persist=p)),
+            ("docs_ccnet_buckets", lambda p: text_ops.ccnet_buckets(d, persist=p)),
+        ]
+        res = {}
+        for name, build in lanes:
+            runs = {False: [], True: []}
+            for _ in range(3):
+                for persist in (False, True):
+                    event_ops.release_rank_cache(spark)
+                    runs[persist].append(_noop(build(persist)))
+            event_ops.release_rank_cache(spark)
+            arms = {
+                ("persist_on" if p else "persist_off"): {
+                    "runs_sec": runs[p],
+                    "sec": sorted(runs[p])[1],
+                }
+                for p in (False, True)
             }
-            for p in (False, True)
-        }
-        speedup = arms["persist_off"]["sec"] / max(arms["persist_on"]["sec"], 1e-9)
-        out[name] = {**arms, "speedup": round(speedup, 2)}
-        print(f"# {name}: x{speedup:.2f} speedup from rank memo "
-              f"(off {arms['persist_off']['runs_sec']}, "
-              f"on {arms['persist_on']['runs_sec']})", file=sys.stderr)
+            speedup = arms["persist_off"]["sec"] / max(arms["persist_on"]["sec"], 1e-9)
+            res[name] = {**arms, "speedup": round(speedup, 2)}
+            print(f"# {scale} {name}: x{speedup:.2f} speedup from rank memo "
+                  f"(off {arms['persist_off']['runs_sec']}, "
+                  f"on {arms['persist_on']['runs_sec']})", file=sys.stderr)
+        out[scale] = res
     out["load_before"] = load_before
     load_after = _load_stamp()
     out["load_after"] = load_after
@@ -1133,6 +1140,7 @@ if __name__ == "__main__":
         argv = [a for a in sys.argv[1:] if a != "--concurrency-ab"]
         concurrency_ab(int(argv[0]) if argv else 16)
     elif "--rank-memo-ab" in sys.argv:
-        rank_memo_ab()
+        argv = [a for a in sys.argv[1:] if a != "--rank-memo-ab"]
+        rank_memo_ab(int(argv[0]) if argv else 16)
     else:
         main()
