@@ -142,10 +142,25 @@ def _load_stamp() -> dict:
         with open("/proc/stat") as fh:
             parts = fh.readline().split()
         stamp["cpu_steal_ticks"] = int(parts[8])
-        stamp["cpu_total_ticks"] = sum(int(x) for x in parts[1:])
+        # fields 1..8 only (user nice system idle iowait irq softirq
+        # steal): the kernel folds guest/guest_nice (fields 9-10) into
+        # user/nice already, so summing them too double-counts guest time
+        # and DEFLATES the steal share (review finding)
+        stamp["cpu_total_ticks"] = sum(int(x) for x in parts[1:9])
     except (OSError, ValueError, IndexError):
         pass
     return stamp
+
+
+def _steal_share(before: dict, after: dict) -> float | None:
+    """Fraction of all vCPU capacity the hypervisor stole between two
+    _load_stamp calls — the environment-vs-code discriminator loadavg
+    cannot see. One definition shared by bench and every probe lane."""
+    if "cpu_steal_ticks" not in before or "cpu_steal_ticks" not in after:
+        return None
+    dt = after["cpu_total_ticks"] - before["cpu_total_ticks"]
+    ds = after["cpu_steal_ticks"] - before["cpu_steal_ticks"]
+    return round(ds / dt, 4) if dt > 0 else None
 
 
 def _quiet_gate() -> dict:
@@ -159,7 +174,7 @@ def _quiet_gate() -> dict:
     until it drops below the threshold (default 0.5, override with
     $SPARK_GRAFT_LOAD_GATE; <=0 disables — stamped in the JSON so a
     disabled gate is visible, never silent). After the wait cap
-    (default 600s, $SPARK_GRAFT_LOAD_GATE_WAIT) it FAILS LOUDLY rather
+    (default 2400s, $SPARK_GRAFT_LOAD_GATE_WAIT) it FAILS LOUDLY rather
     than committing another self-convicting artifact.
     """
     threshold = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "0.5"))
@@ -167,14 +182,13 @@ def _quiet_gate() -> dict:
     # r9: also gate on the 5-minute average. Two r9 recordings passed the
     # loadavg1-only gate right after heavy jobs finished (loadavg1 0.01
     # but loadavg5 1.0-2.8) and drifted +20-50% on sub-0.5s queries; the
-    # clean recording started at loadavg5 0.09. r10: tightened 4x -> 3x —
-    # the r9 DRIVER recording started at loadavg5 1.91, slid under the 2.0
-    # bar, and still read 5% hot with 16 queries >20% (the judge's one
-    # cosmetic finding). 1.5 would have blocked it. loadavg5 decays on a
-    # ~5-min time constant, so the wait cap doubles to 1200s (env
-    # overridable) to let a post-correctness-sweep machine drain rather
-    # than fail the recording outright; the --ab adjudication remains the
-    # backstop for anything that still slips through.
+    # clean recording started at loadavg5 0.09 (the r9 DRIVER recording
+    # started at loadavg5 1.91, slid under the then-4x bar, and still
+    # read 5% hot with 16 queries >20% — the judge's one cosmetic
+    # finding). loadavg decays e-fold per its window, so the wait cap
+    # default is 2400s (env overridable) to let a post-correctness-sweep
+    # machine drain rather than fail the recording outright; the --ab
+    # adjudication remains the backstop for anything that slips through.
     # r10 calibrated the 5- and 15-minute bars from four same-day
     # recordings of identical code:
     #   0.07/0.17/1.90 -> +40% hot (the 27-min pytest 17 min earlier)
@@ -247,8 +261,16 @@ def _drifted_names(timings: dict[str, float], base: dict[str, float]) -> list[st
 def _ab_verdict(rerun_best: float, baseline_sec: float) -> str:
     """load-drift: the best HEAD re-run reaches within 20% of baseline —
     HEAD can still hit the old speed, so the recorded number was
-    environment. regression: even the best re-run stays >20% over."""
-    return "load-drift" if rerun_best <= baseline_sec * DRIFT_RATIO else "regression"
+    environment. regression: even the best re-run stays >20% over.
+    The 50 ms absolute floor applies exactly as in _drifted_names: a
+    residual the flagging rule calls noise must not convict either
+    (review finding — a sub-noise-floor best re-run used to stamp
+    'regression' on a move the protocol itself defines as noise)."""
+    within = (
+        rerun_best <= baseline_sec * DRIFT_RATIO
+        or rerun_best - baseline_sec <= DRIFT_ABS_SEC
+    )
+    return "load-drift" if within else "regression"
 
 
 def _session_suspect(n_drifted: int, n_compared: int) -> bool:
@@ -313,7 +335,11 @@ def _adjudicate(
     exonerated = {
         n: min(samples[n])
         for n in drifted
-        if n in samples and min(samples[n]) <= base[n] * DRIFT_RATIO
+        if n in samples
+        and (
+            min(samples[n]) <= base[n] * DRIFT_RATIO
+            or min(samples[n]) - base[n] <= DRIFT_ABS_SEC  # same noise floor
+        )
     }
     drifted = [n for n in drifted if n not in exonerated]
     for n, best in exonerated.items():
@@ -394,7 +420,10 @@ def _ab_baseline(argv: list[str]) -> str | None:
     missing file) disables."""
     ab_path = "bench_snapshot.json"
     if "--ab" in argv:
-        ab_path = argv[argv.index("--ab") + 1]
+        i = argv.index("--ab")
+        if i + 1 >= len(argv):  # trailing --ab: usage error, not a traceback
+            raise SystemExit("usage: bench.py [--ab BASELINE_JSON|none]")
+        ab_path = argv[i + 1]
     if ab_path.lower() == "none" or not os.path.exists(ab_path):
         return None
     return ab_path
@@ -462,11 +491,7 @@ def main() -> None:
         else None
     )
     load_after = _load_stamp()
-    steal_share = None
-    if "cpu_steal_ticks" in load_before and "cpu_steal_ticks" in load_after:
-        dt = load_after["cpu_total_ticks"] - load_before["cpu_total_ticks"]
-        ds = load_after["cpu_steal_ticks"] - load_before["cpu_steal_ticks"]
-        steal_share = round(ds / dt, 4) if dt > 0 else None
+    steal_share = _steal_share(load_before, load_after)
     print(
         json.dumps(
             {

@@ -373,6 +373,9 @@ def concurrency_profile(
     range-shuffle/windows compute ONCE instead of three times (r10; one
     events scan in the plan, pinned by tests/test_scale_posture.py).
     Call :func:`release_boundary_cache` between pipeline generations.
+    ``persist_net`` applies to the GLOBAL path only: the keyed path is a
+    single key-partitioned window pass with nothing referenced twice, so
+    there is nothing to persist and the flag is a documented no-op there.
     NULL/malformed intervals are excluded as in :func:`interval_join`.
     """
     from billing_etl_v1_spark.operators.events import distributed_total_rank

@@ -102,6 +102,12 @@ def _ppm_decode(payload: bytes):
             pos += 1
         tokens.append(payload[start:pos])
     w, h, maxval = (int(t) for t in tokens)
+    if w <= 0 or h <= 0:
+        # a zero/negative dimension would pass the raster-length check
+        # (3*0*h == 0 == len of empty raster) and surface downstream as a
+        # ZeroDivisionError in the resize scale math / a numpy zero-size
+        # reduction in the feature lane (review finding) — reject here
+        raise ValueError(f"non-positive PPM dimensions {w}x{h}")
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval} (only 255)")
     pos += 1  # exactly one whitespace byte separates header from raster
@@ -173,6 +179,32 @@ def _decode_payload(payload: bytes, media_type: str, fake: bool) -> list[float]:
     )
 
 
+def _decode_or_null(payload, media_type: str, fake: bool):
+    """Per-row guard implementing _ppm_decode's documented contract: a
+    MALFORMED payload (ValueError — truncated raster, bad header, zero
+    dimensions) is routine corrupt data at scale and maps to NULL
+    features, never a task crash. NotImplementedError (missing optional
+    decoder — an ENVIRONMENT problem, identical for every row) still
+    propagates loudly."""
+    if payload is None:
+        return None
+    try:
+        return _decode_payload(payload, media_type, fake)
+    except ValueError:
+        return None
+
+
+def _resize_or_null(payload, media_type: str, target_len: int, fake: bool):
+    """Per-row malformed-payload guard for the resize lane — same contract
+    as :func:`_decode_or_null`."""
+    if payload is None:
+        return None
+    try:
+        return _resize_payload(payload, media_type, target_len, fake)
+    except ValueError:
+        return None
+
+
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over (doc_id, media_type, payload).
 
@@ -193,7 +225,7 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
                         dtype="Int32",
                     ),
                     "features": [
-                        None if p is None else _decode_payload(p, m, fake)
+                        _decode_or_null(p, m, fake)
                         for p, m in zip(pdf["payload"], pdf["media_type"])
                     ],
                 }
@@ -332,7 +364,7 @@ def resize_payload(df: DataFrame, target_len: int = 64, fake: bool = True) -> Da
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             resized = [
-                _resize_payload(p, m, target_len, fake)
+                _resize_or_null(p, m, target_len, fake)
                 for p, m in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame(

@@ -1012,7 +1012,7 @@ def concurrency_ab(replication: int = 16) -> None:
     profile. Prints one JSON line to merge under
     probe_r{N}.json engine_ext.concurrency_profile_memo_ab.
     """
-    from bench import _load_stamp, _quiet_gate
+    from bench import _load_stamp, _quiet_gate, _steal_share
     from billing_etl_v1_spark.operators import intervals as iv_ops
     from billing_etl_v1_spark.session import get_spark
 
@@ -1056,10 +1056,7 @@ def concurrency_ab(replication: int = 16) -> None:
     out["load_before"] = load_before
     load_after = _load_stamp()
     out["load_after"] = load_after
-    if "cpu_steal_ticks" in load_before and "cpu_steal_ticks" in load_after:
-        dt = load_after["cpu_total_ticks"] - load_before["cpu_total_ticks"]
-        ds = load_after["cpu_steal_ticks"] - load_before["cpu_steal_ticks"]
-        out["cpu_steal_share"] = round(ds / dt, 4) if dt > 0 else None
+    out["cpu_steal_share"] = _steal_share(load_before, load_after)
     out["quiet_gate"] = gate
     print(json.dumps({"concurrency_profile_memo_ab": out}))
     spark.stop()
@@ -1075,7 +1072,7 @@ def rank_memo_ab(replication: int = 16) -> None:
     event) at every scale, while the tripled upstream grows with the
     data, so the sf0.1 verdict alone would under-price it. Prints one
     JSON line to merge under probe_r{N}.json engine_ext.rank_memo_ab."""
-    from bench import _load_stamp, _quiet_gate
+    from bench import _load_stamp, _quiet_gate, _steal_share
     from billing_etl_v1_spark.operators import events as event_ops
     from billing_etl_v1_spark.operators import text as text_ops
     from billing_etl_v1_spark.session import get_spark
@@ -1126,10 +1123,7 @@ def rank_memo_ab(replication: int = 16) -> None:
     out["load_before"] = load_before
     load_after = _load_stamp()
     out["load_after"] = load_after
-    if "cpu_steal_ticks" in load_before and "cpu_steal_ticks" in load_after:
-        dt = load_after["cpu_total_ticks"] - load_before["cpu_total_ticks"]
-        ds = load_after["cpu_steal_ticks"] - load_before["cpu_steal_ticks"]
-        out["cpu_steal_share"] = round(ds / dt, 4) if dt > 0 else None
+    out["cpu_steal_share"] = _steal_share(load_before, load_after)
     out["quiet_gate"] = gate
     print(json.dumps({"rank_memo_ab": out}))
     spark.stop()

@@ -64,6 +64,8 @@ def main() -> int:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):  # trailing --json: usage error, not a traceback
+            raise SystemExit("usage: strict_check.py [--json OUT.json] [N] [names...]")
         json_out = argv[i + 1]
         del argv[i : i + 2]
     n = int(argv[0]) if argv else 50

@@ -50,6 +50,11 @@ def test_ab_verdict():
     assert bench._ab_verdict(rerun_best=1.1, baseline_sec=1.0) == "load-drift"
     assert bench._ab_verdict(rerun_best=1.2, baseline_sec=1.0) == "load-drift"
     assert bench._ab_verdict(rerun_best=1.21, baseline_sec=1.0) == "regression"
+    # the 50 ms noise floor applies to conviction exactly as to flagging
+    # (review finding): a sub-floor residual on a small query is noise by
+    # the protocol's own definition and must not stamp 'regression'
+    assert bench._ab_verdict(rerun_best=0.245, baseline_sec=0.2) == "load-drift"
+    assert bench._ab_verdict(rerun_best=0.251, baseline_sec=0.2) == "regression"
 
 
 def test_adjudicate_warm_min_self_exoneration(tmp_path):
@@ -88,6 +93,17 @@ def test_load_stamp_carries_steal_ticks():
     if os.path.exists("/proc/stat"):  # linux
         assert stamp["cpu_steal_ticks"] >= 0
         assert stamp["cpu_total_ticks"] > 0
+
+
+def test_steal_share_shared_definition():
+    """One _steal_share definition serves bench and every probe lane
+    (review finding: the 5-line tick arithmetic was copy-pasted three
+    times and could silently diverge)."""
+    b = {"cpu_steal_ticks": 100, "cpu_total_ticks": 10_000}
+    a = {"cpu_steal_ticks": 150, "cpu_total_ticks": 11_000}
+    assert bench._steal_share(b, a) == 0.05
+    assert bench._steal_share({}, a) is None  # stamp failed -> no claim
+    assert bench._steal_share(b, b) is None  # zero elapsed ticks
 
 
 def test_session_suspect_breadth():

@@ -128,3 +128,40 @@ def test_real_lane_null_payload_and_non_image(spark):
             "doc_id long, media_type string, payload binary",
         )
         mm.extract_features(bad, fake=False).collect()
+
+
+def test_ppm_decode_rejects_zero_dimensions():
+    """A 0xN header passes the raster-length check (3*0*N == 0) and used to
+    crash downstream — ZeroDivisionError in the resize scale math, numpy
+    zero-size reduction in the feature lane (review finding)."""
+    with pytest.raises(ValueError, match="non-positive"):
+        mm._ppm_decode(b"P6\n0 5\n255\n")
+    with pytest.raises(ValueError, match="non-positive"):
+        mm._ppm_decode(b"P6\n5 0\n255\n")
+
+
+def test_malformed_payload_is_per_row_null_not_task_crash(spark):
+    """One corrupt blob among good ones is routine at scale: the documented
+    contract is NULL output for that ROW, never a mapInPandas task failure
+    (review finding — the ValueError used to escape the Arrow worker and
+    abort the whole job). Environment problems (no decoder for the media
+    type) still fail loudly — tested above."""
+    good_payload, good_arr = _ppm(6, 4, seed=30)
+    truncated = good_payload[:-1]
+    zero_dim = b"P6\n0 5\n255\n"
+    df = _payload_df(spark, [good_payload, truncated, zero_dim])
+
+    feats = {r.doc_id: r for r in mm.extract_features(df, fake=False).collect()}
+    assert feats[0].features is not None
+    assert feats[0].features[0] == 6.0 and feats[0].features[1] == 4.0
+    assert feats[1].features is None  # truncated raster -> NULL, job alive
+    assert feats[2].features is None  # zero-dim header -> NULL, job alive
+    # byte_len describes the ORIGINAL payload and stays real for corrupt rows
+    assert feats[1].byte_len == len(truncated)
+
+    sized = {r.doc_id: r for r in mm.resize_payload(df, 3, fake=False).collect()}
+    assert sized[0].resized is not None
+    assert mm._ppm_decode(bytes(sized[0].resized)).shape[2] == 3
+    assert sized[1].resized is None and sized[1].resized_len is None
+    assert sized[2].resized is None
+    assert sized[1].orig_len == len(truncated)
