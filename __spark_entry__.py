@@ -1058,13 +1058,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Order matters: the driver's correctness harness checks the FIRST 50
     entries only; rotation policy is "every query's latest verdict <= 2
-    rounds old" (age = current round − verdict round). Round 10's
-    window: exactly the 50 entries whose latest verdict is r7 (age 3 if
-    skipped — the mechanically mandatory lead set the r9 VERDICT names;
+    rounds old" (age = current round − verdict round). Round 11's
+    window: exactly the 50 entries whose latest verdict is r8 (age 3 if
+    skipped — the mechanically mandatory lead set the r10 VERDICT names;
     tests/test_rotation_policy.py re-derives it from the
     CORRECTNESS_r*.json artifacts and goes red if any is missing). This
-    is the first window of the pure steady-state 3-cycle: no new
-    queries, just the age-ordered rotation of the closed registry.
+    is window 2 of the pure steady-state 3-cycle: no new queries, just
+    the age-ordered rotation of the closed registry.
 
     THE REGISTRY IS NOW CLOSED AT 150 — a deliberate budget decision,
     not drift: the driver window is 50/round and the 3-round max-age
@@ -1078,9 +1078,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     discipline, run by the judge) — the driver registry is closed, the
     verification discipline is not.
 
-    Below the fold: the 50 r8-verdict entries (age 2 at round 11 —
-    round 11's mandatory leads), then the 50 r9-verdict entries (round
-    12's leads); both blocks kept contiguous so each rotation is a
+    Below the fold: the 50 r9-verdict entries (age 2 at round 12 —
+    round 12's mandatory leads), then the 50 r10-verdict entries (round
+    13's leads); both blocks kept contiguous so each rotation is a
     copy-paste. Everything below the fold still runs in the local
     parity mirror (tests/test_oracle_parity.py), and the FULL registry
     is strict-verified dtype-exact vs its oracles at sf0.01 each round
@@ -1090,62 +1090,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     parity-mirrored.
     """
     return {
-        # --- ROUND-10 WINDOW (first 50; driver checks only these) ---
-        # the 50 entries whose latest verdict is r7 (age 3 if skipped) —
-        # the policy-mandatory leads, exactly the set the r9 VERDICT
-        # names; steady-state 3-cycle, window 1 of 3:
-        "events_salted_user_join": _q_events_salted_join,
-        "multimodal_frame_sample": _q_multimodal_frames,
-        "multimodal_resize": _q_multimodal_resize,
-        "billing_cube": _q_billing_cube,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        "docs_repetition": _q_docs_repetition,
-        "docs_quality_corpus": _q_quality_corpus,
-        "docs_pagerank": _q_docs_pagerank,
-        "docs_train_split": _q_docs_train_split,
-        "docs_shard_manifest": _q_docs_shard_manifest,
-        "docs_quality_percentiles": _q_docs_quality_percentiles,
-        "events_transitions": _q_events_transitions,
-        "docs_training_corpus": _q_docs_training_corpus,
-        "docs_vocabulary": _q_docs_vocabulary,
-        "events_hll_merge": _q_events_hll_merge,
-        "events_key_skew": _q_events_key_skew,
-        "billing_forecast": _q_billing_forecast,
-        "docs_cluster_quality": _q_docs_cluster_quality,
-        "events_session_funnel": _q_events_session_funnel,
-        "docs_ccnet_buckets": _q_docs_ccnet_buckets,
-        "events_gap_regularity": _q_events_gap_regularity,
-        "docs_pack_blocks": _q_docs_pack_blocks,
-        "docs_lang_confusion": _q_docs_lang_confusion,
-        "billing_unit_price": _q_billing_unit_price,
-        "docs_source_mix": _q_docs_source_mix,
-        "events_dau_wau": _q_events_dau_wau,
-        "billing_statement": _q_billing_statement,
-        "events_hourly_profile": _q_events_hourly_profile,
-        "billing_weekday_profile": _q_billing_weekday_profile,
-        "events_top_paths": _q_events_top_paths,
-        "events_funnel": _q_events_funnel,
-        "events_retention": _q_events_retention,
-        "multimodal_meta": _q_multimodal_meta,
-        "docs_decontaminate": _q_docs_decontaminate,
-        "docs_bigram_fluency": _q_docs_fluency,
-        "dedup_ngram_jaccard": _q_dedup_jaccard,
-        "docs_unigram_vocab": _q_docs_unigram_vocab,
-        "docs_unigram_tokens": _q_docs_unigram_tokens,
-        "docs_unigram_fertility": _q_docs_unigram_fertility,
-        "docs_unigram_seq": _q_docs_unigram_seq,
-        "docs_unigram_pack_ids": _q_docs_unigram_pack_ids,
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q6": _q_tpch_q6,
-        "tpch_q18": _q_tpch_q18,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "sim_topk_ivf": _q_sim_ivf,
-        "sim_topk_quantized": _q_sim_topk_quantized,
-        "docs_tfidf_top_terms": _q_docs_tfidf,
-        "docs_chunk": _q_docs_chunk,
-        # --- below the driver fold (local parity still runs ALL) ---
-        # 50 r8-verdict entries (age 1) — round 11's mandatory leads:
+        # --- ROUND-11 WINDOW (first 50; driver checks only these) ---
+        # the 50 entries whose latest verdict is r8 (age 3 if skipped) —
+        # the policy-mandatory leads the r10 VERDICT names; steady-state
+        # 3-cycle, window 2 of 3:
         "events_sessionize": _q_events_sessionize,
         "events_user_trend": _q_user_trend,
         "events_attribution": _q_events_attribution,
@@ -1196,7 +1144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder_stats": _q_events_zorder_stats,
         "billing_flagship_production": _flagship(None, "pipeline"),
         "billing_source_agg_detail": _q_source_agg_detail,
-        # 50 r9-verdict entries (age 0) — round 12's mandatory leads:
+        # --- below the driver fold (local parity still runs ALL) ---
+        # 50 r9-verdict entries (age 2 at round 12) — round 12's mandatory leads:
         "billing_credits_pivot": _q_credits_pivot,
         "billing_rule_match": _q_rule_match,
         "dedup_semantic": _q_dedup_semantic,
@@ -1249,6 +1198,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the registry is CLOSED at 150, see docstring):
         "events_session_purchase_left": _q_events_session_purchase_left,
         "events_concurrency_profile": _q_events_concurrency_profile,
+        # 50 r10-verdict entries (age 1) — round 13's mandatory leads:
+        "events_salted_user_join": _q_events_salted_join,
+        "multimodal_frame_sample": _q_multimodal_frames,
+        "multimodal_resize": _q_multimodal_resize,
+        "billing_cube": _q_billing_cube,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "docs_repetition": _q_docs_repetition,
+        "docs_quality_corpus": _q_quality_corpus,
+        "docs_pagerank": _q_docs_pagerank,
+        "docs_train_split": _q_docs_train_split,
+        "docs_shard_manifest": _q_docs_shard_manifest,
+        "docs_quality_percentiles": _q_docs_quality_percentiles,
+        "events_transitions": _q_events_transitions,
+        "docs_training_corpus": _q_docs_training_corpus,
+        "docs_vocabulary": _q_docs_vocabulary,
+        "events_hll_merge": _q_events_hll_merge,
+        "events_key_skew": _q_events_key_skew,
+        "billing_forecast": _q_billing_forecast,
+        "docs_cluster_quality": _q_docs_cluster_quality,
+        "events_session_funnel": _q_events_session_funnel,
+        "docs_ccnet_buckets": _q_docs_ccnet_buckets,
+        "events_gap_regularity": _q_events_gap_regularity,
+        "docs_pack_blocks": _q_docs_pack_blocks,
+        "docs_lang_confusion": _q_docs_lang_confusion,
+        "billing_unit_price": _q_billing_unit_price,
+        "docs_source_mix": _q_docs_source_mix,
+        "events_dau_wau": _q_events_dau_wau,
+        "billing_statement": _q_billing_statement,
+        "events_hourly_profile": _q_events_hourly_profile,
+        "billing_weekday_profile": _q_billing_weekday_profile,
+        "events_top_paths": _q_events_top_paths,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "multimodal_meta": _q_multimodal_meta,
+        "docs_decontaminate": _q_docs_decontaminate,
+        "docs_bigram_fluency": _q_docs_fluency,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "docs_unigram_vocab": _q_docs_unigram_vocab,
+        "docs_unigram_tokens": _q_docs_unigram_tokens,
+        "docs_unigram_fertility": _q_docs_unigram_fertility,
+        "docs_unigram_seq": _q_docs_unigram_seq,
+        "docs_unigram_pack_ids": _q_docs_unigram_pack_ids,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q18": _q_tpch_q18,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "sim_topk_ivf": _q_sim_ivf,
+        "sim_topk_quantized": _q_sim_topk_quantized,
+        "docs_tfidf_top_terms": _q_docs_tfidf,
+        "docs_chunk": _q_docs_chunk,
     }
 
 
