@@ -88,42 +88,17 @@ def dq_audit(calculated: DataFrame, grain: list[str] | None = None) -> DataFrame
     Checks: NULL required keys, negative money, mode outside 0..4,
     mode-4 rows with price=0 AND nonzero discount_amount (the zero-price
     guard must zero the credit part, calculate/service.py:93), and
-    duplicate physical grain. One pass: every check is a conditional
-    count in a single aggregate, plus one grain-duplicate subquery —
-    2 shuffles total regardless of check count.
+    duplicate physical grain. ONE computation of the input: the grain
+    groupBy carries the conditional check sums alongside the per-grain
+    row count, a global rollup folds both, and ``stack()`` melts the
+    single total row to (check, violations) rows. The r10 form melted
+    via 4 chained ``unionAll`` of the same 1-row aggregate plus a
+    separate duplicate subquery — Catalyst shares no subtrees across
+    union branches, so the full upstream pipeline was computed 5×
+    (billing_dq_audit planned 45 parquet scans, 5× the flagship DAG);
+    this form plans the flagship's own scan count and 2 shuffles, both
+    pinned by tests/test_scale_posture.py.
     """
-    c = F.count(F.lit(1))
-    # every sum coalesced: F.sum over an EMPTY frame is NULL, and a gate
-    # asserting violations == 0 on a zero-row month would mis-evaluate
-    z = lambda col, name: F.coalesce(F.sum(col.cast("long")), F.lit(0)).alias(name)  # noqa: E731
-    checks = calculated.agg(
-        z(
-            (
-                F.col("invoice_month").isNull()
-                | F.col("billing_account_id").isNull()
-                | F.col("usage_day").isNull()
-            ),
-            "null_required_keys",
-        ),
-        z(F.col("cost") < 0, "negative_cost"),
-        z((F.col("mode") < 0) | (F.col("mode") > 4), "mode_out_of_range"),
-        # the zero-price guard's failure mode is division fallout in
-        # discount_amount (credit_part / price). The naive post-conform
-        # form "price = 0 AND discount_amount != 0" flags CORRECT rows:
-        # a NULL dim price legitimately prices at the mode-4 default 1.0
-        # (nonzero discount_amount) and conform then collapses the NULL
-        # price to 0.0 — indistinguishable from an explicit zero here.
-        # So the check targets what a real leak produces: non-finite
-        # discount_amount on a mode-4 row (review finding).
-        z(
-            (F.col("mode") == 4)
-            & (
-                F.isnan("discount_amount")
-                | (F.abs("discount_amount") == float("inf"))
-            ),
-            "mode4_zero_price_leak",
-        ),
-    )
     # duplicate detection must run at the grain the frame is actually at —
     # auditing detail-grain output against the coarser production grain
     # reports legitimate detail rows as duplicates
@@ -135,26 +110,48 @@ def dq_audit(calculated: DataFrame, grain: list[str] | None = None) -> DataFrame
     from billing_etl_v1_spark.operators.aggregate import DETAIL_KEYS
 
     grain = grain or DETAIL_KEYS
-    dup = (
-        calculated.groupBy(*grain)
-        .agg(c.alias("__n"))
-        .filter(F.col("__n") > 1)
-        .agg(F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).alias("duplicate_grain_rows"))
+    conds = {
+        "null_required_keys": (
+            F.col("invoice_month").isNull()
+            | F.col("billing_account_id").isNull()
+            | F.col("usage_day").isNull()
+        ),
+        "negative_cost": F.col("cost") < 0,
+        "mode_out_of_range": (F.col("mode") < 0) | (F.col("mode") > 4),
+        # the zero-price guard's failure mode is division fallout in
+        # discount_amount (credit_part / price). The naive post-conform
+        # form "price = 0 AND discount_amount != 0" flags CORRECT rows:
+        # a NULL dim price legitimately prices at the mode-4 default 1.0
+        # (nonzero discount_amount) and conform then collapses the NULL
+        # price to 0.0 — indistinguishable from an explicit zero here.
+        # So the check targets what a real leak produces: non-finite
+        # discount_amount on a mode-4 row (review finding).
+        "mode4_zero_price_leak": (F.col("mode") == 4)
+        & (F.isnan("discount_amount") | (F.abs("discount_amount") == float("inf"))),
+    }
+    per_grain = calculated.groupBy(*grain).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(cond.cast("long")).alias(name) for name, cond in conds.items()],
     )
-    melted = None
-    for col in [
-        "null_required_keys",
-        "negative_cost",
-        "mode_out_of_range",
-        "mode4_zero_price_leak",
-    ]:
-        one = checks.select(F.lit(col).alias("check"), F.col(col).alias("violations"))
-        melted = one if melted is None else melted.unionAll(one)
-    dup_row = dup.select(
-        F.lit("duplicate_grain_rows").alias("check"),
-        F.col("duplicate_grain_rows").alias("violations"),
+    # every sum coalesced: F.sum over an EMPTY frame is NULL, and a gate
+    # asserting violations == 0 on a zero-row month would mis-evaluate
+    totals = per_grain.agg(
+        *[
+            F.coalesce(F.sum(name), F.lit(0)).cast("long").alias(name)
+            for name in conds
+        ],
+        F.coalesce(F.sum(F.when(F.col("__n") > 1, F.col("__n") - 1)), F.lit(0))
+        .cast("long")
+        .alias("duplicate_grain_rows"),
     )
-    return melted.unionAll(dup_row)
+    # melt the 1-row total with stack() (the profile_columns idiom): ONE
+    # consumer of the aggregate, not five union branches; check names are
+    # module literals, never caller input, so the expr is injection-safe
+    checks = [*conds, "duplicate_grain_rows"]
+    pairs = ", ".join(f"'{name}', {name}" for name in checks)
+    return totals.select(
+        F.expr(f"stack({len(checks)}, {pairs})").alias("check", "violations")
+    )
 
 
 PROFILE_COLUMNS = [
