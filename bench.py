@@ -492,6 +492,36 @@ def main() -> None:
     )
     load_after = _load_stamp()
     steal_share = _steal_share(load_before, load_after)
+    # Keep the stdout headline line COMPACT (r10 lesson: the full
+    # adjudication block grew the one-line JSON past the driver's
+    # tail-capture window, so BENCH_r10.json carried only the tail of the
+    # line and parsed to nothing). The FULL block goes to a committed
+    # sidecar (bench_adjudication.json) + stderr; stdout carries only the
+    # self-describing summary: suspect flag, counts, and any queries whose
+    # best HEAD re-run still reads 'regression'.
+    adjudication_summary = None
+    if adjudication is not None:
+        sidecar = "bench_adjudication.json"
+        try:
+            with open(sidecar, "w") as fh:
+                json.dump(adjudication, fh, indent=1)
+        except OSError as exc:  # unwritable cwd: fall back to stderr only
+            print(f"# sidecar write failed ({exc}); full block:", file=sys.stderr)
+            sidecar = None
+        print(f"# adjudication: {json.dumps(adjudication)}", file=sys.stderr)
+        verdicts = adjudication["queries"]
+        adjudication_summary = {
+            "session_suspect": adjudication["session_suspect"],
+            "note": adjudication["note"],
+            "n_flagged": len(verdicts),
+            "n_regression": sum(
+                1 for v in verdicts.values() if v["verdict"] == "regression"
+            ),
+            "regressions": sorted(
+                n for n, v in verdicts.items() if v["verdict"] == "regression"
+            ),
+            "sidecar": sidecar,
+        }
     print(
         json.dumps(
             {
@@ -526,10 +556,13 @@ def main() -> None:
                 # clean by construction (unless stamped disabled)
                 "quiet_gate": gate,
                 # drift adjudication (VERDICT r9 #4): None when every query
-                # is within 20% of the committed snapshot; otherwise each
-                # >20%-slower query carries its interleaved HEAD re-runs
-                # and a load-drift/regression verdict — no prose-only A/B
-                "adjudication": adjudication,
+                # is within 20% of the committed snapshot; otherwise a
+                # COMPACT summary (suspect flag, flagged/regression counts,
+                # regression names) — the full per-query re-run evidence
+                # lives in the bench_adjudication.json sidecar + stderr so
+                # this line stays inside the driver's tail-capture window
+                # (r10: the inline block truncated the artifact)
+                "adjudication": adjudication_summary,
             }
         )
     )
