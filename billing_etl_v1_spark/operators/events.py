@@ -471,38 +471,86 @@ def funnel(events: DataFrame, steps: list[str] | None = None) -> DataFrame:
     windowless funnel definition — reference has no such operator class,
     SURVEY §2.11 extension).
 
-    Scale shape: one shuffle per step, all on user_id — Spark reuses the
-    hash partitioning across the chained aggregates, and each per-step
-    frame is one row per user, so every join after the first aggregate is
-    tiny relative to the event stream. Min timestamps are exact, so step
+    Scale shape (r11): ONE scan of the events (step-type isin pushed to
+    it) and ONE user_id shuffle — the step-reach times are per-user
+    constants computed as chained window aggregates, so no per-step
+    joins, no union recompute (the r10 chained-join form scanned events
+    6x; see _funnel_reach_counts). Min timestamps are exact, so step
     attribution is deterministic under any partitioning.
     """
     steps = steps or FUNNEL_STEPS
-    reach = (
-        events.filter(F.col("event_type") == steps[0])
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t0"))
+    return _funnel_reach_counts(
+        events.select("user_id", "ts", "event_type"), ["user_id"], steps, "users"
     )
-    counts = [(steps[0], reach)]
+
+
+def _funnel_reach_counts(
+    df: DataFrame, keys: list[str], steps: list[str], count_alias: str
+) -> DataFrame:
+    """Shared one-pass funnel engine for :func:`funnel` (user grain) and
+    :func:`session_funnel` (session grain).
+
+    r10 shape: step k's per-key frame chained a filter+join+groupBy onto
+    step k-1's, and the final per-step counts unioned ALL the chained
+    frames — Catalyst shares no subtrees across union branches, so the
+    event input was scanned 1+2+..+len(steps) times (6 scans, 8-9
+    exchanges for the 3-step faces). r11 shape: the step-reach times are
+    per-key constants, so they compute as chained window aggregates over
+    ONE key partition (t_k = min ts of type steps[k] strictly after
+    t_{k-1}; the chain stops at the first NULL), one row per key via the
+    co-partitioned groupBy, one global rollup, and inline() melts the
+    single total row — one scan (with the step-type isin pushed to it),
+    one data shuffle, no Union. Pinned by tests/test_scale_posture.py.
+
+    Two edges preserved from the join form exactly: a key whose step-0
+    events all carry NULL ts still counts at step 1 (the old groupBy
+    created the group with t0=NULL), and NULL keys never advance past
+    step 1 (the old inner joins dropped them).
+    """
+    w = Window.partitionBy(*keys)
+    typed = df.filter(F.col("event_type").isin(list(steps)))
+    staged = typed.withColumns(
+        {
+            "__r0": F.max((F.col("event_type") == steps[0]).cast("int")).over(w),
+            "__t0": F.min(
+                F.when(F.col("event_type") == steps[0], F.col("ts"))
+            ).over(w),
+        }
+    )
+    keys_nn = F.lit(True)
+    for k in keys:
+        keys_nn = keys_nn & F.col(k).isNotNull()
     for i, step in enumerate(steps[1:], start=1):
-        prev = counts[-1][1]
-        nxt = (
-            events.filter(F.col("event_type") == step)
-            .join(prev, "user_id")
-            .filter(F.col("ts") > F.col(f"t{i-1}"))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(f"t{i}"))
+        cond = (
+            (F.col("event_type") == step)
+            & (F.col("ts") > F.col(f"__t{i-1}"))
+            & keys_nn
         )
-        counts.append((step, nxt))
-    rows = None
-    for i, (step, df) in enumerate(counts):
-        one = df.agg(F.count(F.lit(1)).alias("users")).select(
-            F.lit(i + 1).cast("int").alias("step"),
-            F.lit(step).alias("event_type"),
-            "users",
-        )
-        rows = one if rows is None else rows.unionAll(one)
-    return rows
+        staged = staged.withColumn(f"__t{i}", F.min(F.when(cond, F.col("ts"))).over(w))
+    per_key = staged.groupBy(*keys).agg(
+        F.max("__r0").alias("__r0"),
+        *[F.max(f"__t{i}").alias(f"__t{i}") for i in range(1, len(steps))],
+    )
+    flags = [F.col("__r0") == 1] + [
+        F.col(f"__t{i}").isNotNull() for i in range(1, len(steps))
+    ]
+    totals = per_key.agg(
+        *[
+            F.coalesce(F.sum(fl.cast("long")), F.lit(0)).alias(f"__u{i}")
+            for i, fl in enumerate(flags)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("int").alias("step"),
+                F.lit(step).alias("event_type"),
+                F.col(f"__u{i}").alias(count_alias),
+            )
+            for i, step in enumerate(steps)
+        ]
+    )
+    return totals.select(F.inline(rows))
 
 
 def cohort_retention(events: DataFrame, bucket: str = "week") -> DataFrame:
@@ -707,39 +755,25 @@ def session_funnel(
     :func:`with_session_idx`; session counts per step come out as one
     tiny row per step.
 
-    Scale shape: the session assignment is the one user-keyed window
-    every session operator pays; each step refinement is a key-partitioned
-    aggregate + co-partitioned join (no new shuffle keys).
+    Scale shape (r11): the session assignment is the one user-keyed
+    window every session operator pays; the funnel itself adds NO new
+    shuffle — its (user_id, session_idx) windows and per-session rollup
+    are clustered by the session window's user_id partitioning (the r10
+    chained-join form scanned events 6x and shuffled 9x; see
+    _funnel_reach_counts).
     """
     steps = steps or FUNNEL_STEPS
     tagged = with_session_idx(events, gap_s).select(
         "user_id", "session_idx", "ts", "event_type"
     )
-    key = ["user_id", "session_idx"]
-    cur = (
-        tagged.filter(F.col("event_type") == steps[0])
-        .groupBy(*key)
-        .agg(F.min("ts").alias("t0"))
+    # the step-type filter applies AFTER session assignment (session_idx
+    # depends on every event's gap, not just step-type events) but BEFORE
+    # the funnel windows, inside _funnel_reach_counts; the funnel windows
+    # partition by (user_id, session_idx), which the session window's
+    # user_id hash partitioning already clusters — no second exchange
+    return _funnel_reach_counts(
+        tagged, ["user_id", "session_idx"], steps, "sessions"
     )
-    counts = [(steps[0], cur)]
-    for i, step in enumerate(steps[1:], start=1):
-        nxt = (
-            tagged.filter(F.col("event_type") == step)
-            .join(counts[-1][1], key)
-            .filter(F.col("ts") > F.col(f"t{i-1}"))
-            .groupBy(*key)
-            .agg(F.min("ts").alias(f"t{i}"))
-        )
-        counts.append((step, nxt))
-    rows = None
-    for i, (step, df) in enumerate(counts):
-        one = df.agg(F.count(F.lit(1)).alias("sessions")).select(
-            F.lit(i + 1).cast("int").alias("step"),
-            F.lit(step).alias("event_type"),
-            "sessions",
-        )
-        rows = one if rows is None else rows.unionAll(one)
-    return rows
 
 
 def gap_regularity_flags(

@@ -418,3 +418,19 @@ def test_dq_audits_compute_their_input_once(spark):
     corpus = plan_of(spark, "docs_dq_audit")
     assert len(nodes(corpus, "Scan parquet")) == 1, corpus[:2000]
     assert "Union" not in corpus
+
+
+def test_funnels_scan_events_once(spark):
+    """r11: the funnel faces compute step-reach as chained window
+    aggregates over one key partition instead of per-step filter+join
+    chains unioned per step (which scanned events 1+2+3 = 6x and
+    shuffled 8-9x — Catalyst shares no subtrees across union branches).
+    Pin: one events scan, no Union, no join nodes at all, and the
+    session face adds no exchange beyond the session window's user_id
+    hash (its (user_id, session_idx) windows are clustered by it)."""
+    for name in ("events_funnel", "events_session_funnel"):
+        plan = plan_of(spark, name)
+        assert len(nodes(plan, "Scan parquet")) == 1, (name, plan[:2000])
+        assert "Union" not in plan, name
+        assert "Join" not in plan, name
+        assert len(nodes(plan, "Exchange")) <= 2, (name, plan[:2000])
