@@ -214,12 +214,24 @@ def pack_shards(
 
 
 def _global_token_offsets(
-    df: DataFrame, key_col: str, text_col: str, salt: str
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    salt: str,
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Each document's EXCLUSIVE start offset on the deterministic
     hash-ordered token line — the distributed two-phase prefix sum shared
     by pack_shards (shard = start div budget) and pack_blocks (blocks may
-    split a document). Output: key, n_tokens, __start.
+    split a document). Output: [*extra_keys,] key, n_tokens, __start.
+
+    ``extra_keys`` (r11) scopes the line: one INDEPENDENT token line per
+    distinct extra-key tuple, all computed in the same single pass (the
+    local window and the bucket totals partition by (*extra_keys, bucket),
+    and phase 2 sums lower-bucket totals within the same tuple). This is
+    exactly equivalent to filtering per tuple and running the helper per
+    slice — training_corpus used to do that, once per split, which
+    re-windowed and re-joined the gated corpus three times.
 
     NULL keys are excluded: the packing line is ordered by (hash(key),
     key), and a NULL key has no hash — Spark sorts NULLs FIRST where
@@ -230,7 +242,9 @@ def _global_token_offsets(
 
     df = df.filter(F.col(key_col).isNotNull())
     h = md5_long(F.col(key_col).cast("string"), salt=salt)
+    ek = list(extra_keys)
     base = df.select(
+        *ek,
         F.col(key_col),
         token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
         h.alias("__h"),
@@ -239,23 +253,29 @@ def _global_token_offsets(
     # prefix sum; md5 uniformity keeps range buckets load-balanced
     ).withColumn("__b", F.shiftright("__h", 52))
     w_local = (
-        Window.partitionBy("__b")
+        Window.partitionBy(*ek, "__b")
         .orderBy("__h", key_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = base.withColumn("__cum", F.sum("n_tokens").over(w_local))
-    totals = base.groupBy("__b").agg(F.sum("n_tokens").alias("__bt"))
-    offsets = (
-        totals.alias("a")
-        .crossJoin(F.broadcast(totals.alias("b")))
-        .groupBy(F.col("a.__b").alias("__b"))
-        .agg(
-            F.sum(
-                F.when(F.col("b.__b") < F.col("a.__b"), F.col("b.__bt")).otherwise(0)
-            ).alias("__off")
-        )
+    totals = base.groupBy(*ek, "__b").agg(F.sum("n_tokens").alias("__bt"))
+    a, b = totals.alias("a"), totals.alias("b")
+    if ek:
+        cond = F.lit(True)
+        for k in ek:
+            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+        paired = a.join(F.broadcast(b), cond)
+    else:
+        paired = a.crossJoin(F.broadcast(b))
+    offsets = paired.groupBy(
+        *[F.col(f"a.{k}").alias(k) for k in ek], F.col("a.__b").alias("__b")
+    ).agg(
+        F.sum(
+            F.when(F.col("b.__b") < F.col("a.__b"), F.col("b.__bt")).otherwise(0)
+        ).alias("__off")
     )
-    return local.join(F.broadcast(offsets), "__b").select(
+    return local.join(F.broadcast(offsets), [*ek, "__b"]).select(
+        *ek,
         key_col,
         "n_tokens",
         (F.col("__cum") + F.col("__off") - F.col("n_tokens")).alias("__start"),
@@ -392,11 +412,14 @@ def training_corpus(
     Packing runs WITHIN each split (shards never straddle the holdout
     boundary — a shard is the unit a loader streams, so a mixed shard
     would leak val/test text into training). Each split's prefix sum is
-    the same distributed two-phase machinery as pack_shards; the gated
-    corpus is memo-persisted because every split branch reads it multiple
-    times (pack's base + the attribute rejoin). Scale shape: everything
-    before packing is map-side expression work plus the fingerprint
-    shuffle; packing adds one bucketed window per split.
+    the same distributed two-phase machinery as pack_shards, and (r11)
+    ALL THREE splits pack in one pass — the prefix-sum window and bucket
+    totals partition by (split, bucket), so no per-split branch, join or
+    union remains; the gated corpus is memo-persisted because packing
+    still reads it more than once (window base + bucket totals + the
+    attribute rejoin). Scale shape: everything before packing is map-side
+    expression work plus the fingerprint shuffle; packing adds ONE
+    bucketed window total.
     """
     from billing_etl_v1_spark.operators.text import decontaminate
 
@@ -411,20 +434,25 @@ def training_corpus(
     split_df = _memo.memo_persist(
         train_split(kept, val_pct=val_pct, test_pct=test_pct), _CORPUS_CACHE
     )
-    parts = []
-    for s in ("train", "val", "test"):
-        sub = split_df.filter(F.col("split") == s)
-        packed = pack_shards(sub, shard_tokens=shard_tokens)
-        parts.append(
-            packed.join(
-                sub.select("doc_id", "split", "lang_pred", "quality_score"),
-                "doc_id",
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # ONE packing pass for all three splits (r11): the per-split token
+    # lines are independent, so they compute in a single two-phase prefix
+    # sum scoped by extra_keys=("split",) — exactly equivalent to the old
+    # filter-per-split loop (pack_shards per split + rejoin + unionByName),
+    # which re-windowed and re-joined the memoized split table three times
+    # and planned 3 window passes, 3 joins and a 3-way union.
+    offs = _global_token_offsets(
+        split_df, "doc_id", "text", salt="pack", extra_keys=("split",)
+    )
+    packed = offs.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("__start") / shard_tokens).alias("shard_id"),
+        "split",
+    )
+    return packed.join(
+        split_df.select("doc_id", "split", "lang_pred", "quality_score"),
+        ["doc_id", "split"],
+    ).select("doc_id", "n_tokens", "shard_id", "split", "lang_pred", "quality_score")
 
 
 def cluster_quality_report(

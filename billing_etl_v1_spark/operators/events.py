@@ -659,9 +659,15 @@ def event_transitions(events: DataFrame) -> DataFrame:
 
     One user-keyed lead window over the (ts, event_id) total order (the
     same single keyed shuffle every sequence operator here pays), one
-    aggregate at the tiny (from, to) grain, and a broadcast join of the
-    per-from totals. The probability is a single division of exact counts
-    (quantized) — deterministic cross-engine.
+    aggregate at the tiny (from, to) grain, and the per-from totals as a
+    window over that same tiny table (r11 — the totals used to come from
+    a groupBy + broadcast self-join, which recomputed the whole
+    scan/window/aggregate on both sides: 2 scans, 5 exchanges; the
+    partitioned window computes it once: 1 scan, no join, and the
+    (from, to) grain is bounded by the event-type vocabulary squared, so
+    the window partition is tiny at any corpus size). The probability is
+    a single division of exact counts (quantized) — deterministic
+    cross-engine.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("event_type").over(w)
@@ -677,14 +683,16 @@ def event_transitions(events: DataFrame) -> DataFrame:
     counts = pairs.groupBy(
         F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
-    totals = counts.groupBy("from_type").agg(
-        F.sum("n_transitions").cast("bigint").alias("__tot")
+    tot = (
+        F.sum("n_transitions")
+        .over(Window.partitionBy("from_type"))
+        .cast("bigint")
     )
-    return counts.join(F.broadcast(totals), "from_type").select(
+    return counts.select(
         "from_type",
         "to_type",
         "n_transitions",
-        quantize6(F.col("n_transitions") / F.col("__tot")).alias("prob"),
+        quantize6(F.col("n_transitions") / tot).alias("prob"),
     )
 
 
