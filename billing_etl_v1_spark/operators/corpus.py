@@ -130,9 +130,12 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     specific recognizers in the same shape.
     """
     c = F.col(text_col)
-    n_email = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0))
+    # regexp_count == size(regexp_extract_all(...)) for the same pattern
+    # (same non-overlapping match walk) without materializing every
+    # matched span into an array per document (r11)
+    n_email = F.regexp_count(c, F.lit(EMAIL_RE))
     scrubbed = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
-    n_phone = F.size(F.regexp_extract_all(scrubbed, F.lit(PHONE_RE), 0))
+    n_phone = F.regexp_count(scrubbed, F.lit(PHONE_RE))
     return df.select(
         "doc_id",
         n_email.cast("int").alias("n_emails"),

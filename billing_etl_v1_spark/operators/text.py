@@ -51,8 +51,14 @@ WS_RE = r"[ \t\n\f\r\x0B]+"
 
 
 def bpe_token_count(col: Column) -> Column:
-    """Count of BPE-style pre-tokens (letter runs / digit runs / symbols)."""
-    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+    """Count of BPE-style pre-tokens (letter runs / digit runs / symbols).
+
+    regexp_count, not size(regexp_extract_all(...)): both walk the same
+    non-overlapping match sequence (identical counts, verified
+    value-equal), but extract_all materializes every matched substring
+    into an array just to take its length — pure allocation per document
+    at corpus scale (r11, guide §1.2 per-task work)."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE))
 
 
 def _tokens(col: Column) -> Column:
@@ -67,8 +73,12 @@ def token_count(col: Column) -> Column:
 
 
 def _class_ratio(col: Column, char_class: str) -> Column:
-    """Fraction of characters matching a regex character class."""
-    removed = F.length(col) - F.length(F.regexp_replace(col, char_class, ""))
+    """Fraction of characters matching a regex character class.
+
+    regexp_count of a single-char class = matching-char count — identical
+    to the old length-minus-stripped-length form (verified value-equal)
+    without allocating the stripped copy of every document (r11)."""
+    removed = F.regexp_count(col, F.lit(char_class))
     return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
         removed.cast("double") / F.length(col).cast("double")
     )
