@@ -29,7 +29,13 @@ _RANK_CACHE: _memo.Registry = {}
 def release_rank_cache(spark=None) -> int:
     """Unpersist every memoized rank table (for ``spark`` only, or all
     sessions); returns how many were released. Call between pipeline
-    generations — the same contract as ``dedup.release_signature_cache``."""
+    generations — the same contract as ``dedup.release_signature_cache``.
+
+    This is a STALE-DATA boundary, not just a storage knob (r10 ADVICE):
+    the memo matches on the logical PLAN (sameResult), so if the data
+    under an unchanged plan changes within a session — a parquet path
+    rewritten between pipeline generations — the memo keeps serving the
+    materialization of the OLD bytes until released."""
     return _memo.release(_RANK_CACHE, spark)
 
 

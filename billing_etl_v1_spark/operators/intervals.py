@@ -64,7 +64,13 @@ def release_boundary_cache(spark=None) -> int:
     :func:`concurrency_profile` hands to its two-phase prefix sum (for
     ``spark`` only, or all sessions); returns how many were released.
     Call between pipeline generations — the same contract as
-    ``dedup.release_signature_cache``."""
+    ``dedup.release_signature_cache``.
+
+    This is a STALE-DATA boundary, not just a storage knob (r10 ADVICE):
+    the memo matches on the logical PLAN (sameResult), so if the data
+    under an unchanged plan changes within a session — a parquet path
+    rewritten between pipeline generations — the memo keeps serving the
+    materialization of the OLD bytes until released."""
     return _memo.release(_NET_CACHE, spark)
 
 

@@ -179,18 +179,28 @@ def _decode_payload(payload: bytes, media_type: str, fake: bool) -> list[float]:
     )
 
 
+# malformed-payload exception surface: ValueError covers the vendored PPM
+# codec (truncated raster, bad header, zero dimensions) and struct-style
+# decode errors; OSError covers the optional Pillow lane, whose
+# UnidentifiedImageError (a truncated/garbage PNG/JPEG) subclasses OSError
+# — without it a single corrupt compressed blob aborted the whole
+# mapInPandas task in a Pillow-equipped environment, contradicting the
+# 'malformed payload -> NULL row' contract (r10 ADVICE item 1).
+# NotImplementedError (missing optional decoder — an ENVIRONMENT problem,
+# identical for every row) deliberately stays outside this tuple and
+# propagates loudly.
+_MALFORMED_PAYLOAD_ERRORS = (ValueError, OSError)
+
+
 def _decode_or_null(payload, media_type: str, fake: bool):
     """Per-row guard implementing _ppm_decode's documented contract: a
-    MALFORMED payload (ValueError — truncated raster, bad header, zero
-    dimensions) is routine corrupt data at scale and maps to NULL
-    features, never a task crash. NotImplementedError (missing optional
-    decoder — an ENVIRONMENT problem, identical for every row) still
-    propagates loudly."""
+    MALFORMED payload (see _MALFORMED_PAYLOAD_ERRORS) is routine corrupt
+    data at scale and maps to NULL features, never a task crash."""
     if payload is None:
         return None
     try:
         return _decode_payload(payload, media_type, fake)
-    except ValueError:
+    except _MALFORMED_PAYLOAD_ERRORS:
         return None
 
 
@@ -201,7 +211,7 @@ def _resize_or_null(payload, media_type: str, target_len: int, fake: bool):
         return None
     try:
         return _resize_payload(payload, media_type, target_len, fake)
-    except ValueError:
+    except _MALFORMED_PAYLOAD_ERRORS:
         return None
 
 

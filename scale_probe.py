@@ -1036,8 +1036,12 @@ def concurrency_ab(replication: int = 16) -> None:
                 iv_ops.release_boundary_cache(spark)
                 sec = _noop(iv_ops.session_concurrency(ev, persist_net=persist))
                 runs[persist].append(sec)
-        # steady-state repeat call: memo left in place from the last
-        # persist_on run, downstream rank reads the cached table
+        # steady-state repeat call: prime the cache with ONE untimed call
+        # first (r10 ADVICE #4 — the memo left by the interleaved loop may
+        # key the OTHER scale's plan, so the first warm call could pay one
+        # cache-miss persist and inflate memo_warm_sec), then time pure
+        # steady-state hits
+        _noop(iv_ops.session_concurrency(ev))
         warm = [_noop(iv_ops.session_concurrency(ev)) for _ in range(3)]
         iv_ops.release_boundary_cache(spark)
         arms = {}

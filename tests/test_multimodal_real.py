@@ -165,3 +165,51 @@ def test_malformed_payload_is_per_row_null_not_task_crash(spark):
     assert sized[1].resized is None and sized[1].resized_len is None
     assert sized[2].resized is None
     assert sized[1].orig_len == len(truncated)
+
+
+def test_oserror_malformed_payload_maps_to_null(monkeypatch):
+    """r10 ADVICE #1: the real (Pillow) lane raises UnidentifiedImageError
+    (an OSError subclass) for corrupt compressed images, so the per-row
+    guards must absorb OSError exactly like the PPM lane's ValueError —
+    NULL row, never a task crash — while NotImplementedError (missing
+    decoder, an environment problem) still propagates. Simulated raiser so
+    the contract is pinned with or without Pillow installed."""
+
+    def raise_oserror(*a, **k):
+        raise OSError("broken data stream / cannot identify image file")
+
+    monkeypatch.setattr(mm, "_decode_payload", raise_oserror)
+    assert mm._decode_or_null(b"xx", "image/jpeg", fake=False) is None
+    monkeypatch.setattr(mm, "_resize_payload", raise_oserror)
+    assert mm._resize_or_null(b"xx", "image/jpeg", 64, fake=False) is None
+
+    def raise_notimpl(*a, **k):
+        raise NotImplementedError("no decoder")
+
+    monkeypatch.setattr(mm, "_decode_payload", raise_notimpl)
+    with pytest.raises(NotImplementedError):
+        mm._decode_or_null(b"xx", "audio/wav", fake=False)
+
+
+def test_truncated_jpeg_is_per_row_null_with_pil(spark):
+    """r10 ADVICE #1, live half: with Pillow present, a truncated JPEG
+    must come back as a NULL-features row through the real mapInPandas
+    lane — before the OSError guard it aborted the whole task."""
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        pytest.skip("Pillow not installed")
+    from io import BytesIO
+
+    from PIL import Image
+
+    buf = BytesIO()
+    Image.new("RGB", (8, 8), color=(1, 2, 3)).save(buf, format="JPEG")
+    corrupt = buf.getvalue()[:20]  # header stub: undecodable
+    df = spark.createDataFrame(
+        [(1, "image/jpeg", bytearray(corrupt))],
+        "doc_id long, media_type string, payload binary",
+    )
+    out = mm.extract_features(df, fake=False).collect()
+    assert len(out) == 1
+    assert out[0].features is None

@@ -281,16 +281,42 @@ def test_no_query_plans_an_unpartitioned_window(spark):
     renders exactly two groups with the second being an order spec
     (contains ASC/DESC); partition-only windows also render two groups but
     the second is a plain column list."""
-    offenders = []
-    for name in em.queries():
-        plan = plan_of(spark, name)
+    def window_offenders(name, plan):
+        found = []
         for m in re.finditer(r"\(\d+\) Window\nInput[^\n]*\nArguments: ([^\n]*)", plan):
             groups = m.group(1).split("], [")
             unpartitioned = len(groups) == 2 and (
                 " ASC" in groups[1] or " DESC" in groups[1]
             )
             if unpartitioned:
-                offenders.append((name, m.group(1)[:100]))
+                found.append((name, m.group(1)[:100]))
+        return found
+
+    offenders = []
+    for name in em.queries():
+        offenders += window_offenders(name, plan_of(spark, name))
+    # r10 ADVICE #3: the memo-opted queries hide their rank/net windows
+    # inside InMemoryRelation (the cached subtree is not expanded in
+    # formatted explain), silently shrinking this sweep's coverage — so
+    # their full plans are additionally inspected with the memo OFF
+    from billing_etl_v1_spark.operators import events as event_ops
+    from billing_etl_v1_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    memo_off = {
+        "events_value_deciles[persist=False]": event_ops.value_deciles(
+            ev, persist=False
+        ),
+        "events_concurrency_profile[persist_net=False]": (
+            interval_ops.session_concurrency(ev, persist_net=False)
+        ),
+    }
+    for name, df in memo_off.items():
+        qe = df._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        offenders += window_offenders(name, qe.explainString(mode))
     assert not offenders, offenders
 
 
@@ -377,11 +403,15 @@ def test_registry_closing_interval_faces_are_single_pass(spark):
     events_session_purchase_left folds outer semantics into one binned
     left-outer join (exactly two events scans — sessions + spans — not
     the matched-union-anti five). No Python eval in either."""
-    plan = plan_of(spark, "events_concurrency_profile")
-    assert "EvalPython" not in plan
-    assert len(nodes(plan, "Scan parquet")) == 1, plan[:2000]
-    assert len(nodes(plan, "InMemoryTableScan")) == 3, plan[:2000]
-    interval_ops.release_boundary_cache(spark)
+    # try/finally (r10 ADVICE #3): a failed assertion must not leak the
+    # persisted net-delta entry into subsequent tests in this session
+    try:
+        plan = plan_of(spark, "events_concurrency_profile")
+        assert "EvalPython" not in plan
+        assert len(nodes(plan, "Scan parquet")) == 1, plan[:2000]
+        assert len(nodes(plan, "InMemoryTableScan")) == 3, plan[:2000]
+    finally:
+        interval_ops.release_boundary_cache(spark)
 
     plan = plan_of(spark, "events_session_purchase_left")
     assert "EvalPython" not in plan
