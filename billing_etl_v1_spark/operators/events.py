@@ -684,7 +684,14 @@ def event_transitions(events: DataFrame) -> DataFrame:
         events.filter(F.col("ts").isNotNull())
         .select("user_id", "ts", "event_id", "event_type")
         .withColumn("next_type", nxt)
-        .filter(F.col("next_type").isNotNull())
+        # NULL next_type = last event of a user stream (no transition);
+        # NULL event_type rows must ALSO drop here — the r10 totals
+        # equi-join dropped them implicitly (NULL never equi-joins), and
+        # the oracle twin keeps that join, so the window form has to make
+        # the drop explicit. Applied AFTER the lead so a NULL-type event
+        # still occupies its position in the sequence (its predecessor's
+        # transition keeps dropping via NULL next_type, exactly as before).
+        .filter(F.col("next_type").isNotNull() & F.col("event_type").isNotNull())
     )
     counts = pairs.groupBy(
         F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
