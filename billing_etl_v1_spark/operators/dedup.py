@@ -599,7 +599,13 @@ def embedding_lsh_pairs(
     per-row. Same output shape as the brute-force baseline, so recall is
     directly measurable (LSH output ⊆ brute-force output).
     """
-    from billing_etl_v1_spark.operators.similarity import _dot, _prep
+    # _dot_unrolled, not _dot: this cosine evaluates in a hash-join output
+    # projection that whole-stage codegen compiles, where the unrolled form
+    # measured 1.454 -> 1.195 s (full query) / 2.36 -> 1.45 s (isolated
+    # 455k-candidate stage) — see similarity._dot_unrolled for the contexts
+    # where the opposite holds
+    from billing_etl_v1_spark.operators.similarity import _dot_unrolled as _dot
+    from billing_etl_v1_spark.operators.similarity import _prep
 
     # a vector shorter than the signature width cannot produce a full
     # sign signature: element_at past the end is a JOB-KILLING

@@ -36,27 +36,39 @@ def _as_double(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-# Unroll width for _dot: the corpus embedding dimension. Spark evaluates
-# higher-order-function lambdas INTERPRETED (they never enter whole-stage
-# codegen), so the fold below costs ~2.6x flat arithmetic — measured on the
-# 455k-candidate LSH cosine rejoin at sf0.1 (plans/r11). Vectors of exactly
-# this length take the unrolled codegen path; every other length falls back
-# to the fold. Both paths accumulate in IDENTICAL left-to-right order, so
-# the IEEE result is bit-for-bit the same (verified value-equal live) —
-# deployments with a different embedding width change this constant for
-# speed only, never for correctness.
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left fold — matches DuckDB list_reduce bit-for-bit."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+# Unroll width for _dot_unrolled: the corpus embedding dimension. A
+# deployment with a different width changes this constant for speed only —
+# results are bit-identical either way (both forms accumulate in the same
+# left-to-right order; verified value-equal live).
 _DOT_UNROLL_DIM = 64
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """Sequential left fold — matches DuckDB list_reduce bit-for-bit.
+def _dot_unrolled(a: Column, b: Column) -> Column:
+    """_dot specialized for vectors of exactly _DOT_UNROLL_DIM: a flat
+    left-associated sum, with the fold as fallback for any other length
+    (the when() guard evaluates branches lazily, so element_at never sees
+    an out-of-range index under ANSI mode).
 
-    Dimension-specialized (r11): see _DOT_UNROLL_DIM. The when() guard
-    evaluates branches lazily, so element_at never sees an out-of-range
-    index under ANSI mode."""
-    fold = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+    Use ONLY where the consuming projection is whole-stage-codegen'd —
+    r11 measured BOTH directions, interleaved fold-vs-unrolled A/Bs on
+    full queries at sf0.1 (plans/r11):
+
+    - embedding_lsh_pairs cosine rejoin (hash-join output projection,
+      codegen): 1.454 -> 1.195 s median, and 2.36 -> 1.45 s on the
+      isolated 455k-candidate stage — the unroll compiles, the fold's
+      lambdas stay interpreted.
+    - crossJoin(broadcast)/staged contexts (cosine_topk_bruteforce
+      0.77 -> 1.55 s, cosine_topk_ivf 0.36 -> 0.69 s, semantic_dedup
+      0.44 -> 1.05 s): the unroll LOSES ~2x — the giant guarded
+      expression is evaluated interpreted there, and 2x64 element_at
+      walks cost more than one fold pass. Those paths keep plain _dot.
+    """
+    fold = _dot(a, b)
     unrolled = F.lit(0.0)
     for i in range(1, _DOT_UNROLL_DIM + 1):
         unrolled = unrolled + F.element_at(a, i) * F.element_at(b, i)
