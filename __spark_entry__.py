@@ -1058,12 +1058,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Order matters: the driver's correctness harness checks the FIRST 50
     entries only; rotation policy is "every query's latest verdict <= 2
-    rounds old" (age = current round − verdict round). Round 11's
-    window: exactly the 50 entries whose latest verdict is r8 (age 3 if
-    skipped — the mechanically mandatory lead set the r10 VERDICT names;
+    rounds old" (age = current round − verdict round). Round 12's
+    window: exactly the 50 entries whose latest verdict is r9 (age 3 if
+    skipped — the mechanically mandatory lead set the r11 VERDICT names;
     tests/test_rotation_policy.py re-derives it from the
     CORRECTNESS_r*.json artifacts and goes red if any is missing). This
-    is window 2 of the pure steady-state 3-cycle: no new queries, just
+    is window 3 of the pure steady-state 3-cycle: no new queries, just
     the age-ordered rotation of the closed registry.
 
     THE REGISTRY IS NOW CLOSED AT 150 — a deliberate budget decision,
@@ -1078,9 +1078,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     discipline, run by the judge) — the driver registry is closed, the
     verification discipline is not.
 
-    Below the fold: the 50 r9-verdict entries (age 2 at round 12 —
-    round 12's mandatory leads), then the 50 r10-verdict entries (round
-    13's leads); both blocks kept contiguous so each rotation is a
+    Below the fold: the 50 r10-verdict entries (age 2 at round 13 —
+    round 13's mandatory leads), then the 50 r11-verdict entries (round
+    14's leads); both blocks kept contiguous so each rotation is a
     copy-paste. Everything below the fold still runs in the local
     parity mirror (tests/test_oracle_parity.py), and the FULL registry
     is strict-verified dtype-exact vs its oracles at sf0.01 each round
@@ -1090,62 +1090,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     parity-mirrored.
     """
     return {
-        # --- ROUND-11 WINDOW (first 50; driver checks only these) ---
-        # the 50 entries whose latest verdict is r8 (age 3 if skipped) —
-        # the policy-mandatory leads the r10 VERDICT names; steady-state
-        # 3-cycle, window 2 of 3:
-        "events_sessionize": _q_events_sessionize,
-        "events_user_trend": _q_user_trend,
-        "events_attribution": _q_events_attribution,
-        "tpch_q2": _q_tpch_q2,
-        "tpch_q4": _q_tpch_q4,
-        "tpch_q5": _q_tpch_q5,
-        "tpch_q7": _q_tpch_q7,
-        "tpch_q8": _q_tpch_q8,
-        "tpch_q9": _q_tpch_q9,
-        "tpch_q10": _q_tpch_q10,
-        "tpch_q11": _q_tpch_q11,
-        "tpch_q12": _q_tpch_q12,
-        "tpch_q13": _q_tpch_q13,
-        "tpch_q14": _q_tpch_q14,
-        "tpch_q15": _q_tpch_q15,
-        "tpch_q16": _q_tpch_q16,
-        "tpch_q17": _q_tpch_q17,
-        "tpch_q19": _q_tpch_q19,
-        "tpch_q20": _q_tpch_q20,
-        "tpch_q21": _q_tpch_q21,
-        "tpch_q22": _q_tpch_q22,
-        "tpch_price_bands": _q_price_bands,
-        "tpch_top_customers": _q_top_customers,
-        "docs_top_ngrams": _q_docs_top_ngrams,
-        "dedup_lsh_recall": _q_dedup_lsh_recall,
-        "events_window_agg": _q_events_window,
-        "events_top_types": _q_events_top_types,
-        "events_asof_purchase": _q_events_asof,
-        "events_type_pivot": _q_event_pivot,
-        "events_value_deciles": _q_value_deciles,
-        "events_rfm": _q_events_rfm,
-        "events_value_percentiles": _q_value_percentiles,
-        "events_approx_stats": _q_approx_stats,
-        "events_anomaly": _q_events_anomaly,
-        "sim_topk_bruteforce": _q_sim_bruteforce,
-        "sim_hard_negatives": _q_sim_hard_negatives,
-        "embeddings_kmeans": _q_embeddings_kmeans,
-        "embeddings_quantize": _q_embeddings_quantize,
-        "dedup_embedding_cosine": _q_dedup_embedding,
-        "docs_bpe_merges": _q_docs_bpe_merges,
-        "docs_bpe_tokens": _q_docs_bpe_tokens,
-        "docs_wordpiece_vocab": _q_docs_wordpiece_vocab,
-        "docs_wordpiece_tokens": _q_docs_wordpiece_tokens,
-        "docs_wordpiece_fertility": _q_docs_wordpiece_fertility,
-        "docs_wordpiece_seq": _q_docs_wordpiece_seq,
-        "docs_wordpiece_pack_ids": _q_docs_wordpiece_pack_ids,
-        "events_session_type_overlap": _q_events_session_type_overlap,
-        "events_zorder_stats": _q_events_zorder_stats,
-        "billing_flagship_production": _flagship(None, "pipeline"),
-        "billing_source_agg_detail": _q_source_agg_detail,
-        # --- below the driver fold (local parity still runs ALL) ---
-        # 50 r9-verdict entries (age 2 at round 12) — round 12's mandatory leads:
+        # --- ROUND-12 WINDOW (first 50; driver checks only these) ---
+        # the 50 entries whose latest verdict is r9 (age 3 if skipped) —
+        # the policy-mandatory leads the r11 VERDICT names; steady-state
+        # 3-cycle, window 3 of 3:
         "billing_credits_pivot": _q_credits_pivot,
         "billing_rule_match": _q_rule_match,
         "dedup_semantic": _q_dedup_semantic,
@@ -1198,7 +1146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the registry is CLOSED at 150, see docstring):
         "events_session_purchase_left": _q_events_session_purchase_left,
         "events_concurrency_profile": _q_events_concurrency_profile,
-        # 50 r10-verdict entries (age 1) — round 13's mandatory leads:
+        # --- below the driver fold (local parity still runs ALL) ---
+        # 50 r10-verdict entries (age 2 at round 13) — round 13's mandatory leads:
         "events_salted_user_join": _q_events_salted_join,
         "multimodal_frame_sample": _q_multimodal_frames,
         "multimodal_resize": _q_multimodal_resize,
@@ -1249,6 +1198,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_quantized": _q_sim_topk_quantized,
         "docs_tfidf_top_terms": _q_docs_tfidf,
         "docs_chunk": _q_docs_chunk,
+        # 50 r11-verdict entries (age 1) — round 14's mandatory leads:
+        "events_sessionize": _q_events_sessionize,
+        "events_user_trend": _q_user_trend,
+        "events_attribution": _q_events_attribution,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
+        "tpch_price_bands": _q_price_bands,
+        "tpch_top_customers": _q_top_customers,
+        "docs_top_ngrams": _q_docs_top_ngrams,
+        "dedup_lsh_recall": _q_dedup_lsh_recall,
+        "events_window_agg": _q_events_window,
+        "events_top_types": _q_events_top_types,
+        "events_asof_purchase": _q_events_asof,
+        "events_type_pivot": _q_event_pivot,
+        "events_value_deciles": _q_value_deciles,
+        "events_rfm": _q_events_rfm,
+        "events_value_percentiles": _q_value_percentiles,
+        "events_approx_stats": _q_approx_stats,
+        "events_anomaly": _q_events_anomaly,
+        "sim_topk_bruteforce": _q_sim_bruteforce,
+        "sim_hard_negatives": _q_sim_hard_negatives,
+        "embeddings_kmeans": _q_embeddings_kmeans,
+        "embeddings_quantize": _q_embeddings_quantize,
+        "dedup_embedding_cosine": _q_dedup_embedding,
+        "docs_bpe_merges": _q_docs_bpe_merges,
+        "docs_bpe_tokens": _q_docs_bpe_tokens,
+        "docs_wordpiece_vocab": _q_docs_wordpiece_vocab,
+        "docs_wordpiece_tokens": _q_docs_wordpiece_tokens,
+        "docs_wordpiece_fertility": _q_docs_wordpiece_fertility,
+        "docs_wordpiece_seq": _q_docs_wordpiece_seq,
+        "docs_wordpiece_pack_ids": _q_docs_wordpiece_pack_ids,
+        "events_session_type_overlap": _q_events_session_type_overlap,
+        "events_zorder_stats": _q_events_zorder_stats,
+        "billing_flagship_production": _flagship(None, "pipeline"),
+        "billing_source_agg_detail": _q_source_agg_detail,
     }
 
 

@@ -117,6 +117,13 @@ EXTENDED_NAMES = [
 ]
 
 
+def _n_cpus() -> int:
+    """The bench's core count ($SPARK_GRAFT_CPUS, the session.py default):
+    stamped into the headline JSON and sidecar, and used to refuse
+    adjudication across differing core counts."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
 def _load_stamp() -> dict:
     """Machine-load evidence for the emitted JSON: 1/5/15-min load averages
     plus uptime. How to read it: load1 should be ~0 on a quiet 32-core box
@@ -322,9 +329,28 @@ def _adjudicate(
     """
     try:
         with open(baseline_path) as fh:
-            base = json.load(fh).get("queries", {})
+            base_doc = json.load(fh)
+            base = base_doc.get("queries", {})
     except (OSError, ValueError) as exc:
         print(f"# --ab: cannot read {baseline_path}: {exc}", file=sys.stderr)
+        return None
+    # Cross-core guard (VERDICT r11 #3): the driver also runs this bench at
+    # a LOWER core count to measure scaling, and r11's 8-core run
+    # adjudicated its timings against the 32-core snapshot — stamping 9
+    # phantom "regressions" (3.6-5.8s billing re-runs that were 8 cores,
+    # not plan changes) over the committed round-end sidecar. Timings are
+    # only comparable at the same parallelism, so adjudication is skipped
+    # entirely when the bench cpu count differs from the snapshot's
+    # recorded one. Snapshots written before the cpus field existed were
+    # all 32-core recordings (the only full-width protocol through r11).
+    bench_cpus = _n_cpus()
+    base_cpus = base_doc.get("cpus", 32)
+    if bench_cpus != base_cpus:
+        print(
+            f"# --ab: bench cpus={bench_cpus} != baseline cpus={base_cpus}; "
+            "timings not comparable across core counts -> adjudication skipped",
+            file=sys.stderr,
+        )
         return None
     compared = [n for n in timings if n in base]
     flagged = _drifted_names(timings, base)
@@ -380,6 +406,7 @@ def _adjudicate(
     suspect = _session_suspect(len(flagged), len(compared))
     block = {
         "baseline": baseline_path,
+        "cpus": bench_cpus,
         "session_suspect": suspect,
         "note": (
             "broad drift across unrelated queries — discard and re-record "
@@ -501,11 +528,16 @@ def main() -> None:
     # best HEAD re-run still reads 'regression'.
     adjudication_summary = None
     if adjudication is not None:
-        sidecar = "bench_adjudication.json"
+        # anchored to the script's directory, not the cwd (ADVICE r11):
+        # running bench.py from elsewhere must not leave the committed
+        # sidecar stale while a stray copy lands somewhere else
+        sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_adjudication.json")
         try:
             with open(sidecar, "w") as fh:
                 json.dump(adjudication, fh, indent=1)
-        except OSError as exc:  # unwritable cwd: fall back to stderr only
+            sidecar = os.path.basename(sidecar)  # summary names the repo file
+        except OSError as exc:  # unwritable dir: fall back to stderr only
             print(f"# sidecar write failed ({exc}); full block:", file=sys.stderr)
             sidecar = None
         print(f"# adjudication: {json.dumps(adjudication)}", file=sys.stderr)
@@ -535,6 +567,11 @@ def main() -> None:
                 "timing": "billing=median5-rotated,ext=median3",
                 "queries": timings,
                 "sf": sf_num,
+                # core count of this recording (VERDICT r11 #3): lets the
+                # adjudicator refuse cross-core comparisons — the driver's
+                # scaling run at fewer cores must not stamp "regressions"
+                # against a full-width snapshot
+                "cpus": _n_cpus(),
                 "baseline_reference_sec": ref_sec,
                 "speedup_vs_reference": (
                     round(ref_sec / flagship, 1) if ref_sec and flagship else None

@@ -84,6 +84,51 @@ def test_adjudicate_warm_min_self_exoneration(tmp_path):
     assert "other" not in block["queries"]
 
 
+def test_adjudicate_skips_cross_core_comparison(tmp_path, monkeypatch):
+    """VERDICT r11 #3: the driver's 8-core scaling run must NOT adjudicate
+    its timings against the 32-core snapshot — r11's c8 run stamped 9
+    phantom "regressions" (8-core billing re-runs vs 32-core baselines)
+    over the committed round-end sidecar. A cpus mismatch between the bench
+    env and the baseline artifact skips adjudication entirely."""
+    baseline = tmp_path / "base.json"
+    baseline.write_text(json.dumps({"cpus": 32, "queries": {"q": 0.20}}))
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    block = bench._adjudicate(
+        str(baseline),
+        timings={"q": 1.0},  # wildly "drifted" — but it's 8 cores vs 32
+        samples={"q": [1.0]},
+        queries=None,
+        dfs=None,
+        spark=None,
+        sf_dir="unused",
+    )
+    assert block is None
+
+
+def test_adjudicate_legacy_snapshot_assumed_32_core(tmp_path, monkeypatch):
+    """Snapshots written before the cpus field existed were all 32-core
+    recordings: a 32-core bench still adjudicates against them, a scaled
+    run does not."""
+    baseline = tmp_path / "base.json"
+    baseline.write_text(json.dumps({"queries": {"q": 0.20}}))  # no cpus field
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    assert (
+        bench._adjudicate(
+            str(baseline), timings={"q": 1.0}, samples={"q": [1.0]},
+            queries=None, dfs=None, spark=None, sf_dir="unused",
+        )
+        is None
+    )
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    block = bench._adjudicate(
+        str(baseline),
+        timings={"q": 0.28},
+        samples={"q": [0.28, 0.19]},  # warm-min self-exoneration path
+        queries=None, dfs=None, spark=None, sf_dir="unused",
+    )
+    assert block is not None and block["cpus"] == 32
+
+
 def test_load_stamp_carries_steal_ticks():
     """The steal stamp (r10): /proc/stat before/after tick pairs let any
     consumer compute the hypervisor-steal share over a run — the signal
