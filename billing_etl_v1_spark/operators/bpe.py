@@ -216,29 +216,62 @@ def _by_pos() -> Window:
     return Window.partitionBy("word").orderBy("pos")
 
 
-def _best_pair(pos: DataFrame) -> DataFrame:
-    """The 1-row argmax over adjacent-pair counts: highest summed word
-    frequency (overlapping positions each count — 'aaa' holds (a,a)
-    twice), ties broken by binary string order of (a, b) — deterministic
-    and identical in DuckDB (both engines compare strings as UTF-8
-    bytes). TakeOrdered, not a global window."""
+def _with_nxt(pos: DataFrame) -> DataFrame:
+    """Position rows with the successor symbol (``nxt = lead(sym)`` within
+    the word) attached. The trainer loops checkpoint THIS shape (r12): the
+    successor is computed once in the same word-partitioned window pass
+    that built the rows, so per-round pair counting becomes a plain
+    map-side-combined aggregate over the checkpoint — no per-round window
+    sort + word-hash exchange just to look one position ahead."""
+    if "nxt" in pos.columns:
+        return pos
+    return pos.withColumn("nxt", F.lead("sym").over(_by_pos()))
+
+
+def _pair_counts(pos: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over ``nxt``-carrying position rows: highest
+    summed word frequency (overlapping positions each count — 'aaa' holds
+    (a,a) twice), sorted by count desc then binary string order of (a, b)
+    — deterministic and identical in DuckDB (both engines compare strings
+    as UTF-8 bytes). No window: ``nxt`` is read off the checkpoint."""
     return (
-        pos.withColumn("nxt", F.lead("sym").over(_by_pos()))
+        _with_nxt(pos)
         .filter(F.col("nxt").isNotNull())
         .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
         .agg(F.sum("freq").alias("pair_count"))
-        .orderBy(F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc())
-        .limit(1)
     )
+
+
+def _best_pair(pos: DataFrame) -> DataFrame:
+    """The 1-row argmax over adjacent-pair counts (see :func:`_pair_counts`
+    for the ordering contract). TakeOrdered, not a global window."""
+    return _pair_counts(pos).orderBy(
+        F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(1)
 
 
 def _apply_merge(
     pos: DataFrame, best: DataFrame, merged_col: Column | None = None
 ) -> DataFrame:
     """One merge round over position rows: greedy left-to-right
-    non-overlapping replacement of (a, b) via the run-parity flags (see
-    module docstring). Start positions take the merged symbol; consumed
-    positions (predecessor started a merge) drop.
+    non-overlapping replacement of each (a, b) in ``best`` via the
+    run-parity flags (see module docstring). Start positions take the
+    merged symbol; consumed positions (predecessor started a merge) drop.
+
+    ``best`` may hold SEVERAL pairs when the caller has proven them safe
+    to apply simultaneously (the r12 batching rules — see
+    :func:`bpe_learn`'s prefix-disjoint selection and
+    :func:`encode_words`' rank-batch condition; both guarantee the pairs
+    are pairwise symbol-disjoint). Disjointness makes the multi-pair
+    apply EXACTLY the sequential per-pair apply: a position matches at
+    most one pair (the broadcast equi-join on (sym, nxt) is unique), two
+    ADJACENT matches would need pair j's right symbol to equal pair i's
+    left symbol — excluded — so every run of consecutive matches is a
+    single pair's run and the parity logic is per-pair unchanged, and
+    merging one pair can neither create nor destroy occurrences of
+    another (no shared symbols → adjacencies of the other pair's symbols
+    are untouched). An EMPTY ``best`` is a no-op round (gap ranks in a
+    filtered stored merge table).
 
     ``merged_col``: expression over ``best``'s (a, b) producing the merged
     symbol — defaults to plain concatenation (BPE); the WordPiece trainer
@@ -248,12 +281,25 @@ def _apply_merge(
 
     Surviving positions are RENUMBERED densely (0..k-1): the run-parity
     test is "offset within the run is even", which is only equal to
-    ``(pos - min(pos)) % 2 == 0`` when adjacent symbols sit at adjacent
+    ``(pos - run_start) % 2 == 0`` when adjacent symbols sit at adjacent
     pos values — after an earlier round's drops, sparse positions would
     mark every even-gap match a start ('aaaaaa' under (a,a) then (aa,aa)
     collapsed to ['aaaa'] instead of ['aaaa','aa'] before this renumber;
     regression-tested). The DuckDB twin re-derives dense positions each
-    round by rebuilding the list, same invariant."""
+    round by rebuilding the list, same invariant.
+
+    Plan shape (r12, guide §2.4): every window here partitions by word
+    and orders by pos — run starts come from lag(mtch), the run start
+    POSITION from a running ``last(ignorenulls)`` instead of the old
+    ``min over (word, grp)`` / ``row_number over (word, mtch)`` pair, so
+    the whole round is ONE word-hash exchange + sort (the old shape paid
+    three: (word), (word, mtch), (word, grp)). Equivalence: a match row's
+    most recent run-start at-or-before it IS its run's first position
+    (runs are contiguous, later run rows have lag(mtch)=true), which is
+    what the islands grouping's ``min(pos)`` computed. The output carries
+    ``nxt`` (successor symbol after renumbering) so the next round's pair
+    counting reads the checkpoint without a window (:func:`_pair_counts`).
+    """
     bp = F.broadcast(
         best.select(
             F.col("a").alias("bp_a"),
@@ -263,39 +309,115 @@ def _apply_merge(
             ).alias("bp_m"),
         )
     )
-    by_match = Window.partitionBy("word", "mtch").orderBy("pos")
-    by_run = Window.partitionBy("word", "grp")
-    return (
-        pos.join(bp, F.lit(True), "left")
+    pos = _with_nxt(pos)
+    w = _by_pos()
+    cum = (
+        Window.partitionBy("word")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = (
+        pos.join(
+            bp,
+            (F.col("sym") == F.col("bp_a")) & (F.col("nxt") == F.col("bp_b")),
+            "left",
+        )
+        .withColumn("mtch", F.col("bp_m").isNotNull())
         .withColumn(
-            "mtch",
-            F.coalesce(
-                (F.col("sym") == F.col("bp_a"))
-                & (F.lead("sym").over(_by_pos()) == F.col("bp_b")),
-                F.lit(False),
-            ),
+            "rs", F.col("mtch") & ~F.coalesce(F.lag("mtch").over(w), F.lit(False))
         )
         .withColumn(
-            "grp",
-            F.when(F.col("mtch"), F.col("pos") - F.row_number().over(by_match)),
+            "rstart",
+            F.last(F.when(F.col("rs"), F.col("pos")), ignorenulls=True).over(cum),
         )
         .withColumn(
             "strt",
-            F.col("mtch")
-            & ((F.col("pos") - F.min("pos").over(by_run)) % 2 == 0),
+            F.col("mtch") & ((F.col("pos") - F.col("rstart")) % 2 == 0),
         )
         .withColumn(
-            "consumed", F.coalesce(F.lag("strt").over(_by_pos()), F.lit(False))
+            "consumed", F.coalesce(F.lag("strt").over(w), F.lit(False))
         )
         .filter(~F.col("consumed"))
         .select(
             "word",
             "freq",
-            "pos",
+            F.col("pos").alias("__oldpos"),
             F.when(F.col("strt"), F.col("bp_m")).otherwise(F.col("sym")).alias("sym"),
         )
-        .withColumn("pos", F.row_number().over(_by_pos()) - 1)
     )
+    wold = Window.partitionBy("word").orderBy("__oldpos")
+    return kept.select(
+        "word",
+        "freq",
+        (F.row_number().over(wold) - 1).alias("pos"),
+        "sym",
+        F.lead("sym").over(wold).alias("nxt"),
+    )
+
+
+# How many top pairs one training round collects for prefix-disjoint
+# batching (plus one sentinel row bounding everything below the cut).
+# Driver traffic is O(K) tiny rows per round — vocabulary-bounded state
+# never leaves the executors. Speed-only knob: the batch selection is
+# exact for any K >= 1 (K=1 degenerates to the classic one-merge round).
+_BATCH_K = 32
+
+
+def _select_merge_batch(top: list, k: int) -> list:
+    """Choose a prefix of the sorted pair list that one simultaneous
+    :func:`_apply_merge` provably merges EXACTLY like that many sequential
+    greedy rounds (r12 batching, guide §2.4 — fewer rounds, fewer jobs).
+
+    ``top`` is the first ``k + 1`` rows of the pair table sorted by
+    (pair_count desc, a, b); row ``k`` (when present) is only a sentinel
+    bounding every pair below the cut. Selection scans the PREFIX in
+    order — never skipping — and stops at the first candidate whose left,
+    right, or merged string collides with a previously selected pair's
+    symbols or merged string. Why each rule is load-bearing:
+
+    - PREFIX-ONLY: a skipped-over conflicting pair's count would change
+      under the earlier applies, so everything after it could be
+      re-ranked; stopping keeps every non-selected pair's ORIGINAL count
+      an upper bound (applies only ever decrease original pair counts).
+    - MERGED-STRING in the used-set: if a selected pair's merged symbol
+      collides with an existing symbol s, later rounds' pairs involving s
+      gain occurrences sequentially that the simultaneous apply cannot
+      see; keeping merged strings in the used-set means at most one batch
+      pair produces any given symbol string and no batch pair consumes
+      one.
+    - STRICT 2x DOMINANCE TRIM: pairs created or boosted by the batch's
+      own applies are bounded by 2x the first excluded pair's count (a
+      new (x, merged) occurrence needs an old (x, a) adjacency — a
+      CONFLICTING pair, hence excluded, hence <= the sentinel count; a
+      boosted colliding pair adds its own original count, also excluded,
+      for the factor 2). Every selected pair beyond the first must
+      strictly exceed that bound so no sequential round would have
+      preferred a batch-created pair (strictness also sidesteps tie-break
+      comparisons against symbols that do not exist yet). Ties WITHIN the
+      selection are fine: disjoint pairs keep their counts, and the sort
+      order is exactly the argmax tie-break order.
+
+    When the whole pair universe fits in the prefix and selects cleanly
+    (no sentinel, no conflict), no trim is needed: a conflicting pair
+    would have to exist for any new/boosted pair to exist, and it would
+    have stopped the scan.
+    """
+    candidates = top[:k]
+    stop_count = top[k]["pair_count"] if len(top) > k else None
+    first = candidates[0]
+    batch = [first]
+    used = {first["a"], first["b"], first["a"] + first["b"]}
+    for r in candidates[1:]:
+        m = r["a"] + r["b"]
+        if r["a"] in used or r["b"] in used or m in used:
+            stop_count = r["pair_count"]
+            break
+        batch.append(r)
+        used.update((r["a"], r["b"], m))
+    if stop_count is not None:
+        while len(batch) > 1 and batch[-1]["pair_count"] <= 2 * stop_count:
+            stop_count = batch.pop()["pair_count"]
+    return batch
 
 
 def bpe_learn(
@@ -378,29 +500,47 @@ def bpe_learn(
     # DuckDB, whose len() is codepoints)
     base = base.localCheckpoint()
     bypass = base.filter(F.size("s") > max_word_len)
-    pos = (
-        base.filter(F.size("s") <= max_word_len)
-        .select("word", "freq", F.posexplode("s").alias("pos", "sym"))
-        .localCheckpoint()
-    )
-    merge_rounds: list[DataFrame] = []
-    for i in range(num_merges):
-        best = _best_pair(pos).localCheckpoint()
-        if best.isEmpty():
-            break  # vocabulary fully merged before the budget ran out
-        merge_rounds.append(
-            best.select(
-                F.lit(i).cast("int").alias("merge_rank"),
-                F.col("a").alias("left_sym"),
-                F.col("b").alias("right_sym"),
-                F.concat("a", "b").alias("merged"),
-                F.col("pair_count"),
-            )
+    pos = _with_nxt(
+        base.filter(F.size("s") <= max_word_len).select(
+            "word", "freq", F.posexplode("s").alias("pos", "sym")
         )
-        pos = _apply_merge(pos, best).localCheckpoint()
-    merges = empty_merges
-    for nxt in merge_rounds:
-        merges = merges.unionAll(nxt)
+    ).localCheckpoint()
+    # r12 batched rounds (guide §2.4 / §5): each round collects the top
+    # K+1 pairs (tiny, driver-bounded), applies the provably-safe
+    # prefix-disjoint batch in ONE _apply_merge pass, and checkpoints
+    # once — so a round costs 2 jobs for up to K merges instead of 2-3
+    # jobs per merge, and the merge TABLE is assembled from the collected
+    # rows (values Spark computed this session) instead of num_merges
+    # chained unionAll branches of 1-row checkpoints.
+    merge_rows: list[tuple[int, str, str, str, int]] = []
+    while len(merge_rows) < num_merges:
+        k = min(_BATCH_K, num_merges - len(merge_rows))
+        top = (
+            _pair_counts(pos)
+            .orderBy(F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(k + 1)
+            .collect()
+        )
+        if not top:
+            break  # vocabulary fully merged before the budget ran out
+        batch = _select_merge_batch(top, k)
+        for r in batch:
+            merge_rows.append(
+                (len(merge_rows), r["a"], r["b"], r["a"] + r["b"], r["pair_count"])
+            )
+        bp = spark.createDataFrame(
+            [(r["a"], r["b"]) for r in batch], "a string, b string"
+        )
+        pos = _apply_merge(pos, bp).localCheckpoint()
+    merges = (
+        spark.createDataFrame(
+            merge_rows,
+            "merge_rank int, left_sym string, right_sym string, "
+            "merged string, pair_count bigint",
+        )
+        if merge_rows
+        else empty_merges
+    )
     # reassemble token arrays from the surviving positions — one bounded
     # per-word collect (the kmeans centroid-array pattern), no fold
     vocab = pos.groupBy("word", "freq").agg(
@@ -986,15 +1126,37 @@ def encode_words(
         )
         .localCheckpoint()
     )
-    # iterate to the highest rank, not count(): bpe_learn emits contiguous
-    # ranks, but a stored merge table someone filtered could have gaps —
-    # a missing rank must be a no-op round, not shift later merges early
-    max_rank = merges.agg(F.max("merge_rank")).first()[0]
-    for i in range(max_rank + 1 if max_rank is not None else 0):
-        best = merges.filter(F.col("merge_rank") == i).select(
-            F.col("left_sym").alias("a"), F.col("right_sym").alias("b")
-        )
-        pos = _apply_merge(pos, best).localCheckpoint()
+    # The merge table is collected ONCE (bounded by the merge budget — a
+    # training hyperparameter, 32k-100k rows of short strings, never
+    # corpus-scaled; the same documented collect exception as
+    # bpe_learn_driver) and applied in rank order. Rank GAPS in a filtered
+    # stored table are naturally no-ops — later merges keep their rank
+    # positions because application order follows the sorted rank list.
+    #
+    # r12 batching (guide §5 — checkpoint cadence): consecutive ranks are
+    # applied in ONE _apply_merge pass while they stay pairwise disjoint —
+    # no rank's left/right/merged string collides with an earlier batch
+    # member's symbols or merged string. Under that condition simultaneous
+    # application equals sequential rank order exactly: disjoint symbols
+    # mean no merge can create, destroy, or chain into another's matches
+    # (a new occurrence of (a_j, b_j) would need one of its symbols to BE
+    # an earlier merge's output string — excluded). The first collision
+    # flushes the batch, so worst case degenerates to one rank per round.
+    mrows = merges.select("merge_rank", "left_sym", "right_sym").collect()
+    mrows.sort(key=lambda r: r["merge_rank"])
+    batches: list[list[tuple[str, str]]] = []
+    used: set[str] = set()
+    for r in mrows:
+        a, b, m = r["left_sym"], r["right_sym"], r["left_sym"] + r["right_sym"]
+        if not batches or a in used or b in used or m in used:
+            batches.append([])
+            used = set()
+        batches[-1].append((a, b))
+        used.update((a, b, m))
+    spark = words.sparkSession
+    for batch in batches:
+        bp = spark.createDataFrame(batch, "a string, b string")
+        pos = _apply_merge(pos, bp).localCheckpoint()
     encoded = pos.groupBy("word").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "sym"))),

@@ -334,7 +334,14 @@ def unigram_learn(
                 .localCheckpoint()
             )
         ilp = _collect_ilp(pieces_cnt)
-        segments = _segments_df(incap, ilp, max_piece_len).localCheckpoint()
+        segments = _segments_df(incap, ilp, max_piece_len)
+        if rnd == em_rounds:
+            # only the FINAL sweep's segments have two consumers (the
+            # count aggregate below and the exported segments table);
+            # intermediate sweeps feed counts exactly once, and their
+            # lineage is already O(1) (checkpointed incap + a literal ilp
+            # dict), so materializing them bought nothing (r12, guide §5)
+            segments = segments.localCheckpoint()
         pieces_cnt = _with_alphabet_floor(
             _counts_from_segments(segments)
         ).localCheckpoint()

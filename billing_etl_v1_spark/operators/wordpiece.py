@@ -72,6 +72,7 @@ from billing_etl_v1_spark.operators.bpe import (
     _apply_merge,
     _by_pos,
     _pretokens,
+    _with_nxt,
     doc_token_counts,
 )
 
@@ -140,8 +141,10 @@ def _best_scored_pair(pos: DataFrame) -> DataFrame:
     vocabulary-bounded (AQE broadcasts them). Ties break by (a, b) binary
     string order. TakeOrdered, not a global window."""
     counts = pos.groupBy("sym").agg(F.sum("freq").alias("cnt"))
+    # nxt is read off the checkpointed position rows (r12): no per-round
+    # window sort + word-hash exchange just to look one position ahead
     pairs = (
-        pos.withColumn("nxt", F.lead("sym").over(_by_pos()))
+        _with_nxt(pos)
         .filter(F.col("nxt").isNotNull())
         .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
         .agg(F.sum("freq").alias("pair_count"))
@@ -226,35 +229,46 @@ def _learn_full(
 
     base = base.localCheckpoint()
     bypass = base.filter(F.size("s") > max_word_len)
-    pos = (
-        base.filter(F.size("s") <= max_word_len)
-        .select("word", "freq", F.posexplode("s").alias("pos", "sym"))
-        .localCheckpoint()
-    )
-    merge_rounds: list[DataFrame] = []
+    pos = _with_nxt(
+        base.filter(F.size("s") <= max_word_len).select(
+            "word", "freq", F.posexplode("s").alias("pos", "sym")
+        )
+    ).localCheckpoint()
+    # WordPiece rounds stay one-merge (the likelihood-ratio score is NOT
+    # batchable: merging (a,b) gives the new symbol a tiny denominator, so
+    # a batch-created pair can outrank anything — unlike BPE's raw counts,
+    # there is no sound dominance bound). The r12 win here is per-round
+    # cost: the 1-row argmax is COLLECTED (one job) instead of
+    # localCheckpoint+isEmpty (two), pair counting reads the checkpointed
+    # nxt column with no window, and _apply_merge runs one word exchange
+    # instead of three; the merge table is assembled from the collected
+    # rows instead of num_merges chained 1-row unionAll branches.
+    merge_rows: list[tuple] = []
     for i in range(num_merges):
-        best = _best_scored_pair(pos).localCheckpoint()
-        if best.isEmpty():
+        found = _best_scored_pair(pos).collect()
+        if not found:
             break  # vocabulary fully merged before the budget ran out
-        merge_rounds.append(
-            best.select(
-                F.lit(i).cast("int").alias("merge_rank"),
-                F.col("a").alias("left_sym"),
-                F.col("b").alias("right_sym"),
-                _wp_merged().alias("merged"),
-                F.col("pair_count"),
-                F.col("left_count"),
-                F.col("right_count"),
+        r = found[0]
+        # merged = a || substring(b, 3): both engines drop the 2-char
+        # ASCII '##' marker; Python slicing agrees (ASCII prefix)
+        merge_rows.append(
+            (
+                i,
+                r["a"],
+                r["b"],
+                r["a"] + r["b"][2:],
+                r["pair_count"],
+                r["left_count"],
+                r["right_count"],
             )
         )
-        pos = _apply_merge(pos, best, merged_col=_wp_merged()).localCheckpoint()
+        bp = spark.createDataFrame([(r["a"], r["b"])], "a string, b string")
+        pos = _apply_merge(pos, bp, merged_col=_wp_merged()).localCheckpoint()
     merges = spark.createDataFrame(
-        [],
+        merge_rows,
         "merge_rank int, left_sym string, right_sym string, merged string, "
         "pair_count bigint, left_count bigint, right_count bigint",
     )
-    for nxt in merge_rounds:
-        merges = merges.unionAll(nxt)
     state = (
         pos.groupBy("word", "freq")
         .agg(
