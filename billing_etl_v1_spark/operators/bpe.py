@@ -355,71 +355,6 @@ def _apply_merge(
     )
 
 
-# How many top pairs one training round collects for prefix-disjoint
-# batching (plus one sentinel row bounding everything below the cut).
-# Driver traffic is O(K) tiny rows per round — vocabulary-bounded state
-# never leaves the executors. Speed-only knob: the batch selection is
-# exact for any K >= 1 (K=1 degenerates to the classic one-merge round).
-_BATCH_K = 32
-
-
-def _select_merge_batch(top: list, k: int) -> list:
-    """Choose a prefix of the sorted pair list that one simultaneous
-    :func:`_apply_merge` provably merges EXACTLY like that many sequential
-    greedy rounds (r12 batching, guide §2.4 — fewer rounds, fewer jobs).
-
-    ``top`` is the first ``k + 1`` rows of the pair table sorted by
-    (pair_count desc, a, b); row ``k`` (when present) is only a sentinel
-    bounding every pair below the cut. Selection scans the PREFIX in
-    order — never skipping — and stops at the first candidate whose left,
-    right, or merged string collides with a previously selected pair's
-    symbols or merged string. Why each rule is load-bearing:
-
-    - PREFIX-ONLY: a skipped-over conflicting pair's count would change
-      under the earlier applies, so everything after it could be
-      re-ranked; stopping keeps every non-selected pair's ORIGINAL count
-      an upper bound (applies only ever decrease original pair counts).
-    - MERGED-STRING in the used-set: if a selected pair's merged symbol
-      collides with an existing symbol s, later rounds' pairs involving s
-      gain occurrences sequentially that the simultaneous apply cannot
-      see; keeping merged strings in the used-set means at most one batch
-      pair produces any given symbol string and no batch pair consumes
-      one.
-    - STRICT 2x DOMINANCE TRIM: pairs created or boosted by the batch's
-      own applies are bounded by 2x the first excluded pair's count (a
-      new (x, merged) occurrence needs an old (x, a) adjacency — a
-      CONFLICTING pair, hence excluded, hence <= the sentinel count; a
-      boosted colliding pair adds its own original count, also excluded,
-      for the factor 2). Every selected pair beyond the first must
-      strictly exceed that bound so no sequential round would have
-      preferred a batch-created pair (strictness also sidesteps tie-break
-      comparisons against symbols that do not exist yet). Ties WITHIN the
-      selection are fine: disjoint pairs keep their counts, and the sort
-      order is exactly the argmax tie-break order.
-
-    When the whole pair universe fits in the prefix and selects cleanly
-    (no sentinel, no conflict), no trim is needed: a conflicting pair
-    would have to exist for any new/boosted pair to exist, and it would
-    have stopped the scan.
-    """
-    candidates = top[:k]
-    stop_count = top[k]["pair_count"] if len(top) > k else None
-    first = candidates[0]
-    batch = [first]
-    used = {first["a"], first["b"], first["a"] + first["b"]}
-    for r in candidates[1:]:
-        m = r["a"] + r["b"]
-        if r["a"] in used or r["b"] in used or m in used:
-            stop_count = r["pair_count"]
-            break
-        batch.append(r)
-        used.update((r["a"], r["b"], m))
-    if stop_count is not None:
-        while len(batch) > 1 and batch[-1]["pair_count"] <= 2 * stop_count:
-            stop_count = batch.pop()["pair_count"]
-    return batch
-
-
 def bpe_learn(
     df: DataFrame,
     text_col: str = "text",
@@ -458,12 +393,14 @@ def bpe_learn(
 
     .. warning:: EXECUTES EAGERLY at call time (the connected-components
        posture, dedup.py): each round localCheckpoint()s the vocabulary
-       and the 1-row best pair, truncating lineage so the plan stays O(1)
-       deep instead of doubling per round — round i+1 reads vocabulary i
+       position table, truncating lineage so the plan stays O(1) deep
+       instead of doubling per round — round i+1 reads vocabulary i
        twice (pair counts + merge apply), so a lazy formulation re-plans
        2^rounds copies of the corpus scan (measured: heap exhaustion at 8
-       rounds). Cost: the corpus word-count pass once, then 2 vocabulary-
-       sized jobs per round — at 100 TB the rounds touch only the
+       rounds). Cost: the corpus word-count pass once, then ONE
+       vocabulary-sized job per round (r12 fusion — the argmax rides the
+       apply job as a broadcast subquery; merge metadata is recovered in
+       chunked union-collects) — at 100 TB the rounds touch only the
        distinct-word table. Training stops early when no pair remains
        (every word fully merged). Results are memoized per (session,
        corpus plan, num_merges, max_word_len); ``release_bpe_cache``
@@ -505,39 +442,61 @@ def bpe_learn(
             "word", "freq", F.posexplode("s").alias("pos", "sym")
         )
     ).localCheckpoint()
-    # r12 batched rounds (guide §2.4 / §5): each round collects the top
-    # K+1 pairs (tiny, driver-bounded), applies the provably-safe
-    # prefix-disjoint batch in ONE _apply_merge pass, and checkpoints
-    # once — so a round costs 2 jobs for up to K merges instead of 2-3
-    # jobs per merge, and the merge TABLE is assembled from the collected
-    # rows (values Spark computed this session) instead of num_merges
-    # chained unionAll branches of 1-row checkpoints.
-    merge_rows: list[tuple[int, str, str, str, int]] = []
-    while len(merge_rows) < num_merges:
-        k = min(_BATCH_K, num_merges - len(merge_rows))
-        top = (
-            _pair_counts(pos)
-            .orderBy(F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(k + 1)
-            .collect()
-        )
-        if not top:
-            break  # vocabulary fully merged before the budget ran out
-        batch = _select_merge_batch(top, k)
-        for r in batch:
-            merge_rows.append(
-                (len(merge_rows), r["a"], r["b"], r["a"] + r["b"], r["pair_count"])
+    # r12 FUSED rounds (guide §5 — the loop's cost is job round-trips, not
+    # data: the vocabulary tables are tiny next to the corpus and AQE
+    # already coalesces their shuffles). One round = ONE action: the
+    # 1-row argmax rides the apply job as a lazy broadcast subquery over
+    # the same checkpointed position table, instead of being its own
+    # localCheckpoint + isEmpty round-trip (2-3 actions/round before).
+    # The merge TABLE and the exhaustion check are recovered afterwards in
+    # CHUNKed union-collects: each pending round's checkpoint re-runs its
+    # (deterministic) argmax as one branch of a single union job — a
+    # vocabulary-bounded aggregate per branch, collected as tiny rows. A
+    # chunk yielding fewer rows than rounds means the vocabulary exhausted
+    # mid-chunk (an empty argmax broadcast makes the apply a no-op, and
+    # every later round stays empty), so ranks are contiguous by
+    # construction, exactly like the old per-round isEmpty break. CHUNK
+    # bounds both the union plan width and how many checkpoints stay
+    # referenced (pinned in block storage) at once.
+    _CHUNK = 8
+    merge_schema = (
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint"
+    )
+    merge_rows: list = []
+    pending: list[DataFrame] = []  # pos checkpoints awaiting metadata recovery
+
+    def _recover(base_rank: int) -> bool:
+        """Collect pending rounds' merge metadata; True if exhausted."""
+        parts = None
+        for j, p in enumerate(pending):
+            part = _best_pair(p).select(
+                F.lit(base_rank + j).cast("int").alias("merge_rank"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.concat("a", "b").alias("merged"),
+                F.col("pair_count"),
             )
-        bp = spark.createDataFrame(
-            [(r["a"], r["b"]) for r in batch], "a string, b string"
-        )
-        pos = _apply_merge(pos, bp).localCheckpoint()
+            parts = part if parts is None else parts.unionAll(part)
+        rows = sorted(parts.collect(), key=lambda r: r["merge_rank"])
+        merge_rows.extend(tuple(r) for r in rows)
+        return len(rows) < len(pending)
+
+    exhausted = False
+    for i in range(num_merges):
+        best = _best_pair(pos)  # lazy — broadcast subquery of the apply job
+        new_pos = _apply_merge(pos, best).localCheckpoint()
+        pending.append(pos)
+        pos = new_pos
+        if len(pending) == _CHUNK:
+            exhausted = _recover(i + 1 - len(pending))
+            pending = []
+            if exhausted:
+                break
+    if pending and not exhausted:
+        _recover(num_merges - len(pending))
     merges = (
-        spark.createDataFrame(
-            merge_rows,
-            "merge_rank int, left_sym string, right_sym string, "
-            "merged string, pair_count bigint",
-        )
+        spark.createDataFrame(merge_rows, merge_schema)
         if merge_rows
         else empty_merges
     )

@@ -237,33 +237,59 @@ def _learn_full(
     # WordPiece rounds stay one-merge (the likelihood-ratio score is NOT
     # batchable: merging (a,b) gives the new symbol a tiny denominator, so
     # a batch-created pair can outrank anything — unlike BPE's raw counts,
-    # there is no sound dominance bound). The r12 win here is per-round
-    # cost: the 1-row argmax is COLLECTED (one job) instead of
-    # localCheckpoint+isEmpty (two), pair counting reads the checkpointed
-    # nxt column with no window, and _apply_merge runs one word exchange
-    # instead of three; the merge table is assembled from the collected
-    # rows instead of num_merges chained 1-row unionAll branches.
-    merge_rows: list[tuple] = []
-    for i in range(num_merges):
-        found = _best_scored_pair(pos).collect()
-        if not found:
-            break  # vocabulary fully merged before the budget ran out
-        r = found[0]
-        # merged = a || substring(b, 3): both engines drop the 2-char
-        # ASCII '##' marker; Python slicing agrees (ASCII prefix)
-        merge_rows.append(
-            (
-                i,
-                r["a"],
-                r["b"],
-                r["a"] + r["b"][2:],
-                r["pair_count"],
-                r["left_count"],
-                r["right_count"],
+    # there is no sound dominance bound). The r12 win is per-round cost:
+    # FUSED rounds exactly like bpe_learn's (see its loop comment) — the
+    # 1-row scored argmax rides the apply job as a lazy broadcast subquery
+    # (1 action/round vs 3), pair counting reads the checkpointed nxt
+    # column with no window, the apply runs one word exchange instead of
+    # three, and the merge table + exhaustion check are recovered in
+    # chunked union-collects over the retained round checkpoints.
+    _CHUNK = 8
+    merge_rows: list = []
+    pending: list[DataFrame] = []
+
+    def _recover(base_rank: int) -> bool:
+        parts = None
+        for j, p in enumerate(pending):
+            part = _best_scored_pair(p).select(
+                F.lit(base_rank + j).cast("int").alias("merge_rank"),
+                F.col("a"),
+                F.col("b"),
+                F.col("pair_count"),
+                F.col("left_count"),
+                F.col("right_count"),
             )
-        )
-        bp = spark.createDataFrame([(r["a"], r["b"])], "a string, b string")
-        pos = _apply_merge(pos, bp, merged_col=_wp_merged()).localCheckpoint()
+            parts = part if parts is None else parts.unionAll(part)
+        rows = sorted(parts.collect(), key=lambda r: r["merge_rank"])
+        for r in rows:
+            # merged = a || substring(b, 3): both engines drop the 2-char
+            # ASCII '##' marker; Python slicing agrees (ASCII prefix)
+            merge_rows.append(
+                (
+                    r["merge_rank"],
+                    r["a"],
+                    r["b"],
+                    r["a"] + r["b"][2:],
+                    r["pair_count"],
+                    r["left_count"],
+                    r["right_count"],
+                )
+            )
+        return len(rows) < len(pending)
+
+    exhausted = False
+    for i in range(num_merges):
+        best = _best_scored_pair(pos)  # lazy broadcast subquery
+        new_pos = _apply_merge(pos, best, merged_col=_wp_merged()).localCheckpoint()
+        pending.append(pos)
+        pos = new_pos
+        if len(pending) == _CHUNK:
+            exhausted = _recover(i + 1 - len(pending))
+            pending = []
+            if exhausted:
+                break
+    if pending and not exhausted:
+        _recover(num_merges - len(pending))
     merges = spark.createDataFrame(
         merge_rows,
         "merge_rank int, left_sym string, right_sym string, merged string, "
