@@ -43,26 +43,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_PATH = "/root/reference"
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
-    sys.path.insert(0, REFERENCE_PATH)
-    from calculate.service import CalculateService  # the reference engine itself
-
-    from billing_etl_v1_spark.sources import synthetic
-
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
-    )
-    # fixture: the fact/dim tables "at rest" (ClickHouse's role as storage)
-    con.execute(f"CREATE TABLE fact AS {synthetic.FACT_SQL}")
-    con.execute(f"CREATE TABLE dim AS {synthetic.DIM_SQL}")
-
-    # the reference's server-side aggregation, verbatim shape
-    # (billing_calculation_service.py:201-222): detail grain, 13 sums
-    day_agg_sql = """
+# the reference's server-side aggregation, verbatim shape
+# (billing_calculation_service.py:201-222): detail grain, 13 sums
+DAY_AGG_SQL = """
         SELECT invoice_month, billing_account_id, usage_day, project_id,
                service_id, service_description, sku_id, cost_type,
                sum(usage_amount_in_pricing_units) AS usage_amount_in_pricing_units,
@@ -84,16 +67,31 @@ def main() -> None:
                  service_id, service_description, sku_id, cost_type
     """
 
+
+def drive_reference(con, CalculateService, day_agg_sql, collect: bool = False):
+    """The reference's execution loop, verbatim shape (months -> whole-month
+    dim once, pre-deduped per key tuple -> days -> 10k-row batches through
+    ``CalculateService.calculate_with_credits``).
+
+    Shared by the timing lane (:func:`main`) and the r12 value-diff lane
+    (tests/test_reference_value_diff.py, the r10 evidence item): with
+    ``collect=True`` every batch's output frame is kept and returned so the
+    Spark engine's values can be asserted equal per column; the timing lane
+    keeps ``collect=False`` so the measured loop carries no extra concat
+    work it didn't carry before.
+
+    Returns ``(elapsed_sec, rows_out, n_batches, frames)``.
+    """
     months = [
         r[0]
         for r in con.execute(
             "SELECT DISTINCT invoice_month FROM fact ORDER BY 1"
         ).fetchall()
     ]
-
     t0 = time.time()
     rows_out = 0
     batches = 0
+    frames = []
     for month in months:
         dim_month = f"{month[:4]}-{month[4:]}"
         # get_dim_contract: whole-month dim once per month; pre-dedup per key
@@ -126,7 +124,34 @@ def main() -> None:
                 out = CalculateService.calculate_with_credits(batch, dim_df)
                 rows_out += len(out)
                 batches += 1
-    elapsed = time.time() - t0
+                if collect:
+                    frames.append(out)
+    return time.time() - t0, rows_out, batches, frames
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    sys.path.insert(0, REFERENCE_PATH)
+    from calculate.service import CalculateService  # the reference engine itself
+
+    from billing_etl_v1_spark.sources import synthetic
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    # fixture: the fact/dim tables "at rest" (ClickHouse's role as storage)
+    con.execute(f"CREATE TABLE fact AS {synthetic.FACT_SQL}")
+    con.execute(f"CREATE TABLE dim AS {synthetic.DIM_SQL}")
+
+    n_months = con.execute(
+        "SELECT count(DISTINCT invoice_month) FROM fact"
+    ).fetchone()[0]
+    elapsed, rows_out, batches, _frames = drive_reference(
+        con, CalculateService, DAY_AGG_SQL
+    )
 
     print(
         json.dumps(
@@ -135,7 +160,7 @@ def main() -> None:
                 "value": round(elapsed, 3),
                 "unit": "sec",
                 "sf_dir": sf_dir,
-                "months": len(months),
+                "months": n_months,
                 "batches": batches,
                 "rows_out": rows_out,
                 "note": (

@@ -145,12 +145,13 @@ def dq_audit(calculated: DataFrame, grain: list[str] | None = None) -> DataFrame
         .alias("duplicate_grain_rows"),
     )
     # melt the 1-row total with stack() (the profile_columns idiom): ONE
-    # consumer of the aggregate, not five union branches; check names are
-    # module literals, never caller input, so the expr is injection-safe
+    # consumer of the aggregate, not five union branches. Typed F.stack
+    # with F.lit labels (ADVICE r11) — no SQL-string interpolation surface
+    # even if a future caller ever derived check names from input
     checks = [*conds, "duplicate_grain_rows"]
-    pairs = ", ".join(f"'{name}', {name}" for name in checks)
+    args = [c for name in checks for c in (F.lit(name), F.col(name))]
     return totals.select(
-        F.expr(f"stack({len(checks)}, {pairs})").alias("check", "violations")
+        F.stack(F.lit(len(checks)), *args).alias("check", "violations")
     )
 
 
@@ -194,21 +195,22 @@ def profile_columns(
         cols = [c for c in cols if c != day_col]
         fact = fact.withColumn("__day_str", F.col(day_col).cast("string"))
         cols = [*cols, "__day_str"]
-    # day_col reaches the stack() expression too (as the melted LABEL for
-    # the string form), so it gets the same injection validation as the
-    # value columns; when day_col is None, no label substitution happens
-    # (a real column literally named __day_str then profiles under its
-    # own name instead of raising TypeError from str.replace(None))
+    # The melt is built from typed expressions (F.stack + F.lit labels, no
+    # SQL-string interpolation — ADVICE r11), but names still pass through
+    # F.col, which parses dots/backticks as nesting; keep the validation so
+    # an exotic name fails loudly here, not as a mis-resolved column. When
+    # day_col is None, no label substitution happens (a real column
+    # literally named __day_str then profiles under its own name)
     for c in cols + ([day_col] if day_col is not None else []):
         if not c.replace("_", "").isalnum():
             raise ValueError(
-                f"profile_columns: unsafe column name {c!r} (names are "
-                f"interpolated into a stack() expression)"
+                f"profile_columns: unsafe column name {c!r} (names must be "
+                f"alphanumeric/underscore)"
             )
     labels = {"__day_str": day_col} if day_col is not None else {}
-    pairs = ", ".join(f"'{labels.get(c, c)}', {c}" for c in cols)
+    args = [c for name in cols for c in (F.lit(labels.get(name, name)), F.col(name))]
     melted = fact.select(
-        F.expr(f"stack({len(cols)}, {pairs})").alias("column_name", "value")
+        F.stack(F.lit(len(cols)), *args).alias("column_name", "value")
     )
     return melted.groupBy("column_name").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),

@@ -485,6 +485,18 @@ def session_type_overlap(
     floored epoch seconds — BIGINT in both engines, so the DuckDB twin
     (oracle_ext.session_type_overlap_sql) hash-matches without float
     tolerance anywhere.
+
+    ``bin_width_s`` stays a FIXED default here rather than calling
+    :func:`suggest_bin_width` (r12, closing the r10 evidence item):
+    deriving it would run an eager percentile aggregate at PLAN-BUILD
+    time — an untimed corpus pass hidden outside every bench/oracle
+    measurement window, and a nondeterministic plan shape for the pinned
+    scale-posture tests. The measured sweep
+    (probe_r9_x64/probe_r10 ``session_type_overlap_bin_width_sweep``)
+    shows the replication-vs-fan-in trade is flat across 1 h/6 h/24 h at
+    session-scale lengths, so the fixed 6 h default is safe; a deployment
+    with very different interval lengths should call
+    :func:`suggest_bin_width` once on a sample and pass the result in.
     """
     sessions = _user_sessions(events, session_gap_s)
     # span side: event_type is LOW-cardinality, so the spans come from the

@@ -72,13 +72,20 @@ def token_count(col: Column) -> Column:
     )
 
 
-def _class_ratio(col: Column, char_class: str) -> Column:
+def _class_ratio(col: Column, single_char_class: str) -> Column:
     """Fraction of characters matching a regex character class.
 
     regexp_count of a single-char class = matching-char count — identical
     to the old length-minus-stripped-length form (verified value-equal)
-    without allocating the stripped copy of every document (r11)."""
-    removed = F.regexp_count(col, F.lit(char_class))
+    without allocating the stripped copy of every document (r11).
+
+    ``single_char_class`` MUST match exactly one character per match
+    (ADVICE r11): a quantified pattern like '[0-9]+' would count RUNS
+    here but counted CHARACTERS under the old stripped-length form.
+    Current callers pass PUNCT_CLASS / DIGIT_CLASS (bare one-char
+    classes); keep it that way or convert the count back to characters
+    first."""
+    removed = F.regexp_count(col, F.lit(single_char_class))
     return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
         removed.cast("double") / F.length(col).cast("double")
     )
@@ -851,13 +858,14 @@ def corpus_dq_audit(df: DataFrame, text_col: str = "text") -> DataFrame:
         "empty_text_rows",
         "whitespace_only_rows",
     ]
-    # check names are module literals, never caller input: injection-safe
+    # typed F.stack with F.lit labels (ADVICE r11): no SQL-string
+    # interpolation surface
     fixed = counts.select(
         *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in checks]
     )
-    pairs = ", ".join(f"'{c}', {c}" for c in checks)
+    args = [c for name in checks for c in (F.lit(name), F.col(name))]
     return fixed.select(
-        F.expr(f"stack({len(checks)}, {pairs})").alias("check", "violations")
+        F.stack(F.lit(len(checks)), *args).alias("check", "violations")
     )
 
 
