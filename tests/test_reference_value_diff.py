@@ -118,6 +118,11 @@ def _sink_normalize(ref: pd.DataFrame) -> pd.DataFrame:
     calculate_with_credits output (billing_calculation_service.py:354-419)."""
     ref = ref.copy()
     ref["mode"] = ref["mode"].fillna(0).astype("int64")
+    # the dim carries price/discount as strings (the reference's
+    # Nullable(String) dim schema); the sink's numeric-column coercion
+    # (fillna(0) + ClickHouse Float64 ingestion) makes them floats
+    for c in ("discount", "price"):
+        ref[c] = pd.to_numeric(ref[c]).fillna(0.0)
     for c in ref.columns:
         if c in ("customer_id", "contract_id"):
             ref[c] = ref[c].where(pd.notna(ref[c]), None)
@@ -170,7 +175,14 @@ def test_engine_matches_reference_values(reference_out, engine_out):
     for c in shared:
         a, b = merged[f"{c}_ref"], merged[f"{c}_eng"]
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-            a, b = _q6(a.astype(float)), _q6(b.astype(float))
+            # the oracle lanes are bit-exact because BOTH engines quantize
+            # inside the query; the reference computes unquantized, so
+            # pandas-vs-Spark accumulation order legitimately differs by
+            # ~1 ULP (measured: 8/5997 rows landing on 1e-6 grid ties).
+            # Tolerance 1e-9 relative is ~1e5 times tighter than any
+            # semantic divergence (discount factors are ~1e-1).
+            a, b = a.astype(float), b.astype(float)
+            close = np.isclose(a, b, rtol=1e-9, atol=1e-8)
             if c == "discount_amount":
                 # §2.10.5: the reference discards the computed mode-4
                 # credit part; assert that exact shape, compare the rest
@@ -178,9 +190,9 @@ def test_engine_matches_reference_values(reference_out, engine_out):
                     "reference emitted a nonzero mode-4 discount_amount — "
                     "the documented §2.10.5 divergence no longer holds"
                 )
-                eq = (a == b) | is_mode4
+                eq = close | is_mode4
             else:
-                eq = a == b
+                eq = pd.Series(close, index=merged.index)
         else:
             a = a.where(pd.notna(a), None)
             b = b.where(pd.notna(b), None)
