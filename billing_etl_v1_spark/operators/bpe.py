@@ -288,17 +288,23 @@ def _apply_merge(
     regression-tested). The DuckDB twin re-derives dense positions each
     round by rebuilding the list, same invariant.
 
-    Plan shape (r12, guide §2.4): every window here partitions by word
-    and orders by pos — run starts come from lag(mtch), the run start
-    POSITION from a running ``last(ignorenulls)`` instead of the old
-    ``min over (word, grp)`` / ``row_number over (word, mtch)`` pair, so
-    the whole round is ONE word-hash exchange + sort (the old shape paid
-    three: (word), (word, mtch), (word, grp)). Equivalence: a match row's
-    most recent run-start at-or-before it IS its run's first position
-    (runs are contiguous, later run rows have lag(mtch)=true), which is
-    what the islands grouping's ``min(pos)`` computed. The output carries
-    ``nxt`` (successor symbol after renumbering) so the next round's pair
-    counting reads the checkpoint without a window (:func:`_pair_counts`).
+    Plan shape (r12, guide §2.4; committed evidence
+    plans/r12/bpe_apply_round_{before,after}.txt): every window here
+    partitions by word and orders by pos — run starts come from
+    lag(mtch), the run start POSITION from a running
+    ``last(ignorenulls)`` instead of the old ``min over (word, grp)`` /
+    ``row_number over (word, mtch)`` pair. The old shape's three window
+    keys shared one exchange (hash(word) already clusters (word, mtch))
+    but each re-SORTED the position table — 5 Sorts per round; the new
+    chain plans 4 Windows over ONE Sort (5→1 in the committed plans).
+    Equivalence: a match row's most recent run-start at-or-before it IS
+    its run's first position (runs are contiguous, later run rows have
+    lag(mtch)=true), which is what the islands grouping's ``min(pos)``
+    computed. The output carries ``nxt`` (successor symbol after
+    renumbering) so the next round's pair counting reads the checkpoint
+    without a window (:func:`_pair_counts` — its own plan went
+    window+sort+exchange+aggregate → bare aggregate,
+    plans/r12/bpe_pair_counts_{before,after}.txt).
     """
     bp = F.broadcast(
         best.select(
