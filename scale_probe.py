@@ -1066,6 +1066,100 @@ def concurrency_ab(replication: int = 16) -> None:
     spark.stop()
 
 
+def scaling_lane(replication: int = 16) -> None:
+    """×N-replicated-fact scaling lane (VERDICT r11 item 10): the 8-vs-32
+    core ratios on the sf0.1 bench are overhead, not evidence — most
+    queries finish in 0.1–0.7 s, where JVM/task-launch costs dominate.
+    This lane times a handful of WIDE queries on ×N-replicated inputs at
+    the CURRENT core count ($SPARK_GRAFT_CPUS), so running it once at 32
+    and once at 8 cores yields parallelism ratios on queries that
+    actually saturate the box. Replication grows the real scaling
+    variable of each lane: events get shifted users/days (sessions and
+    spans multiply), embeddings get shifted ids (clusters multiply at
+    fixed size), documents get shifted ids, and the billing fact gets ×N
+    rows per group (same 13-key grain, ×N map work into the aggregate).
+
+    Prints ONE JSON line: {"scaling_lane": {cpus, rep, queries: {name:
+    {cold, runs_sec, sec}}, ...}} — merge under plans/r{N}/.
+    """
+    from bench import _load_stamp, _quiet_gate, _steal_share
+    from billing_etl_v1_spark.plans.pipeline import billing_pipeline
+    from billing_etl_v1_spark.session import get_spark
+    from billing_etl_v1_spark.sources import synthetic
+    from billing_etl_v1_spark.operators import corpus as corpus_ops
+    from billing_etl_v1_spark.operators import dedup as dedup_ops
+    from billing_etl_v1_spark.operators import intervals as interval_ops
+
+    gate = _quiet_gate()
+    load_before = _load_stamp()
+    spark = get_spark("scaling-lane")
+    spark.sparkContext.setLogLevel("ERROR")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li_big = None
+    for i in range(replication):
+        c = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 1_000_000_000))
+        li_big = c if li_big is None else li_big.unionByName(c)
+    li_big.createOrReplaceTempView("lineitem")
+    fact, dim = synthetic.fact_df(spark), synthetic.dim_df(spark)
+    ev_big = _replicate_events(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), replication
+    ).localCheckpoint()
+    docs_big = _replicate_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), replication
+    ).localCheckpoint()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb_big = None
+    for i in range(replication):
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 100_000_000))
+        emb_big = c if emb_big is None else emb_big.unionByName(c)
+    emb_big = emb_big.localCheckpoint()
+
+    lanes = [
+        (
+            "billing_flagship_production",
+            lambda: billing_pipeline(
+                fact, dim, grain="pipeline", include_etl_time=False
+            ),
+        ),
+        ("dedup_semantic", lambda: dedup_ops.semantic_dedup(emb_big)),
+        ("docs_quality_corpus", lambda: corpus_ops.quality_corpus(docs_big)),
+        (
+            "events_session_type_overlap",
+            lambda: interval_ops.session_type_overlap(ev_big),
+        ),
+    ]
+    res = {}
+    for name, build in lanes:
+        spark.sparkContext.setJobDescription(f"scaling_lane:{name}")
+        df = build()
+        cold = _noop(df)
+        runs = [_noop(df) for _ in range(3)]
+        res[name] = {"cold": cold, "runs_sec": runs, "sec": sorted(runs)[1]}
+        print(f"# scaling_lane x{replication} c{cpus} {name}: "
+              f"{res[name]['sec']}s (cold {cold}, warm {runs})", file=sys.stderr)
+    load_after = _load_stamp()
+    print(
+        json.dumps(
+            {
+                "scaling_lane": {
+                    "cpus": cpus,
+                    "replication": replication,
+                    "sf_dir": sf_dir,
+                    "queries": res,
+                    "load_before": load_before,
+                    "load_after": load_after,
+                    "cpu_steal_share": _steal_share(load_before, load_after),
+                    "quiet_gate": gate,
+                }
+            }
+        )
+    )
+    spark.stop()
+
+
 def rank_memo_ab(replication: int = 16) -> None:
     """A/B the shared rank memo (``events._RANK_CACHE``) across the four
     registered queries that opted in after the concurrency-profile
@@ -1140,5 +1234,8 @@ if __name__ == "__main__":
     elif "--rank-memo-ab" in sys.argv:
         argv = [a for a in sys.argv[1:] if a != "--rank-memo-ab"]
         rank_memo_ab(int(argv[0]) if argv else 16)
+    elif "--scaling-lane" in sys.argv:
+        argv = [a for a in sys.argv[1:] if a != "--scaling-lane"]
+        scaling_lane(int(argv[0]) if argv else 16)
     else:
         main()

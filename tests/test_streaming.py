@@ -6,6 +6,8 @@ from __future__ import annotations
 import os
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from billing_etl_v1_spark.sources import synthetic
@@ -423,6 +425,7 @@ def test_streaming_token_meter_matches_batch_encode(spark, tmp_path):
     bpe_ops.release_bpe_cache(spark)
 
 
+@pytest.mark.slow  # ~2.5 min of micro-batch churn; see pytest.ini
 def test_token_meter_word_store_compaction_bounds_files(spark, tmp_path):
     """Across 20+ micro-batches each learning a novel word, the append-only
     word store must stay bounded in parquet file count (compaction every 5
