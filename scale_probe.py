@@ -51,6 +51,7 @@ Usage: python scale_probe.py [replication]   (default 16 -> ~9.6M-row fact)
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
